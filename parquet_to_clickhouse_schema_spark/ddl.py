@@ -1,0 +1,273 @@
+"""Parquet schema inference → ClickHouse / Spark SQL DDL generation.
+
+This is the reference's core capability re-expressed on Spark's schema model:
+the reference (``/root/reference/src/parquetutils.rs:17-61``) opens a Parquet
+file, reads ONLY the footer, walks the Parquet schema tree with a visitor
+(``/root/reference/src/parquetvisitor.rs:88-106``) and writes ClickHouse
+``create table ... engine = MergeTree() primary key (...)`` DDL.
+
+Here the walk happens over ``StructType``/``ArrayType``/``MapType`` —
+Spark's Parquet reader already resolves the LIST/MAP physical encodings the
+reference's visitor has to unwrap by hand
+(``/root/reference/src/parquetvisitor.rs:35-79``), so the formatter is a pure
+``StructType -> str`` function. Schema inference itself is footer-only (no
+data pages touched, no Spark job) in both the pyarrow fast path and Spark's
+own reader.
+
+Formatting rules reproduced byte-for-byte from the reference (golden test:
+``/root/reference/src/parquetutils.rs:399-414``):
+- every primitive column is ``name Nullable(T)`` regardless of Parquet
+  repetition (``src/parquetutils.rs:169-172``) — unless it is the primary
+  key, which is emitted bare ``name T`` (``src/parquetutils.rs:160-162``);
+- struct → ``name Tuple(`` + 4-space-indented comma-first children + ``)``
+  (``src/parquetutils.rs:178-221``);
+- list → ``name Nested (`` ... ``)`` — ClickHouse's parallel-arrays
+  representation (``src/parquetutils.rs:263-291``); a list of primitives
+  emits a single ``element Nullable(T)`` child
+  (``src/parquetutils.rs:163-168``);
+- map → ``name Map (`` with a bare-typed key and, for struct values, an
+  unnamed ``Tuple(...)`` (``src/parquetutils.rs:223-261, 189-192``);
+- type map BOOLEAN→Bool INT32→Int32 INT64→Int64 FLOAT→Float32
+  DOUBLE→Float64 BYTE_ARRAY/UTF8→String DATE→Int32 TIMESTAMP→Int64
+  (``src/parquetutils.rs:76-99``).
+
+Where the reference panics (DECIMAL, INT_8/16, UINT, INT96 — see
+``src/parquetutils.rs:85,96``) this module has two modes: ``strict=True``
+raises ``UnsupportedTypeError`` (reference parity), ``strict=False`` maps the
+type properly (Decimal(p,s), DateTime64(6), Date, Int8/16...) — a documented
+improvement over the reference, not a behavior change in its supported
+domain.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+
+class UnsupportedTypeError(NotImplementedError):
+    """Raised in strict mode for types the reference panics on."""
+
+
+# Reference-supported scalar map (src/parquetutils.rs:76-99). DateType →
+# Int32 and TimestampType → Int64 reproduce the reference's lossy choices.
+_STRICT_SCALARS: dict[type, str] = {
+    T.BooleanType: "Bool",
+    T.IntegerType: "Int32",
+    T.LongType: "Int64",
+    T.FloatType: "Float32",
+    T.DoubleType: "Float64",
+    T.StringType: "String",
+    T.BinaryType: "String",
+    T.DateType: "Int32",
+    T.TimestampType: "Int64",
+}
+
+# Faithful mapping for everything else (strict=False).
+_LENIENT_SCALARS: dict[type, str] = {
+    T.BooleanType: "Bool",
+    T.ByteType: "Int8",
+    T.ShortType: "Int16",
+    T.IntegerType: "Int32",
+    T.LongType: "Int64",
+    T.FloatType: "Float32",
+    T.DoubleType: "Float64",
+    T.StringType: "String",
+    T.BinaryType: "String",
+    T.DateType: "Date",
+    T.TimestampType: "DateTime64(6)",
+}
+
+
+def _scalar(dtype: T.DataType, strict: bool) -> str:
+    if isinstance(dtype, T.DecimalType):
+        if strict:
+            raise UnsupportedTypeError(
+                f"reference panics on DECIMAL (src/parquetutils.rs:96): {dtype}"
+            )
+        return f"Decimal({dtype.precision}, {dtype.scale})"
+    if not strict and hasattr(T, "TimestampNTZType") and isinstance(dtype, T.TimestampNTZType):
+        return "DateTime64(6)"
+    table = _STRICT_SCALARS if strict else _LENIENT_SCALARS
+    for cls, name in table.items():
+        if isinstance(dtype, cls):
+            return name
+    if strict:
+        raise UnsupportedTypeError(
+            f"reference panics on this type (src/parquetutils.rs:85,96): {dtype}"
+        )
+    return "String"  # lenient catch-all: serialize exotic types as String
+
+
+def _emit(
+    out: list[str],
+    name: str,
+    dtype: T.DataType,
+    nullable: bool,
+    indent: int,
+    pks: set[str],
+    strict: bool,
+    always_nullable: bool,
+    in_map_value: bool = False,
+) -> None:
+    """Append the DDL lines for one field.
+
+    ``indent`` is the current visitor indent (children go at ``indent + 4``);
+    the leading separator/indentation for *this* field's first line has
+    already been written by the parent, matching the reference's comma-first
+    layout (src/parquetutils.rs:44-50, 205-212).
+    """
+    pad = " " * indent
+    child_pad = " " * (indent + 4)
+
+    if isinstance(dtype, T.StructType):
+        # struct → Tuple; unnamed when it is a map's value
+        # (src/parquetutils.rs:189-194)
+        out.append("Tuple(\n" if in_map_value else f"{name} Tuple(\n")
+        for i, f in enumerate(dtype.fields):
+            out.append(child_pad if i == 0 else f"{child_pad}, ")
+            _emit(out, f.name, f.dataType, f.nullable, indent + 4, pks, strict, always_nullable)
+        out.append(f"{pad})\n")
+        return
+
+    if isinstance(dtype, T.ArrayType):
+        elem = dtype.elementType
+        out.append(f"{name} Nested (\n")
+        if isinstance(elem, T.StructType):
+            # list-of-struct → the struct's fields become the Nested columns
+            # (src/parquetutils.rs:263-291 via the wrapper-name skip :186,214)
+            for i, f in enumerate(elem.fields):
+                out.append(child_pad if i == 0 else f"{child_pad}, ")
+                _emit(
+                    out, f.name, f.dataType, f.nullable, indent + 4, pks, strict, always_nullable
+                )
+        else:
+            # list-of-primitive → single synthetic `element` column
+            # (src/parquetutils.rs:163-168)
+            out.append(child_pad)
+            _emit(
+                out,
+                "element",
+                elem,
+                dtype.containsNull,
+                indent + 4,
+                pks,
+                strict,
+                always_nullable,
+            )
+        out.append(f"{pad})\n")
+        return
+
+    if isinstance(dtype, T.MapType):
+        # map → Map ( K , V ) with bare key type and unnamed Tuple value
+        # (src/parquetutils.rs:223-261)
+        out.append(f"{name} Map (\n")
+        out.append(f"{child_pad}{_scalar(dtype.keyType, strict)}\n")
+        out.append(f"{child_pad}, ")
+        if isinstance(dtype.valueType, (T.StructType, T.ArrayType, T.MapType)):
+            _emit(
+                out,
+                "",
+                dtype.valueType,
+                dtype.valueContainsNull,
+                indent + 4,
+                pks,
+                strict,
+                always_nullable,
+                in_map_value=True,
+            )
+        else:
+            out.append(f"{_scalar(dtype.valueType, strict)}\n")
+        out.append(f"{pad})\n")
+        return
+
+    # primitive
+    ch = _scalar(dtype, strict)
+    if name in pks:
+        out.append(f"{name} {ch}\n")  # bare PK (src/parquetutils.rs:160-162)
+    elif always_nullable or nullable:
+        out.append(f"{name} Nullable({ch})\n")
+    else:
+        out.append(f"{name} {ch}\n")
+
+
+def struct_to_clickhouse_ddl(
+    schema: T.StructType,
+    table_name: str,
+    primary_key: str | Iterable[str],
+    strict: bool = True,
+    always_nullable: bool = True,
+) -> str:
+    """Pure formatter: Spark schema → ClickHouse MergeTree DDL string.
+
+    ``always_nullable=True`` reproduces the reference's rule of wrapping every
+    non-PK primitive in Nullable regardless of the Parquet repetition
+    (src/parquetutils.rs:169-172); set False to honor actual nullability.
+    """
+    pk_list = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    pks = set(pk_list)
+    out = [f"drop table if exists {table_name};\n", f"create table {table_name} (\n"]
+    for i, f in enumerate(schema.fields):
+        out.append("    " if i == 0 else "    , ")
+        _emit(out, f.name, f.dataType, f.nullable, 4, pks, strict, always_nullable)
+    out.append(f") engine = MergeTree() primary key ({', '.join(pk_list)});\n")
+    return "".join(out)
+
+
+def infer_parquet_schema(path: str, spark: SparkSession | None = None) -> T.StructType:
+    """Footer-only schema inference (no data pages, no Spark job).
+
+    Fast path: pyarrow reads the footer on the driver and the arrow schema is
+    converted to Spark types — mirrors the reference's metadata-only read
+    (src/parquetutils.rs:28-30) and also handles TIMESTAMP(NANOS), which
+    Spark's own reader rejects. Falls back to ``spark.read.parquet`` when
+    pyarrow is unavailable.
+    """
+    try:
+        import pyarrow.dataset as ds
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        arrow_schema = ds.dataset(path, format="parquet").schema
+        try:
+            return from_arrow_schema(arrow_schema, prefer_timestamp_ntz=False)
+        except TypeError:  # older signature
+            return from_arrow_schema(arrow_schema)
+    except ImportError:
+        if spark is None:
+            raise
+        return spark.read.parquet(path).schema
+
+
+def schema_to_clickhouse(
+    parquet_path: str,
+    table_name: str,
+    primary_key: str | Iterable[str],
+    spark: SparkSession | None = None,
+    out_path: str | None = None,
+    strict: bool = True,
+) -> str:
+    """The reference's end-to-end flow (src/parquetutils.rs:17-61):
+    Parquet footer → schema walk → ClickHouse DDL (optionally written to a
+    file, as the reference's BufWriter sink does)."""
+    schema = infer_parquet_schema(parquet_path, spark)
+    ddl = struct_to_clickhouse_ddl(schema, table_name, primary_key, strict=strict)
+    if out_path is not None:
+        with open(out_path, "w", encoding="utf-8") as fh:
+            fh.write(ddl)
+    return ddl
+
+
+_SPARK_SQL_TYPES_UPPER = True
+
+
+def struct_to_spark_ddl(schema: T.StructType, table_name: str, location: str | None = None) -> str:
+    """Same schema walk emitting Spark SQL DDL (CREATE TABLE ... USING parquet)."""
+    cols = ",\n".join(
+        f"    {f.name} {f.dataType.simpleString().upper()}"
+        + ("" if f.nullable else " NOT NULL")
+        for f in schema.fields
+    )
+    loc = f"\nLOCATION '{location}'" if location else ""
+    return f"CREATE TABLE {table_name} (\n{cols}\n) USING parquet{loc};\n"

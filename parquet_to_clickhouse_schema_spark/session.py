@@ -1,0 +1,70 @@
+"""SparkSession management.
+
+One shared session per process (JVM startup is ~10-20 s; amortize it once,
+see BASELINE.md). ``tune`` is idempotent and safe to call on an
+externally-created session (the verification driver passes its own session
+into every query), so every entry point funnels through it.
+
+Scale notes (the configs are chosen for a real cluster, not just local[32]):
+- AQE on: runtime join-strategy switching, partition coalescing and skew-join
+  splitting are the main levers at 100 TB where static planning guesses wrong.
+- shuffle.partitions sized to cores locally; on a cluster this would be
+  2-3x total executor cores (AQE coalesces the excess).
+- session timezone pinned to UTC so timestamp semantics are stable across
+  engines (DuckDB oracle comparison) and clusters.
+- ``nanosAsLong``: Spark has no TIMESTAMP(NANOS) type; the events table is
+  written with nanosecond precision, so the reader maps it to raw Int64 and
+  sources/io.py reconstructs a microsecond TimestampType column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_TUNED_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs needed by the engine; idempotent."""
+    for k, v in _TUNED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # read-only in some deployments; engine still works
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * default_parallelism():
+            spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "parquet_to_clickhouse_schema_spark") -> SparkSession:
+    """Build (or fetch) the shared local session."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    for k, v in _TUNED_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return tune(spark)

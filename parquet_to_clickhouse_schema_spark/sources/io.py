@@ -1,0 +1,67 @@
+"""Table sources for the engine.
+
+All inputs are Parquet directories/files laid out as
+``{sf_dir}/{table}.parquet`` (see TESTDATA.md). Loading is lazy — a
+``load_table`` call builds a scan node only; Catalyst pushes projections and
+predicates into the Parquet reader (verify with ``df.explain``: look for
+``PushedFilters`` / ``ReadSchema``).
+
+Scale notes:
+- No ``.cache()`` here: at 100 TB caching full tables is wrong; individual
+  queries decide what (if anything) to persist.
+- The ``events`` table is written with TIMESTAMP(NANOS), which Spark's
+  Parquet reader rejects outright. With
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as raw
+  Int64 nanoseconds; we reconstruct a microsecond TimestampType column
+  (truncating division — matching what DuckDB/pyarrow do when they cast
+  ns → us), so downstream operators see a normal timestamp. This is a
+  source-level adapter, the same role as a custom DataSource's schema
+  normalization, and it keeps every executor-side expression JVM-native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_to_clickhouse_schema_spark.session import tune
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """Convert any raw int64-nanosecond columns (from nanosAsLong) that are
+    semantically timestamps back to TimestampType (microsecond precision)."""
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one testdata table; nanosecond timestamps normalized."""
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_nanos(df)
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view (for the SQL-expressed operators)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"{prefix}{name}")

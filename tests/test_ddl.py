@@ -1,0 +1,247 @@
+"""Golden DDL tests — port of the reference's test strategy (SURVEY.md §5.1).
+
+A1/A3 goldens are byte-for-byte from /root/reference/src/parquetutils.rs:399-414
+and /root/reference/README.md; A2/A4/A5 goldens are hand-derived from the
+reference's emission rules (FIXTURES.md §A).
+"""
+
+import pyspark.sql.types as T
+import pytest
+
+from parquet_to_clickhouse_schema_spark.ddl import (
+    UnsupportedTypeError,
+    infer_parquet_schema,
+    schema_to_clickhouse,
+    struct_to_clickhouse_ddl,
+    struct_to_spark_ddl,
+)
+
+REF_NESTED = T.StructType(
+    [
+        T.StructField("a", T.IntegerType(), True),
+        T.StructField("b", T.StringType(), True),
+        T.StructField(
+            "c",
+            T.StructType(
+                [
+                    T.StructField("a", T.StringType(), True),
+                    T.StructField("b", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField(
+            "d",
+            T.ArrayType(T.StructType([T.StructField("a", T.StringType(), True)])),
+            True,
+        ),
+    ]
+)
+
+GOLDEN_REF_NESTED = (
+    "drop table if exists T;\n"
+    "create table T (\n"
+    "    a Nullable(Int32)\n"
+    "    , b Nullable(String)\n"
+    "    , c Tuple(\n"
+    "        a Nullable(String)\n"
+    "        , b Nullable(String)\n"
+    "    )\n"
+    "    , d Nested (\n"
+    "        a Nullable(String)\n"
+    "    )\n"
+    ") engine = MergeTree() primary key (foo);\n"
+)
+
+
+def test_golden_ref_nested():
+    """A1: the reference's own golden (src/parquetutils.rs:399-414)."""
+    assert struct_to_clickhouse_ddl(REF_NESTED, "T", "foo") == GOLDEN_REF_NESTED
+
+
+def test_golden_ref_nested_roundtrip_parquet(spark, tmp_path):
+    """A1 via an actual Parquet file written the way the reference's test
+    writes its fixture (src/parquetutils.rs:319-343)."""
+    df = spark.createDataFrame([(42, None, ("foo", "bar"), [("foo",)])], REF_NESTED)
+    p = str(tmp_path / "p.parquet")
+    df.write.parquet(p)
+    out = str(tmp_path / "clickhouse_schema.sql")
+    ddl = schema_to_clickhouse(p, "T", "foo", spark=spark, out_path=out)
+    assert ddl == GOLDEN_REF_NESTED
+    with open(out) as fh:
+        assert fh.read() == GOLDEN_REF_NESTED
+
+
+def test_golden_map_fixture(spark, tmp_path):
+    """A2: the pyarrow fixture with map<string, struct> (resources/arrow.py:7-32);
+    map emission rules from src/parquetutils.rs:223-261,189-192."""
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+            T.StructField(
+                "c",
+                T.StructType(
+                    [
+                        T.StructField("a", T.StringType(), True),
+                        T.StructField("b", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField(
+                "d",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("a", T.StringType(), True),
+                            T.StructField("b", T.StringType(), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
+            T.StructField(
+                "e",
+                T.MapType(
+                    T.StringType(),
+                    T.StructType(
+                        [
+                            T.StructField("a", T.StringType(), True),
+                            T.StructField("b", T.StringType(), True),
+                        ]
+                    ),
+                ),
+                True,
+            ),
+        ]
+    )
+    expected = (
+        "drop table if exists T;\n"
+        "create table T (\n"
+        "    a Nullable(Int64)\n"
+        "    , b Nullable(String)\n"
+        "    , c Tuple(\n"
+        "        a Nullable(String)\n"
+        "        , b Nullable(String)\n"
+        "    )\n"
+        "    , d Nested (\n"
+        "        a Nullable(String)\n"
+        "        , b Nullable(String)\n"
+        "    )\n"
+        "    , e Map (\n"
+        "        String\n"
+        "        , Tuple(\n"
+        "            a Nullable(String)\n"
+        "            , b Nullable(String)\n"
+        "        )\n"
+        "    )\n"
+        ") engine = MergeTree() primary key (foo);\n"
+    )
+    assert struct_to_clickhouse_ddl(schema, "T", "foo") == expected
+
+
+def test_primary_key_emitted_bare():
+    """A3: PK matching a column → bare type (src/parquetutils.rs:160-162)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    ddl = struct_to_clickhouse_ddl(schema, "t1", "id")
+    assert "    id Int32\n" in ddl
+    assert "    , name Nullable(String)\n" in ddl
+    assert ddl.endswith(") engine = MergeTree() primary key (id);\n")
+
+
+def test_primitive_list():
+    """A4: list-of-primitive → Nested with synthetic `element`
+    (src/parquetutils.rs:163-168)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    ddl = struct_to_clickhouse_ddl(schema, "t2", "id")
+    assert (
+        "    , tags Nested (\n"
+        "        element Nullable(String)\n"
+        "    )\n"
+    ) in ddl
+
+
+def test_scalar_matrix_strict():
+    """A5: the reference's full scalar map (src/parquetutils.rs:76-99)."""
+    cases = [
+        (T.BooleanType(), "Bool"),
+        (T.IntegerType(), "Int32"),
+        (T.LongType(), "Int64"),
+        (T.FloatType(), "Float32"),
+        (T.DoubleType(), "Float64"),
+        (T.StringType(), "String"),
+        (T.BinaryType(), "String"),
+        (T.DateType(), "Int32"),
+        (T.TimestampType(), "Int64"),
+    ]
+    schema = T.StructType(
+        [T.StructField(f"c{i}", dt, True) for i, (dt, _) in enumerate(cases)]
+    )
+    ddl = struct_to_clickhouse_ddl(schema, "m", "none")
+    for i, (_, ch) in enumerate(cases):
+        assert f"c{i} Nullable({ch})\n" in ddl
+
+
+def test_strict_panics_like_reference_lenient_maps():
+    schema = T.StructType([T.StructField("d", T.DecimalType(12, 2), True)])
+    with pytest.raises(UnsupportedTypeError):
+        struct_to_clickhouse_ddl(schema, "t", "x")
+    ddl = struct_to_clickhouse_ddl(schema, "t", "x", strict=False)
+    assert "d Nullable(Decimal(12, 2))\n" in ddl
+
+
+def test_lenient_honors_nullability_and_dates():
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("day", T.DateType(), True),
+            T.StructField("at", T.TimestampType(), True),
+        ]
+    )
+    ddl = struct_to_clickhouse_ddl(schema, "t", "other", strict=False, always_nullable=False)
+    assert "    id Int64\n" in ddl
+    assert ", day Nullable(Date)\n" in ddl
+    assert ", at Nullable(DateTime64(6))\n" in ddl
+
+
+def test_infer_schema_footer_only_handles_nanos():
+    """pyarrow fast path reads the TIMESTAMP(NANOS) events table that
+    spark.read.parquet rejects — footer-only, no JVM involved."""
+    schema = infer_parquet_schema("/root/testdata/sf0.001/events.parquet")
+    names = [f.name for f in schema.fields]
+    assert names == ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def test_spark_ddl():
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+    ddl = struct_to_spark_ddl(schema, "t", location="/data/t")
+    assert "id BIGINT NOT NULL" in ddl
+    assert "v ARRAY<FLOAT>" in ddl
+    assert "USING parquet" in ddl
+    assert "LOCATION '/data/t'" in ddl
+
+
+def test_real_testdata_ddl():
+    ddl = schema_to_clickhouse(
+        "/root/testdata/sf0.001/lineitem.parquet", "lineitem", "l_orderkey"
+    )
+    assert ddl.startswith("drop table if exists lineitem;\n")
+    assert "    l_orderkey Int64\n" in ddl
+    assert ", l_quantity Nullable(Float64)\n" in ddl
+    assert ", l_shipdate Nullable(Int64)\n" in ddl  # strict: TIMESTAMP→Int64
