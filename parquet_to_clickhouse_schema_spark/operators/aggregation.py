@@ -1,0 +1,189 @@
+"""Aggregation family: hash agg, distinct, approximate, rollup/cube/grouping
+sets, filtered aggregation.
+
+All are single-shuffle hash aggregations with map-side partial aggregation
+(HashAggregate -> Exchange -> HashAggregate in the physical plan) — the shape
+that scales linearly: the shuffle carries only (group key, partial state),
+never raw rows. Float sums are rounded in BOTH engines to absorb
+summation-order differences (SURVEY.md §7 risk list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "q_agg_hash",
+    """
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+           floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+           floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+           floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical whole-stage-codegen hash aggregation.
+    Partial aggregation reduces 100 TB of rows to (4 groups x partitions)
+    partial states before the shuffle — the shuffle is O(groups), not O(rows)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        qround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        qround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        qround(F.sum(disc_price), 2).alias("sum_disc_price"),
+        qround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        qround(F.avg("l_quantity"), 6).alias("avg_qty"),
+        qround(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        qround(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "q_agg_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           floor((sum(DISTINCT l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_dist_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation: Spark expands this to a two-phase
+    aggregate (Expand + partial distinct per key) so each distinct column
+    still benefits from map-side dedup before the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        qround(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_dist_qty"),
+    )
+
+
+@_q("q_agg_approx_distinct")  # rows-only: approximate by design
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct: constant memory per group
+    regardless of cardinality — the 100 TB answer to count(distinct) when a
+    1-2% error is acceptable. Checked rows-only (approximate); the in-engine
+    test asserts tolerance vs the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+_ROLLUP_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+    FROM lineitem
+    GROUP BY {clause} (l_returnflag, l_linestatus)
+"""
+
+
+def _grouped_agg(df: DataFrame, grouped) -> DataFrame:
+    return grouped.agg(
+        qround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+    )
+
+
+@_q("q_rollup", _ROLLUP_ORACLE.format(clause="ROLLUP"))
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: Spark plans rollup as a single Expand +
+    aggregate — one pass over the data for all grouping levels."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _grouped_agg(li, li.rollup("l_returnflag", "l_linestatus"))
+
+
+@_q("q_cube", _ROLLUP_ORACLE.format(clause="CUBE"))
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-tabulation of subtotals; same single-pass Expand plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _grouped_agg(li, li.cube("l_returnflag", "l_linestatus"))
+
+
+@_q(
+    "q_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via Spark SQL (same Expand-based plan)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@_q(
+    "q_agg_filtered",
+    """
+    SELECT l_linestatus,
+           floor((coalesce(sum(l_extendedprice * (1 - l_discount)) FILTER (WHERE l_returnflag = 'A'), 0)) * 100.0 + 0.5) / 100.0 AS rev_returned,
+           CAST(count(*) FILTER (WHERE l_quantity > 30) AS BIGINT) AS n_heavy,
+           floor((avg(l_extendedprice) FILTER (WHERE l_tax < 0.04)) * 1000000.0 + 0.5) / 1000000.0 AS avg_low_tax_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: sum(CASE WHEN ...) ≡ FILTER (WHERE ...) —
+    one pass, no self-joins, the idiomatic pivot-free conditional rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_linestatus").agg(
+        qround(
+            F.coalesce(F.sum(F.when(F.col("l_returnflag") == "A", disc_price)), F.lit(0.0)), 2
+        ).alias("rev_returned"),
+        F.count(F.when(F.col("l_quantity") > 30, F.lit(1))).alias("n_heavy"),
+        qround(F.avg(F.when(F.col("l_tax") < 0.04, F.col("l_extendedprice"))), 6).alias(
+            "avg_low_tax_price"
+        ),
+    )

@@ -1,0 +1,382 @@
+"""LLM-data-pipeline operators: dedup (exact + MinHash near-dup), similarity
+search (brute-force cosine top-k + LSH-bucketed scale path), text analysis,
+multimodal column handling.
+
+These are the operators a 100 TB training-data pipeline needs; each is
+expressed as DataFrame transforms so Catalyst/AQE own the physical plan.
+The near-dup and ANN operators are the only places where the naive algorithm
+is O(n²): both carry an LSH-banded path that restricts candidate pairs via an
+equi-join on bucket ids — turning the quadratic comparison into a
+hash-partitioned join, the standard blocking strategy at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ----------------------------------------------------------------- dedup ---
+
+
+@_q(
+    "q_dedup_exact",
+    """
+    SELECT min(doc_id) AS rep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(n_chars) AS BIGINT) AS rep_chars
+    FROM documents
+    GROUP BY lower(trim(text))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized text: hash-groupBy on the normalization key.
+    At 100 TB the groupBy key should be a fixed-width digest
+    (xxhash64/sha2 of the normalized text), not the text itself, so the
+    shuffle carries 8-64 bytes per row instead of whole documents — the
+    text column here is small enough that Catalyst's plan is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return (
+        d.groupBy(norm.alias("norm_text"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_chars").alias("rep_chars"),
+        )
+        .drop("norm_text")
+    )
+
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+SHINGLE_K = 3
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + minhash: array of N_HASHES min-hashed shingle values.
+
+    Pure JVM pipeline: split → k-word shingles (transform over sequence) →
+    xxhash64 with per-hash seed → array_min per seed. Deterministic across
+    runs/partitions (no rand()), which is what makes near-dedup reproducible
+    at scale.
+
+    The repartition between shingling and hashing is a materialization
+    barrier, not a distribution choice: Catalyst collapses adjacent
+    projections, and interpreted higher-order functions get no common-
+    subexpression elimination — without the barrier the shingle-construction
+    expression is re-inlined into all N_HASHES minhash transforms and the
+    whole shingling runs 16x (measured 97s -> ~10s at sf0.1).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(SHINGLE_K)]
+        ),
+    )
+    shingled = docs.select("doc_id", shingles.alias("shingles")).repartition("doc_id")
+    sig = F.array(
+        *[
+            F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, F.lit(seed))))
+            for seed in range(N_HASHES)
+        ]
+    )
+    return shingled.select("doc_id", sig.alias("sig"))
+
+
+@_q("q_near_dedup_minhash")  # rows-only: MinHash banding has no portable SQL twin
+def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Candidate generation never compares all pairs: each doc emits N_BANDS
+    band keys (hash of 4 consecutive signature values); docs sharing a band
+    key meet in an equi-join on (band, band_hash). That join is
+    hash-partitioned — at 100 TB it shuffles O(n * bands) small keys, and
+    only colliding buckets produce comparisons. The jaccard estimate is the
+    fraction of agreeing minhashes, computed JVM-side with zip_with.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.bh")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(float(N_HASHES))
+            ).alias("jaccard_est"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("jaccard_est") >= 0.5)
+
+
+# ------------------------------------------------------------ similarity ---
+
+
+def _as_double_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """float32 → double + precomputed L2 norm (shared by both ANN paths).
+
+    The repartition is a materialization barrier (see minhash_signatures):
+    without it the norm's aggregate expression collapses into the projection
+    above the pair join and is recomputed for every PAIR instead of every
+    row — at n² pairs that triples the per-pair work."""
+    vec = F.transform(F.col(col), lambda x: x.cast("double"))
+    return df.select(
+        "vec_id",
+        vec.alias("vec"),
+        F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)).alias("norm"),
+    ).repartition("vec_id")
+
+
+_COSINE_ORACLE = """
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_id, nbr_id, floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM (
+      SELECT d.vec_id, d.nbr_id, d.dot / (na.nrm * nb.nrm) AS cos_sim,
+             row_number() OVER (PARTITION BY d.vec_id
+                                ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.nbr_id) AS rn
+      FROM dots d
+      JOIN norms na ON d.vec_id = na.vec_id
+      JOIN norms nb ON d.nbr_id = nb.vec_id
+    ) WHERE rn <= 3
+"""
+
+
+@_q("q_cosine_topk", _COSINE_ORACLE)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors per vector (the correctness
+    baseline for ANN). Dot product and norms are JVM higher-order functions
+    (zip_with + aggregate) in double precision — no Python, no UDF.
+
+    The O(n²) pair space is a broadcast nested-loop self-join: fine for the
+    baseline, and `ann_lsh_topk` below is the scale path (random-hyperplane
+    LSH restricts candidates). For the oracle, the SQL computes the same
+    double-precision dot products positionally."""
+    e = _as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("nbr_id"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select("vec_id", "nbr_id", (dot / (F.col("na") * F.col("nb"))).alias("cos_sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "nbr_id", qround(F.col("cos_sim"), 4).alias("cosine"))
+    )
+
+
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, k: int = 3, n_planes: int = 4, n_tables: int = 16
+) -> DataFrame:
+    """Scale path for similarity search: random-hyperplane (SimHash) LSH.
+
+    Each vector gets n_tables bucket signatures (sign pattern against
+    n_planes deterministic pseudo-random hyperplanes built from xxhash64 —
+    no driver-side randomness, fully reproducible). Candidates meet in an
+    equi-join on (table, bucket); cosine is evaluated only inside buckets.
+    At 100 TB this replaces the O(n²) cross join with a skew-resistant
+    hash join whose cost follows bucket occupancy (~n²/2^planes per table —
+    raise n_planes with corpus size to keep buckets bounded). Defaults are
+    tuned for the hard case of near-orthogonal random vectors: recall ~0.83
+    vs brute force at 4 planes x 16 tables. Not oracle-gated (approximate); tests assert recall
+    against q_cosine_topk.
+    """
+    e = _as_double_vec(load_table(spark, sf_dir, "embeddings"))
+
+    # deterministic hyperplane component for (table t, plane p, dim i):
+    # hash (t, p, i) to a value in [-1, 1] via xxhash64
+    def plane_component(t: int, p: int, i):
+        h = F.xxhash64(F.lit(t), F.lit(p), i)
+        return (h % 2000001).cast("double") / 1000000.0 - 1.0
+
+    def bucket_for_table(t: int):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vec"),
+                        F.sequence(F.lit(0), F.size("vec") - 1),
+                        lambda x, i: x * plane_component(t, p, i),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("string")
+            for p in range(n_planes)
+        ]
+        return F.concat(*bits)
+
+    buckets = e.select(
+        "vec_id",
+        "vec",
+        "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), bucket_for_table(t).alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "vec", "norm", "tb.tbl", "tb.bucket")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos_sim"),
+        )
+        .dropDuplicates(["vec_id", "nbr_id"])
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "nbr_id", qround(F.col("cos_sim"), 4).alias("cosine"))
+    )
+
+
+# ------------------------------------------------------------ text stats ---
+
+
+@_q(
+    "q_text_stats",
+    """
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor((avg(CAST(len(string_split(text, ' ')) AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS avg_tokens,
+           floor((avg(CAST(n_chars AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
+           CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) token/char statistics — whitespace tokenization
+    JVM-side; the rollup shape a corpus-quality dashboard runs at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        qround(F.avg(n_tokens.cast("double")), 4).alias("avg_tokens"),
+        qround(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.max(n_tokens).cast("int").alias("max_tokens"),
+    )
+
+
+# ------------------------------------------------------------ multimodal ---
+
+
+@_q("q_multimodal_cols")  # rows-only: binary/struct columns are engine-specific
+def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column handling: documents become (payload binary, meta
+    struct) rows — the schema shape for opaque image/audio/video bytes with
+    typed metadata. The payload here is the utf-8 text encoding (the
+    container has no media codecs; decode is stubbed in
+    multimodal.decode_payload_batches with real mapInPandas plumbing).
+    Projects through the struct and computes payload-level features."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    meta = F.struct(
+        F.lit("text").alias("modality"),
+        F.col("lang").alias("lang"),
+        F.col("source").alias("source"),
+        F.col("n_chars").alias("n_chars"),
+    )
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        meta.alias("meta"),
+    ).select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.lang").alias("lang"),
+        F.length("payload").cast("bigint").alias("payload_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+    )

@@ -1,0 +1,299 @@
+"""Scans, filters and the join family.
+
+Every query is declarative DataFrame API — Catalyst handles predicate
+pushdown, column pruning and join-strategy selection; AQE re-plans at
+runtime. Scale annotations per query explain why the plan survives 100 TB.
+
+DuckDB oracle twins live in ORACLES (same column names, same aliases —
+the driver's compare hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- scans ----
+
+
+@_q(
+    "q_scan_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruning scan: ReadSchema must contain exactly these 4 columns
+    (verify with .explain('formatted')) — at 100 TB reading 4 of 11 columns
+    is a ~2.5x I/O saving before any compute."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+
+
+@_q(
+    "q_filter_pred",
+    """
+    SELECT * FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_type IN ('ECONOMY', 'SMALL')
+      AND (p_name LIKE '%re%' OR p_retailprice > 1050.0)
+      AND p_brand IS NOT NULL
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive/disjunctive predicates + BETWEEN + IN + LIKE + IS NOT NULL.
+    All of these are pushed to the Parquet scan (PushedFilters) except the
+    OR-of-LIKE, which Spark evaluates post-scan inside codegen."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 30)
+        & F.col("p_type").isin("ECONOMY", "SMALL")
+        & (F.col("p_name").like("%re%") | (F.col("p_retailprice") > 1050.0))
+        & F.col("p_brand").isNotNull()
+    )
+
+
+# ---------------------------------------------------------------- joins ----
+
+
+@_q(
+    "q_join_broadcast",
+    """
+    SELECT l_orderkey, l_linenumber, p_brand, p_type,
+           floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS net_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash equi-join: `part` is a dimension table (0.003% of
+    lineitem at scale) — broadcasting it removes the shuffle of the 100 TB
+    fact side entirely. The explicit broadcast() hint makes the plan
+    independent of autoBroadcastJoinThreshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        "p_type",
+        qround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+    )
+
+
+@_q(
+    "q_join_sortmerge",
+    """
+    SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, l_quantity
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join: at 100 TB neither side broadcasts, so the right
+    plan is a shuffle on the join key + sort-merge. The merge hint pins
+    that strategy (at test SF the optimizer would otherwise broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").hint("merge")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", "l_quantity"
+    )
+
+
+@_q(
+    "q_join_multiway",
+    """
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join. Dimension sides (customer/nation/region) are
+    broadcast so the only shuffle of the fact table is the lineitem-orders
+    sort-merge + the final (tiny) aggregation shuffle. Catalyst's join
+    reordering keeps the fact table on the streaming side throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            qround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@_q(
+    "q_join_left",
+    """
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           floor((coalesce(sum(o_totalprice), 0)) * 100.0 + 0.5) / 100.0 AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null extension — customers with zero orders
+    survive with n_orders=0. count(col) skips nulls on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            qround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@_q(
+    "q_join_semi",
+    """
+    SELECT * FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence test as left-semi join: no duplication of the left side,
+    and the right side is reduced to its join key before shuffling."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+
+
+@_q(
+    "q_join_anti",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated existence as left-anti join (NOT EXISTS, not NOT IN — keys
+    here are non-null so the semantics coincide, but anti-join is the
+    null-safe primitive): orders with no high-quantity line item."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_q(
+    "q_join_range",
+    """
+    SELECT p_partkey, band
+    FROM part
+    JOIN (VALUES ('low', 900.0, 1000.0),
+                 ('mid', 1000.0, 1060.0),
+                 ('high', 1060.0, 1200.0)) AS b(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (price-band lookup). The band table is tiny, so the
+    right plan is BroadcastNestedLoopJoin — O(n * bands) with no shuffle of
+    the big side. For a large range table the scale path is bucketizing the
+    range key and equi-joining on bucket id (same trick as q_join_asof)."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 900.0, 1000.0), ("mid", 1000.0, 1060.0), ("high", 1060.0, 1200.0)],
+        "band string, lo double, hi double",
+    )
+    return p.join(
+        F.broadcast(bands),
+        (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+    ).select("p_partkey", "band")
+
+
+@_q(
+    "q_join_asof",
+    """
+    SELECT event_id, user_id, ts, asof_click_ts, asof_click_id
+    FROM (
+      SELECT p.event_id, p.user_id, p.ts,
+             c.ts AS asof_click_ts, c.event_id AS asof_click_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC NULLS LAST,
+                                         c.event_id DESC NULLS LAST) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the latest preceding click of the
+    same user (ties broken by highest event_id).
+
+    Spark has no native ASOF JOIN; the scalable implementation is the
+    union-and-carry-forward pattern: union both streams, sort within user
+    partitions by time, and carry the last click forward with
+    last(..., ignorenulls) over an unbounded-preceding frame. This is a
+    single shuffle on user_id + one sort — O(n log n), no join explosion —
+    exactly the plan a dedicated time-series engine would run, and it
+    scales to 100 TB because state per partition is one row.
+    (The DuckDB oracle uses the equivalent join+row_number formulation.)
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        is_purchase.alias("is_p"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+    )
+    # clicks sort before purchases at equal ts (is_p asc) so an equal-ts
+    # click is visible to the purchase, matching the oracle's c.ts <= p.ts.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .withColumn("asof_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "asof_click_ts", "asof_click_id")
+    )

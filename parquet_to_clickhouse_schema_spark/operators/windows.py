@@ -1,0 +1,140 @@
+"""Window function family: ranking, lag/lead, rows frames, range frames.
+
+Windows shuffle once on partitionBy keys then sort within partitions — the
+scale concern is partition skew (a single hot key serializes). The testdata
+keys (returnflag/suppkey/custkey) are well distributed; for skewed keys the
+mitigation is pre-aggregating or salting before the window.
+
+Every orderBy includes a unique tiebreak (orderkey, linenumber) so
+row_number/lag/frames are deterministic — required for oracle hash-matching
+(SURVEY.md §7 risk list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "q_window_rank",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS BIGINT) AS drnk,
+           CAST(row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+    FROM lineitem
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w_rank = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    w_rn = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.rank().over(w_rank).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w_rank).cast("bigint").alias("drnk"),
+        F.row_number().over(w_rn).cast("bigint").alias("rn"),
+    )
+
+
+@_q(
+    "q_window_lag",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+           lag(l_extendedprice) OVER w AS prev_price,
+           lead(l_extendedprice) OVER w AS next_price,
+           floor((l_extendedprice - lag(l_extendedprice) OVER w) * 100.0 + 0.5) / 100.0 AS delta
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    prev = F.lag("l_extendedprice").over(w)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        prev.alias("prev_price"),
+        F.lead("l_extendedprice").over(w).alias("next_price"),
+        qround(F.col("l_extendedprice") - prev, 2).alias("delta"),
+    )
+
+
+@_q(
+    "q_window_frame",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           floor((
+             avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0 AS mov_avg_qty,
+           floor((
+             sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS mov_sum_qty
+    FROM lineitem
+    """,
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        qround(F.avg("l_quantity").over(w), 6).alias("mov_avg_qty"),
+        qround(F.sum("l_quantity").over(w), 2).alias("mov_sum_qty"),
+    )
+
+
+@_q(
+    "q_window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           floor((
+             sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS running_spend
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: peers (equal o_orderdate) are aggregated together, which
+    makes the running total deterministic even with timestamp ties — the
+    reason this query needs no unique tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        qround(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )

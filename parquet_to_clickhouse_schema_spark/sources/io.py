@@ -46,9 +46,10 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
     semantically timestamps back to TimestampType (microsecond precision)."""
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer `div`, NOT float division: ns epoch values (~1.7e18)
+            # exceed double's 2^53 integer range, so `/ 1000` would drift by
+            # up to ~128 ns and flip ~12% of microseconds vs DuckDB/pyarrow.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,138 @@
+"""Streaming-window semantics, batch-checkable twins (SURVEY.md §2.2).
+
+These four queries define the event-time semantics (tumbling / sliding /
+session windows, keyed dedup) on the `events` table with plain batch
+DataFrames — the form the DuckDB oracle can verify. The true readStream
+variants (same transformations + withWatermark) live in
+streaming/stream_demo.py and are exercised by tests only: the gate is the
+semantics, not the micro-batch machinery.
+
+Scale: windowed aggregation shuffles on (window, key) — bounded state;
+session windows are the stateful exception, bounded by the watermark in the
+streaming twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "q_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS ws, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_val
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts per event type. Spark's window() aligns
+    to the epoch, identical to date_trunc('hour'). Streaming twin:
+    withWatermark('ts', '10 minutes') before the same groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), qround(F.sum("value"), 2).alias("sum_val"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_val")
+    )
+
+
+@_q(
+    "q_sliding_window",
+    """
+    WITH cand AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, value
+      FROM events
+    )
+    SELECT ws, CAST(count(*) AS BIGINT) AS n, floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_val
+    FROM cand GROUP BY ws
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes: each event lands in exactly 2
+    windows (the oracle expands the two slide offsets explicitly)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), qround(F.sum("value"), 2).alias("sum_val"))
+        .select(F.col("w.start").alias("ws"), "n", "sum_val")
+    )
+
+
+@_q(
+    "q_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user via session_window(). A new
+    session starts when the gap is >= 30 min (Spark sessions span
+    [ts, ts+gap) with exclusive end). Batch oracle: gaps-and-islands
+    (lag + cumulative sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+@_q(
+    "q_stream_dedup",
+    """
+    SELECT event_id, user_id, event_type, ts, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup: first event per (user, type) with a deterministic
+    (ts, event_id) order — the batch twin of
+    dropDuplicatesWithinWatermark(['user_id','event_type']), whose streaming
+    late-data policy is 'drop behind watermark'."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )

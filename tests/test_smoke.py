@@ -1,0 +1,100 @@
+"""Smoke + semantics tests beyond the oracle gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+    q_agg_approx_distinct,
+)
+from parquet_to_clickhouse_schema_spark.operators.llm import (
+    ann_lsh_topk,
+    minhash_signatures,
+    q_cosine_topk,
+    q_near_dedup_minhash,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"r_name", "n_name", "n_items", "revenue"}
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 49
+
+
+def test_approx_distinct_within_tolerance(spark):
+    rows = q_agg_approx_distinct(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert abs(r.approx_parts - r.exact_parts) <= max(5, 0.05 * r.exact_parts)
+
+
+def test_minhash_detects_planted_near_duplicates(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(59)) + " tokX"  # ~1 shingle changed
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(df).collect()}
+    agree_12 = sum(a == b for a, b in zip(sigs[1], sigs[2])) / len(sigs[1])
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / len(sigs[1])
+    assert agree_12 >= 0.75  # near-dups share most minhashes
+    assert agree_13 <= 0.25  # unrelated docs share few
+
+
+def test_near_dedup_runs_and_is_deterministic(spark):
+    a = {(r.doc_a, r.doc_b) for r in q_near_dedup_minhash(spark, SF_SMOKE).collect()}
+    b = {(r.doc_a, r.doc_b) for r in q_near_dedup_minhash(spark, SF_SMOKE).collect()}
+    assert a == b
+
+
+@pytest.mark.slow
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    exact = {
+        (r.vec_id, r.nbr_id) for r in q_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.vec_id, r.nbr_id)
+        for r in ann_lsh_topk(spark, SF_SMOKE, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
+
+
+def test_schema_infer_covers_all_tables(spark):
+    df = entrymod.queries()["q_schema_infer"](spark, SF_SMOKE)
+    tables = {r.table_name for r in df.collect()}
+    assert len(tables) == 10
+
+
+def test_ddl_clickhouse_all_tables(spark):
+    rows = entrymod.queries()["q_ddl_clickhouse"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    by_name = {r.table_name: r.ddl for r in rows}
+    assert "l_orderkey Int64" in by_name["lineitem"]  # PK bare
+    assert "embedding Nested (" in by_name["embeddings"]  # array -> Nested
+
+
+def test_filters_pushed_down(spark):
+    """Plan-level check: predicate pushdown + column pruning reach parquet."""
+    from parquet_to_clickhouse_schema_spark.operators.relational import q_scan_project
+
+    plan = q_scan_project(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey")
+    )
+    explained = li._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in explained
