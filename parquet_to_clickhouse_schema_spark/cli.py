@@ -1,0 +1,56 @@
+"""CLI entry point — parity with the reference's schemagen binary
+(/root/reference/src/bin/schemagen.rs:4-34: four required flags, writes the
+DDL file as a side effect).
+
+Usage:
+    python -m parquet_to_clickhouse_schema_spark.cli \
+        --parquet-path /data/t.parquet \
+        --clickhouse-schema-path /tmp/schema.sql \
+        --table-name t --primary-key id [--lenient]
+
+Unlike the reference, no Spark/JVM is launched: schema inference is the
+pyarrow footer path, so this runs in milliseconds on a 100 TB file's footer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from parquet_to_clickhouse_schema_spark.ddl import schema_to_clickhouse
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="schemagen",
+        description="Generate ClickHouse MergeTree DDL from a Parquet file's footer.",
+    )
+    ap.add_argument("--parquet-path", required=True)
+    ap.add_argument("--clickhouse-schema-path", required=True)
+    ap.add_argument("--table-name", required=True)
+    ap.add_argument(
+        "--primary-key",
+        required=True,
+        help="primary key column (comma-separate for a multi-column key)",
+    )
+    ap.add_argument(
+        "--lenient",
+        action="store_true",
+        help="map types the reference panics on (DECIMAL, DATE, ...) faithfully",
+    )
+    args = ap.parse_args(argv)
+
+    pk = [c.strip() for c in args.primary_key.split(",")] if "," in args.primary_key else args.primary_key
+    ddl = schema_to_clickhouse(
+        args.parquet_path,
+        args.table_name,
+        pk,
+        out_path=args.clickhouse_schema_path,
+        strict=not args.lenient,
+    )
+    sys.stdout.write(ddl)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

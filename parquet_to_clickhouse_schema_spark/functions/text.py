@@ -1,0 +1,177 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure JVM expressions (split / regexp / hash built-ins) — these run inside
+whole-stage codegen over the documents table, so at 100 TB they are
+scan-bound, not CPU-bound. Each has a DuckDB oracle twin except where the
+hash primitive is engine-specific (noted per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Marker tokens per language for the n-gram/stopword heuristic. On the
+# synthetic word-soup corpus these are demo markers; on real text they would
+# be the top stopwords per language (same plan shape and cost either way).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "nicht"],
+    "es": ["el", "que", "de"],
+    "fr": ["le", "et", "les"],
+}
+
+
+def _contains_any_sql(col: str, words: list[str]) -> str:
+    return " OR ".join(f"list_contains(string_split({col}, ' '), '{w}')" for w in words)
+
+
+@_q(
+    "q_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN {_contains_any_sql("text", _LANG_MARKERS["de"])} THEN 'de'
+             WHEN {_contains_any_sql("text", _LANG_MARKERS["es"])} THEN 'es'
+             WHEN {_contains_any_sql("text", _LANG_MARKERS["fr"])} THEN 'fr'
+             WHEN {_contains_any_sql("text", _LANG_MARKERS["en"])} THEN 'en'
+             ELSE 'und'
+           END AS lang_pred
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by stopword-marker voting (the classic
+    fasttext-free heuristic): first language whose marker tokens appear.
+    Token-set containment, not substring — 'the' must be a whole token."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def has_any(words):
+        cond = F.lit(False)
+        for w in words:
+            cond = cond | F.array_contains(toks, w)
+        return cond
+
+    pred = (
+        F.when(has_any(_LANG_MARKERS["de"]), "de")
+        .when(has_any(_LANG_MARKERS["es"]), "es")
+        .when(has_any(_LANG_MARKERS["fr"]), "fr")
+        .when(has_any(_LANG_MARKERS["en"]), "en")
+        .otherwise("und")
+    )
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@_q(
+    "q_quality_score",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0
+               AS distinct_ratio,
+           floor((CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))) * 10000.0 + 0.5)
+               / 10000.0 AS avg_token_len,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200
+                 AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) > 0.2
+                THEN 1 ELSE 0 END AS keep_flag
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length band + vocabulary diversity) — the
+    filter shape used to drop boilerplate/spam before training. Emits the
+    features and the keep/drop decision so downstream stages can re-weight
+    instead of re-scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        qround(distinct_ratio, 4).alias("distinct_ratio"),
+        qround(F.col("n_chars").cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.when(n_tokens.between(20, 200) & (distinct_ratio > 0.2), 1)
+        .otherwise(0)
+        .alias("keep_flag"),
+    )
+
+
+@_q(
+    "q_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+               AS bpe_ish_tokens,
+           CAST(ceil(n_chars / 4.0) AS INT) AS chars_div4_est
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Token counting three ways: whitespace split, a BPE-ish regex
+    (runs of letters / digits / single other symbols — the pre-tokenizer
+    shape GPT-style BPEs use), and the chars/4 estimate used for quick
+    budget math. All regexp work is JVM-side (regexp_extract_all)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("int")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("int").alias("chars_div4_est"),
+    )
+
+
+@_q(
+    "q_doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(text) AS fp_md5,
+           sha256(text) AS fp_sha256,
+           list_min(list_transform(range(1, GREATEST(len(text) - 7, 1) + 1),
+                                   i -> md5(text[i:i+7]))) AS fp_rolling_min
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text digests (md5/sha256) plus a
+    rolling-window fingerprint — the min digest over all 8-char windows
+    (winnowing with window = whole doc). The rolling min is robust to
+    appends/prepends, unlike the whole-text digest; both are portable
+    string hashes so the oracle can verify them exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_windows = F.greatest(F.length(text) - 7, F.lit(1))
+    rolling = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.md5(text.substr(i, F.lit(8)).cast("binary")),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(text.cast("binary")).alias("fp_md5"),
+        F.sha2(text.cast("binary"), 256).alias("fp_sha256"),
+        F.array_min(rolling).alias("fp_rolling_min"),
+    )

@@ -158,6 +158,154 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("jaccard_est") >= 0.5)
 
 
+@_q("q_dedup_simhash")  # rows-only: xxhash64 bit arithmetic has no portable SQL twin
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature where bit b is the sign of the sum
+    of (+1/-1) votes from each token's hash bit b. Documents within Hamming
+    distance 3 are near-duplicate candidates.
+
+    Candidate generation uses the standard pigeonhole blocking: split the
+    signature into 4 bytes; any pair within Hamming distance 3 agrees on at
+    least one whole byte, so an equi-join per byte-block finds all such pairs
+    without O(n²) comparison — the same join-not-crossjoin shape as MinHash
+    banding, and it scales the same way.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    bits = 32
+
+    def bit_vote(b: int):
+        # per token: +1 if bit b of xxhash64(token) set else -1; sum over doc
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sig = F.array(*[F.when(bit_vote(b) >= 0, 1).otherwise(0) for b in range(bits)])
+    sigs = d.select("doc_id", sig.alias("bits")).repartition("doc_id")
+    # pack bit-array into one long + 4 byte-blocks for pigeonhole join
+    packed = sigs.select(
+        "doc_id",
+        F.aggregate(
+            "bits", F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+        ).alias("simhash"),
+        *[
+            F.aggregate(
+                F.slice("bits", 1 + blk * 8, 8), F.lit(0), lambda acc, x: acc * 2 + x
+            ).alias(f"blk{blk}")
+            for blk in range(4)
+        ],
+    )
+    pairs = None
+    for blk in range(4):
+        a = packed.alias("a")
+        b = packed.alias("b")
+        p = (
+            a.join(b, F.col(f"a.blk{blk}") == F.col(f"b.blk{blk}"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return pairs.filter(F.col("hamming") <= 3).distinct()
+
+
+@_q(
+    "q_dedup_ngram",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.toks, b.toks)))) * 10000.0 + 0.5)
+               / 10000.0 AS jaccard
+    FROM tok a JOIN tok b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard similarity over blocked candidate pairs.
+
+    Blocking key = (lang, source): the exact-Jaccard verification step that
+    follows MinHash candidate generation in a real pipeline. The equi-join on
+    the block key keeps the pair space per-block quadratic instead of
+    corpus-quadratic — with a digest-based blocking key at 100 TB this is
+    the verify stage of every near-dedup run."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    ).repartition("lang", "source")
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.source") == F.col("b.source")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            qround(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+    )
+
+
+_EMB_DEDUP_ORACLE = """
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT d.vec_a, d.vec_b,
+           floor((d.dot / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM dots d
+    JOIN norms na ON d.vec_a = na.vec_id
+    JOIN norms nb ON d.vec_b = nb.vec_id
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.5
+"""
+
+
+@_q("q_dedup_embedding", _EMB_DEDUP_ORACLE)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.5): the semantic
+    dedup pass that catches paraphrases exact/MinHash dedup misses. Brute
+    pair space here (correctness baseline); production blocking comes from
+    ann_lsh_topk's hyperplane buckets — same candidate join, threshold
+    filter instead of top-k."""
+    e = _as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", (dot / (F.col("na") * F.col("nb"))).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.5)
+        .select("vec_a", "vec_b", qround(F.col("cos_sim"), 4).alias("cosine"))
+    )
+
+
 # ------------------------------------------------------------ similarity ---
 
 

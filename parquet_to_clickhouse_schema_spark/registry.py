@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from parquet_to_clickhouse_schema_spark.functions import scalar
+from parquet_to_clickhouse_schema_spark.functions import scalar, text
 from parquet_to_clickhouse_schema_spark.operators import (
     aggregation,
     core,
@@ -23,7 +23,7 @@ from parquet_to_clickhouse_schema_spark.operators import (
 )
 from parquet_to_clickhouse_schema_spark.streaming import batch_twins
 
-_MODULES = [core, relational, aggregation, windows, sortset, scalar, batch_twins, llm, udfs]
+_MODULES = [core, relational, aggregation, windows, sortset, scalar, text, batch_twins, llm, udfs]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

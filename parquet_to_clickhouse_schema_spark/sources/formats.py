@@ -1,0 +1,89 @@
+"""Source/sink breadth beyond the Parquet default: CSV, JSON, ORC readers
+and partitioned / bucketed / compacted writers.
+
+Readers take an explicit schema (inferSchema is a full extra pass over the
+data — never acceptable at 100 TB). Writers encode the layout decisions that
+matter at scale:
+
+- partitionBy(dt-style columns): partition pruning turns full scans into
+  per-partition scans; keep partition cardinality in the thousands, not
+  millions (small-files problem).
+- bucketBy(join key): co-locates both sides of a recurring join so it runs
+  shuffle-free (requires saveAsTable — bucket metadata lives in the
+  catalog).
+- compaction (repartition before write): file count follows write
+  parallelism; a 100 TB table wants ~128-512 MB files, not one file per
+  shuffle partition.
+
+Delta/Iceberg/Hudi connectors need jars not present in this environment;
+`lakehouse_available()` gates them behind an import probe as the build
+contract requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from parquet_to_clickhouse_schema_spark.session import tune
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, **options) -> DataFrame:
+    tune(spark)
+    opts = {"header": "true", **options}
+    return spark.read.options(**opts).schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType, **options) -> DataFrame:
+    tune(spark)
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    tune(spark)
+    return spark.read.options(**options).orc(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout (partition pruning at read)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_compacted(df: DataFrame, path: str, n_files: int, mode: str = "overwrite") -> None:
+    """Compact to a target file count. coalesce() merges partitions without
+    a shuffle but can only REDUCE the count; fall back to repartition (one
+    shuffle) when the input has fewer partitions than requested files."""
+    if df.rdd.getNumPartitions() >= n_files:
+        df = df.coalesce(n_files)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 16
+) -> None:
+    """Bucketed managed table: equi-joins/aggregations on bucket_col over two
+    tables bucketed the same way run with NO shuffle (Catalyst recognizes
+    the matching output partitioning)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def lakehouse_available() -> dict[str, bool]:
+    """Probe for table-format connectors (jars not shipped in this image)."""
+    out = {}
+    for mod in ("delta", "pyiceberg"):
+        try:
+            __import__(mod)
+            out[mod] = True
+        except ImportError:
+            out[mod] = False
+    return out

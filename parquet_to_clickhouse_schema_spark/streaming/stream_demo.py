@@ -1,0 +1,118 @@
+"""True Structured Streaming variants of the batch-twin queries.
+
+The gated checks run the batch twins (streaming/batch_twins.py); these
+functions run the SAME event-time logic through readStream → writeStream
+with watermarks, proving the operators work under micro-batch execution
+with bounded state. Tests drive them synchronously with the memory sink +
+processAllAvailable() (the documented local pattern).
+
+Scale notes:
+- withWatermark bounds the state store: windows older than (max event time
+  - delay) are finalized and evicted — without it, session/window state
+  grows forever on an unbounded stream.
+- dropDuplicatesWithinWatermark keeps only in-watermark keys in state —
+  the late-data policy is drop-behind-watermark.
+- The parquet source reads the events table as a bounded stream
+  (maxFilesPerTrigger throttles micro-batch size in a real deployment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_to_clickhouse_schema_spark.session import tune
+
+# events schema as the streaming source sees it (ts arrives as raw int64
+# nanoseconds under nanosAsLong — same normalization as sources/io.py)
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    # FileStreamSource requires a directory (or glob) — events.parquet is a
+    # single file, so glob its last character to make the parent the basePath.
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_tumbling_window: 1h windows, 10min watermark."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+
+
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_session_window: 30min-gap sessions per user."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_stream_dedup: keyed dedup with watermark-bounded
+    state (late duplicates behind the watermark are dropped)."""
+    ev = read_events_stream(spark, sf_dir)
+    return ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion against the bounded source
+    and return the materialized result (memory sink + processAllAvailable —
+    the synchronous local test harness).
+
+    Use output_mode='complete' for windowed aggregations on bounded sources:
+    append mode only emits watermark-FINALIZED windows, and on a bounded
+    source the watermark never passes the last windows, so they would stay
+    in state forever (correct unbounded behavior, surprising in tests)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_to_parquet(df: DataFrame, path: str, checkpoint: str) -> None:
+    """Exactly-once file sink shape: parquet + checkpointed offsets. In
+    production this is the landing-zone writer; foreachBatch would replace
+    it for idempotent upserts into an external store."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,106 @@
+"""CLI parity with the reference schemagen + format source/sink round-trips."""
+
+import subprocess
+import sys
+
+from pyspark.sql import types as T
+
+from parquet_to_clickhouse_schema_spark.sources.formats import (
+    lakehouse_available,
+    read_csv,
+    read_json,
+    read_orc,
+    write_compacted,
+    write_partitioned,
+)
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_cli_matches_reference_flags(tmp_path):
+    out = tmp_path / "schema.sql"
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "parquet_to_clickhouse_schema_spark.cli",
+            "--parquet-path",
+            f"{SF_SMOKE}/lineitem.parquet",
+            "--clickhouse-schema-path",
+            str(out),
+            "--table-name",
+            "lineitem",
+            "--primary-key",
+            "l_orderkey",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert res.returncode == 0, res.stderr
+    ddl = out.read_text()
+    assert ddl.startswith("drop table if exists lineitem;\n")
+    assert "    l_orderkey Int64\n" in ddl
+    assert res.stdout == ddl  # CLI echoes the DDL like a unix filter
+
+
+def test_cli_missing_flag_errors(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-m", "parquet_to_clickhouse_schema_spark.cli", "--table-name", "x"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert res.returncode == 2
+    assert "--parquet-path" in res.stderr
+
+
+def test_csv_json_orc_roundtrip(spark, tmp_path):
+    src = load_table(spark, SF_SMOKE, "nation")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    for fmt, reader in [("csv", read_csv), ("json", read_json)]:
+        p = str(tmp_path / fmt)
+        getattr(src.write.mode("overwrite").option("header", "true"), fmt)(p)
+        back = reader(spark, p, schema)
+        assert sorted(tuple(r) for r in back.collect()) == sorted(
+            tuple(r) for r in src.collect()
+        )
+    p = str(tmp_path / "orc")
+    src.write.mode("overwrite").orc(p)
+    assert read_orc(spark, p).count() == src.count()
+
+
+def test_partitioned_write_enables_pruning(spark, tmp_path):
+    from parquet_to_clickhouse_schema_spark.plans.inspect import executed_plan
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = str(tmp_path / "by_type")
+    write_partitioned(ev, p, ["event_type"])
+    back = spark.read.parquet(p).filter("event_type = 'purchase'")
+    n_purchase = back.count()
+    assert 0 < n_purchase < ev.count()
+    # partition pruning: only the purchase partition is listed
+    assert "purchase" in executed_plan(back)
+
+
+def test_compacted_write_controls_file_count(spark, tmp_path):
+    import glob
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    p = str(tmp_path / "compact")
+    write_compacted(li, p, 2)
+    files = glob.glob(f"{p}/*.parquet")
+    assert len(files) == 2
+
+
+def test_lakehouse_probe_runs():
+    avail = lakehouse_available()
+    assert set(avail) == {"delta", "pyiceberg"}

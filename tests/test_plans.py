@@ -1,0 +1,102 @@
+"""Plan-shape tests: every scale claim in an operator docstring is asserted
+against the executed physical plan."""
+
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.operators import relational, sortset
+from parquet_to_clickhouse_schema_spark.plans.inspect import (
+    codegen_stage_count,
+    executed_plan,
+    pushed_filters,
+    scan_read_schema,
+    shuffle_count,
+    uses_broadcast_join,
+    uses_sort_merge_join,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_scan_project_prunes_columns(spark):
+    df = relational.q_scan_project(spark, SF_SMOKE)
+    rs = scan_read_schema(df)
+    assert "l_orderkey" in rs and "l_extendedprice" in rs
+    assert "l_comment" not in rs and "l_shipdate" not in rs and "l_tax" not in rs
+
+
+def test_filter_pred_pushes_down(spark):
+    df = relational.q_filter_pred(spark, SF_SMOKE)
+    pf = pushed_filters(df)
+    assert "p_size" in pf  # BETWEEN bounds reach the scan
+    assert "In(p_type" in pf
+
+
+def test_broadcast_join_is_broadcast(spark):
+    assert uses_broadcast_join(relational.q_join_broadcast(spark, SF_SMOKE))
+
+
+def test_sortmerge_join_is_sortmerge(spark):
+    assert uses_sort_merge_join(relational.q_join_sortmerge(spark, SF_SMOKE))
+
+
+def test_multiway_fact_shuffles_once(spark):
+    """Star join: dims broadcast; the fact table is exchanged only for the
+    lineitem-orders merge + the final aggregation."""
+    df = relational.q_join_multiway(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    # dims broadcast -> the only shuffle left is the final aggregation
+    # (at this SF even orders broadcasts; at 100 TB AQE keeps li-o as SMJ)
+    assert shuffle_count(df) <= 3
+
+
+def test_range_join_is_nested_loop_broadcast(spark):
+    df = relational.q_join_range(spark, SF_SMOKE)
+    assert "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    df = sortset.q_topk(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    df = sortset.q_topk_per_group(spark, SF_SMOKE)
+    assert "WindowGroupLimit" in executed_plan(df)
+
+
+def test_agg_has_partial_aggregation(spark):
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import q_agg_hash
+
+    df = q_agg_hash(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    # two HashAggregate nodes around the exchange = map-side partial agg
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    # AQE only materializes the codegen'd final plan after an action on
+    # this DataFrame's own queryExecution (count() builds a separate plan)
+    df.collect()
+    assert codegen_stage_count(df) >= 1
+
+
+def test_semi_join_plans_as_semi(spark):
+    df = relational.q_join_semi(spark, SF_SMOKE)
+    assert "LeftSemi" in executed_plan(df)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key -> shuffle-free sort-merge join."""
+    from parquet_to_clickhouse_schema_spark.sources.formats import write_bucketed
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt'")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "bkt.li_b", "l_orderkey", 8)
+    write_bucketed(o, "bkt.o_b", "o_orderkey", 8)
+    j = (
+        spark.table("bkt.li_b")
+        .hint("merge")
+        .join(spark.table("bkt.o_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    assert uses_sort_merge_join(j)
+    assert shuffle_count(j) == 0, executed_plan(j)

@@ -1,0 +1,65 @@
+"""Structured Streaming: the readStream variants must agree with their
+batch twins on the bounded events source (same event-time semantics)."""
+
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.streaming.batch_twins import (
+    q_session_window,
+    q_tumbling_window,
+)
+from parquet_to_clickhouse_schema_spark.streaming.stream_demo import (
+    run_to_memory,
+    stream_dedup,
+    stream_session_counts,
+    stream_tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_tumbling_matches_batch(spark):
+    stream = run_to_memory(
+        stream_tumbling_counts(spark, SF_SMOKE), "t_tumbling", "complete"
+    )
+    got = {(r.ws, r.event_type): r.n for r in stream.collect()}
+    batch = {
+        (r.ws, r.event_type): r.n for r in q_tumbling_window(spark, SF_SMOKE).collect()
+    }
+    assert got == batch
+
+
+def test_stream_sessions_match_batch(spark):
+    stream = run_to_memory(
+        stream_session_counts(spark, SF_SMOKE), "t_sessions", "complete"
+    )
+    got = {(r.user_id, r.session_start): r.n_events for r in stream.collect()}
+    batch = {
+        (r.user_id, r.session_start): r.n_events
+        for r in q_session_window(spark, SF_SMOKE).collect()
+    }
+    assert got == batch
+
+
+def test_stream_dedup_one_row_per_key(spark):
+    out = run_to_memory(stream_dedup(spark, SF_SMOKE), "t_dedup", "append")
+    dup = out.groupBy("user_id", "event_type").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+    # every (user, type) pair present in the source survives exactly once
+    assert out.select("user_id", "event_type").distinct().count() == out.count()
+
+
+def test_stream_to_parquet_sink(spark, tmp_path):
+    from parquet_to_clickhouse_schema_spark.streaming.stream_demo import (
+        read_events_stream,
+        stream_to_parquet,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_to_parquet(
+        read_events_stream(spark, SF_SMOKE).filter(F.col("event_type") == "purchase"),
+        out,
+        ckpt,
+    )
+    written = spark.read.parquet(out)
+    assert written.count() > 0
+    assert written.filter(F.col("event_type") != "purchase").count() == 0
