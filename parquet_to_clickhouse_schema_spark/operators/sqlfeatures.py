@@ -1,0 +1,243 @@
+"""SQL-surface features: pivot/unpivot, subquery forms (scalar / IN /
+correlated), HAVING, exact percentiles, statistical aggregates, value
+windows (first/last/nth).
+
+These complete the "a user of an OLAP engine could run every query they run
+today" surface. All Catalyst built-ins; subqueries exercise Spark's
+subquery decorrelation (rewritten to joins — check optimizedPlan).
+
+Float-rounding scales are chosen per statistic so cross-engine single-pass
+aggregation noise (~1e-12 relative) stays orders of magnitude away from the
+rounding boundary: corr (|x|<=1) rounds at 6, stddev (~1e4) at 2, variance
+(~1e8) truncates to integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "q_pivot",
+    """
+    SELECT l_returnflag,
+           floor((coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0)) * 100.0 + 0.5)
+               / 100.0 AS qty_F,
+           floor((coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0)) * 100.0 + 0.5)
+               / 100.0 AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns. The explicit value list ['F','O'] keeps
+    the plan single-pass; without it Spark runs an extra distinct-values job
+    first — a full extra scan at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return p.select(
+        "l_returnflag",
+        qround(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+        qround(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+    )
+
+
+@_q(
+    "q_unpivot",
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'price' AS metric, p_retailprice AS val FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide columns to rows via stack() — no shuffle, one
+    pass, output = n_rows x n_metrics."""
+    p = load_table(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'price', p_retailprice) AS (metric, val)",
+    )
+
+
+@_q(
+    "q_subquery_scalar",
+    """
+    SELECT o_orderkey,
+           floor((o_totalprice - (SELECT avg(o_totalprice) FROM orders)) * 100.0 + 0.5)
+               / 100.0 AS diff_from_avg
+    FROM orders
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: Spark evaluates it once and broadcasts
+    the scalar — no per-row recomputation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    # 100.0D: Spark SQL parses a bare `100.0` literal as DECIMAL(4,1), which
+    # would silently turn the whole expression decimal (DuckDB stays double)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               floor((o_totalprice - (SELECT avg(o_totalprice) FROM orders_sq)) * 100.0D + 0.5D)
+                   / 100.0D AS diff_from_avg
+        FROM orders_sq
+        """
+    )
+
+
+@_q(
+    "q_subquery_in",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — decorrelated by Catalyst into a left-semi join (verify
+    in optimizedPlan); never a per-row probe."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part_sq
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem_sq WHERE l_quantity > 49)
+        """
+    )
+
+
+@_q(
+    "q_subquery_corr",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE o_totalprice > (SELECT 20 * avg(l_extendedprice)
+                          FROM lineitem WHERE l_orderkey = o.o_orderkey)
+    """,
+)
+def q_subquery_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape) — decorrelated into an
+    aggregate + join on the correlation key, one pass over lineitem."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cq")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_cq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders_cq o
+        WHERE o_totalprice > (SELECT 20 * avg(l_extendedprice)
+                              FROM lineitem_cq WHERE l_orderkey = o.o_orderkey)
+        """
+    )
+
+
+@_q(
+    "q_having",
+    """
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > 550
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey").agg(F.count("*").alias("n")).filter(F.col("n") > 550)
+    )
+
+
+@_q(
+    "q_percentile",
+    """
+    SELECT l_returnflag,
+           floor((quantile_cont(l_quantity, 0.25)) * 1000000.0 + 0.5) / 1000000.0 AS p25,
+           floor((quantile_cont(l_quantity, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+           floor((quantile_cont(l_quantity, 0.75)) * 1000000.0 + 0.5) / 1000000.0 AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — same definition as
+    quantile_cont). At 100 TB the approximate sketch (percentile_approx,
+    constant memory) replaces this; exact percentile buffers the group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        qround(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        qround(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        qround(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+    )
+
+
+@_q(
+    "q_stats_agg",
+    """
+    SELECT l_returnflag,
+           floor((corr(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS qty_price_corr,
+           floor((stddev_samp(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS price_stddev,
+           CAST(floor(var_samp(l_extendedprice)) AS BIGINT) AS price_var_floor,
+           floor((covar_samp(l_quantity, l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS qty_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (single-pass co-moment form in both engines).
+    Rounding scale per statistic keeps ~1e-12 relative engine noise away
+    from the rounding boundary (module docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        qround(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        qround(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.floor(F.var_samp("l_extendedprice")).cast("bigint").alias("price_var_floor"),
+        qround(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+    )
+
+
+@_q(
+    "q_window_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_spend,
+           last_value(o_totalprice) OVER w AS latest_spend,
+           nth_value(o_totalprice, 2) OVER w AS second_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value windows with an explicit full frame — the
+    default frame (unbounded-preceding..current) makes last_value a trap;
+    the explicit frame is both correct and cross-engine deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_spend"),
+        F.last("o_totalprice").over(w).alias("latest_spend"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_spend"),
+    )

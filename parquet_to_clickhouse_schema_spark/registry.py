@@ -18,12 +18,25 @@ from parquet_to_clickhouse_schema_spark.operators import (
     llm,
     relational,
     sortset,
+    sqlfeatures,
     udfs,
     windows,
 )
 from parquet_to_clickhouse_schema_spark.streaming import batch_twins
 
-_MODULES = [core, relational, aggregation, windows, sortset, scalar, text, batch_twins, llm, udfs]
+_MODULES = [
+    core,
+    relational,
+    aggregation,
+    windows,
+    sortset,
+    sqlfeatures,
+    scalar,
+    text,
+    batch_twins,
+    llm,
+    udfs,
+]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
