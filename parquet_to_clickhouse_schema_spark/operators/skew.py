@@ -1,0 +1,59 @@
+"""Skew mitigation: salted joins (+ AQE notes).
+
+At 100 TB one hot key serializes a whole join task. Two remedies:
+
+1. AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+   session.py): splits oversized partitions at runtime. Free, but only for
+   sort-merge joins and only when stats detect the skew.
+2. Salting (this module) — deterministic, works for any join: the skewed
+   (fact) side gets a salt derived from non-key columns; the dimension side
+   is replicated `n_salts` times; the join key becomes (key, salt), spreading
+   one hot key over n_salts tasks.
+
+The salt must be deterministic (no rand()) for reproducible runs: we hash a
+set of carrier columns from the fact row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_cols: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the dimension side replicated over n_salts salts.
+
+    `salt_cols`: fact columns whose hash spreads the hot key's rows (must
+    not be constant within the hot key — row identifiers are ideal).
+    Result equals fact.join(dim, fact_key == dim_key, how) exactly.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (F.col(fact_key) == F.col(dim_key)) & (salted_fact["__salt"] == salted_dim["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
+
+
+def top_key_skew_ratio(df: DataFrame, key: str) -> float:
+    """Diagnostic: share of rows held by the hottest key (1.0/n_keys is
+    perfectly uniform). Run on a sample before choosing n_salts."""
+    counts = df.groupBy(key).count()
+    row = counts.agg(
+        (F.max("count") / F.sum("count")).cast("double").alias("ratio")
+    ).first()
+    return float(row.ratio)

@@ -1,0 +1,97 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The operator Spark's built-in windows can't express: per-user cumulative
+spend with threshold-crossing alerts — emit one row each time a user's
+running total of purchase value crosses another multiple of `step`. State is
+one double per user (bounded, watermark-evictable), which is the shape that
+keeps a stateful operator viable on an unbounded 100 TB/day stream: O(keys)
+state, not O(events).
+
+The batch twin (`spend_alerts_batch`) expresses the same semantics with a
+window cumsum — used by tests to pin the streaming operator's output, same
+pattern as the gated streaming queries.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+from parquet_to_clickhouse_schema_spark.streaming.stream_demo import read_events_stream
+
+OUTPUT_SCHEMA = "user_id long, alert_level long, ts timestamp, total double"
+STATE_SCHEMA = "total double"
+
+
+def _alerts_fn(step: float):
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (total,) = state.get if state.exists else (0.0,)
+        rows = []
+        for pdf in pdfs:
+            # event-time order within the micro-batch: deterministic given
+            # the (ts, event_id) total order
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                before = int(total // step)
+                total += float(value)
+                after = int(total // step)
+                for level in range(before + 1, after + 1):
+                    rows.append((key[0], level, ts, round(total, 2)))
+        state.update((total,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "alert_level", "ts", "total"])
+
+    return fn
+
+
+def spend_alerts_stream(
+    spark: SparkSession, sf_dir: str, step: float = 100.0
+) -> DataFrame:
+    """Streaming threshold-crossing alerts (purchases only)."""
+    ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _alerts_fn(step),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def spend_alerts_batch(spark: SparkSession, sf_dir: str, step: float = 100.0) -> DataFrame:
+    """Batch twin: cumulative sum per user, keep rows where the running
+    total crosses a new multiple of `step` (possibly several levels in one
+    event — exploded with sequence)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ev.select(
+        "user_id",
+        "ts",
+        F.sum("value").over(w).alias("total"),
+        (F.sum("value").over(w) - F.col("value")).alias("prev_total"),
+    )
+    lvl_before = F.floor(F.col("prev_total") / step)
+    lvl_after = F.floor(F.col("total") / step)
+    return (
+        run.filter(lvl_after > lvl_before)
+        .select(
+            "user_id",
+            F.explode(F.sequence(lvl_before + 1, lvl_after)).alias("alert_level"),
+            "ts",
+            F.round("total", 2).alias("total"),
+        )
+    )

@@ -58,6 +58,19 @@ def test_near_dedup_runs_and_is_deterministic(spark):
 
 
 @pytest.mark.slow
+def test_ivf_recall_vs_bruteforce(spark):
+    from parquet_to_clickhouse_schema_spark.operators.llm import ivf_topk
+
+    exact = {(r.vec_id, r.nbr_id) for r in q_cosine_topk(spark, SF_SMOKE).collect()}
+    approx = {
+        (r.vec_id, r.nbr_id)
+        for r in ivf_topk(spark, SF_SMOKE, n_probe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
+
+
+@pytest.mark.slow
 def test_ann_lsh_recall_vs_bruteforce(spark):
     exact = {
         (r.vec_id, r.nbr_id) for r in q_cosine_topk(spark, SF_SMOKE).collect()

@@ -1,0 +1,63 @@
+"""Custom stateful streaming operator + skew utilities."""
+
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.operators.skew import (
+    salted_equi_join,
+    top_key_skew_ratio,
+)
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+from parquet_to_clickhouse_schema_spark.streaming.stateful import (
+    spend_alerts_batch,
+    spend_alerts_stream,
+)
+from parquet_to_clickhouse_schema_spark.streaming.stream_demo import run_to_memory
+from tests.conftest import SF_SMOKE
+
+
+def test_stateful_stream_matches_batch_twin(spark):
+    stream = run_to_memory(spend_alerts_stream(spark, SF_SMOKE), "t_alerts", "append")
+    got = {
+        (r.user_id, r.alert_level, r.ts, r.total) for r in stream.collect()
+    }
+    batch = {
+        (r.user_id, r.alert_level, r.ts, r.total)
+        for r in spend_alerts_batch(spark, SF_SMOKE).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_stateful_alert_levels_are_consecutive_per_user(spark):
+    rows = spend_alerts_batch(spark, SF_SMOKE).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.alert_level)
+    for levels in by_user.values():
+        assert sorted(levels) == list(range(1, len(levels) + 1))
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    p = load_table(spark, SF_SMOKE, "part")
+    plain = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_partkey", "p_brand"
+    )
+    salted = salted_equi_join(
+        li, p, "l_partkey", "p_partkey", salt_cols=["l_orderkey", "l_linenumber"], n_salts=4
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "p_brand")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (99, "z")], "k long, v string")
+    d = spark.createDataFrame([(1, "one"), (2, "two")], "dk long, name string")
+    out = salted_equi_join(a, d, "k", "dk", salt_cols=["v"], n_salts=4, how="left")
+    rows = {(r.k, r.name) for r in out.collect()}
+    assert rows == {(1, "one"), (2, "two"), (99, None)}
+
+
+def test_skew_ratio_diagnostic(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    ratio = top_key_skew_ratio(ev, "event_type")
+    assert 0.15 < ratio < 0.5  # 5 event types, roughly uniform
