@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Scale probe: do the headline plans scale linearly?
+
+Synthesizes a k-times larger copy of the fact tables (lineitem/orders keys
+shifted per replica so join cardinalities scale honestly), then times the
+headline queries at sf0.1 and at the scaled size. A plan that survives 100 TB
+should show time ratios ~= k (linear in input) — superlinear growth exposes a
+shuffle/skew problem before a cluster ever does.
+
+Usage: python scripts/scale_probe.py [k]      (default k=10, ~6M lineitem rows)
+Writes scaled parquet under /tmp/spark_graft_scale/ (reused across runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.operators import aggregation, relational, sortset, windows
+from parquet_to_clickhouse_schema_spark.session import get_spark
+from parquet_to_clickhouse_schema_spark.sources.io import TABLES, load_table
+
+BASE_SF = "/root/testdata/sf0.1"
+SCALED_ROOT = "/tmp/spark_graft_scale"
+
+QUERIES = {
+    "q_agg_hash": aggregation.q_agg_hash,
+    "q_join_sortmerge": relational.q_join_sortmerge,
+    "q_join_multiway": relational.q_join_multiway,
+    "q_window_rank": windows.q_window_rank,
+    "q_topk": sortset.q_topk,
+}
+
+KEY_SHIFT = 10_000_000_000
+
+
+def build_scaled(spark, k: int) -> str:
+    out = f"{SCALED_ROOT}/x{k}"
+    if os.path.isdir(f"{out}/lineitem.parquet"):
+        return out
+    li = load_table(spark, BASE_SF, "lineitem")
+    o = load_table(spark, BASE_SF, "orders")
+    li_k = None
+    o_k = None
+    for i in range(k):
+        shift = F.lit(i * KEY_SHIFT)
+        li_i = li.withColumn("l_orderkey", F.col("l_orderkey") + shift)
+        o_i = o.withColumn("o_orderkey", F.col("o_orderkey") + shift)
+        li_k = li_i if li_k is None else li_k.unionAll(li_i)
+        o_k = o_i if o_k is None else o_k.unionAll(o_i)
+    li_k.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    o_k.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    for t in TABLES:
+        if t in ("lineitem", "orders"):
+            continue
+        dst = f"{out}/{t}.parquet"
+        if not os.path.isdir(dst):
+            load_table(spark, BASE_SF, t).write.mode("overwrite").parquet(dst)
+    return out
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_probe")
+    scaled = build_scaled(spark, k)
+
+    results = {}
+    for name, fn in QUERIES.items():
+        time_query(fn, spark, BASE_SF)  # warm (codegen, file listing)
+        base = time_query(fn, spark, BASE_SF)
+        big = time_query(fn, spark, scaled)
+        results[name] = {
+            "sf0.1_s": base,
+            f"x{k}_s": big,
+            "ratio": round(big / base, 1) if base > 0 else None,
+        }
+    print(json.dumps({"k": k, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
