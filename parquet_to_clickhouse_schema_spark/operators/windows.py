@@ -5,9 +5,13 @@ scale concern is partition skew (a single hot key serializes). The testdata
 keys (returnflag/suppkey/custkey) are well distributed; for skewed keys the
 mitigation is pre-aggregating or salting before the window.
 
-Every orderBy includes a unique tiebreak (orderkey, linenumber) so
-row_number/lag/frames are deterministic — required for oracle hash-matching
-(SURVEY.md §7 risk list).
+Determinism rule (required for oracle hash-matching, SURVEY.md §7): the
+window orderBy must include EVERY column the output observes (the value
+columns the window functions read, plus the projected keys). The synthetic
+lineitem data has duplicate (l_orderkey, l_linenumber) pairs — caught at
+sf0.1 — so those two columns alone are NOT a unique tiebreak; once the
+observed value column is in the ordering, any remaining tie is between
+observationally identical rows and the output multiset is order-invariant.
 """
 
 from __future__ import annotations
@@ -68,12 +72,15 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(l_extendedprice) OVER w AS next_price,
            floor((l_extendedprice - lag(l_extendedprice) OVER w) * 100.0 + 0.5) / 100.0 AS delta
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice)
     """,
 )
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
     prev = F.lag("l_extendedprice").over(w)
     return li.select(
         "l_suppkey",
@@ -91,9 +98,9 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
            floor((
-             avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0 AS mov_avg_qty,
+             avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0 AS mov_avg_qty,
            floor((
-             sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS mov_sum_qty
+             sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS mov_sum_qty
     FROM lineitem
     """,
 )
@@ -101,7 +108,7 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-2, Window.currentRow)
     )
     return li.select(
