@@ -38,6 +38,8 @@ HEADLINE = [
     "q_near_dedup_minhash",
     "q_cosine_topk",
     "q_udf_pandas",
+    "q_report_top_orders",
+    "q_report_returned_customers",
 ]
 
 

@@ -17,6 +17,7 @@ from parquet_to_clickhouse_schema_spark.operators import (
     core,
     llm,
     relational,
+    reports,
     sortset,
     sqlfeatures,
     udfs,
@@ -27,6 +28,7 @@ from parquet_to_clickhouse_schema_spark.streaming import batch_twins
 _MODULES = [
     core,
     relational,
+    reports,
     aggregation,
     windows,
     sortset,
