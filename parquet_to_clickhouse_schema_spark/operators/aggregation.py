@@ -187,3 +187,24 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_low_tax_price"
         ),
     )
+
+
+@_q(
+    "q_agg_collect",
+    """
+    SELECT l_returnflag,
+           list_sort(list_distinct(list(l_linestatus))) AS statuses,
+           CAST(len(list_distinct(list(l_suppkey))) AS INT) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: collect_set gathers per-group values into an
+    array — ALWAYS sort the array before emitting (collection order is
+    partition-dependent; the sorted form is the only deterministic one)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.size(F.collect_set("l_suppkey")).cast("int").alias("n_supps"),
+    )

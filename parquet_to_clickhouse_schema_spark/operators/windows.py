@@ -145,3 +145,33 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         qround(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
     )
+
+
+@_q(
+    "q_window_dist",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+           floor((percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+           floor((cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cume
+    FROM orders
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics: ntile needs the full (value, key) tiebreak
+    (it assigns by row position); percent_rank/cume_dist depend only on the
+    order values, so ties are inherently deterministic for them."""
+    o = load_table(spark, sf_dir, "orders")
+    w_tie = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_val = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w_tie).cast("bigint").alias("quartile"),
+        qround(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+        qround(F.cume_dist().over(w_val), 6).alias("cume"),
+    )
