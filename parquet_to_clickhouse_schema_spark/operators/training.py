@@ -1,0 +1,192 @@
+"""Training-data preparation operators: sequence packing, deterministic
+splits, context-window chunking, parquet metadata introspection.
+
+The last mile of an LLM data pipeline after dedup/quality filtering: turn a
+document corpus into packed, split, chunked training sequences. All
+deterministic (hash-based, no rand()) so a 100 TB run is reproducible and
+resumable; all expressed as single-pass DataFrame transforms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_to_clickhouse_schema_spark.sources.io import TABLES, load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+PACK_BUDGET = 256  # tokens per packed sequence
+
+
+@_q(
+    "q_pack_sequences",
+    f"""
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+    FROM (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             sum(len(string_split(text, ' ')))
+                 OVER (PARTITION BY lang ORDER BY len(string_split(text, ' ')) DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM documents
+    )
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget bins.
+
+    Greedy bin packing is inherently sequential; the scalable deterministic
+    form is sort-by-size + running-sum binning (first-fit-decreasing over a
+    cumulative window): one shuffle on the partition key, one sort, bin id =
+    floor(preceding_cumsum / budget). Within 1 doc of optimal occupancy for
+    corpus-scale inputs and fully order-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / float(PACK_BUDGET))
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+    )
+
+
+@_q(
+    "q_data_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-free key hash
+    (md5 of doc_id → first hex nibble: 12/2/2 ≈ 75%/12.5%/12.5%).
+    Hash-based splits survive re-runs, repartitions and incremental
+    appends — the only split discipline that works at 100 TB. md5 is used
+    (not xxhash64) because it is identical across engines, making the
+    split itself oracle-verifiable."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    return d.select(
+        "doc_id",
+        F.when(nibble.isin(*"0123456789ab"), "train")
+        .when(nibble.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+@_q(
+    "q_chunk_docs",
+    f"""
+    SELECT doc_id, chunk_idx,
+           array_to_string(toks[(chunk_idx * {CHUNK_STRIDE} + 1):(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS})], ' ')
+               AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, len(toks) - chunk_idx * {CHUNK_STRIDE}) AS INT) AS chunk_len
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             unnest(range(0, CAST(ceil(greatest(len(string_split(text, ' ')) - {CHUNK_TOKENS}, 0)
+                                       / {CHUNK_STRIDE}.0) AS BIGINT) + 1)) AS chunk_idx
+      FROM documents
+    )
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping token windows (32 tokens,
+    stride 16) per document — the standard long-document treatment before
+    tokenization. explode(sequence) generates chunk indices; slice() cuts
+    the token array; all JVM-side, output rows = ceil((n-32)/16)+1 per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size(toks) - CHUNK_TOKENS, F.lit(0)) / float(CHUNK_STRIDE)
+        ).cast("long")
+        + 1
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"), n_chunks.alias("n_chunks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks", F.col("chunk_idx").cast("int") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+                ),
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(CHUNK_TOKENS),
+                F.size("toks") - F.col("chunk_idx").cast("int") * CHUNK_STRIDE,
+            )
+            .cast("int")
+            .alias("chunk_len"),
+        )
+    )
+
+
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("num_row_groups", T.LongType(), False),
+        T.StructField("num_rows", T.LongType(), False),
+        T.StructField("num_columns", T.LongType(), False),
+    ]
+)
+
+
+@_q("q_parquet_meta")  # rows-only: oracle SQL sees registered views, not file paths
+def q_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer introspection as a queryable table — the reference's
+    metadata-only discipline (src/parquetutils.rs:28-30) extended from
+    schema to row-group physiology: row-group count is the unit of Spark
+    scan parallelism, so this is the first thing to inspect when a 100 TB
+    table scans slowly (too few row groups = too few tasks)."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for t in TABLES:
+        md = pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata
+        rows.append((t, md.num_row_groups, md.num_rows, md.num_columns))
+    return spark.createDataFrame(rows, _META_SCHEMA)

@@ -20,6 +20,7 @@ from parquet_to_clickhouse_schema_spark.operators import (
     reports,
     sortset,
     sqlfeatures,
+    training,
     udfs,
     windows,
 )
@@ -37,6 +38,7 @@ _MODULES = [
     text,
     batch_twins,
     llm,
+    training,
     udfs,
 ]
 
