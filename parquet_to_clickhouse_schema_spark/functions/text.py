@@ -175,3 +175,33 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(text.cast("binary"), 256).alias("fp_sha256"),
         F.array_min(rolling).alias("fp_rolling_min"),
     )
+
+
+@_q(
+    "q_vocab_top",
+    """
+    SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 100
+    """,
+)
+def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: token frequency + document frequency, top 100 —
+    the canonical wordcount shape (explode -> two-level aggregate). Partial
+    aggregation collapses each partition to its distinct tokens before the
+    shuffle, so the exchange carries O(vocab), not O(corpus tokens) — at
+    100 TB the vocab table is the tiny side of every subsequent join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(100)
+    )
