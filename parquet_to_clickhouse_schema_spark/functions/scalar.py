@@ -231,3 +231,25 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_val"),
         F.when(k >= 50, "hi").otherwise("lo").alias("k_bucket"),
     )
+
+
+@_q(
+    "q_explode_pos",
+    """
+    SELECT vec_id,
+           CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+           floor((CAST(unnest(embedding) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS val
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode ≡ UNNEST WITH ORDINALITY; the DuckDB
+    twin zips two lockstep unnests). Position matters whenever array index
+    is meaningful — embedding dimensions, tokenized positions."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "v0")).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        qround(F.col("v0").cast("double"), 6).alias("val"),
+    )

@@ -1,0 +1,101 @@
+"""Iterative graph operator: connected components over near-duplicate pairs.
+
+Near-dedup (MinHash/SimHash/embedding) emits PAIRS; deduplication needs
+CLUSTERS — the transitive closure of those pairs — so every document maps to
+one canonical representative. Connected components is the iterative
+algorithm Spark's declarative layer can't express in one query; this is the
+standard large-star/small-star-style label propagation:
+
+    label(v) = min(doc_id) over v's neighborhood, iterated to fixpoint,
+    accelerated by pointer jumping: each round also applies
+    label(v) <- label(label(v)), which doubles the propagation distance
+    per round, so convergence is O(log diameter), not O(diameter)
+    (a 200-node chain closes in ~8 rounds instead of 200 — verified by
+    the worst-case test).
+
+Each iteration is joins + aggregations hash-partitioned on the vertex id;
+convergence is checked with a cheap count of changed labels.
+localCheckpoint() truncates the lineage each round — without it the plan
+doubles per iteration and the job dies of planning overhead long before
+data size matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(src, dst) edge list -> (doc_id, cluster_id); cluster_id = min member id.
+
+    Deterministic: labels are ids, min is order-free. Isolated vertices are
+    the caller's concern (documents with no near-dup pair keep their own id
+    by definition — union them in if a total mapping is needed).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        # hop: every vertex takes min(own label, neighbors' labels)
+        neighbor_labels = (
+            edges.join(labels, edges.v == labels.id)
+            .select(F.col("u").alias("id"), F.col("label"))
+        )
+        hopped = (
+            labels.select("id", "label")
+            .unionAll(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # jump: label(v) <- min(label(v), label(label(v))) — doubles the
+        # effective propagation distance, giving O(log diameter) rounds
+        lab2 = hopped.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            hopped.join(lab2, hopped.label == lab2.jid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(spark, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """MinHash near-dup pairs -> transitive dedup clusters with canonical
+    representative per cluster (min doc_id)."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import q_near_dedup_minhash
+
+    pairs = q_near_dedup_minhash(spark, sf_dir).filter(
+        F.col("jaccard_est") >= threshold
+    )
+    return connected_components(pairs)

@@ -123,3 +123,40 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
     p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
     return li.exceptAll(p)
+
+
+@_q(
+    "q_intersect_all",
+    """
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersect (INTERSECT ALL): keeps min(multiplicity) per value —
+    deliberately distinct from the set-semantics q_intersect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
+    return a.intersectAll(r)
+
+
+@_q(
+    "q_except_set",
+    """
+    SELECT p_partkey AS partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity > 48
+    """,
+)
+def q_except_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set except (distinct semantics, .subtract): parts never ordered in
+    high quantity — the twin of bag-semantics q_except."""
+    p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 48)
+        .select(F.col("l_partkey").alias("partkey"))
+    )
+    return p.subtract(li)

@@ -116,3 +116,38 @@ def stream_to_parquet(df: DataFrame, path: str, checkpoint: str) -> None:
     )
     q.processAllAvailable()
     q.stop()
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks from the preceding hour. Both sides carry watermarks so the join
+    state is bounded: a click is held at most (interval + watermark) before
+    eviction — the condition that keeps stream-stream joins viable on an
+    unbounded 100 TB/day stream. (Batch twin: tests compare against the
+    same join on the static table.)"""
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")

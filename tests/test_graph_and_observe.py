@@ -1,0 +1,77 @@
+"""Connected-components dedup clustering + observe() instrumentation."""
+
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from parquet_to_clickhouse_schema_spark.plans.observe import with_quality_metrics
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_connected_components_planted_clusters(spark):
+    # two triangles + one chain + one isolated pair: 4 clusters
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (1, 3),          # cluster min=1
+            (10, 11), (11, 12),              # chain, min=10
+            (20, 21),                        # pair, min=20
+            (30, 31), (31, 32), (30, 32),    # triangle, min=30
+        ],
+        "doc_a long, doc_b long",
+    )
+    cc = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert cc == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30,
+    }
+
+
+def test_connected_components_bridges_transitively(spark):
+    # a-b and b-c pairs, never a-c directly: must land in one cluster
+    edges = spark.createDataFrame([(5, 9), (9, 7)], "doc_a long, doc_b long")
+    cc = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert set(cc.values()) == {5}
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """Worst-case diameter: a 200-node path graph. Plain min-propagation
+    needs 200 rounds; pointer jumping closes it within the 20-round cap."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    cc = connected_components(chain, max_iterations=20)
+    assert {r.cluster_id for r in cc.collect()} == {0}
+
+
+def test_dedup_clusters_on_documents(spark):
+    clusters = dedup_clusters(spark, SF_SMOKE)
+    rows = clusters.collect()
+    # representative is the min id of each cluster
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for rep, members in by_cluster.items():
+        assert rep == min(members)
+    # deterministic across runs
+    again = {(r.doc_id, r.cluster_id) for r in dedup_clusters(spark, SF_SMOKE).collect()}
+    assert {(r.doc_id, r.cluster_id) for r in rows} == again
+
+
+def test_observe_quality_metrics_single_pass(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    # plant nulls: value -> null for one event type
+    dirty = ev.withColumn(
+        "value", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    instrumented, obs = with_quality_metrics(dirty, ["value", "props"])
+    n = instrumented.count()  # the only action: metrics ride along
+    m = obs.get
+    assert m["n_rows"] == n
+    expected_nulls = dirty.filter(F.col("value").isNull()).count()
+    assert m["n_null_value"] == expected_nulls > 0
+    assert m["n_null_props"] == 0

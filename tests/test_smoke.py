@@ -28,7 +28,7 @@ def test_queries_and_oracles_consistent():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 76
+    assert len(qs) >= 79
 
 
 def test_approx_distinct_within_tolerance(spark):

@@ -63,3 +63,34 @@ def test_stream_to_parquet_sink(spark, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() > 0
     assert written.filter(F.col("event_type") != "purchase").count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+    from parquet_to_clickhouse_schema_spark.streaming.stream_demo import (
+        stream_stream_join,
+    )
+
+    got = run_to_memory(stream_stream_join(spark, SF_SMOKE), "t_ssj", "append")
+    stream_pairs = {(r.purchase_id, r.click_id) for r in got.collect()}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    batch_pairs = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert stream_pairs == batch_pairs
+    assert len(stream_pairs) > 0
