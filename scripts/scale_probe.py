@@ -37,6 +37,20 @@ QUERIES = {
     "q_topk": sortset.q_topk,
 }
 
+
+def _llm_queries():
+    from parquet_to_clickhouse_schema_spark.operators import llm
+    from parquet_to_clickhouse_schema_spark.functions import text
+
+    return {
+        "q_dedup_exact": llm.q_dedup_exact,
+        "q_near_dedup_minhash": llm.q_near_dedup_minhash,
+        "q_cosine_topk": llm.q_cosine_topk,
+        "q_text_stats": llm.q_text_stats,
+        "q_doc_fingerprint": text.q_doc_fingerprint,
+    }
+
+
 KEY_SHIFT = 10_000_000_000
 
 
@@ -56,8 +70,22 @@ def build_scaled(spark, k: int) -> str:
         o_k = o_i if o_k is None else o_k.unionAll(o_i)
     li_k.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     o_k.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    # documents/embeddings scale by id shift too (text/vectors repeat —
+    # fine for timing; dedup finds the planted copies, which is realistic)
+    docs = load_table(spark, BASE_SF, "documents")
+    emb = load_table(spark, BASE_SF, "embeddings")
+    d_k = None
+    e_k = None
+    for i in range(k):
+        shift = F.lit(i * KEY_SHIFT)
+        d_i = docs.withColumn("doc_id", F.col("doc_id") + shift)
+        e_i = emb.withColumn("vec_id", F.col("vec_id") + shift)
+        d_k = d_i if d_k is None else d_k.unionAll(d_i)
+        e_k = e_i if e_k is None else e_k.unionAll(e_i)
+    d_k.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    e_k.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     for t in TABLES:
-        if t in ("lineitem", "orders"):
+        if t in ("lineitem", "orders", "documents", "embeddings"):
             continue
         dst = f"{out}/{t}.parquet"
         if not os.path.isdir(dst):
@@ -72,12 +100,17 @@ def time_query(fn, spark, sf_dir: str) -> float:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(args[0]) if args else 10
     spark = get_spark("scale_probe")
     scaled = build_scaled(spark, k)
 
+    queries = dict(QUERIES)
+    if "--llm" in sys.argv:
+        queries = _llm_queries()
+
     results = {}
-    for name, fn in QUERIES.items():
+    for name, fn in queries.items():
         time_query(fn, spark, BASE_SF)  # warm (codegen, file listing)
         base = time_query(fn, spark, BASE_SF)
         big = time_query(fn, spark, scaled)
