@@ -166,7 +166,8 @@ def _emit(
         out.append(f"{name} Map (\n")
         out.append(f"{child_pad}{_scalar(dtype.keyType, strict)}\n")
         out.append(f"{child_pad}, ")
-        if isinstance(dtype.valueType, (T.StructType, T.ArrayType, T.MapType)):
+        if isinstance(dtype.valueType, T.StructType):
+            # struct value -> unnamed Tuple (src/parquetutils.rs:189-192)
             _emit(
                 out,
                 "",
@@ -177,6 +178,19 @@ def _emit(
                 strict,
                 always_nullable,
                 in_map_value=True,
+            )
+        elif isinstance(dtype.valueType, (T.ArrayType, T.MapType)):
+            # list/map value keeps the parquet wrapper field name `value`
+            # (the reference's visitor prints the group's own name)
+            _emit(
+                out,
+                "value",
+                dtype.valueType,
+                dtype.valueContainsNull,
+                indent + 4,
+                pks,
+                strict,
+                always_nullable,
             )
         else:
             out.append(f"{_scalar(dtype.valueType, strict)}\n")
@@ -259,13 +273,15 @@ def schema_to_clickhouse(
     return ddl
 
 
-_SPARK_SQL_TYPES_UPPER = True
-
-
 def struct_to_spark_ddl(schema: T.StructType, table_name: str, location: str | None = None) -> str:
-    """Same schema walk emitting Spark SQL DDL (CREATE TABLE ... USING parquet)."""
+    """Same schema walk emitting Spark SQL DDL (CREATE TABLE ... USING parquet).
+
+    Type strings stay in simpleString() case: uppercasing the whole string
+    would also uppercase nested struct FIELD NAMES, silently breaking reads
+    of case-sensitive parquet fields (lowercase type keywords are valid
+    Spark SQL)."""
     cols = ",\n".join(
-        f"    {f.name} {f.dataType.simpleString().upper()}"
+        f"    {f.name} {f.dataType.simpleString()}"
         + ("" if f.nullable else " NOT NULL")
         for f in schema.fields
     )

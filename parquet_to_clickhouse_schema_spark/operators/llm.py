@@ -15,21 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_to_clickhouse_schema_spark._registry import new_registry
 from parquet_to_clickhouse_schema_spark.functions.compat import qround
 from parquet_to_clickhouse_schema_spark.sources.io import load_table
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
-
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, _q = new_registry()
 
 
 # ----------------------------------------------------------------- dedup ---
@@ -86,11 +76,12 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = F.split(F.col(text_col), " ")
     n_sh = F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(1))
+    # slice() clamps at the array end, so documents shorter than SHINGLE_K
+    # tokens yield one short shingle instead of an ANSI INVALID_ARRAY_INDEX
+    # (element_at past the end throws under Spark 4's default ANSI mode)
     shingles = F.transform(
         F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(SHINGLE_K)]
-        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_K)),
     )
     shingled = docs.select("doc_id", shingles.alias("shingles")).repartition("doc_id")
     sig = F.array(
@@ -444,7 +435,7 @@ def ann_lsh_topk(
     At 100 TB this replaces the O(n²) cross join with a skew-resistant
     hash join whose cost follows bucket occupancy (~n²/2^planes per table —
     raise n_planes with corpus size to keep buckets bounded). Defaults are
-    tuned for the hard case of near-orthogonal random vectors: recall ~0.83
+    tuned for the hard case of near-orthogonal random vectors: recall ~0.90
     vs brute force at 4 planes x 16 tables. Not oracle-gated (approximate); tests assert recall
     against q_cosine_topk.
     """
@@ -454,7 +445,9 @@ def ann_lsh_topk(
     # hash (t, p, i) to a value in [-1, 1] via xxhash64
     def plane_component(t: int, p: int, i):
         h = F.xxhash64(F.lit(t), F.lit(p), i)
-        return (h % 2000001).cast("double") / 1000000.0 - 1.0
+        # pmod, not %: Spark's % keeps the dividend sign, which would put
+        # half the components in (-3, -1) and bias every hyperplane negative
+        return F.pmod(h, F.lit(2000001)).cast("double") / 1000000.0 - 1.0
 
     def bucket_for_table(t: int):
         bits = [

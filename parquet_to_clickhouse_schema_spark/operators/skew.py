@@ -33,8 +33,15 @@ def salted_equi_join(
 
     `salt_cols`: fact columns whose hash spreads the hot key's rows (must
     not be constant within the hot key — row identifiers are ideal).
-    Result equals fact.join(dim, fact_key == dim_key, how) exactly.
+    Result equals fact.join(dim, fact_key == dim_key, how) exactly for the
+    fact-preserving join types; right/full outer are rejected because the
+    replicated dimension side would emit one null-extended row per unmatched
+    salt replica (n_salts duplicates) — salt the other side instead.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_equi_join supports fact-preserving joins only, got {how!r}"
+        )
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
     )

@@ -17,21 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_to_clickhouse_schema_spark._registry import new_registry
 from parquet_to_clickhouse_schema_spark.functions.compat import qround
 from parquet_to_clickhouse_schema_spark.sources.io import load_table
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
-
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, _q = new_registry()
 
 
 @_q(

@@ -58,5 +58,8 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
+        overlap = set(out) & set(m.ORACLES)
+        if overlap:
+            raise ValueError(f"duplicate oracle keys: {overlap}")
         out.update(m.ORACLES)
     return out

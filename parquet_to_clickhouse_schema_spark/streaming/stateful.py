@@ -14,6 +14,7 @@ pattern as the gated streaming queries.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -21,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
 from parquet_to_clickhouse_schema_spark.sources.io import load_table
 from parquet_to_clickhouse_schema_spark.streaming.stream_demo import read_events_stream
 
@@ -43,7 +45,9 @@ def _alerts_fn(step: float):
                 total += float(value)
                 after = int(total // step)
                 for level in range(before + 1, after + 1):
-                    rows.append((key[0], level, ts, round(total, 2)))
+                    # floor-quantize (matches compat.qround), not Python round()
+                    # whose half-even ties would diverge from the batch twin
+                    rows.append((key[0], level, ts, math.floor(total * 100 + 0.5) / 100))
         state.update((total,))
         if rows:
             yield pd.DataFrame(rows, columns=["user_id", "alert_level", "ts", "total"])
@@ -92,6 +96,6 @@ def spend_alerts_batch(spark: SparkSession, sf_dir: str, step: float = 100.0) ->
             "user_id",
             F.explode(F.sequence(lvl_before + 1, lvl_after)).alias("alert_level"),
             "ts",
-            F.round("total", 2).alias("total"),
+            qround(F.col("total"), 2).alias("total"),
         )
     )

@@ -141,6 +141,40 @@ def test_golden_map_fixture(spark, tmp_path):
     assert struct_to_clickhouse_ddl(schema, "T", "foo") == expected
 
 
+def test_map_with_array_value_keeps_wrapper_name():
+    """Regression: map<string, array<long>> value emits `value Nested (...)`
+    (the parquet wrapper group name), not an empty name."""
+    schema = T.StructType(
+        [T.StructField("m", T.MapType(T.StringType(), T.ArrayType(T.LongType())), True)]
+    )
+    ddl = struct_to_clickhouse_ddl(schema, "t", "pk")
+    assert (
+        "    m Map (\n"
+        "        String\n"
+        "        , value Nested (\n"
+        "            element Nullable(Int64)\n"
+        "        )\n"
+        "    )\n"
+    ) in ddl
+
+
+def test_spark_ddl_preserves_nested_field_case():
+    """Regression: uppercasing the whole type string corrupted nested
+    struct field names; identifier case must survive."""
+    schema = T.StructType(
+        [
+            T.StructField(
+                "meta",
+                T.StructType([T.StructField("userId", T.LongType())]),
+                True,
+            )
+        ]
+    )
+    ddl = struct_to_spark_ddl(schema, "t")
+    assert "userId" in ddl
+    assert "USERID" not in ddl
+
+
 def test_primary_key_emitted_bare():
     """A3: PK matching a column → bare type (src/parquetutils.rs:160-162)."""
     schema = T.StructType(
@@ -231,8 +265,8 @@ def test_spark_ddl():
         ]
     )
     ddl = struct_to_spark_ddl(schema, "t", location="/data/t")
-    assert "id BIGINT NOT NULL" in ddl
-    assert "v ARRAY<FLOAT>" in ddl
+    assert "id bigint NOT NULL" in ddl
+    assert "v array<float>" in ddl
     assert "USING parquet" in ddl
     assert "LOCATION '/data/t'" in ddl
 

@@ -51,6 +51,17 @@ def test_minhash_detects_planted_near_duplicates(spark):
     assert agree_13 <= 0.25  # unrelated docs share few
 
 
+def test_minhash_handles_docs_shorter_than_shingle(spark):
+    """Regression: docs with < SHINGLE_K tokens must not hit ANSI
+    INVALID_ARRAY_INDEX (element_at past the array end)."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "single"), (3, "")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df).collect()
+    assert len(sigs) == 3
+    assert all(len(r.sig) == 16 for r in sigs)
+
+
 def test_near_dedup_runs_and_is_deterministic(spark):
     a = {(r.doc_a, r.doc_b) for r in q_near_dedup_minhash(spark, SF_SMOKE).collect()}
     b = {(r.doc_a, r.doc_b) for r in q_near_dedup_minhash(spark, SF_SMOKE).collect()}

@@ -57,6 +57,17 @@ def test_salted_left_join_preserves_unmatched(spark):
     assert rows == {(1, "one"), (2, "two"), (99, None)}
 
 
+def test_salted_join_rejects_dim_preserving_types(spark):
+    """Regression: right/full outer would emit one null-extended row per
+    unmatched salt replica — must be rejected, not silently wrong."""
+    import pytest
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    d = spark.createDataFrame([(2, "two")], "dk long, name string")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_equi_join(a, d, "k", "dk", salt_cols=["v"], how="full")
+
+
 def test_skew_ratio_diagnostic(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     ratio = top_key_skew_ratio(ev, "event_type")
