@@ -139,12 +139,16 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit grouping sets via Spark SQL (same Expand-based plan)."""
+    """Explicit grouping sets via Spark SQL (same Expand-based plan).
+
+    Literals are `100.0D`/`0.5D`: Spark SQL parses bare `100.0` as DECIMAL,
+    which makes sum_qty decimal(27,6) and diverges from the oracle's double
+    (r1 hash_match=false was exactly this)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+               floor((sum(l_quantity)) * 100.0D + 0.5D) / 100.0D AS sum_qty,
                count(*) AS n
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -183,7 +187,7 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     """
     SELECT l_returnflag,
-           list_sort(list_distinct(list(l_linestatus))) AS statuses,
+           array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
            CAST(len(list_distinct(list(l_suppkey))) AS INT) AS n_supps
     FROM lineitem
     GROUP BY l_returnflag
@@ -192,9 +196,13 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: collect_set gathers per-group values into an
     array — ALWAYS sort the array before emitting (collection order is
-    partition-dependent; the sorted form is the only deterministic one)."""
+    partition-dependent; the sorted form is the only deterministic one).
+
+    The gated output serializes the array with concat_ws: the driver's
+    pandas row canonicalizer can't hash array cells (r1 crash on
+    numpy.ndarray), so gated columns must be scalar-typed."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
         F.size(F.collect_set("l_suppkey")).cast("int").alias("n_supps"),
     )

@@ -42,10 +42,67 @@ _MODULES = [
     udfs,
 ]
 
+# SURVEY.md §2.2's declared engine contract, in SURVEY order. These keys are
+# emitted FIRST from all_queries(): the round driver sweeps queries() in dict
+# order under a budget (the r1 sweep stopped after 50 entries, leaving the
+# LLM/streaming/UDF contract families unchecked), so contract keys must
+# register ahead of the beyond-contract extras.
+CONTRACT_KEYS = (
+    "q_schema_infer",
+    "q_ddl_clickhouse",
+    "q_ddl_sparksql",
+    "q_scan_project",
+    "q_filter_pred",
+    "q_join_broadcast",
+    "q_join_sortmerge",
+    "q_join_multiway",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_join_asof",
+    "q_agg_hash",
+    "q_agg_distinct",
+    "q_agg_approx_distinct",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_agg_filtered",
+    "q_window_rank",
+    "q_window_lag",
+    "q_window_frame",
+    "q_window_range_frame",
+    "q_topk",
+    "q_topk_per_group",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cond_funcs",
+    "q_array_funcs",
+    "q_explode",
+    "q_map_funcs",
+    "q_json_funcs",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_stream_dedup",
+    "q_dedup_exact",
+    "q_near_dedup_minhash",
+    "q_cosine_topk",
+    "q_text_stats",
+    "q_multimodal_cols",
+    "q_udf_python",
+    "q_udf_pandas",
+    "q_udaf_grouped",
+)
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def all_queries() -> dict[str, QueryFn]:
+def _merged_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     for m in _MODULES:
         overlap = set(out) & set(m.QUERIES)
@@ -55,11 +112,25 @@ def all_queries() -> dict[str, QueryFn]:
     return out
 
 
+def all_queries() -> dict[str, QueryFn]:
+    merged = _merged_queries()
+    missing = [k for k in CONTRACT_KEYS if k not in merged]
+    if missing:
+        raise ValueError(f"contract keys not registered: {missing}")
+    out: dict[str, QueryFn] = {k: merged[k] for k in CONTRACT_KEYS}
+    out.update({k: fn for k, fn in merged.items() if k not in out})
+    return out
+
+
 def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
+    merged: dict[str, str] = {}
     for m in _MODULES:
-        overlap = set(out) & set(m.ORACLES)
+        overlap = set(merged) & set(m.ORACLES)
         if overlap:
             raise ValueError(f"duplicate oracle keys: {overlap}")
-        out.update(m.ORACLES)
+        merged.update(m.ORACLES)
+    # Same contract-first ordering as all_queries(), in case the driver
+    # iterates oracle keys rather than query keys.
+    out = {k: merged[k] for k in CONTRACT_KEYS if k in merged}
+    out.update({k: v for k, v in merged.items() if k not in out})
     return out

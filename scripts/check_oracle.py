@@ -15,6 +15,7 @@ Default sf_dir: /root/testdata/sf0.01 (the driver's gate SF).
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -45,6 +46,72 @@ def _norm_cell(v):
     if isinstance(v, bytearray):
         return bytes(v)
     return v
+
+
+def _type_category(v) -> str:
+    """Coarse type category for cross-engine dtype comparison. The driver's
+    value-hash is type-sensitive (pandas canonicalization), so int vs float
+    vs Decimal drift fails there even when Python `==` says equal — r1's
+    q_grouping_sets (decimal(27,6) vs double) slipped through this script."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, datetime):
+        return "datetime"
+    if isinstance(v, date):
+        return "date"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (list, tuple, dict)):
+        return "collection"
+    return type(v).__name__
+
+
+def _type_problems(s_rows, s_cols, d_rows, d_cols) -> list[str]:
+    """Per-column type checks mirroring the driver's sensitivities:
+    - Decimal cells on either side (hash diverges from double);
+    - category mismatch between Spark and DuckDB for the same column;
+    - collection-typed (array/map/struct) Spark cells in a GATED key: the
+      driver's pandas row canonicalizer crashes on numpy.ndarray (r1's
+      q_agg_collect) — gated outputs must be scalar columns."""
+    problems = []
+    order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+
+    def first_non_null(rows, idx):
+        for r in rows:
+            if r[idx] is not None:
+                return r[idx]
+        return None
+
+    for pos, (si, di) in enumerate(zip(order_s, order_d)):
+        name = s_cols[si]
+        sv = first_non_null(s_rows, si)
+        dv = first_non_null(d_rows, di)
+        sc = None if sv is None else _type_category(sv)
+        dc = None if dv is None else _type_category(dv)
+        if sc == "decimal" or dc == "decimal":
+            problems.append(
+                f"col {name!r}: Decimal-typed cells (spark={sc} duckdb={dc}) — "
+                "driver hash treats decimal != double; use D-suffixed literals"
+            )
+            continue
+        if sc == "collection":
+            problems.append(
+                f"col {name!r}: array/map-typed Spark output in a gated key — "
+                "driver canonicalizer crashes on ndarray; serialize (concat_ws)"
+            )
+            continue
+        if sc is not None and dc is not None and sc != dc:
+            problems.append(f"col {name!r}: type drift spark={sc} duckdb={dc}")
+    return problems
 
 
 def _rows_to_multiset(rows, colnames):
@@ -137,6 +204,8 @@ def main() -> int:
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not problems:
+            problems.extend(_type_problems(s_rows, s_cols, d_rows, d_cols))
         if not problems:
             ms_s = _rows_to_multiset(s_rows, s_cols)
             ms_d = _rows_to_multiset(d_rows, d_cols)
