@@ -212,7 +212,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_ngram",
     """
     WITH tok AS (
-      SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks,
+             floor(len(list_distinct(string_split(text, ' '))) / 32.0) AS szbkt
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -220,26 +222,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / len(list_distinct(list_concat(a.toks, b.toks)))) * 10000.0 + 0.5)
                / 10000.0 AS jaccard
     FROM tok a JOIN tok b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.source = b.source AND a.szbkt = b.szbkt
+     AND a.doc_id < b.doc_id
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard similarity over blocked candidate pairs.
 
-    Blocking key = (lang, source): the exact-Jaccard verification step that
-    follows MinHash candidate generation in a real pipeline. The equi-join on
-    the block key keeps the pair space per-block quadratic instead of
-    corpus-quadratic — with a digest-based blocking key at 100 TB this is
-    the verify stage of every near-dedup run."""
+    Blocking key = (lang, source, size-bucket): the exact-Jaccard verify
+    step that follows MinHash candidate generation in a real pipeline. The
+    size bucket (distinct-token count div 32) is the second key that keeps
+    blocks bounded at corpus scale — (lang, source) alone makes a popular
+    (en, web) block corpus-sized and per-block quadratic. Length blocking is
+    also principled for dedup: Jaccard >= t forces |A|/|B| into [t, 1/t], so
+    near-dups land in the same or adjacent buckets (a production run adds a
+    neighbor-bucket pass or a minhash band; candidate gen stays
+    q_near_dedup_minhash's job). Integer-div bucket = exact cross-engine
+    parity (no float log)."""
     d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
     tok = d.select(
-        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
-    ).repartition("lang", "source")
+        "doc_id",
+        "lang",
+        "source",
+        toks.alias("toks"),
+        F.floor(F.size(toks) / F.lit(32.0)).alias("szbkt"),
+    ).repartition("lang", "source", "szbkt")
     a, b = tok.alias("a"), tok.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.source") == F.col("b.source")))
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.szbkt") == F.col("b.szbkt")),
+        )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -273,28 +291,66 @@ _EMB_DEDUP_ORACLE = """
 """
 
 
+def _make_block_threshold_pairs(bc, threshold: float):
+    """Per-Arrow-batch exact cosine>=threshold pairs against ONE broadcast
+    index block; emits raw cosine (rounding happens JVM-side after union)."""
+
+    def pair_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_ids, b_mat, b_norms = bc.value
+        for batch in batches:
+            a_mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            a_ids = batch["vec_id"].to_numpy()
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            cos = (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
+            ai, bj = np.nonzero((cos >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": b_ids[bj], "cos_raw": cos[ai, bj]}
+            )
+
+    return pair_batches
+
+
 @_q("q_dedup_embedding", _EMB_DEDUP_ORACLE)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.5): the semantic
-    dedup pass that catches paraphrases exact/MinHash dedup misses. Brute
-    pair space here (correctness baseline); production blocking comes from
-    ann_lsh_topk's hyperplane buckets — same candidate join, threshold
-    filter instead of top-k."""
-    e = _as_double_vec(load_table(spark, sf_dir, "embeddings"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", (dot / (F.col("na") * F.col("nb"))).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.5)
-        .select("vec_a", "vec_b", qround(F.col("cos_sim"), 4).alias("cosine"))
-    )
+    dedup pass that catches paraphrases exact/MinHash dedup misses.
+
+    Exact all-pairs semantics (matches the oracle bit-for-bit), but
+    structured like cosine_topk_blocked rather than a full-table broadcast
+    crossJoin: the index is collected one hash block at a time (driver and
+    executor memory bounded by block size), each block is broadcast, and a
+    BLAS matmul per Arrow batch emits only the pairs above threshold —
+    each unordered pair surfaces exactly once because every vector lives in
+    exactly one block and the vec_a < vec_b filter applies inside. The O(n²)
+    comparison count is inherent to EXACT thresholding; the approximate
+    sub-quadratic path is ann_lsh_topk's bucket join with a threshold filter
+    instead of top-k (recall-tested, not oracle-gatable)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()  # parquet metadata count
+    n_blocks = max(1, -(-n // 1024))
+    blocked = e.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
+
+    pairs = None
+    for bi in range(n_blocks):
+        pdf = blocked.filter(F.col("blk") == bi).select("vec_id", "embedding").toPandas()
+        if len(pdf) == 0:
+            continue
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        bc = spark.sparkContext.broadcast((ids, mat, norms))
+        part = e.mapInPandas(
+            _make_block_threshold_pairs(bc, 0.5),
+            schema="vec_a long, vec_b long, cos_raw double",
+        )
+        pairs = part if pairs is None else pairs.unionAll(part)
+
+    return pairs.select("vec_a", "vec_b", qround(F.col("cos_raw"), 4).alias("cosine"))
 
 
 # ------------------------------------------------------------ similarity ---
@@ -344,31 +400,19 @@ _COSINE_ORACLE = """
 
 @_q("q_cosine_topk", _COSINE_ORACLE)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-3 neighbors per vector, vectorized.
+    """Exact cosine top-3 neighbors per vector (gated path — see
+    cosine_topk_blocked for the plan)."""
+    return cosine_topk_blocked(spark, sf_dir, k=3)
 
-    Plan: the index side (ids + float64 matrix + norms) is a Spark broadcast
-    variable (~1 MB per 2k x 64-d block); the query side streams through
-    mapInPandas, and each Arrow batch does one BLAS matmul (A @ B.T) plus a
-    lexsort top-k — no per-pair Python, no O(n²) row explosion through the
-    shuffle. ~10x faster than the pure-JVM zip_with/aggregate formulation
-    (kept below as cosine_topk_hof, the semantics baseline).
 
-    At 100 TB the same shape block-partitions the index: broadcast one index
-    block at a time (or join on LSH bucket — ann_lsh_topk), keeping each
-    executor's working set at batch_rows x block_rows doubles.
-
-    Tie handling matches the oracle exactly: sort by (-cos, nbr_id)."""
-    import numpy as np
-
-    k = 3
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = e.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+def _make_block_topk(bc, k: int):
+    """Per-Arrow-batch exact top-k against ONE broadcast index block.
+    Emits RAW cosine (unrounded): blocks produce partial top-k lists that a
+    final window re-ranks globally, so rounding must wait until after the
+    re-rank or cross-block ties would resolve differently than the oracle."""
 
     def topk_batches(batches):
+        import numpy as np
         import pandas as pd
 
         b_ids, b_mat, b_norms = bc.value
@@ -386,12 +430,61 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 order = np.lexsort((cand_ids, -cand_cos))[:k]
                 out_vec.extend([a_ids[i]] * len(order))
                 out_nbr.extend(cand_ids[order])
-                out_cos.extend(np.floor(cand_cos[order] * 10000.0 + 0.5) / 10000.0)
+                out_cos.extend(cand_cos[order])
             yield pd.DataFrame(
-                {"vec_id": out_vec, "nbr_id": out_nbr, "cosine": out_cos}
+                {"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_cos}
             )
 
-    return e.mapInPandas(topk_batches, schema="vec_id long, nbr_id long, cosine double")
+    return topk_batches
+
+
+def cosine_topk_blocked(
+    spark: SparkSession, sf_dir: str, k: int = 3, index_block_rows: int = 1024
+) -> DataFrame:
+    """Exact cosine top-k with a BLOCK-PARTITIONED broadcast index.
+
+    The driver never materializes the full embeddings table: the index is
+    split into ceil(n / index_block_rows) hash blocks, and each loop
+    iteration collects ONE block (bounded memory), broadcasts it, and streams
+    the query side through mapInPandas where each Arrow batch does one BLAS
+    matmul (A @ B.T) + lexsort partial top-k against that block. A final
+    window re-ranks the per-block partials into the global exact top-k —
+    the union shuffles only O(n * blocks * k) small rows, never pairs.
+
+    At 100 TB: driver + executor working sets are bounded by
+    index_block_rows x dim doubles per block regardless of corpus size (raise
+    block rows to amortize passes); the per-block partial top-k is exactly
+    the classic map-side combine for top-k. ~10x faster than the pure-JVM
+    zip_with/aggregate formulation (kept as cosine_topk_hof, the semantics
+    baseline). Tie handling matches the oracle: (-cos, nbr_id), rounded only
+    after the global re-rank."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()  # parquet metadata count — no data scan
+    n_blocks = max(1, -(-n // index_block_rows))
+    blocked = e.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
+
+    partials = None
+    for bi in range(n_blocks):
+        pdf = blocked.filter(F.col("blk") == bi).select("vec_id", "embedding").toPandas()
+        if len(pdf) == 0:
+            continue
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        bc = spark.sparkContext.broadcast((ids, mat, norms))
+        part = e.mapInPandas(
+            _make_block_topk(bc, k), schema="vec_id long, nbr_id long, cos_raw double"
+        )
+        partials = part if partials is None else partials.unionAll(part)
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "nbr_id")
+    return (
+        partials.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "nbr_id", qround(F.col("cos_raw"), 4).alias("cosine"))
+    )
 
 
 def cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,62 +621,112 @@ def ivf_topk(
     n_probe 2/4/8; clustered real-world embeddings do far better).
 
     At 100 TB: centroid assignment is a broadcast matmul (centroids are
-    tiny); the candidate ranking becomes an equi-JOIN on centroid id — the
-    same join-not-crossjoin shape as MinHash banding and hyperplane LSH, so
-    it partitions and scales identically. Approximate → not oracle-gated;
-    tests assert recall vs the exact q_cosine_topk.
+    tiny); candidate ranking is a COGROUP on centroid id — the same
+    join-not-crossjoin shape as MinHash banding and hyperplane LSH, so it
+    partitions and scales identically. The only driver-side collect is the
+    n_centroids sample rows (TakeOrdered, bounded) — the index itself stays
+    distributed: assignment and probing each run as one mapInPandas pass,
+    and each (query-probe, inverted-list) pair meets in
+    groupBy(cid).cogroup(...).applyInPandas where one BLAS matmul ranks the
+    list. Probing shuffles n_probe copies of the query vectors — the
+    standard distributed-IVF trade (bucket by cid to pre-partition it away).
+    Approximate → not oracle-gated; tests assert recall vs q_cosine_topk.
     """
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = e.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    unit = mat / norms[:, None]
 
-    # deterministic centroid sample: n_centroids smallest splitmix64(vec_id)
-    order = np.argsort(_hash64(ids), kind="stable")
-    cent = unit[order[:n_centroids]]
+    # deterministic centroid sample: n_centroids smallest xxhash64(vec_id).
+    # TakeOrderedAndProject — the driver receives ONLY these rows.
+    cent_pdf = (
+        e.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .select("embedding")
+        .toPandas()
+    )
+    cmat = np.stack(cent_pdf["embedding"].to_numpy()).astype("float64")
+    cmat = cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]
+    bc_cent = spark.sparkContext.broadcast(cmat)
 
-    # inverted lists: every vector assigned to its nearest centroid
-    assign = np.argmax(unit @ cent.T, axis=1)
-    bc = spark.sparkContext.broadcast((ids, unit, assign, cent))
-
-    def probe_batches(batches):
-        b_ids, b_unit, b_assign, b_cent = bc.value
+    def assign_batches(batches):
+        # inverted lists: each vector tagged with its nearest centroid id
+        cm = bc_cent.value
         for batch in batches:
-            a_ids = batch["vec_id"].to_numpy()
-            a_mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            a_unit = a_mat / np.sqrt((a_mat * a_mat).sum(axis=1))[:, None]
-            probes = np.argsort(-(a_unit @ b_cent.T), axis=1)[:, :n_probe]
-            out_vec, out_nbr, out_cos = [], [], []
-            for i in range(len(a_ids)):
-                cand_mask = np.isin(b_assign, probes[i]) & (b_ids != a_ids[i])
-                cand_ids = b_ids[cand_mask]
-                if len(cand_ids) == 0:
-                    continue
-                cos = b_unit[cand_mask] @ a_unit[i]
-                sel = np.lexsort((cand_ids, -cos))[:k]
-                out_vec.extend([a_ids[i]] * len(sel))
-                out_nbr.extend(cand_ids[sel])
-                out_cos.extend(np.floor(cos[sel] * 10000.0 + 0.5) / 10000.0)
+            mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
             yield pd.DataFrame(
-                {"vec_id": out_vec, "nbr_id": out_nbr, "cosine": out_cos}
+                {
+                    "vec_id": batch["vec_id"],
+                    "embedding": batch["embedding"],
+                    "cid": np.argmax(unit @ cm.T, axis=1).astype("int32"),
+                }
             )
 
-    return e.mapInPandas(probe_batches, schema="vec_id long, nbr_id long, cosine double")
+    def probe_batches(batches):
+        # each query fans out to its n_probe nearest centroid lists
+        cm = bc_cent.value
+        for batch in batches:
+            mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+            probes = np.argsort(-(unit @ cm.T), axis=1, kind="stable")[:, :n_probe]
+            n_rows = len(batch)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(batch["vec_id"].to_numpy(), n_probe),
+                    "embedding": batch["embedding"].iloc[
+                        np.repeat(np.arange(n_rows), n_probe)
+                    ].to_numpy(),
+                    "cid": probes.reshape(-1).astype("int32"),
+                }
+            )
 
+    vec_schema = "vec_id long, embedding array<float>, cid int"
+    assigned = e.mapInPandas(assign_batches, schema=vec_schema)
+    probed = e.mapInPandas(probe_batches, schema=vec_schema)
 
-def _hash64(ids):
-    """Deterministic 64-bit mix of an int array (splitmix64, vectorized)."""
-    import numpy as np
+    def rank_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        # queries probing this centroid x index vectors assigned to it:
+        # one matmul per centroid list, partial top-k per query
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
+             "cos_raw": pd.Series(dtype="float64")}
+        )
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return empty
+        a_ids = qpdf["vec_id"].to_numpy()
+        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+        a_unit = a_mat / np.sqrt((a_mat * a_mat).sum(axis=1))[:, None]
+        b_ids = ipdf["vec_id"].to_numpy()
+        b_mat = np.stack(ipdf["embedding"].to_numpy()).astype("float64")
+        b_unit = b_mat / np.sqrt((b_mat * b_mat).sum(axis=1))[:, None]
+        cos = a_unit @ b_unit.T
+        out_vec, out_nbr, out_cos = [], [], []
+        for i in range(len(a_ids)):
+            mask = b_ids != a_ids[i]
+            cand_cos, cand_ids = cos[i][mask], b_ids[mask]
+            sel = np.lexsort((cand_ids, -cand_cos))[:k]
+            out_vec.extend([a_ids[i]] * len(sel))
+            out_nbr.extend(cand_ids[sel])
+            out_cos.extend(cand_cos[sel])
+        if not out_vec:
+            return empty
+        return pd.DataFrame({"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_cos})
 
-    z = ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    cand = (
+        probed.groupBy("cid")
+        .cogroup(assigned.groupBy("cid"))
+        .applyInPandas(rank_cogroup, schema="vec_id long, nbr_id long, cos_raw double")
+    )
+    # global re-rank of the per-list partials (a vector assigned to exactly
+    # one list and probing distinct lists never yields duplicate pairs)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "nbr_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "nbr_id", qround(F.col("cos_raw"), 4).alias("cosine"))
+    )
 
 
 # ------------------------------------------------------------ text stats ---

@@ -45,6 +45,7 @@ def _llm_queries():
     return {
         "q_dedup_exact": llm.q_dedup_exact,
         "q_near_dedup_minhash": llm.q_near_dedup_minhash,
+        "q_dedup_ngram": llm.q_dedup_ngram,
         "q_cosine_topk": llm.q_cosine_topk,
         "q_text_stats": llm.q_text_stats,
         "q_doc_fingerprint": text.q_doc_fingerprint,
@@ -93,10 +94,16 @@ def build_scaled(spark, k: int) -> str:
     return out
 
 
-def time_query(fn, spark, sf_dir: str) -> float:
+def time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
+    from pyspark.sql import Observation
+
     t0 = time.time()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return round(time.time() - t0, 3)
+    obs = Observation()
+    # observe on the noop write: row count from the SAME single execution
+    fn(spark, sf_dir).observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return round(time.time() - t0, 3), int(obs.get["rows"])
 
 
 def main() -> None:
@@ -112,13 +119,23 @@ def main() -> None:
     results = {}
     for name, fn in queries.items():
         time_query(fn, spark, BASE_SF)  # warm (codegen, file listing)
-        base = time_query(fn, spark, BASE_SF)
-        big = time_query(fn, spark, scaled)
-        results[name] = {
+        base, base_rows = time_query(fn, spark, BASE_SF)
+        big, big_rows = time_query(fn, spark, scaled)
+        entry = {
             "sf0.1_s": base,
             f"x{k}_s": big,
             "ratio": round(big / base, 1) if base > 0 else None,
+            "rows": base_rows,
+            f"x{k}_rows": big_rows,
         }
+        # pair-emitting queries (dedup): in the replicated probe corpus the
+        # TRUE pair count grows ~k^2 by construction (every planted copy
+        # matches every other), so wall-ratio alone misreads as superlinear;
+        # the per-output-row cost is the number that must stay flat.
+        if big_rows > 0 and base_rows > 0 and big_rows > k * base_rows:
+            entry["us_per_row"] = round(base * 1e6 / base_rows, 2)
+            entry[f"x{k}_us_per_row"] = round(big * 1e6 / big_rows, 2)
+        results[name] = entry
     print(json.dumps({"k": k, "results": results}))
 
 
