@@ -254,6 +254,34 @@ def infer_parquet_schema(path: str, spark: SparkSession | None = None) -> T.Stru
         return spark.read.parquet(path).schema
 
 
+def _int96_columns(path: str) -> list[str]:
+    """Names of columns stored as physical INT96 (legacy Hive/Impala
+    timestamps). The reference panics on INT96 (src/parquetutils.rs:85), but
+    arrow-converted schemas erase the physical type (INT96 arrives as
+    timestamp[ns]), so strict-parity needs this footer-level check. Returns
+    [] when pyarrow is unavailable or the path isn't introspectable."""
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            inner = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if not inner:
+                return []
+            path = os.path.join(path, inner[0])
+        pf_schema = pq.ParquetFile(path).schema  # ParquetSchema: physical types
+        return [
+            pf_schema.column(i).name
+            for i in range(len(pf_schema))
+            if pf_schema.column(i).physical_type == "INT96"
+        ]
+    except Exception:  # noqa: BLE001 — fidelity check only, never fatal
+        return []
+
+
 def schema_to_clickhouse(
     parquet_path: str,
     table_name: str,
@@ -265,6 +293,12 @@ def schema_to_clickhouse(
     """The reference's end-to-end flow (src/parquetutils.rs:17-61):
     Parquet footer → schema walk → ClickHouse DDL (optionally written to a
     file, as the reference's BufWriter sink does)."""
+    if strict:
+        bad = _int96_columns(parquet_path)
+        if bad:
+            raise UnsupportedTypeError(
+                f"reference panics on INT96 (src/parquetutils.rs:85): {bad}"
+            )
     schema = infer_parquet_schema(parquet_path, spark)
     ddl = struct_to_clickhouse_ddl(schema, table_name, primary_key, strict=strict)
     if out_path is not None:

@@ -18,8 +18,13 @@ target side, which is exactly what a lakehouse MERGE does under the hood.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark._registry import new_registry
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+QUERIES, ORACLES, _q = new_registry()
 
 
 def upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
@@ -42,6 +47,61 @@ def scd2_apply(history: DataFrame, key: str, change_ts: str) -> DataFrame:
         history.withColumn("valid_from", F.col(change_ts))
         .withColumn("valid_to", F.lead(change_ts).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+@_q(
+    "q_scd1_merge",
+    """
+    WITH upd AS (
+      SELECT c_custkey, 'UPDATED' AS c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    tgt AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+    SELECT * FROM tgt WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT * FROM upd
+    """,
+)
+def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 upsert gated against its relational definition (anti-join ∪
+    updates). The update set is derived deterministically from the customer
+    table itself (every 10th key gets a new segment and +100 balance), so
+    both engines construct identical inputs. The +100.0 is a single IEEE
+    double add — bit-identical across engines, no rounding needed."""
+    c = load_table(spark, sf_dir, "customer")
+    target = c.select("c_custkey", "c_mktsegment", "c_acctbal")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.lit("UPDATED").alias("c_mktsegment"),
+            (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        )
+    )
+    return upsert(target, updates, "c_custkey")
+
+
+@_q(
+    "q_scd2_apply",
+    """
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           lead(o_orderkey) OVER w AS valid_to,
+           (lead(o_orderkey) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval derivation over the orders table: each customer's
+    orders become versioned rows valid until the next version. o_orderkey is
+    the change sequence (unique per key — the determinism rule for lead()
+    ordering; a timestamp column with ties would make the window ambiguous)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    return scd2_apply(o, "o_custkey", "o_orderkey").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "valid_to", "is_current"
     )
 
 

@@ -16,8 +16,14 @@ set of carrier columns from the fact row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark._registry import new_registry
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+QUERIES, ORACLES, _q = new_registry()
 
 
 def salted_equi_join(
@@ -54,6 +60,35 @@ def salted_equi_join(
         how,
     )
     return joined.drop("__salt")
+
+
+@_q(
+    "q_salted_join",
+    """
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-dim join: the oracle is a plain equi-join because
+    salting is EXACTLY result-preserving — the salt spreads each supplier key
+    over n_salts tasks (dim replicated 8x, fact salted by row identity), so
+    one hot l_suppkey no longer serializes a task at 100 TB. The aggregate on
+    top proves the join multiset is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_equi_join(
+        li, su, "l_suppkey", "s_suppkey", salt_cols=["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        qround(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
 
 
 def top_key_skew_ratio(df: DataFrame, key: str) -> float:

@@ -16,8 +16,10 @@ from parquet_to_clickhouse_schema_spark.operators import (
     aggregation,
     core,
     llm,
+    merge,
     relational,
     reports,
+    skew,
     sortset,
     sqlfeatures,
     training,
@@ -40,6 +42,8 @@ _MODULES = [
     llm,
     training,
     udfs,
+    skew,
+    merge,
 ]
 
 # SURVEY.md §2.2's declared engine contract, in SURVEY order. These keys are

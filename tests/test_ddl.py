@@ -257,6 +257,102 @@ def test_infer_schema_footer_only_handles_nanos():
     assert names == ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 
+def test_legacy_two_level_list_encoding(spark, tmp_path):
+    """Fidelity: 2-level legacy LIST encodings (reference unwraps `array` /
+    `<name>_tuple` inner names by hand, src/parquetvisitor.rs:60-63). Spark's
+    writeLegacyFormat reproduces old parquet-mr layout: nullable-element
+    lists as 3-level with `bag/array` naming, non-nullable-element lists as
+    true 2-level `repeated T`. Both must infer to the same DDL as the
+    standard compliant encoding."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+            T.StructField("nums", T.ArrayType(T.IntegerType(), False), True),
+            T.StructField(
+                "recs",
+                T.ArrayType(
+                    T.StructType([T.StructField("a", T.StringType(), True)]), True
+                ),
+                True,
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(1, ["x", "y"], [1, 2], [("foo",)])], schema)
+    legacy_dir = str(tmp_path / "legacy")
+    std_dir = str(tmp_path / "std")
+    spark.conf.set("spark.sql.parquet.writeLegacyFormat", "true")
+    try:
+        df.coalesce(1).write.parquet(legacy_dir)
+    finally:
+        spark.conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    df.coalesce(1).write.parquet(std_dir)
+
+    ddl_legacy = schema_to_clickhouse(legacy_dir, "t", "id", spark=spark)
+    ddl_std = schema_to_clickhouse(std_dir, "t", "id", spark=spark)
+    assert ddl_legacy == ddl_std
+    assert (
+        "    , tags Nested (\n"
+        "        element Nullable(String)\n"
+        "    )\n"
+    ) in ddl_legacy
+    assert (
+        "    , recs Nested (\n"
+        "        a Nullable(String)\n"
+        "    )\n"
+    ) in ddl_legacy
+
+
+def test_noncompliant_item_named_list(tmp_path):
+    """Fidelity: pyarrow's non-compliant 3-level form names the inner field
+    `item` instead of `element`; inference must still produce the standard
+    Nested DDL (the reference's visitor skips the wrapper name entirely,
+    src/parquetvisitor.rs:56-63)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int32()),
+            "tags": pa.array([["a"], ["b", "c"]], type=pa.list_(pa.string())),
+        }
+    )
+    p = str(tmp_path / "item.parquet")
+    pq.write_table(tbl, p, use_compliant_nested_type=False)
+    ddl = schema_to_clickhouse(p, "t", "id")
+    assert (
+        "    , tags Nested (\n"
+        "        element Nullable(String)\n"
+        "    )\n"
+    ) in ddl
+
+
+def test_int96_strict_panics_lenient_maps(tmp_path):
+    """Fidelity: INT96 timestamps (legacy Hive/Impala). The reference panics
+    (src/parquetutils.rs:85) — strict mode must too, even though the
+    arrow-converted schema erases the physical type. Lenient mode maps it
+    like any timestamp."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1], type=pa.int64()),
+            "ts": pa.array([datetime(2024, 1, 2, 3, 4, 5)], type=pa.timestamp("us")),
+        }
+    )
+    p = str(tmp_path / "int96.parquet")
+    pq.write_table(tbl, p, use_deprecated_int96_timestamps=True)
+    assert pq.ParquetFile(p).schema.column(1).physical_type == "INT96"
+
+    with pytest.raises(UnsupportedTypeError, match="INT96"):
+        schema_to_clickhouse(p, "t", "id", strict=True)
+    ddl = schema_to_clickhouse(p, "t", "id", strict=False)
+    assert ", ts Nullable(DateTime64(6))\n" in ddl
+
+
 def test_spark_ddl():
     schema = T.StructType(
         [
