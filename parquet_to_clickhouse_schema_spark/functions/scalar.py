@@ -185,10 +185,28 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_map_funcs")  # rows-only: map literals are engine-specific
+@_q(
+    "q_map_funcs",
+    """
+    WITH m AS (
+      SELECT doc_id, MAP(['lang', 'source'], [lang, source]) AS mp
+      FROM documents
+    )
+    SELECT doc_id,
+           map_extract(mp, 'lang')[1] AS lang_val,
+           map_extract(mp, 'source')[1] AS source_val,
+           CAST(cardinality(mp) AS INT) AS map_size,
+           array_to_string(map_keys(mp), ',') AS keys,
+           array_to_string(map_values(mp), ',') AS vals
+    FROM m
+    """,
+)
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction + lookup: build a map column from document fields,
-    read it back with element_at, report its cardinality."""
+    read it back with element_at, report its cardinality. Keys/values are
+    serialized with concat_ws — the driver's pandas canonicalizer cannot
+    hash array-typed cells, so NO registered query may emit a top-level
+    array/map column (guarded in tests/test_contract_guards.py)."""
     d = load_table(spark, sf_dir, "documents")
     m = F.create_map(
         F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
@@ -198,7 +216,8 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "lang").alias("lang_val"),
         F.element_at(m, "source").alias("source_val"),
         F.size(m).cast("int").alias("map_size"),
-        F.map_keys(m).alias("keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys"),
+        F.concat_ws(",", F.map_values(m)).alias("vals"),
     )
 
 

@@ -110,4 +110,33 @@ QUERIES = {
     "q_ddl_clickhouse": q_ddl_clickhouse,
     "q_ddl_sparksql": q_ddl_sparksql,
 }
-ORACLES: dict[str, str] = {}  # rows-only: string artifacts, golden-tested in unit tests
+
+# q_schema_infer IS oracle-checkable: DuckDB's DESCRIBE over the same
+# pre-registered views, reshaped to (table_name, path, spark_type, nullable)
+# with the DuckDB→Spark type-name map inlined (list columns become the
+# `.element` leaf, matching the Spark-side _leaves walk). The two DDL keys
+# stay rows-only: their output is an engine-specific DDL string, byte-fidelity
+# golden-tested against the reference in tests/test_ddl.py instead.
+_SCHEMA_INFER_ORACLE = (
+    "WITH raw AS (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, column_name, column_type, \"null\" AS nl "
+        f"FROM (DESCRIBE {t})"
+        for t in TABLES
+    )
+    + """
+)
+SELECT table_name,
+       CASE WHEN column_type LIKE '%[]' THEN column_name || '.element'
+            ELSE column_name END AS path,
+       CASE replace(column_type, '[]', '')
+            WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+            WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+            WHEN 'TIMESTAMP' THEN 'timestamp' WHEN 'FLOAT' THEN 'float'
+            ELSE lower(replace(column_type, '[]', '')) END AS spark_type,
+       CAST(nl = 'YES' AS BOOLEAN) AS nullable
+FROM raw
+"""
+)
+
+ORACLES: dict[str, str] = {"q_schema_infer": _SCHEMA_INFER_ORACLE}

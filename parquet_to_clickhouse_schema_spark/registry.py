@@ -103,6 +103,41 @@ CONTRACT_KEYS = (
     "q_udaf_grouped",
 )
 
+# Round-3 sweep priority: the driver's correctness sweep checks the FIRST
+# ~50 queries() keys each round, and every registered key needs at least one
+# green CORRECTNESS row across rounds (VERDICT r2 "Next round" #3). r1
+# verified the first 50 keys of r1's ordering; r2 verified the 50 contract
+# keys. These keys lead in round 3: the r2 harness failure (fixed this
+# round), the r1 fix that was never re-swept, every key changed this round,
+# and the 16 keys no sweep has ever reached. Contract keys follow, then the
+# twice-verified extras.
+SWEEP_PRIORITY = (
+    # broken in r2's sweep — fixed this round, must re-verify
+    "q_map_funcs",
+    # fixed in r1->r2 gap, never driver-checked since
+    "q_agg_collect",
+    # implementations changed in round 3 — need fresh green rows
+    "q_schema_infer",
+    "q_cosine_topk",
+    "q_dedup_embedding",
+    "q_dedup_simhash",
+    "q_dedup_ngram",
+    # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
+    "q_pack_sequences",
+    "q_data_split",
+    "q_chunk_docs",
+    "q_parquet_meta",
+    "q_scd1_merge",
+    "q_scd2_apply",
+    "q_salted_join",
+    "q_explode_pos",
+    "q_lang_id",
+    "q_quality_score",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_vocab_top",
+)
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -116,14 +151,23 @@ def _merged_queries() -> dict[str, QueryFn]:
     return out
 
 
+def _emission_order(merged_keys) -> list[str]:
+    """Sweep-priority keys first, then remaining contract keys, then extras."""
+    out = [k for k in SWEEP_PRIORITY if k in merged_keys]
+    out.extend(k for k in CONTRACT_KEYS if k in merged_keys and k not in out)
+    out.extend(k for k in merged_keys if k not in set(out))
+    return out
+
+
 def all_queries() -> dict[str, QueryFn]:
     merged = _merged_queries()
     missing = [k for k in CONTRACT_KEYS if k not in merged]
     if missing:
         raise ValueError(f"contract keys not registered: {missing}")
-    out: dict[str, QueryFn] = {k: merged[k] for k in CONTRACT_KEYS}
-    out.update({k: fn for k, fn in merged.items() if k not in out})
-    return out
+    missing_prio = [k for k in SWEEP_PRIORITY if k not in merged]
+    if missing_prio:
+        raise ValueError(f"sweep-priority keys not registered: {missing_prio}")
+    return {k: merged[k] for k in _emission_order(merged)}
 
 
 def all_oracles() -> dict[str, str]:
@@ -133,8 +177,6 @@ def all_oracles() -> dict[str, str]:
         if overlap:
             raise ValueError(f"duplicate oracle keys: {overlap}")
         merged.update(m.ORACLES)
-    # Same contract-first ordering as all_queries(), in case the driver
+    # Same priority-first ordering as all_queries(), in case the driver
     # iterates oracle keys rather than query keys.
-    out = {k: merged[k] for k in CONTRACT_KEYS if k in merged}
-    out.update({k: v for k, v in merged.items() if k not in out})
-    return out
+    return {k: merged[k] for k in _emission_order(merged)}

@@ -3,8 +3,28 @@
 import decimal
 import re
 
+from pyspark.sql import types as T
+
 from parquet_to_clickhouse_schema_spark import registry
 from scripts.check_oracle import _type_problems
+
+from tests.conftest import SF_SMOKE
+
+
+def test_no_registered_query_emits_collection_columns(spark):
+    """The driver's pandas row canonicalizer crashes on unhashable cells
+    (numpy.ndarray from ArrayType, dict from MapType) — r1's q_agg_collect
+    and r2's q_map_funcs both failed exactly this way, and the check must
+    cover EVERY registered key, gated or rows-only. Struct is banned too:
+    keep driver-facing outputs scalar, serialize with concat_ws/to_json."""
+    banned = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name, fn in registry.all_queries().items():
+        schema = fn(spark, SF_SMOKE).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, banned):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
 
 
 def test_oracle_sql_never_references_file_paths():
@@ -31,13 +51,21 @@ def test_no_builtin_round_in_gated_oracles():
         assert not re.search(r"(?<![a-z_])round\s*\(", sql), name
 
 
-def test_contract_keys_register_first():
-    """The driver sweeps queries() in dict order under a budget (the r1
-    sweep stopped after 50 entries); SURVEY §2.2 contract keys must come
-    before the beyond-contract extras."""
+def test_sweep_priority_then_contract_keys_register_first():
+    """The driver sweeps queries() in dict order under a ~50-key budget.
+    Round 3 leads with the keys that lack a green CORRECTNESS row (broken,
+    changed this round, or never swept), then the remaining contract keys,
+    then the twice-verified extras — so after this round every registered
+    key has at least one green row across rounds."""
     keys = list(registry.all_queries())
-    n = len(registry.CONTRACT_KEYS)
-    assert tuple(keys[:n]) == registry.CONTRACT_KEYS
+    n_prio = len(registry.SWEEP_PRIORITY)
+    assert tuple(keys[:n_prio]) == registry.SWEEP_PRIORITY
+    head = set(keys[: n_prio + len(registry.CONTRACT_KEYS)])
+    # every contract key still registers inside the priority+contract head
+    assert set(registry.CONTRACT_KEYS) <= head | set(registry.SWEEP_PRIORITY)
+    # the first 50 (driver budget) are exactly priority keys + contract keys
+    for k in keys[:50]:
+        assert k in registry.SWEEP_PRIORITY or k in registry.CONTRACT_KEYS, k
 
 
 def test_type_drift_detector_catches_r1_bug_classes():
