@@ -291,26 +291,44 @@ _EMB_DEDUP_ORACLE = """
 """
 
 
-def _make_block_threshold_pairs(bc, threshold: float):
-    """Per-Arrow-batch exact cosine>=threshold pairs against ONE broadcast
-    index block; emits raw cosine (rounding happens JVM-side after union)."""
+def _block_sides(
+    spark: SparkSession, sf_dir: str, n_qblk: int, n_iblk: int
+) -> tuple[DataFrame, DataFrame]:
+    """Tag the two sides of a 2-D blocked all-pairs comparison.
 
-    def pair_batches(batches):
-        import numpy as np
-        import pandas as pd
+    Block-matrix decomposition (the dense-linear-algebra SUMMA shape): the
+    query side is hashed into n_qblk row-blocks and fans out across all
+    n_iblk column-blocks; the index side is hashed into n_iblk column-blocks
+    and fans out across all n_qblk row-blocks. Each (qblk, iblk) tile meets
+    in ONE cogroup task, so parallelism is n_qblk * n_iblk tasks (a 1-D
+    split would cap parallelism at n_blocks), and the per-task working set
+    is bounded by (block_rows_q + block_rows_i) * dim doubles regardless of
+    corpus size. Replication cost is n * n_iblk + n * n_qblk shuffled vector
+    rows — the inherent cost of exact all-pairs, minimized for a given task
+    count when the grid is square (sqrt scaling), which is why both defaults
+    are the same block size. The fan-out explode replicates rows in the
+    shuffle write; each parquet scan still runs once per side.
 
-        b_ids, b_mat, b_norms = bc.value
-        for batch in batches:
-            a_mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            a_ids = batch["vec_id"].to_numpy()
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
-            ai, bj = np.nonzero((cos >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": b_ids[bj], "cos_raw": cos[ai, bj]}
-            )
-
-    return pair_batches
+    The two sides are loaded INDEPENDENTLY on purpose: a self-cogroup of one
+    DataFrame trips the analyzer's self-join deduplication — the Python
+    function's right-side argument binding keeps the left side's expression
+    ids, the right child is column-pruned down to the grouping key, and the
+    kernel receives an index pdf without vec_id/embedding (observed as
+    KeyError: 'vec_id' in the worker). Two reads create distinct leaf
+    relations, so both sides bind and prune correctly."""
+    eq = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ei = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fanout = eq.withColumn(
+        "qblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_qblk)).cast("int")
+    ).withColumn(
+        "iblk", F.explode(F.sequence(F.lit(0), F.lit(n_iblk - 1)).cast("array<int>"))
+    )
+    indexed = ei.withColumn(
+        "iblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_iblk)).cast("int")
+    ).withColumn(
+        "qblk", F.explode(F.sequence(F.lit(0), F.lit(n_qblk - 1)).cast("array<int>"))
+    )
+    return fanout, indexed
 
 
 @_q("q_dedup_embedding", _EMB_DEDUP_ORACLE)
@@ -318,38 +336,50 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.5): the semantic
     dedup pass that catches paraphrases exact/MinHash dedup misses.
 
-    Exact all-pairs semantics (matches the oracle bit-for-bit), but
-    structured like cosine_topk_blocked rather than a full-table broadcast
-    crossJoin: the index is collected one hash block at a time (driver and
-    executor memory bounded by block size), each block is broadcast, and a
-    BLAS matmul per Arrow batch emits only the pairs above threshold —
-    each unordered pair surfaces exactly once because every vector lives in
-    exactly one block and the vec_a < vec_b filter applies inside. The O(n²)
-    comparison count is inherent to EXACT thresholding; the approximate
-    sub-quadratic path is ann_lsh_topk's bucket join with a threshold filter
-    instead of top-k (recall-tested, not oracle-gatable)."""
+    Exact all-pairs semantics (matches the oracle bit-for-bit) as ONE
+    distributed job: both sides are 2-D hash-blocked (see _block_sides) and
+    groupBy(qblk, iblk).cogroup(...).applyInPandas runs one BLAS matmul per
+    tile, emitting only pairs above threshold. Each unordered pair surfaces
+    exactly once: every vector lives in exactly one (qblk, iblk) home cell
+    per side and the vec_a < vec_b filter applies inside the kernel. No
+    embedding ever transits the driver (the r2 version collected and
+    re-broadcast the index block-by-block in a serial loop — n_blocks
+    sequential jobs and n_blocks query-side scans; this is one job and one
+    scan per side). The O(n²) comparison count is inherent to EXACT
+    thresholding; the sub-quadratic approximate path is ann_lsh_topk's
+    bucket join with a threshold filter (recall-tested, not oracle-gatable).
+    """
     import numpy as np
+    import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = e.count()  # parquet metadata count
+    n = e.count()  # one column-pruned count job to size the blocking
     n_blocks = max(1, -(-n // 1024))
-    blocked = e.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
+    fanout, indexed = _block_sides(spark, sf_dir, n_blocks, n_blocks)
 
-    pairs = None
-    for bi in range(n_blocks):
-        pdf = blocked.filter(F.col("blk") == bi).select("vec_id", "embedding").toPandas()
-        if len(pdf) == 0:
-            continue
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        bc = spark.sparkContext.broadcast((ids, mat, norms))
-        part = e.mapInPandas(
-            _make_block_threshold_pairs(bc, 0.5),
-            schema="vec_a long, vec_b long, cos_raw double",
+    def pairs_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+                 "cos_raw": pd.Series(dtype="float64")}
+            )
+        a_ids = qpdf["vec_id"].to_numpy()
+        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_ids = ipdf["vec_id"].to_numpy()
+        b_mat = np.stack(ipdf["embedding"].to_numpy()).astype("float64")
+        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        cos = (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
+        ai, bj = np.nonzero((cos >= 0.5) & (a_ids[:, None] < b_ids[None, :]))
+        return pd.DataFrame(
+            {"vec_a": a_ids[ai], "vec_b": b_ids[bj], "cos_raw": cos[ai, bj]}
         )
-        pairs = part if pairs is None else pairs.unionAll(part)
 
+    pairs = (
+        fanout.groupBy("qblk", "iblk")
+        .cogroup(indexed.groupBy("qblk", "iblk"))
+        .applyInPandas(pairs_cogroup, schema="vec_a long, vec_b long, cos_raw double")
+    )
     return pairs.select("vec_a", "vec_b", qround(F.col("cos_raw"), 4).alias("cosine"))
 
 
@@ -405,80 +435,73 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_blocked(spark, sf_dir, k=3)
 
 
-def _make_block_topk(bc, k: int):
-    """Per-Arrow-batch exact top-k against ONE broadcast index block.
-    Emits RAW cosine (unrounded): blocks produce partial top-k lists that a
-    final window re-ranks globally, so rounding must wait until after the
-    re-rank or cross-block ties would resolve differently than the oracle."""
-
-    def topk_batches(batches):
-        import numpy as np
-        import pandas as pd
-
-        b_ids, b_mat, b_norms = bc.value
-        for batch in batches:
-            a_mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            a_ids = batch["vec_id"].to_numpy()
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
-            out_vec, out_nbr, out_cos = [], [], []
-            for i in range(len(a_ids)):
-                row = cos[i]
-                mask = b_ids != a_ids[i]
-                cand_cos, cand_ids = row[mask], b_ids[mask]
-                # lexsort: primary -cos desc, tiebreak nbr_id asc
-                order = np.lexsort((cand_ids, -cand_cos))[:k]
-                out_vec.extend([a_ids[i]] * len(order))
-                out_nbr.extend(cand_ids[order])
-                out_cos.extend(cand_cos[order])
-            yield pd.DataFrame(
-                {"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_cos}
-            )
-
-    return topk_batches
-
-
 def cosine_topk_blocked(
     spark: SparkSession, sf_dir: str, k: int = 3, index_block_rows: int = 1024
 ) -> DataFrame:
-    """Exact cosine top-k with a BLOCK-PARTITIONED broadcast index.
+    """Exact cosine top-k as ONE distributed job: 2-D block-cogroup
+    all-pairs.
 
-    The driver never materializes the full embeddings table: the index is
-    split into ceil(n / index_block_rows) hash blocks, and each loop
-    iteration collects ONE block (bounded memory), broadcasts it, and streams
-    the query side through mapInPandas where each Arrow batch does one BLAS
-    matmul (A @ B.T) + lexsort partial top-k against that block. A final
-    window re-ranks the per-block partials into the global exact top-k —
-    the union shuffles only O(n * blocks * k) small rows, never pairs.
+    Both sides are hash-partitioned into a ceil(n / index_block_rows)² tile
+    grid (see _block_sides); each (qblk, iblk) tile meets in
+    groupBy(qblk, iblk).cogroup(...).applyInPandas, where one BLAS matmul
+    (A @ B.T) + lexsort computes the per-tile partial top-k — the classic
+    map-side combine for top-k. A final window re-ranks the partials into
+    the global exact top-k, shuffling only O(n * blocks * k) small rows.
 
-    At 100 TB: driver + executor working sets are bounded by
-    index_block_rows x dim doubles per block regardless of corpus size (raise
-    block rows to amortize passes); the per-block partial top-k is exactly
-    the classic map-side combine for top-k. ~10x faster than the pure-JVM
-    zip_with/aggregate formulation (kept as cosine_topk_hof, the semantics
-    baseline). Tie handling matches the oracle: (-cos, nbr_id), rounded only
-    after the global re-rank."""
+    vs the r2 formulation (collect one block to the driver → broadcast →
+    mapInPandas, serially per block): no embedding transits the driver, one
+    Spark job replaces n_blocks sequential ones, parallelism is the full
+    tile grid instead of one task per index block, and each side is scanned
+    once — the fan-out replicates rows in the shuffle write, not the scan.
+    At 100 TB the executor working set stays bounded by
+    2 x index_block_rows x dim doubles per tile task regardless of corpus
+    size; replication is n * n_blocks rows per side, the inherent cost of
+    EXACT all-pairs — raise index_block_rows as n grows, or switch to the
+    approximate paths (ann_lsh_topk / ivf_topk) which prune candidates
+    instead of blocking them. Tie handling matches the oracle:
+    (-cos, nbr_id), rounded only after the global re-rank — per-tile
+    partials carry RAW cosine so cross-tile ties resolve exactly as the
+    oracle's single sort does."""
     import numpy as np
+    import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = e.count()  # parquet metadata count — no data scan
+    n = e.count()  # one column-pruned count job to size the blocking
     n_blocks = max(1, -(-n // index_block_rows))
-    blocked = e.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
+    fanout, indexed = _block_sides(spark, sf_dir, n_blocks, n_blocks)
 
-    partials = None
-    for bi in range(n_blocks):
-        pdf = blocked.filter(F.col("blk") == bi).select("vec_id", "embedding").toPandas()
-        if len(pdf) == 0:
-            continue
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        bc = spark.sparkContext.broadcast((ids, mat, norms))
-        part = e.mapInPandas(
-            _make_block_topk(bc, k), schema="vec_id long, nbr_id long, cos_raw double"
+    def topk_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
+             "cos_raw": pd.Series(dtype="float64")}
         )
-        partials = part if partials is None else partials.unionAll(part)
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return empty
+        a_ids = qpdf["vec_id"].to_numpy()
+        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_ids = ipdf["vec_id"].to_numpy()
+        b_mat = np.stack(ipdf["embedding"].to_numpy()).astype("float64")
+        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        cos = (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
+        out_vec, out_nbr, out_cos = [], [], []
+        for i in range(len(a_ids)):
+            mask = b_ids != a_ids[i]
+            cand_cos, cand_ids = cos[i][mask], b_ids[mask]
+            # lexsort: primary -cos desc, tiebreak nbr_id asc
+            order = np.lexsort((cand_ids, -cand_cos))[:k]
+            out_vec.extend([a_ids[i]] * len(order))
+            out_nbr.extend(cand_ids[order])
+            out_cos.extend(cand_cos[order])
+        if not out_vec:
+            return empty
+        return pd.DataFrame({"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_cos})
 
+    partials = (
+        fanout.groupBy("qblk", "iblk")
+        .cogroup(indexed.groupBy("qblk", "iblk"))
+        .applyInPandas(topk_cogroup, schema="vec_id long, nbr_id long, cos_raw double")
+    )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "nbr_id")
     return (
         partials.withColumn("rn", F.row_number().over(w))

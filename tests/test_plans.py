@@ -83,6 +83,58 @@ def test_semi_join_plans_as_semi(spark):
     assert "LeftSemi" in executed_plan(df)
 
 
+def test_cosine_topk_plans_as_single_cogroup(spark):
+    """r2's formulation collected each index block to the driver and looped
+    n_blocks sequential mapInPandas jobs; the rebuild must plan as exactly
+    ONE FlatMapCoGroupsInPandas (block-cogroup all-pairs) with no python
+    stage beyond it — building the DataFrame must not trigger block jobs."""
+    from parquet_to_clickhouse_schema_spark.operators import llm
+
+    df = llm.q_cosine_topk(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert "MapInPandas" not in plan
+
+
+def test_dedup_embedding_plans_as_single_cogroup(spark):
+    from parquet_to_clickhouse_schema_spark.operators import llm
+
+    df = llm.q_dedup_embedding(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert "MapInPandas" not in plan
+
+
+def test_cogroup_sides_not_pruned_by_self_join_dedup(spark):
+    """Regression: cogrouping two lineages of the SAME DataFrame trips the
+    analyzer's self-join dedup — the right side gets column-pruned to the
+    grouping key and the kernel crashes with KeyError: 'vec_id'. The
+    independent-read fix must keep vec_id+embedding in both cogroup inputs."""
+    from parquet_to_clickhouse_schema_spark.operators import llm
+
+    df = llm.q_dedup_embedding(spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    sides = re.findall(r"pairs_cogroup\(([^)]*)\)", opt)
+    assert sides, opt
+    args = sides[0]
+    assert args.count("vec_id") == 2 and args.count("embedding") == 2, args
+
+
+def test_dedup_embedding_empty_input(spark, tmp_path):
+    """ADVICE r2: the r2 loop left the unioned plan as None on an empty
+    table and crashed; the cogroup form must return an empty result."""
+    from parquet_to_clickhouse_schema_spark.operators import llm
+
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = llm.q_dedup_embedding(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["vec_a", "vec_b", "cosine"]
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key -> shuffle-free sort-merge join."""
     from parquet_to_clickhouse_schema_spark.sources.formats import write_bucketed
