@@ -151,46 +151,69 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("q_dedup_simhash")  # rows-only: xxhash64 bit arithmetic has no portable SQL twin
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit signature where bit b is the sign of the sum
+    """SimHash near-dup: 64-bit signature where bit b is the sign of the sum
     of (+1/-1) votes from each token's hash bit b. Documents within Hamming
     distance 3 are near-duplicate candidates.
 
     Candidate generation uses the standard pigeonhole blocking: split the
-    signature into 4 bytes; any pair within Hamming distance 3 agrees on at
-    least one whole byte, so an equi-join per byte-block finds all such pairs
-    without O(n²) comparison — the same join-not-crossjoin shape as MinHash
-    banding, and it scales the same way.
+    signature into 4 disjoint 16-bit blocks; any pair within Hamming
+    distance 3 agrees on at least one whole block, so an equi-join per block
+    finds all such pairs without O(n²) comparison — the same
+    join-not-crossjoin shape as MinHash banding. The 16-bit width is the
+    scale knob: 65,536 distinct block values keep the expected bucket size
+    at n/65536 (r2's 8-bit blocks gave only 256 buckets — n/256 rows per
+    bucket and a quadratic within-bucket join at corpus scale). At 100 TB,
+    widen the signature (e.g. 128-bit via two longs) and the blocks with
+    it, keeping d+1 blocks for Hamming ≤ d.
+
+    Each token is hashed ONCE into a materialized hash array; the 64
+    per-bit vote aggregates read that array. The repartition between the
+    two is a materialization barrier (see minhash_signatures): without it
+    Catalyst's projection collapse re-inlines the tokenize+hash transform
+    into all 64 aggregates and the hashing runs 64x.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split("text", " "))
-    bits = 32
+    bits = 64
+    block_bits = 16
+
+    hashed = d.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+    ).repartition("doc_id")
 
     def bit_vote(b: int):
-        # per token: +1 if bit b of xxhash64(token) set else -1; sum over doc
+        # per token: +1 if bit b of the token hash is set, else -1
         return F.aggregate(
-            toks,
+            "th",
             F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
 
     sig = F.array(*[F.when(bit_vote(b) >= 0, 1).otherwise(0) for b in range(bits)])
-    sigs = d.select("doc_id", sig.alias("bits")).repartition("doc_id")
-    # pack bit-array into one long + 4 byte-blocks for pigeonhole join
+    sigs = hashed.select("doc_id", sig.alias("bits")).repartition("doc_id")
+    # pack bit-array into one long + 4 16-bit blocks for pigeonhole join.
+    # shiftleft|or, NOT acc*2+x: the arithmetic form overflows at bit 63
+    # under ANSI mode, while the bit form wraps into the sign bit silently —
+    # hamming is XOR + bit_count, sign-agnostic, so the wrap is harmless
     packed = sigs.select(
         "doc_id",
         F.aggregate(
-            "bits", F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+            "bits",
+            F.lit(0).cast("long"),
+            lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x.cast("long")),
         ).alias("simhash"),
         *[
             F.aggregate(
-                F.slice("bits", 1 + blk * 8, 8), F.lit(0), lambda acc, x: acc * 2 + x
+                F.slice("bits", 1 + blk * block_bits, block_bits),
+                F.lit(0),
+                lambda acc, x: acc * 2 + x,
             ).alias(f"blk{blk}")
-            for blk in range(4)
+            for blk in range(bits // block_bits)
         ],
     )
     pairs = None
-    for blk in range(4):
+    for blk in range(bits // block_bits):
         a = packed.alias("a")
         b = packed.alias("b")
         p = (

@@ -62,6 +62,23 @@ def test_minhash_handles_docs_shorter_than_shingle(spark):
     assert all(len(r.sig) == 16 for r in sigs)
 
 
+def test_simhash_detects_planted_near_duplicates(spark, tmp_path):
+    """64-bit simhash with 4x16-bit pigeonhole blocks: a 1-token-in-100
+    change stays within Hamming <= 3 (deterministic — xxhash64 is seeded);
+    an unrelated doc does not pair. Values frozen from an observed run."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import q_dedup_simhash
+
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(99)) + " tokX"
+    far = " ".join(f"zzz{i}" for i in range(100))
+    spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in q_dedup_simhash(spark, str(tmp_path)).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_near_dedup_runs_and_is_deterministic(spark):
     a = {(r.doc_a, r.doc_b) for r in q_near_dedup_minhash(spark, SF_SMOKE).collect()}
     b = {(r.doc_a, r.doc_b) for r in q_near_dedup_minhash(spark, SF_SMOKE).collect()}
