@@ -240,13 +240,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              floor(len(list_distinct(string_split(text, ' '))) / 32.0) AS szbkt
       FROM documents
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b,
            floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.toks, b.toks)))) * 10000.0 + 0.5)
                / 10000.0 AS jaccard
     FROM tok a JOIN tok b
-      ON a.lang = b.lang AND a.source = b.source AND a.szbkt = b.szbkt
-     AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.source = b.source
+     AND ((a.szbkt = b.szbkt AND a.doc_id < b.doc_id)
+          OR a.szbkt + 1 = b.szbkt)
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,11 +259,16 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     size bucket (distinct-token count div 32) is the second key that keeps
     blocks bounded at corpus scale — (lang, source) alone makes a popular
     (en, web) block corpus-sized and per-block quadratic. Length blocking is
-    also principled for dedup: Jaccard >= t forces |A|/|B| into [t, 1/t], so
-    near-dups land in the same or adjacent buckets (a production run adds a
-    neighbor-bucket pass or a minhash band; candidate gen stays
-    q_near_dedup_minhash's job). Integer-div bucket = exact cross-engine
-    parity (no float log)."""
+    principled for dedup: Jaccard >= t forces |A|/|B| into [t, 1/t], so
+    near-dups land in the same or ADJACENT buckets — which is why candidate
+    generation is the union of a same-bucket join (doc_id-ordered) and a
+    neighbor-bucket join (a.szbkt + 1 = b.szbkt, pair ordered by
+    least/greatest): boundary-straddling near-dups (e.g. 31 vs 32 distinct
+    tokens) are no longer dropped. Recall vs the unblocked (lang, source)
+    pair set is asserted in tests/test_smoke.py at J >= 0.8. Integer-div
+    bucket = exact cross-engine parity (no float log). Each join side keeps
+    its own bucket, so the union stays a pair of hash-partitioned equi-joins
+    — no theta-join blowup at scale."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split("text", " "))
     tok = d.select(
@@ -274,20 +281,25 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = tok.alias("a"), tok.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.szbkt") == F.col("b.szbkt")),
-        )
+    jac = qround(inter.cast("double") / union, 4).alias("jaccard")
+    eq_ls = (F.col("a.lang") == F.col("b.lang")) & (
+        F.col("a.source") == F.col("b.source")
+    )
+    same = (
+        a.join(b, eq_ls & (F.col("a.szbkt") == F.col("b.szbkt")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            qround(inter.cast("double") / union, 4).alias("jaccard"),
+            jac,
         )
     )
+    adjacent = a.join(b, eq_ls & (F.col("a.szbkt") + 1 == F.col("b.szbkt"))).select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        jac,
+    )
+    return same.unionAll(adjacent)
 
 
 _EMB_DEDUP_ORACLE = """

@@ -62,6 +62,46 @@ def test_minhash_handles_docs_shorter_than_shingle(spark):
     assert all(len(r.sig) == 16 for r in sigs)
 
 
+def test_ngram_blocking_recall_vs_unblocked(spark):
+    """ADVICE r2: the size-bucket blocking must not drop high-Jaccard pairs
+    relative to plain (lang, source) blocking — the same+neighbor-bucket
+    union must find every J >= 0.8 pair the unblocked join finds (Jaccard
+    >= 0.8 bounds the size ratio to [0.8, 1.25], within one 32-wide bucket
+    step for this corpus)."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import q_dedup_ngram
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    tok = d.select("doc_id", "lang", "source", toks.alias("toks"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    unblocked = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union).alias("j"),
+        )
+        .filter(F.col("j") >= 0.8)
+    )
+    want = {(r.doc_a, r.doc_b) for r in unblocked.collect()}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in q_dedup_ngram(spark, SF_SMOKE).collect()
+        if r.jaccard >= 0.8
+    }
+    assert want, "corpus has no high-Jaccard pairs; recall test is vacuous"
+    missed = want - got
+    assert not missed, f"blocking dropped {len(missed)} pairs: {sorted(missed)[:5]}"
+
+
 def test_simhash_detects_planted_near_duplicates(spark, tmp_path):
     """64-bit simhash with 4x16-bit pigeonhole blocks: a 1-token-in-100
     change stays within Hamming <= 3 (deterministic — xxhash64 is seeded);
