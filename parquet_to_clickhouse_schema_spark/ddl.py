@@ -254,30 +254,56 @@ def infer_parquet_schema(path: str, spark: SparkSession | None = None) -> T.Stru
         return spark.read.parquet(path).schema
 
 
-def _int96_columns(path: str) -> list[str]:
-    """Names of columns stored as physical INT96 (legacy Hive/Impala
-    timestamps). The reference panics on INT96 (src/parquetutils.rs:85), but
-    arrow-converted schemas erase the physical type (INT96 arrives as
-    timestamp[ns]), so strict-parity needs this footer-level check. Returns
-    [] when pyarrow is unavailable or the path isn't introspectable."""
+def _strict_physical_violations(path: str) -> list[str]:
+    """Columns whose PHYSICAL Parquet type the reference panics on: INT96
+    (legacy Hive/Impala timestamps, src/parquetutils.rs:85) and non-decimal
+    FIXED_LEN_BYTE_ARRAY (src/parquetutils.rs:76-88 has no FLBA arm).
+    Arrow-converted schemas erase physical types (INT96 arrives as
+    timestamp[ns], FLBA as fixed_size_binary → BinaryType → would silently
+    map to String), so strict parity needs this footer-level check.
+    Decimal-annotated FLBA is excluded here: it surfaces as DecimalType and
+    is rejected by _scalar's DECIMAL arm with the right message.
+
+    Scans EVERY footer of a directory dataset recursively — a violating
+    column in any part-file (or partition subdirectory) must panic, not
+    just one in the lexically-first file. Footers are metadata-only reads;
+    at 100 TB this is one small read per file, still worth it for a DDL
+    tool that runs once per dataset. Returns [] when pyarrow is
+    unavailable or the path isn't introspectable."""
     try:
         import os
 
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
-            inner = sorted(
-                f for f in os.listdir(path) if f.endswith(".parquet")
-            )
-            if not inner:
-                return []
-            path = os.path.join(path, inner[0])
-        pf_schema = pq.ParquetFile(path).schema  # ParquetSchema: physical types
-        return [
-            pf_schema.column(i).name
-            for i in range(len(pf_schema))
-            if pf_schema.column(i).physical_type == "INT96"
-        ]
+            files = [
+                os.path.join(root, name)
+                for root, _dirs, names in os.walk(path)
+                for name in sorted(names)
+                if name.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        out: list[str] = []
+        seen: set[tuple[str, str]] = set()
+        for f in files:
+            pf_schema = pq.ParquetFile(f).schema  # ParquetSchema: physical types
+            for i in range(len(pf_schema)):
+                col = pf_schema.column(i)
+                phys = col.physical_type
+                if phys == "INT96":
+                    kind = "INT96"
+                elif (
+                    phys == "FIXED_LEN_BYTE_ARRAY"
+                    and str(col.converted_type) != "DECIMAL"
+                ):
+                    kind = "FIXED_LEN_BYTE_ARRAY"
+                else:
+                    continue
+                if (col.name, kind) not in seen:
+                    seen.add((col.name, kind))
+                    out.append(f"{col.name} ({kind})")
+        return out
     except Exception:  # noqa: BLE001 — fidelity check only, never fatal
         return []
 
@@ -294,10 +320,11 @@ def schema_to_clickhouse(
     Parquet footer → schema walk → ClickHouse DDL (optionally written to a
     file, as the reference's BufWriter sink does)."""
     if strict:
-        bad = _int96_columns(parquet_path)
+        bad = _strict_physical_violations(parquet_path)
         if bad:
             raise UnsupportedTypeError(
-                f"reference panics on INT96 (src/parquetutils.rs:85): {bad}"
+                "reference panics on these physical types "
+                f"(src/parquetutils.rs:76-88,85): {bad}"
             )
     schema = infer_parquet_schema(parquet_path, spark)
     ddl = struct_to_clickhouse_ddl(schema, table_name, primary_key, strict=strict)

@@ -353,6 +353,84 @@ def test_int96_strict_panics_lenient_maps(tmp_path):
     assert ", ts Nullable(DateTime64(6))\n" in ddl
 
 
+def test_flba_strict_panics_lenient_maps(tmp_path):
+    """Fidelity: physical FIXED_LEN_BYTE_ARRAY without a decimal annotation
+    (e.g. UUID-as-binary(16)). The reference's type match has no FLBA arm
+    (src/parquetutils.rs:76-88) and panics — strict mode must too, even
+    though arrow converts it to fixed_size_binary (BinaryType), which would
+    otherwise silently map to String. Lenient mode keeps the String
+    mapping."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1], type=pa.int64()),
+            "uuid": pa.array([b"0123456789abcdef"], type=pa.binary(16)),
+        }
+    )
+    p = str(tmp_path / "flba.parquet")
+    pq.write_table(tbl, p)
+    assert pq.ParquetFile(p).schema.column(1).physical_type == "FIXED_LEN_BYTE_ARRAY"
+
+    with pytest.raises(UnsupportedTypeError, match="FIXED_LEN_BYTE_ARRAY"):
+        schema_to_clickhouse(p, "t", "id", strict=True)
+    ddl = schema_to_clickhouse(p, "t", "id", strict=False)
+    assert ", uuid Nullable(String)\n" in ddl
+
+
+def test_decimal_flba_reports_decimal_not_flba(tmp_path):
+    """Decimal-annotated FLBA is the DECIMAL panic (src/parquetutils.rs:96),
+    not the physical-type one — the footer check must not shadow the more
+    precise DecimalType error."""
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1], type=pa.int64()),
+            "amt": pa.array([decimal.Decimal("1.23")], type=pa.decimal128(30, 2)),
+        }
+    )
+    p = str(tmp_path / "dec.parquet")
+    pq.write_table(tbl, p)
+    assert pq.ParquetFile(p).schema.column(1).physical_type == "FIXED_LEN_BYTE_ARRAY"
+
+    with pytest.raises(UnsupportedTypeError, match="DECIMAL"):
+        schema_to_clickhouse(p, "t", "id", strict=True)
+    ddl = schema_to_clickhouse(p, "t", "id", strict=False)
+    assert ", amt Nullable(Decimal(30, 2))\n" in ddl
+
+
+def test_int96_detected_in_any_file_of_directory_dataset(tmp_path):
+    """ADVICE r2: the footer check must scan every part-file (recursively),
+    not just the lexically-first top-level one — an INT96 column hiding in
+    a later part-file or a partition subdirectory must still panic."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    clean = pa.table({"id": pa.array([1], type=pa.int64())})
+    dirty = pa.table(
+        {
+            "id": pa.array([2], type=pa.int64()),
+            "ts": pa.array([datetime(2024, 1, 2)], type=pa.timestamp("us")),
+        }
+    )
+    ds = tmp_path / "ds.parquet"
+    (ds / "part=a").mkdir(parents=True)
+    pq.write_table(clean, str(ds / "aaa-first.parquet"))
+    pq.write_table(
+        dirty, str(ds / "part=a" / "zzz-last.parquet"),
+        use_deprecated_int96_timestamps=True,
+    )
+    with pytest.raises(UnsupportedTypeError, match="INT96"):
+        schema_to_clickhouse(str(ds), "t", "id", strict=True)
+
+
 def test_spark_ddl():
     schema = T.StructType(
         [
