@@ -74,10 +74,25 @@ def _type_category(v) -> str:
     return type(v).__name__
 
 
+_TYPE_SCAN_CAP = 20_000  # rows scanned per column; covers every gated result
+
+
+def _col_categories(rows, idx, cap=_TYPE_SCAN_CAP) -> set[str]:
+    """Distinct type categories over (up to cap) ALL cells of a column —
+    not just the first non-null: an int-vs-float drift appearing mid-result
+    or an all-NULL column must not escape (ADVICE r2)."""
+    cats = set()
+    for r in rows[:cap]:
+        if r[idx] is not None:
+            cats.add(_type_category(r[idx]))
+    return cats
+
+
 def _type_problems(s_rows, s_cols, d_rows, d_cols) -> list[str]:
     """Per-column type checks mirroring the driver's sensitivities:
     - Decimal cells on either side (hash diverges from double);
-    - category mismatch between Spark and DuckDB for the same column;
+    - category mismatch between Spark and DuckDB for the same column,
+      including drift WITHIN a column (mixed int/float cells);
     - collection-typed (array/map/struct) Spark cells in a GATED key: the
       driver's pandas row canonicalizer crashes on numpy.ndarray (r1's
       q_agg_collect) — gated outputs must be scalar columns."""
@@ -85,32 +100,31 @@ def _type_problems(s_rows, s_cols, d_rows, d_cols) -> list[str]:
     order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
     order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
 
-    def first_non_null(rows, idx):
-        for r in rows:
-            if r[idx] is not None:
-                return r[idx]
-        return None
-
-    for pos, (si, di) in enumerate(zip(order_s, order_d)):
+    for si, di in zip(order_s, order_d):
         name = s_cols[si]
-        sv = first_non_null(s_rows, si)
-        dv = first_non_null(d_rows, di)
-        sc = None if sv is None else _type_category(sv)
-        dc = None if dv is None else _type_category(dv)
-        if sc == "decimal" or dc == "decimal":
+        scs = _col_categories(s_rows, si)
+        dcs = _col_categories(d_rows, di)
+        if "decimal" in scs or "decimal" in dcs:
             problems.append(
-                f"col {name!r}: Decimal-typed cells (spark={sc} duckdb={dc}) — "
+                f"col {name!r}: Decimal-typed cells (spark={scs} duckdb={dcs}) — "
                 "driver hash treats decimal != double; use D-suffixed literals"
             )
             continue
-        if sc == "collection":
+        if "collection" in scs:
             problems.append(
                 f"col {name!r}: array/map-typed Spark output in a gated key — "
                 "driver canonicalizer crashes on ndarray; serialize (concat_ws)"
             )
             continue
-        if sc is not None and dc is not None and sc != dc:
-            problems.append(f"col {name!r}: type drift spark={sc} duckdb={dc}")
+        if len(scs) > 1 or len(dcs) > 1:
+            problems.append(
+                f"col {name!r}: mixed in-column types spark={scs} duckdb={dcs}"
+            )
+            continue
+        if scs and dcs and scs != dcs:
+            problems.append(
+                f"col {name!r}: type drift spark={scs} duckdb={dcs}"
+            )
     return problems
 
 

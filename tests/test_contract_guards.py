@@ -78,3 +78,9 @@ def test_type_drift_detector_catches_r1_bug_classes():
     assert _type_problems([(["A", "B"],)], ["statuses"], [("A,B",)], ["statuses"])
     assert _type_problems([(5,)], ["n"], [(5.0,)], ["n"])
     assert not _type_problems([(5.0, "x")], ["a", "b"], [(5.0, "x")], ["a", "b"])
+    # drift appearing only in LATER rows must be caught (ADVICE r2: the
+    # first-non-null sample let mid-result int-vs-float drift escape)
+    assert _type_problems([(5.0,), (6,)], ["n"], [(5.0,), (6.0,)], ["n"])
+    assert _type_problems(
+        [(None,), (decimal.Decimal("1"),)], ["n"], [(None,), (1.0,)], ["n"]
+    )
