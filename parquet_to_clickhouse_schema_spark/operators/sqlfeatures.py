@@ -177,6 +177,22 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_percentile_approx")  # rows-only: sketch ranks are approximate by design
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB percentile path: percentile_approx's Greenwald-Khanna
+    sketch is constant-memory per group and merges across partitions
+    (map-side partials), where exact percentile buffers the whole group.
+    Accuracy 10000 bounds rank error to n/10000. Approximate → not
+    oracle-gated; tests/test_smoke.py asserts each approximate quantile
+    lands within one quantity unit of the exact q_percentile value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.25, 10000).alias("p25"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_quantity", 0.75, 10000).alias("p75"),
+    )
+
+
 @_q(
     "q_stats_agg",
     """

@@ -75,6 +75,52 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_udtf_ngrams",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, len(toks) - 1)) AS INT) AS pos,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t
+    """,
+)
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) registered into the SQL surface and
+    invoked via LATERAL — PySpark 4's native way to EXTEND the engine's SQL
+    vocabulary from Python (the JVM-side SparkSessionExtensions rule-
+    injection route needs Scala; UDTF + Python DataSource are the
+    Python-first equivalents, see sources/synthetic.py for the latter).
+
+    Emits word bigrams with positions per document. Row-at-a-time like any
+    UDTF — kept off the full corpus (doc_id < 100) by a predicate that
+    Catalyst pushes into the scan; at 100 TB the set-based form
+    (posexplode over a transform'd array, cf. q_explode_pos) is the fast
+    path and the DuckDB oracle states it relationally."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF protocol signature
+            toks = (text or "").split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("bigrams", Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM _udtf_docs d, LATERAL bigrams(d.text) b
+        WHERE d.doc_id < 100
+        """
+    )
+
+
+@_q(
     "q_udaf_grouped",
     """
     SELECT l_returnflag,

@@ -122,6 +122,9 @@ SWEEP_PRIORITY = (
     "q_dedup_embedding",
     "q_dedup_simhash",
     "q_dedup_ngram",
+    # new in round 3 — no prior row exists
+    "q_udtf_ngrams",
+    "q_percentile_approx",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",

@@ -37,6 +37,23 @@ def test_approx_distinct_within_tolerance(spark):
         assert abs(r.approx_parts - r.exact_parts) <= max(5, 0.05 * r.exact_parts)
 
 
+def test_percentile_approx_within_one_unit_of_exact(spark):
+    """GK sketch at accuracy 10000 must land within one quantity unit of
+    the exact interpolated percentile (l_quantity is integer-valued)."""
+    from parquet_to_clickhouse_schema_spark.operators.sqlfeatures import (
+        q_percentile,
+        q_percentile_approx,
+    )
+
+    exact = {r.l_returnflag: r for r in q_percentile(spark, SF_SMOKE).collect()}
+    approx = {r.l_returnflag: r for r in q_percentile_approx(spark, SF_SMOKE).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        for fld in ("p25", "p50", "p75"):
+            assert abs(getattr(a, fld) - getattr(e, fld)) <= 1.0, (flag, fld)
+
+
 def test_minhash_detects_planted_near_duplicates(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     near = " ".join(f"tok{i}" for i in range(59)) + " tokX"  # ~1 shingle changed
