@@ -326,6 +326,21 @@ _EMB_DEDUP_ORACLE = """
 """
 
 
+def _embeddings_rowcount(spark: SparkSession, sf_dir: str) -> int:
+    """Row count from Parquet footers only — a true metadata read on the
+    driver (pyarrow sums row-group counts; no Spark job, no data pages).
+    Sizing the block grid is the only consumer, so the fallback when
+    pyarrow is missing is a column-pruned Spark count."""
+    try:
+        import pyarrow.dataset as ds
+
+        return ds.dataset(
+            f"{sf_dir}/embeddings.parquet", format="parquet"
+        ).count_rows()
+    except Exception:  # noqa: BLE001 — sizing only, any count works
+        return load_table(spark, sf_dir, "embeddings").count()
+
+
 def _block_sides(
     spark: SparkSession, sf_dir: str, n_qblk: int, n_iblk: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -387,8 +402,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = e.count()  # one column-pruned count job to size the blocking
+    n = _embeddings_rowcount(spark, sf_dir)  # footer metadata, no Spark job
     n_blocks = max(1, -(-n // 1024))
     fanout, indexed = _block_sides(spark, sf_dir, n_blocks, n_blocks)
 
@@ -500,8 +514,7 @@ def cosine_topk_blocked(
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = e.count()  # one column-pruned count job to size the blocking
+    n = _embeddings_rowcount(spark, sf_dir)  # footer metadata, no Spark job
     n_blocks = max(1, -(-n // index_block_rows))
     fanout, indexed = _block_sides(spark, sf_dir, n_blocks, n_blocks)
 

@@ -46,7 +46,9 @@ def _llm_queries():
         "q_dedup_exact": llm.q_dedup_exact,
         "q_near_dedup_minhash": llm.q_near_dedup_minhash,
         "q_dedup_ngram": llm.q_dedup_ngram,
+        "q_dedup_simhash": llm.q_dedup_simhash,
         "q_cosine_topk": llm.q_cosine_topk,
+        "q_dedup_embedding": llm.q_dedup_embedding,
         "q_text_stats": llm.q_text_stats,
         "q_doc_fingerprint": text.q_doc_fingerprint,
     }
