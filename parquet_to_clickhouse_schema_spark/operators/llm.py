@@ -800,6 +800,21 @@ def ivf_topk(
     )
 
 
+@_q("q_ann_lsh_topk")  # rows-only: approximate — recall vs q_cosine_topk is test-asserted
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for the hyperplane-LSH ANN scale path (defaults:
+    k=3, 4 planes x 16 tables, recall ~0.90 vs brute force on random
+    near-orthogonal vectors). See ann_lsh_topk for the 100-TB design notes."""
+    return ann_lsh_topk(spark, sf_dir)
+
+
+@_q("q_ivf_topk")  # rows-only: approximate — recall vs q_cosine_topk is test-asserted
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for the IVF-Flat ANN scale path (defaults: k=3,
+    16 centroids, 4 probes). See ivf_topk for the 100-TB design notes."""
+    return ivf_topk(spark, sf_dir)
+
+
 # ------------------------------------------------------------ text stats ---
 
 

@@ -125,6 +125,8 @@ SWEEP_PRIORITY = (
     # new in round 3 — no prior row exists
     "q_udtf_ngrams",
     "q_percentile_approx",
+    "q_ann_lsh_topk",
+    "q_ivf_topk",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",
