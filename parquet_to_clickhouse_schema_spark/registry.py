@@ -127,6 +127,10 @@ SWEEP_PRIORITY = (
     "q_percentile_approx",
     "q_ann_lsh_topk",
     "q_ivf_topk",
+    "q_report_regional_revenue",
+    "q_report_nation_profit",
+    "q_report_promo_share",
+    "q_report_disjunctive_revenue",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",
