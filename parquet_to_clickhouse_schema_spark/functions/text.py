@@ -9,7 +9,7 @@ hash primitive is engine-specific (noted per query).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_to_clickhouse_schema_spark._registry import new_registry
@@ -194,4 +194,122 @@ def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("freq").desc(), "tok")
         .limit(100)
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+@_q(
+    "q_pii_redact",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(injected, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(injected, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(injected, '{_PHONE_RE}')) AS INT) AS n_phones
+    FROM (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 AS injected
+      FROM documents
+    )
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regex-scrub emails and phone numbers, count what was
+    removed. The synthetic corpus carries no PII, so the query first injects
+    a deterministic email + phone per document (both engines inject
+    identically), making the redaction observable and oracle-checkable. All
+    JVM regexp built-ins — at 100 TB this is a scan-bound single pass, the
+    same cost class as q_token_count; the count columns feed the audit
+    metric ('how much PII did this source contain') that real pipelines
+    must report."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(injected, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(injected, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(injected, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+    )
+
+
+TFIDF_TOP = 3
+
+
+@_q(
+    "q_tfidf_top",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, n_toks, count(*) AS cnt
+      FROM toks GROUP BY doc_id, tok, n_toks
+    ),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, tok,
+           floor(((cnt / CAST(n_toks AS DOUBLE)) * ln(CAST(n_docs AS DOUBLE) / doc_freq))
+                 * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.tok, tf.cnt, tf.n_toks, df.doc_freq, n.n_docs,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.cnt DESC, df.doc_freq ASC, tf.tok) AS rn
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    WHERE rn <= {TFIDF_TOP}
+    """,
+)
+def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top terms — the classic relevance/keyword
+    extraction pass. Term frequency is a (doc, tok) aggregate; document
+    frequency is a vocab-sized table that BROADCASTS to the tf side (vocab
+    << corpus at any scale); corpus size N joins as a 1-row broadcast. The
+    top-3 selection ranks by the integer pair (cnt DESC, doc_freq ASC, tok)
+    rather than the float product, so cross-engine last-ulp differences in
+    ln() can never flip the selection; the float tfidf is emitted rounded
+    to 6 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("tok"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    tf = toks.groupBy("doc_id", "tok", "n_toks").agg(F.count("*").alias("cnt"))
+    df_tbl = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("doc_freq").asc(), "tok"
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP)
+        .select(
+            "doc_id",
+            "tok",
+            qround(
+                (F.col("cnt") / F.col("n_toks").cast("double"))
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
+                6,
+            ).alias("tfidf"),
+        )
     )

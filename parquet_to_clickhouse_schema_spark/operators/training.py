@@ -180,3 +180,111 @@ def q_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         md = pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata
         rows.append((t, md.num_row_groups, md.num_rows, md.num_columns))
     return spark.createDataFrame(rows, _META_SCHEMA)
+
+
+SAMPLE_QUOTA = 100  # docs per stratum
+
+
+@_q(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {SAMPLE_QUOTA}
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sampling: exactly min(quota, |stratum|) docs per
+    language, chosen by rank of a content-free key hash. Unlike rate-based
+    splits (q_data_split) this balances strata — the upsample-rare-languages
+    move every multilingual training mix needs. Rank-of-hash keeps it
+    deterministic across re-runs and appends of unrelated docs; one shuffle
+    on the stratum key, and at 100 TB the rank window is per-stratum so no
+    single task ever sees more than one stratum's rows. md5 (not xxhash64)
+    so the sample itself is oracle-verifiable cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    skey = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(skey, "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= SAMPLE_QUOTA)
+    )
+
+
+SHINGLE_W = 8  # words per decontamination shingle
+
+
+@_q(
+    "q_decontaminate",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+                  END AS split,
+             string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, split,
+             array_to_string(toks[i:i + {SHINGLE_W - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, split, toks,
+                   unnest(range(1, len(toks) - {SHINGLE_W - 2})) AS i
+            FROM base WHERE split IS NOT NULL AND len(toks) >= {SHINGLE_W})
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM (SELECT DISTINCT t.doc_id, t.shingle
+          FROM sh t
+          JOIN (SELECT DISTINCT shingle FROM sh WHERE split = 'train') tr
+            USING (shingle)
+          WHERE t.split = 'test')
+    GROUP BY doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: test-split documents sharing any
+    8-word shingle with any train-split document, with the count
+    of distinct leaked shingles. The standard eval-contamination check
+    before a training run. Same split rule as q_data_split; the
+    contamination test is an equi-join on the shingle string — O(shared
+    vocabulary), never all-pairs — so it scales exactly like the MinHash
+    banding join. The repartition after tokenization is the projection-
+    collapse barrier (without it the split() recomputes per shingle).
+    Output: contaminated test doc_id + distinct shared-shingle count."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split_col = (
+        F.when(nibble.isin(*"0123456789ab"), "train")
+        .when(nibble.isin("e", "f"), "test")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    toks = F.split("text", " ")
+    base = (
+        d.select("doc_id", split_col.alias("split"), toks.alias("toks"))
+        .filter(F.col("split").isNotNull() & (F.size("toks") >= SHINGLE_W))
+        .repartition("doc_id")
+    )
+    sh = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (SHINGLE_W - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, SHINGLE_W)),
+            )
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "split", "shingle"])
+    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    test_sh = sh.filter(F.col("split") == "test").select("doc_id", "shingle")
+    return (
+        test_sh.join(train_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )

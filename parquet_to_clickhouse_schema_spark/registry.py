@@ -131,6 +131,10 @@ SWEEP_PRIORITY = (
     "q_report_nation_profit",
     "q_report_promo_share",
     "q_report_disjunctive_revenue",
+    "q_stratified_sample",
+    "q_decontaminate",
+    "q_pii_redact",
+    "q_tfidf_top",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",
