@@ -206,3 +206,32 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
         F.size(F.collect_set("l_suppkey")).cast("int").alias("n_supps"),
     )
+
+
+@_q(
+    "q_agg_distinct_twophase",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct written as an explicit two-phase aggregate:
+    dedup on (group, value) first, then count per group. Equivalent to
+    COUNT(DISTINCT user_id) — the oracle states it that way — but the
+    rewritten plan shuffles on the COMPOSITE (event_type, user_id) key, so
+    a skewed group (one event_type dominating a 100-TB log) spreads its
+    distinct-set construction across the whole cluster instead of funneling
+    every row of the hot group through one task. The trade: two exchanges
+    instead of one, both with map-side partial aggregation — the second is
+    O(groups x distinct values), already deduped. This is the manual form
+    of what spark.sql.optimizer.distinctAggregation rewrites do for
+    skewed distincts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -135,6 +135,7 @@ SWEEP_PRIORITY = (
     "q_decontaminate",
     "q_pii_redact",
     "q_tfidf_top",
+    "q_agg_distinct_twophase",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",
