@@ -293,7 +293,10 @@ def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_toks"),
     )
     tf = toks.groupBy("doc_id", "tok", "n_toks").agg(F.count("*").alias("cnt"))
-    df_tbl = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    # tf already holds one row per (doc, tok), so document frequency is a
+    # plain count over it — no second explode/scan of the corpus, and the
+    # df aggregate's input is O(doc x vocab) instead of O(corpus tokens)
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("doc_freq"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("cnt").desc(), F.col("doc_freq").asc(), "tok"

@@ -302,6 +302,59 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return same.unionAll(adjacent)
 
 
+_CLUSTER_THRESHOLD = 0.8
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks,
+             floor(len(list_distinct(string_split(text, ' '))) / 32.0) AS szbkt
+      FROM documents
+    ),
+    pairs AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM tok a JOIN tok b
+        ON a.lang = b.lang AND a.source = b.source
+       AND ((a.szbkt = b.szbkt AND a.doc_id < b.doc_id)
+            OR a.szbkt + 1 = b.szbkt)
+      WHERE floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks)))) * 10000.0 + 0.5)
+                / 10000.0 >= {_CLUSTER_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(id, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.id
+    )
+    SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY id
+    """
+
+
+@_q("q_dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> transitive dedup CLUSTERS: connected components
+    over the exact-Jaccard pair set (>= 0.8), cluster id = min member
+    doc_id. This is the step that turns any pairwise dedup signal into a
+    keep-one-per-cluster decision. Spark runs the iterative pointer-jumping
+    label propagation (O(log diameter) rounds, localCheckpoint-truncated
+    lineage — operators/graph.py); the oracle states the same fixpoint as a
+    DuckDB recursive CTE, making this the one iterative algorithm in the
+    suite with an exact cross-engine gate. The recursive-CTE form is
+    O(component_size^2) rows and only viable because dedup clusters are
+    small; the Spark form is the one that scales."""
+    from parquet_to_clickhouse_schema_spark.operators.graph import connected_components
+
+    pairs = q_dedup_ngram(spark, sf_dir).filter(F.col("jaccard") >= _CLUSTER_THRESHOLD)
+    return connected_components(pairs)
+
+
 _EMB_DEDUP_ORACLE = """
     WITH ex AS (
       SELECT vec_id,
