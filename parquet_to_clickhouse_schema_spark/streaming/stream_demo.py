@@ -151,3 +151,83 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
     ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
+
+
+def latest_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the foreachBatch upsert: latest event per user (ties
+    broken by event_id) — what the upsert target must equal after the
+    stream drains."""
+    from pyspark.sql import Window
+
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type", "value")
+    )
+
+
+def stream_upsert_foreachbatch(
+    spark: SparkSession, sf_dir: str, target: str, checkpoint: str
+) -> None:
+    """foreachBatch streaming upsert: keep-latest-per-user merged into a
+    parquet target on every micro-batch — the pattern stream_to_parquet's
+    docstring promises for idempotent upserts.
+
+    Each micro-batch is first reduced to one row per key (latest by ts,
+    event_id), then merged with the current target; on a tie the batch row
+    wins over the stored row (prio column), so replaying a micro-batch
+    converges to the same state — foreachBatch's checkpointed batch_id plus
+    this idempotence is the exactly-once recipe. The local target is a
+    parquet directory swapped atomically (write staged, rename); at scale
+    the same function body MERGEs into a transactional table or keyed
+    external store — foreachBatch hands you a plain batch DataFrame, so
+    everything in the batch toolbox (including operators/merge.py) applies.
+    trigger(availableNow) drains the bounded source then stops."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        updates = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "ts", "event_type", "value")
+        )
+        if os.path.isdir(target):
+            current = sess.read.parquet(target)
+            w2 = Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("prio").desc()
+            )
+            merged = (
+                current.withColumn("prio", F.lit(0))
+                .unionByName(updates.withColumn("prio", F.lit(1)))
+                .withColumn("rn", F.row_number().over(w2))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "ts", "event_type", "value")
+            )
+            staged = target + "__staged"
+            merged.write.mode("overwrite").parquet(staged)
+            shutil.rmtree(target)
+            os.rename(staged, target)
+        else:
+            updates.write.mode("overwrite").parquet(target)
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

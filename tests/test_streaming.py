@@ -94,3 +94,33 @@ def test_stream_stream_interval_join_matches_batch(spark):
     batch_pairs = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert stream_pairs == batch_pairs
     assert len(stream_pairs) > 0
+
+
+def test_foreachbatch_upsert_matches_batch_twin(spark, tmp_path):
+    from parquet_to_clickhouse_schema_spark.streaming.stream_demo import (
+        latest_events_batch,
+        stream_upsert_foreachbatch,
+    )
+
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    # pre-seed the target: one stale row for a user the stream will update,
+    # one for a user the stream never touches (must survive the merge)
+    spark.createDataFrame(
+        [(1, 0, "seed", 0.0), (999_999_999, 0, "seed", 0.0)],
+        "user_id long, ts long, event_type string, value double",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts"))).write.parquet(target)
+
+    stream_upsert_foreachbatch(spark, SF_SMOKE, target, ckpt)
+
+    got = {
+        r.user_id: (r.ts, r.event_type, r.value)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r.user_id: (r.ts, r.event_type, r.value)
+        for r in latest_events_batch(spark, SF_SMOKE).collect()
+    }
+    # untouched seeded key survives; all streamed keys equal the batch twin
+    assert got.pop(999_999_999)[1] == "seed"
+    assert got == want
