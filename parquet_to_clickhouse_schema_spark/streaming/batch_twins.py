@@ -126,3 +126,58 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts", "value")
     )
+
+
+@_q(
+    "q_resample_gapfill",
+    """
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_val
+            FROM events GROUP BY 1, 2)
+    SELECT s.hr, t.event_type,
+           COALESCE(a.n, 0) AS n, COALESCE(a.sum_val, 0.0) AS sum_val
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN agg a ON a.hr = s.hr AND a.event_type = t.event_type
+    """,
+)
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: a dense hourly grid per event
+    type, zero-filled where no events landed — the dashboard/monitoring
+    query a raw tumbling window can't answer (missing hours are silently
+    absent there). The spine is sequence(min_hour, max_hour) exploded from
+    a 1-row aggregate, cross-joined with the distinct type list — both tiny
+    at ANY fact scale (the grid is O(hours x types), independent of event
+    count), so the only real work is the same one-shuffle hourly aggregate
+    as q_tumbling_window plus a broadcast-sized left join."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    agg = ev.groupBy(hr.alias("hr"), "event_type").agg(
+        F.count("*").alias("n"), qround(F.sum("value"), 2).alias("sum_val")
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(agg, ["hr", "event_type"], "left")
+        .select(
+            "hr",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+            F.coalesce(F.col("sum_val"), F.lit(0.0)).alias("sum_val"),
+        )
+    )
