@@ -138,6 +138,7 @@ SWEEP_PRIORITY = (
     "q_agg_distinct_twophase",
     "q_dedup_clusters",
     "q_resample_gapfill",
+    "q_gapfill_ffill",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",

@@ -181,3 +181,63 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sum_val"), F.lit(0.0)).alias("sum_val"),
         )
     )
+
+
+@_q(
+    "q_gapfill_ffill",
+    """
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+                   floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_val
+            FROM events GROUP BY 1, 2)
+    SELECT hr, event_type,
+           COALESCE(last_value(sum_val IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY hr
+                          ROWS UNBOUNDED PRECEDING), 0.0) AS filled_val,
+           (sum_val IS NULL) AS was_gap
+    FROM (SELECT s.hr, t.event_type, a.sum_val
+          FROM spine s CROSS JOIN types t
+          LEFT JOIN agg a ON a.hr = s.hr AND a.event_type = t.event_type)
+    """,
+)
+def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill over the dense hourly grid: empty hours carry the last
+    observed hourly total (last_value IGNORE NULLS over an ordered frame) —
+    the gauge/last-known-reading semantics, vs q_resample_gapfill's
+    zero-fill counter semantics. (hr, event_type) is unique on the grid, so
+    the window ordering is total and the fill deterministic; the window
+    shuffles O(hours x types) rows however large the fact table is."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    agg = ev.groupBy(hr.alias("hr"), "event_type").agg(
+        qround(F.sum("value"), 2).alias("sum_val")
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types).join(agg, ["hr", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "hr",
+        "event_type",
+        F.coalesce(F.last("sum_val", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "filled_val"
+        ),
+        F.col("sum_val").isNull().alias("was_gap"),
+    )
