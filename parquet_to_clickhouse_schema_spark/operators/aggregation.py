@@ -93,6 +93,36 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_hll_sketch")  # rows-only: sketch estimates are approximate by design
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Apache DataSketches, Spark 4
+    hll_sketch_agg / hll_union_agg): the 100-TB distinct-count architecture.
+
+    Unlike approx_count_distinct — which answers one question once — the
+    sketch is a REUSABLE artifact: per-group sketches (here: distinct
+    customers per order priority) can be persisted and later UNIONED to
+    answer any coarser rollup without rescanning the fact table. The 'ALL'
+    row is computed by merging the five per-priority sketches
+    (hll_union_agg), not by re-aggregating orders: on a 100 TB fact that
+    turns a second full scan into a 5-row reduce. lgConfigK=14 bounds the
+    estimate error to ~1.6% (1.04/sqrt(2^14)); the binary sketch column
+    itself stays internal (scalar-only output per the driver guard).
+    Checked rows-only (approximate); tests assert each estimate within 5%
+    of the exact distinct count."""
+    o = load_table(spark, sf_dir, "orders")
+    per_grp = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", 14).alias("sk")
+    )
+    est = per_grp.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    merged = per_grp.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers")
+    ).select(F.lit("ALL").alias("grp"), "approx_customers")
+    return est.unionByName(merged)
+
+
 _ROLLUP_ORACLE = """
     SELECT l_returnflag, l_linestatus,
            floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,

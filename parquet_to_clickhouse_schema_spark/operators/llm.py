@@ -868,6 +868,48 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir)
 
 
+_EMBED_CENTROID_ORACLE = """
+    WITH ex AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT label, i, avg(v) AS m, count(*) AS c FROM ex GROUP BY label, i
+    )
+    SELECT label,
+           CAST(max(c) AS BIGINT) AS n_vecs,
+           floor(sqrt(sum(m * m)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_norm
+    FROM per_dim GROUP BY label
+"""
+
+
+@_q("q_embed_centroid", _EMBED_CENTROID_ORACLE)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (class prototype): vector mean computed
+    as posexplode → groupBy(label, dim) — the distributed column-sum form.
+
+    At 100 TB this is the scale-correct shape for dense-vector reductions:
+    the first aggregate is map-side-combined per (label, dim) so the shuffle
+    carries |labels| x dim partial sums, not vectors; the second collapses
+    dims into the centroid L2 norm. No vector ever needs to fit in one task,
+    and there is no driver-side math. Output is scalar-only (the guard
+    forbids array columns), so the centroid itself is summarized by its
+    norm; n_vecs is carried as max of the per-dim counts (identical across
+    dims by construction)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("i", "v")
+    )
+    per_dim = e.groupBy("label", "i").agg(
+        F.avg(F.col("v").cast("double")).alias("m"), F.count("*").alias("c")
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("c").cast("bigint").alias("n_vecs"),
+        qround(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
+    )
+
+
 # ------------------------------------------------------------ text stats ---
 
 

@@ -139,6 +139,43 @@ def q_subquery_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_lateral_join",
+    """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name
+      LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (top-2 customers per nation) —
+    the SQL-standard per-row table subquery. Catalyst decorrelates the
+    LATERAL into a window-ranked join (DomainJoin rewrite), so execution
+    is one shuffle on the correlation key + rank filter — identical cost
+    to the hand-written q_topk_per_group, never a per-row re-execution.
+    The ORDER BY carries the (c_acctbal DESC, c_name) tiebreak so the
+    LIMIT 2 row set is deterministic on both engines."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lat n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+@_q(
     "q_having",
     """
     SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n

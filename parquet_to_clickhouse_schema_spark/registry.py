@@ -139,6 +139,9 @@ SWEEP_PRIORITY = (
     "q_dedup_clusters",
     "q_resample_gapfill",
     "q_gapfill_ffill",
+    "q_lateral_join",
+    "q_embed_centroid",
+    "q_hll_sketch",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",

@@ -37,6 +37,26 @@ def test_approx_distinct_within_tolerance(spark):
         assert abs(r.approx_parts - r.exact_parts) <= max(5, 0.05 * r.exact_parts)
 
 
+def test_hll_sketch_within_tolerance(spark):
+    """DataSketches HLL estimates (incl. the merged 'ALL' row) must land
+    within the lgK=14 error envelope (~1.6%, padded to 5%) of exact."""
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import q_hll_sketch
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    est = {r.grp: r.approx_customers for r in q_hll_sketch(spark, SF_SMOKE).collect()}
+    o = load_table(spark, SF_SMOKE, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = o.select("o_custkey").distinct().count()
+    assert set(est) == set(exact)
+    for grp, e in exact.items():
+        assert abs(est[grp] - e) <= max(3, 0.05 * e), grp
+
+
 def test_percentile_approx_within_one_unit_of_exact(spark):
     """GK sketch at accuracy 10000 must land within one quantity unit of
     the exact interpolated percentile (l_quantity is integer-valued)."""
