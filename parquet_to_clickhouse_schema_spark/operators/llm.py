@@ -641,88 +641,126 @@ def cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(
-    spark: SparkSession, sf_dir: str, k: int = 3, n_planes: int = 4, n_tables: int = 16
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    n_planes: int | None = None,
+    n_tables: int = 16,
 ) -> DataFrame:
     """Scale path for similarity search: random-hyperplane (SimHash) LSH.
 
     Each vector gets n_tables bucket signatures (sign pattern against
-    n_planes deterministic pseudo-random hyperplanes built from xxhash64 —
-    no driver-side randomness, fully reproducible). Candidates meet in an
-    equi-join on (table, bucket); cosine is evaluated only inside buckets.
+    n_planes fixed-seed Gaussian hyperplanes, regenerated identically on
+    every executor — no driver-side state, fully reproducible). One
+    mapInPandas pass computes all signatures as BLAS matmuls + sign-bit
+    packs; candidates then meet in groupBy(tbl, bucket).cogroup(...)
+    .applyInPandas where one matmul ranks each bucket — the same
+    join-not-crossjoin cogroup shape as ivf_topk / cosine tiles.
     At 100 TB this replaces the O(n²) cross join with a skew-resistant
-    hash join whose cost follows bucket occupancy (~n²/2^planes per table —
-    raise n_planes with corpus size to keep buckets bounded). Defaults are
-    tuned for the hard case of near-orthogonal random vectors: recall ~0.90
-    vs brute force at 4 planes x 16 tables. Not oracle-gated (approximate); tests assert recall
-    against q_cosine_topk.
+    hash join whose cost follows bucket occupancy (~n/2^planes rows per
+    bucket). n_planes therefore AUTO-SIZES with the corpus (footer
+    rowcount, no data scan): ceil(log2(n / 256)) keeps expected occupancy
+    ~256 rows — a fixed plane count silently goes quadratic as n grows
+    (measured: 4 planes is fine at 6k vectors and a 225M-pair blowup at
+    60k). The recall-vs-cost trade moves to n_tables, which multiplies
+    independent chances to collide. Measured recall vs brute force on the
+    hard case of near-orthogonal random vectors: 0.91 at the auto-chosen
+    4 planes x 16 tables on the 500-vector smoke corpus. Not oracle-gated
+    (approximate); tests assert recall against q_cosine_topk.
     """
-    e = _as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    import math
 
-    # deterministic hyperplane component for (table t, plane p, dim i):
-    # hash (t, p, i) to a value in [-1, 1] via xxhash64
-    def plane_component(t: int, p: int, i):
-        h = F.xxhash64(F.lit(t), F.lit(p), i)
-        # pmod, not %: Spark's % keeps the dividend sign, which would put
-        # half the components in (-3, -1) and bias every hyperplane negative
-        return F.pmod(h, F.lit(2000001)).cast("double") / 1000000.0 - 1.0
+    import numpy as np
+    import pandas as pd
 
-    def bucket_for_table(t: int):
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("vec"),
-                        F.sequence(F.lit(0), F.size("vec") - 1),
-                        lambda x, i: x * plane_component(t, p, i),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
+    if n_planes is None:
+        n = _embeddings_rowcount(spark, sf_dir)
+        n_planes = min(12, max(4, math.ceil(math.log2(max(n, 2) / 256))))
+    npl, ntb = n_planes, n_tables
+
+    # Hyperplanes are a fixed-seed Gaussian matrix REGENERATED on each
+    # executor (dim read off the first batch) — nothing random at plan
+    # level, nothing broadcast, identical on every worker and every run.
+    # Signature computation is one BLAS matmul + sign-bit pack per batch;
+    # the prior formulation (n_tables x n_planes interpreted zip_with
+    # aggregates per ROW) was ~50x slower at sf0.1 for identical output
+    # shape, a whole-column HOF pitfall (see docs/PLANS.md notes).
+    def sig_batches(batches):
+        planes = None
+        weights = (1 << np.arange(npl)).astype("int64")
+        for b in batches:
+            if len(b) == 0:
+                continue
+            mat = np.stack(b["embedding"].to_numpy()).astype("float64")
+            if planes is None:
+                rng = np.random.RandomState(0x5EED)
+                planes = rng.standard_normal((ntb, npl, mat.shape[1]))
+            unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+            for t in range(ntb):
+                bits = unit @ planes[t].T >= 0  # (rows, n_planes)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": b["vec_id"],
+                        "embedding": b["embedding"],
+                        "tbl": np.full(len(b), t, dtype="int32"),
+                        "bucket": bits @ weights,
+                    }
                 )
-                >= 0,
-                F.lit(1),
-            )
-            .otherwise(F.lit(0))
-            .cast("string")
-            for p in range(n_planes)
-        ]
-        return F.concat(*bits)
 
-    buckets = e.select(
-        "vec_id",
-        "vec",
-        "norm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), bucket_for_table(t).alias("bucket"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "vec", "norm", "tb.tbl", "tb.bucket")
-
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    sig_schema = "vec_id long, embedding array<float>, tbl int, bucket long"
+    # two independent loads: a self-cogroup of one DataFrame trips the
+    # analyzer's self-join dedup and prunes the right side (see _block_sides)
+    qside = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(sig_batches, schema=sig_schema)
     )
-    cand = (
-        a.join(b, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bucket") == F.col("b.bucket")))
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("nbr_id"),
-            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos_sim"),
+    iside = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(sig_batches, schema=sig_schema)
+    )
+
+    def rank_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        # per-(table, bucket) all-pairs: one BLAS matmul, partial top-k
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
+             "cos_raw": pd.Series(dtype="float64")}
         )
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return empty
+        a_ids = qpdf["vec_id"].to_numpy()
+        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+        a_unit = a_mat / np.sqrt((a_mat * a_mat).sum(axis=1))[:, None]
+        b_ids = ipdf["vec_id"].to_numpy()
+        b_mat = np.stack(ipdf["embedding"].to_numpy()).astype("float64")
+        b_unit = b_mat / np.sqrt((b_mat * b_mat).sum(axis=1))[:, None]
+        cos = a_unit @ b_unit.T
+        out_vec, out_nbr, out_cos = [], [], []
+        for i in range(len(a_ids)):
+            mask = b_ids != a_ids[i]
+            cand_cos, cand_ids = cos[i][mask], b_ids[mask]
+            sel = np.lexsort((cand_ids, -cand_cos))[:k]
+            out_vec.extend([a_ids[i]] * len(sel))
+            out_nbr.extend(cand_ids[sel])
+            out_cos.extend(cand_cos[sel])
+        if not out_vec:
+            return empty
+        return pd.DataFrame({"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_cos})
+
+    cand = (
+        qside.groupBy("tbl", "bucket")
+        .cogroup(iside.groupBy("tbl", "bucket"))
+        .applyInPandas(rank_cogroup, schema="vec_id long, nbr_id long, cos_raw double")
+        # the same pair surfaces once per colliding table with an identical
+        # cosine; dedup before the global re-rank
         .dropDuplicates(["vec_id", "nbr_id"])
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "nbr_id")
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("vec_id", "nbr_id", qround(F.col("cos_sim"), 4).alias("cosine"))
+        .select("vec_id", "nbr_id", qround(F.col("cos_raw"), 4).alias("cosine"))
     )
 
 
@@ -976,9 +1014,15 @@ def pq_topk(
         # lookup tables: lut[q, s, c] = <q_sub[s], codebook[s][c]>
         qsub = a_unit.reshape(len(a_ids), m, dsub)
         lut = np.einsum("qsd,skd->qsk", qsub, cb)
-        acc = np.zeros((len(a_ids), len(b_ids)))
-        for s in range(m):  # approx dot = m table lookups per pair
-            acc += lut[:, s, codes[:, s]]
+        # ADC as one dgemm: lut (nq, m*ksub) x one-hot codes (ni, m*ksub)ᵀ.
+        # The textbook per-subspace gather (acc += lut[:, s, codes[:, s]])
+        # is memory-gather-bound and measured ~4x slower than BLAS here;
+        # the one-hot matmul costs m*ksub-dim inner products but stays in
+        # dgemm. (The storage/shuffle win — codes, not floats — is
+        # unchanged; ADC compute only beats dgemm at much higher dim.)
+        oh = np.zeros((len(b_ids), m * ksub))
+        oh[np.arange(len(b_ids))[:, None], np.arange(m)[None, :] * ksub + codes] = 1.0
+        acc = lut.reshape(len(a_ids), m * ksub) @ oh.T
         out_vec, out_nbr, out_dot = [], [], []
         for i in range(len(a_ids)):
             mask = b_ids != a_ids[i]
@@ -1038,9 +1082,10 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("q_ann_lsh_topk")  # rows-only: approximate — recall vs q_cosine_topk is test-asserted
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible entry for the hyperplane-LSH ANN scale path (defaults:
-    k=3, 4 planes x 16 tables, recall ~0.90 vs brute force on random
-    near-orthogonal vectors). See ann_lsh_topk for the 100-TB design notes."""
+    """Driver-visible entry for the hyperplane-LSH ANN scale path (k=3,
+    auto-sized planes x 16 tables, recall ~0.90 vs brute force on random
+    near-orthogonal vectors at smoke scale). See ann_lsh_topk for the
+    100-TB design notes."""
     return ann_lsh_topk(spark, sf_dir)
 
 

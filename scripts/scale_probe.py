@@ -51,6 +51,10 @@ def _llm_queries():
         "q_dedup_embedding": llm.q_dedup_embedding,
         "q_text_stats": llm.q_text_stats,
         "q_doc_fingerprint": text.q_doc_fingerprint,
+        # the sub-quadratic ANN escape hatches for the two O(n²) exact ops
+        "q_ann_lsh_topk": llm.q_ann_lsh_topk,
+        "q_ivf_topk": llm.q_ivf_topk,
+        "q_pq_topk": llm.q_pq_topk,
     }
 
 
