@@ -166,49 +166,50 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     widen the signature (e.g. 128-bit via two longs) and the blocks with
     it, keeping d+1 blocks for Hamming ≤ d.
 
-    Each token is hashed ONCE into a materialized hash array; the 64
-    per-bit vote aggregates read that array. The repartition between the
-    two is a materialization barrier (see minhash_signatures): without it
-    Catalyst's projection collapse re-inlines the tokenize+hash transform
-    into all 64 aggregates and the hashing runs 64x.
+    The 64 per-bit votes are computed as one EXPLODE + whole-stage-codegen
+    hash aggregate (64 conditional sums over the token-hash column, one
+    xxhash64 per token via codegen subexpression elimination) — the
+    interpreted-HOF formulation this replaces (64 F.aggregate passes over
+    a hash array per document) was ~6x slower for identical output; see
+    the ann_lsh_topk rebuild for the same pitfall. Partial aggregation
+    shrinks the shuffle to one 64-int row per document.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split("text", " "))
     bits = 64
     block_bits = 16
 
-    hashed = d.select(
-        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
-    ).repartition("doc_id")
-
-    def bit_vote(b: int):
-        # per token: +1 if bit b of the token hash is set, else -1
-        return F.aggregate(
-            "th",
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    sig = F.array(*[F.when(bit_vote(b) >= 0, 1).otherwise(0) for b in range(bits)])
-    sigs = hashed.select("doc_id", sig.alias("bits")).repartition("doc_id")
-    # pack bit-array into one long + 4 16-bit blocks for pigeonhole join.
-    # shiftleft|or, NOT acc*2+x: the arithmetic form overflows at bit 63
-    # under ANSI mode, while the bit form wraps into the sign bit silently —
-    # hamming is XOR + bit_count, sign-agnostic, so the wrap is harmless
-    packed = sigs.select(
-        "doc_id",
-        F.aggregate(
-            "bits",
-            F.lit(0).cast("long"),
-            lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x.cast("long")),
-        ).alias("simhash"),
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    votes = ex.groupBy("doc_id").agg(
         *[
-            F.aggregate(
-                F.slice("bits", 1 + blk * block_bits, block_bits),
-                F.lit(0),
-                lambda acc, x: acc * 2 + x,
-            ).alias(f"blk{blk}")
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    # pack votes into one long signature (bit b of the hash votes for
+    # signature bit 63-b, MSB-first like the original bit array).
+    # shiftleft|or, NOT arithmetic: +2^63 overflows under ANSI mode, while
+    # the bit form wraps into the sign bit silently — hamming is XOR +
+    # bit_count, sign-agnostic, so the wrap is harmless
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, bits - 1 - b))
+    # pigeonhole blocks are 16-bit slices of the packed long (mask after
+    # the arithmetic shiftright: it sign-extends past bit 63)
+    packed = votes.select(
+        "doc_id",
+        sig.alias("simhash"),
+        *[
+            F.shiftright(sig, bits - block_bits * (blk + 1))
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"blk{blk}")
             for blk in range(bits // block_bits)
         ],
     )

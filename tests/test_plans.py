@@ -135,6 +135,39 @@ def test_dedup_embedding_empty_input(spark, tmp_path):
     assert out.columns == ["vec_a", "vec_b", "cosine"]
 
 
+def test_runtime_bloom_filter_injected(spark):
+    """A selective filter on the build side of a shuffle join injects a
+    runtime bloom filter on the probe side (bloom_filter_agg on the
+    filtered dim, BloomFilterMightContain above the fact scan) — Spark's
+    runtime row-level pruning. At 100 TB this fires with the DEFAULT
+    thresholds (creation side <= 10 MB after the filter, probe scan
+    >= 10 GB); the thresholds are only lowered here because the test
+    corpus is tiny."""
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = executed_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key -> shuffle-free sort-merge join."""
     from parquet_to_clickhouse_schema_spark.sources.formats import write_bucketed
