@@ -72,6 +72,64 @@ def spend_alerts_stream(
     )
 
 
+def spend_alerts_transform_with_state(
+    spark: SparkSession, sf_dir: str, step: float = 100.0
+) -> DataFrame:
+    """The same operator on Spark 4's transformWithStateInPandas — the
+    successor API to applyInPandasWithState: named state variables created
+    in init() (here one ValueState per user), multiple state types
+    (value/list/map), timers, and TTL, instead of one monolithic
+    GroupState tuple. Requires the RocksDB state store provider, which is
+    also the right provider at 100 TB: state lives off-heap/on-disk with
+    changelog checkpointing, so state size is bounded by local disk, not
+    executor heap. Output is identical to spend_alerts_stream /
+    spend_alerts_batch (the pin test runs wherever the API's protobuf
+    dependency is available; this container lacks `google.protobuf`, so
+    the test import-gates — same policy as the multimodal codecs)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SpendAlerts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._total.get()[0] if self._total.exists() else 0.0
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for ts, value in zip(pdf["ts"], pdf["value"]):
+                    before = int(total // step)
+                    total += float(value)
+                    after = int(total // step)
+                    for level in range(before + 1, after + 1):
+                        out.append(
+                            (key[0], level, ts, math.floor(total * 100 + 0.5) / 100)
+                        )
+            self._total.update((total,))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "alert_level", "ts", "total"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        SpendAlerts(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def spend_alerts_batch(spark: SparkSession, sf_dir: str, step: float = 100.0) -> DataFrame:
     """Batch twin: cumulative sum per user, keep rows where the running
     total crosses a new multiple of `step` (possibly several levels in one

@@ -1,5 +1,6 @@
 """Custom stateful streaming operator + skew utilities."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from parquet_to_clickhouse_schema_spark.operators.skew import (
@@ -10,6 +11,7 @@ from parquet_to_clickhouse_schema_spark.sources.io import load_table
 from parquet_to_clickhouse_schema_spark.streaming.stateful import (
     spend_alerts_batch,
     spend_alerts_stream,
+    spend_alerts_transform_with_state,
 )
 from parquet_to_clickhouse_schema_spark.streaming.stream_demo import run_to_memory
 from tests.conftest import SF_SMOKE
@@ -20,6 +22,24 @@ def test_stateful_stream_matches_batch_twin(spark):
     got = {
         (r.user_id, r.alert_level, r.ts, r.total) for r in stream.collect()
     }
+    batch = {
+        (r.user_id, r.alert_level, r.ts, r.total)
+        for r in spend_alerts_batch(spark, SF_SMOKE).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_transform_with_state_matches_batch_twin(spark):
+    """Spark 4 transformWithStateInPandas (RocksDB state store) produces
+    exactly the rows of the batch twin — same pin as the
+    applyInPandasWithState variant. The API's worker protocol needs
+    google.protobuf, which this container doesn't ship — skip there."""
+    pytest.importorskip("google.protobuf")
+    stream = run_to_memory(
+        spend_alerts_transform_with_state(spark, SF_SMOKE), "t_alerts_tws", "append"
+    )
+    got = {(r.user_id, r.alert_level, r.ts, r.total) for r in stream.collect()}
     batch = {
         (r.user_id, r.alert_level, r.ts, r.total)
         for r in spend_alerts_batch(spark, SF_SMOKE).collect()
