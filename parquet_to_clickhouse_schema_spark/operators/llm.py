@@ -1078,6 +1078,192 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    n_train: int = 1024,
+    refine: int = 64,
+) -> DataFrame:
+    """IVF-PQ: the full FAISS-style IVFADC composition — and the shape that
+    actually survives 100 TB on BOTH axes:
+
+    - COMPUTE is sub-quadratic: queries probe only n_probe of n_centroids
+      inverted lists (ivf_topk's cogroup-on-centroid), so the candidate
+      count is ~n * n_probe / n_centroids per query side, never all pairs.
+    - MEMORY/SHUFFLE is compressed: inside a list, candidates are ranked
+      by PQ-ADC against m byte-codes per vector (pq_topk's one-hot dgemm),
+      so the inverted lists shuffle/cache codes, not raw vectors — the
+      index fits ~32x more vectors per executor at dim=64/m=8.
+
+    One bounded driver collect trains both quantizers on the same
+    deterministic xxhash64 sample (coarse centroids = k-means on full
+    vectors; per-subspace codebooks on RESIDUAL structure is skipped —
+    plain per-subspace codebooks keep the encode pass identical to
+    pq_topk). Encode+assign is one mapInPandas pass emitting (cid, codes);
+    probing fans each query to its n_probe nearest centroids; the
+    per-list ADC cogroup keeps top `refine` per (query, list); a global
+    window merges lists and an exact-cosine re-rank over refine*n rows
+    restores precision. Approximate → rows-only; tests assert recall vs
+    q_cosine_topk."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # --- one bounded sample trains coarse centroids AND PQ codebooks ---
+    sample = (
+        e.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(n_train)
+        .select("embedding")
+        .toPandas()
+    )
+    smat = np.stack(sample["embedding"].to_numpy()).astype("float64")
+    smat = smat / np.sqrt((smat * smat).sum(axis=1))[:, None]
+    dim = smat.shape[1]
+    dsub = dim // m
+    cmat = smat[:n_centroids].copy()  # hash-ordered sample: deterministic seed
+    for _ in range(10):  # Lloyd iterations on the unit sphere
+        assign = np.argmax(smat @ cmat.T, axis=1)
+        for c in range(n_centroids):
+            pts = smat[assign == c]
+            if len(pts):
+                mean = pts.mean(axis=0)
+                cmat[c] = mean / max(np.sqrt((mean * mean).sum()), 1e-12)
+    bc_cent = spark.sparkContext.broadcast(cmat)
+    bc_books = spark.sparkContext.broadcast(_pq_train_codebooks(smat, m, ksub))
+
+    # --- index: one pass emits (cid, codes) per vector — codes only ---
+    def encode_assign(batches):
+        cm = bc_cent.value
+        cb = bc_books.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            mat = np.stack(b["embedding"].to_numpy()).astype("float64")
+            unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+            codes = np.empty((len(b), m), dtype="int32")
+            for s in range(m):
+                sub = unit[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"],
+                    "cid": np.argmax(unit @ cm.T, axis=1).astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    indexed = e.mapInPandas(
+        encode_assign, schema="vec_id long, cid int, codes array<int>"
+    )
+
+    # --- queries fan out to their n_probe nearest lists (raw vector) ---
+    def probe(batches):
+        cm = bc_cent.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            mat = np.stack(b["embedding"].to_numpy()).astype("float64")
+            unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+            probes = np.argsort(-(unit @ cm.T), axis=1, kind="stable")[:, :n_probe]
+            n_rows = len(b)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(b["vec_id"].to_numpy(), n_probe),
+                    "embedding": b["embedding"].iloc[
+                        np.repeat(np.arange(n_rows), n_probe)
+                    ].to_numpy(),
+                    "cid": probes.reshape(-1).astype("int32"),
+                }
+            )
+
+    probed = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(probe, schema="vec_id long, embedding array<float>, cid int")
+    )
+
+    # --- per-list ADC ranking: cogroup on centroid id, codes side only ---
+    def adc_rank(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
+             "approx_dot": pd.Series(dtype="float64")}
+        )
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return empty
+        cb = bc_books.value
+        a_ids = qpdf["vec_id"].to_numpy()
+        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+        a_unit = a_mat / np.sqrt((a_mat * a_mat).sum(axis=1))[:, None]
+        b_ids = ipdf["vec_id"].to_numpy()
+        codes = np.stack(ipdf["codes"].to_numpy())
+        lut = np.einsum("qsd,skd->qsk", a_unit.reshape(len(a_ids), m, dsub), cb)
+        oh = np.zeros((len(b_ids), m * ksub))
+        oh[np.arange(len(b_ids))[:, None], np.arange(m)[None, :] * ksub + codes] = 1.0
+        acc = lut.reshape(len(a_ids), m * ksub) @ oh.T
+        out_vec, out_nbr, out_dot = [], [], []
+        for i in range(len(a_ids)):
+            mask = b_ids != a_ids[i]
+            cand_dot, cand_ids = acc[i][mask], b_ids[mask]
+            sel = np.lexsort((cand_ids, -cand_dot))[:refine]
+            out_vec.extend([a_ids[i]] * len(sel))
+            out_nbr.extend(cand_ids[sel])
+            out_dot.extend(cand_dot[sel])
+        if not out_vec:
+            return empty
+        return pd.DataFrame(
+            {"vec_id": out_vec, "nbr_id": out_nbr, "approx_dot": out_dot}
+        )
+
+    partials = (
+        probed.groupBy("cid")
+        .cogroup(indexed.groupBy("cid"))
+        .applyInPandas(adc_rank, schema="vec_id long, nbr_id long, approx_dot double")
+    )
+    w_coarse = Window.partitionBy("vec_id").orderBy(F.col("approx_dot").desc(), "nbr_id")
+    cand = (
+        partials.withColumn("rn", F.row_number().over(w_coarse))
+        .filter(F.col("rn") <= refine)
+        .select("vec_id", "nbr_id")
+    )
+
+    # --- exact re-rank over refine*n candidate rows ---
+    va = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    vb = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("nbr_id"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = cand.join(va, "vec_id").join(vb, "nbr_id").select(
+        "vec_id", "nbr_id", (dot / (F.col("na") * F.col("nb"))).alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "nbr_id", qround(F.col("cos_sim"), 4).alias("cosine"))
+    )
+
+
+@_q("q_ivfpq_topk")  # rows-only: approximate — recall vs q_cosine_topk is test-asserted
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for the IVF-PQ composition (16 lists x 8
+    probes, 8x16 codebooks, refine=64). See ivfpq_topk."""
+    return ivfpq_topk(spark, sf_dir)
+
+
 @_q("q_pq_topk")  # rows-only: approximate — recall vs q_cosine_topk is test-asserted
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible entry for the product-quantization ANN path (defaults:

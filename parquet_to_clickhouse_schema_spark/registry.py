@@ -143,6 +143,7 @@ SWEEP_PRIORITY = (
     "q_embed_centroid",
     "q_hll_sketch",
     "q_pq_topk",
+    "q_ivfpq_topk",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",

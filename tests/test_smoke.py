@@ -190,6 +190,18 @@ def test_pq_recall_vs_bruteforce(spark):
     assert recall >= 0.7, f"PQ recall too low: {recall:.2f}"
 
 
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """IVF-PQ composition: recall ceiling is the IVF probe recall (0.75 at
+    8/16 lists on near-orthogonal vectors); the ADC+exact-refine stage must
+    not lose materially below it (measured 0.757)."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import ivfpq_topk
+
+    exact = {(r.vec_id, r.nbr_id) for r in q_cosine_topk(spark, SF_SMOKE).collect()}
+    approx = {(r.vec_id, r.nbr_id) for r in ivfpq_topk(spark, SF_SMOKE).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.65, f"IVF-PQ recall too low: {recall:.2f}"
+
+
 @pytest.mark.slow
 def test_ann_lsh_recall_vs_bruteforce(spark):
     exact = {
