@@ -109,6 +109,57 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_repetition_filter",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             ) AS tris
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(len(tris) AS INT) AS n_trigrams,
+           floor(((len(tris) - len(list_distinct(tris)))
+                  / CAST(len(tris) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_frac,
+           CASE WHEN (len(tris) - len(list_distinct(tris)))
+                     / CAST(len(tris) AS DOUBLE) <= 0.2
+                THEN 1 ELSE 0 END AS keep_flag
+    FROM tri
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (C4/Gopher-style): the fraction of
+    duplicate word trigrams. Templated/boilerplate/looping text repeats
+    itself locally, which whole-document dedup and the vocabulary-diversity
+    score both miss; the standard rule drops docs whose duplicate-trigram
+    fraction exceeds a threshold (0.2 here). Pure JVM expressions on one
+    scan — no shuffle, no state — so at 100 TB it rides the same
+    scan-bound cost envelope as the other text filters. Short docs clamp
+    to one whole-doc trigram (slice semantics match the oracle's list
+    slicing exactly)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tri = F.greatest(F.size(toks) - 2, F.lit(1))
+    tris = F.transform(
+        F.sequence(F.lit(1), n_tri), lambda i: F.concat_ws(" ", F.slice(toks, i, 3))
+    )
+    dup_frac = (F.size(tris) - F.size(F.array_distinct(tris))).cast("double") / F.size(
+        tris
+    )
+    return d.select(
+        "doc_id",
+        F.size(tris).cast("int").alias("n_trigrams"),
+        qround(dup_frac, 4).alias("dup_frac"),
+        F.when(dup_frac <= 0.2, 1).otherwise(0).alias("keep_flag"),
+    )
+
+
+@_q(
     "q_token_count",
     r"""
     SELECT doc_id,

@@ -144,6 +144,7 @@ SWEEP_PRIORITY = (
     "q_hll_sketch",
     "q_pq_topk",
     "q_ivfpq_topk",
+    "q_repetition_filter",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",
