@@ -77,6 +77,23 @@ def write_bucketed(
     )
 
 
+def overwrite_partitions_dynamic(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    `df`, leaving every other partition untouched. The 100-TB backfill
+    primitive — re-deriving one bad day/region rewrites that partition's
+    files, not the table (static overwrite mode would truncate ALL
+    partitions first). Session-scoped conf flip, restored after the write
+    so other writers keep the safer static default."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key, "STATIC")
+    try:
+        spark.conf.set(key, "dynamic")
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, saved)
+
+
 def lakehouse_available() -> dict[str, bool]:
     """Probe for table-format connectors (jars not shipped in this image)."""
     out = {}

@@ -7,6 +7,7 @@ from pyspark.sql import types as T
 
 from parquet_to_clickhouse_schema_spark.sources.formats import (
     lakehouse_available,
+    overwrite_partitions_dynamic,
     read_csv,
     read_json,
     read_orc,
@@ -99,6 +100,31 @@ def test_compacted_write_controls_file_count(spark, tmp_path):
     write_compacted(li, p, 2)
     files = glob.glob(f"{p}/*.parquet")
     assert len(files) == 2
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """Backfilling one partition rewrites that partition and leaves the
+    rest byte-identical (static mode would truncate them all)."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    p = str(tmp_path / "by_prio")
+    write_partitioned(o, p, ["o_orderpriority"])
+    before_other = (
+        spark.read.parquet(p).filter("o_orderpriority <> '1-URGENT'").count()
+    )
+    fix = (
+        o.filter("o_orderpriority = '1-URGENT'")
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    overwrite_partitions_dynamic(fix, p, ["o_orderpriority"])
+    back = spark.read.parquet(p)
+    urgent = back.filter("o_orderpriority = '1-URGENT'")
+    assert urgent.count() == fix.count()
+    assert urgent.filter("o_totalprice <> 0.0").count() == 0
+    assert back.filter("o_orderpriority <> '1-URGENT'").count() == before_other
+    # conf restored to the safer default after the write
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
 
 
 def test_lakehouse_probe_runs():

@@ -135,6 +135,21 @@ def test_dedup_embedding_empty_input(spark, tmp_path):
     assert out.columns == ["vec_a", "vec_b", "cosine"]
 
 
+def test_reused_exchange_for_shared_subplan(spark):
+    """Two branches over the same aggregation reuse ONE shuffle
+    (ReusedExchange): Spark dedupes identical exchange subplans at
+    execution, so a fan-out over a shared intermediate costs one
+    materialization, not one per branch — free at 100 TB, but only if
+    both branches are built from the same DataFrame lineage."""
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    agg = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    both = agg.filter("q > 100").union(agg.filter("q <= 100"))
+    both.collect()  # AQE finalizes reuse only in the executed plan
+    assert "ReusedExchange" in executed_plan(both)
+
+
 def test_runtime_bloom_filter_injected(spark):
     """A selective filter on the build side of a shuffle join injects a
     runtime bloom filter on the probe side (bloom_filter_agg on the
