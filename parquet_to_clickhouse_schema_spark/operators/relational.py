@@ -172,6 +172,55 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_join_full",
+    """
+    WITH a AS (
+      SELECT o_custkey, sum(o_totalprice) AS s
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT o_custkey, sum(o_totalprice) AS s
+      FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey
+    )
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+           floor((coalesce(a.s, 0)) * 100.0 + 0.5) / 100.0 AS spend_1997,
+           floor((coalesce(b.s, 0)) * 100.0 + 0.5) / 100.0 AS spend_1998,
+           CASE WHEN a.o_custkey IS NULL THEN 'new'
+                WHEN b.o_custkey IS NULL THEN 'churned'
+                ELSE 'retained' END AS cohort
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null extension on BOTH sides: year-over-year
+    spend with new/churned/retained cohorts — customers active in only one
+    period survive from either side. Full outer cannot broadcast (both
+    sides must see all unmatched keys), so it always plans as a shuffle
+    join on the key; both inputs here are already aggregated, so the
+    shuffled rows are O(customers), not O(orders)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def spend(year: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("s"))
+        )
+
+    a = spend(1997).select(F.col("o_custkey").alias("ck_a"), F.col("s").alias("s_a"))
+    b = spend(1998).select(F.col("o_custkey").alias("ck_b"), F.col("s").alias("s_b"))
+    return a.join(b, a.ck_a == b.ck_b, "full_outer").select(
+        F.coalesce("ck_a", "ck_b").alias("custkey"),
+        qround(F.coalesce(F.col("s_a"), F.lit(0.0)), 2).alias("spend_1997"),
+        qround(F.coalesce(F.col("s_b"), F.lit(0.0)), 2).alias("spend_1998"),
+        F.when(F.col("ck_a").isNull(), "new")
+        .when(F.col("ck_b").isNull(), "churned")
+        .otherwise("retained")
+        .alias("cohort"),
+    )
+
+
+@_q(
     "q_join_semi",
     """
     SELECT * FROM orders o
