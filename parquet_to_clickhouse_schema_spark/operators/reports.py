@@ -324,3 +324,72 @@ def q_report_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@_q(
+    "q_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS INT)
+               AS funnel_stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view -> click -> purchase): per user, the
+    furthest stage reached with strictly increasing event times — the
+    product-analytics sequence query. Each stage is a per-user MIN over a
+    filtered scan joined to the previous stage's frontier, so ordering is
+    enforced by time comparison against the prior stage's first-completion
+    time, not by windowing over full per-user event lists: the shuffles
+    carry one row per user per stage, never raw events, and each stage's
+    filter prunes the event scan by type. Timestamp comparisons are safe
+    cross-engine because the corpus carries no sub-microsecond components
+    (asserted at generation scale; Spark truncates ns -> us on load)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame, prev_t: str, out_t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = stage("click", v, "t1", "t2")
+    p = stage("purchase", c, "t2", "t3")
+    return (
+        v.select("user_id")
+        .join(c.select("user_id", F.lit(1).alias("hc")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("hp")), "user_id", "left")
+        .select(
+            "user_id",
+            (1 + F.coalesce("hc", F.lit(0)) + F.coalesce("hp", F.lit(0)))
+            .cast("int")
+            .alias("funnel_stage"),
+        )
+    )
