@@ -400,6 +400,47 @@ def _embeddings_rowcount(spark: SparkSession, sf_dir: str) -> int:
         return load_table(spark, sf_dir, "embeddings").count()
 
 
+def _empty_pairs(score_col: str):
+    """Empty (vec_id, nbr_id, <score>) frame — the zero-rows return shape
+    shared by every ANN cogroup kernel."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "nbr_id": pd.Series(dtype="int64"),
+            score_col: pd.Series(dtype="float64"),
+        }
+    )
+
+
+def _partial_topk(a_ids, b_ids, scores, k: int):
+    """Per-query partial top-k over one tile/bucket/list: for each query i,
+    the k best candidates by (score desc, nbr_id asc), self excluded.
+    The lexsort tiebreak matches every oracle's ORDER BY ... DESC, nbr_id,
+    so cross-tile ties resolve exactly as a single global sort would.
+    Returns (vec_ids, nbr_ids, scores) lists."""
+    import numpy as np
+
+    out_vec, out_nbr, out_sc = [], [], []
+    for i in range(len(a_ids)):
+        mask = b_ids != a_ids[i]
+        cand_sc, cand_ids = scores[i][mask], b_ids[mask]
+        sel = np.lexsort((cand_ids, -cand_sc))[:k]
+        out_vec.extend([a_ids[i]] * len(sel))
+        out_nbr.extend(cand_ids[sel])
+        out_sc.extend(cand_sc[sel])
+    return out_vec, out_nbr, out_sc
+
+
+def _unit_rows(pdf, col: str = "embedding"):
+    """(vec_ids, row-normalized float64 matrix) from a pandas batch."""
+    import numpy as np
+
+    mat = np.stack(pdf[col].to_numpy()).astype("float64")
+    return pdf["vec_id"].to_numpy(), mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+
+
 def _block_sides(
     spark: SparkSession, sf_dir: str, n_qblk: int, n_iblk: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -578,12 +619,8 @@ def cosine_topk_blocked(
     fanout, indexed = _block_sides(spark, sf_dir, n_blocks, n_blocks)
 
     def topk_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"vec_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
-             "cos_raw": pd.Series(dtype="float64")}
-        )
         if len(qpdf) == 0 or len(ipdf) == 0:
-            return empty
+            return _empty_pairs("cos_raw")
         a_ids = qpdf["vec_id"].to_numpy()
         a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
         a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
@@ -591,17 +628,9 @@ def cosine_topk_blocked(
         b_mat = np.stack(ipdf["embedding"].to_numpy()).astype("float64")
         b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
         cos = (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
-        out_vec, out_nbr, out_cos = [], [], []
-        for i in range(len(a_ids)):
-            mask = b_ids != a_ids[i]
-            cand_cos, cand_ids = cos[i][mask], b_ids[mask]
-            # lexsort: primary -cos desc, tiebreak nbr_id asc
-            order = np.lexsort((cand_ids, -cand_cos))[:k]
-            out_vec.extend([a_ids[i]] * len(order))
-            out_nbr.extend(cand_ids[order])
-            out_cos.extend(cand_cos[order])
+        out_vec, out_nbr, out_cos = _partial_topk(a_ids, b_ids, cos, k)
         if not out_vec:
-            return empty
+            return _empty_pairs("cos_raw")
         return pd.DataFrame({"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_cos})
 
     partials = (
@@ -729,29 +758,13 @@ def ann_lsh_topk(
 
     def rank_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         # per-(table, bucket) all-pairs: one BLAS matmul, partial top-k
-        empty = pd.DataFrame(
-            {"vec_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
-             "cos_raw": pd.Series(dtype="float64")}
-        )
         if len(qpdf) == 0 or len(ipdf) == 0:
-            return empty
-        a_ids = qpdf["vec_id"].to_numpy()
-        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
-        a_unit = a_mat / np.sqrt((a_mat * a_mat).sum(axis=1))[:, None]
-        b_ids = ipdf["vec_id"].to_numpy()
-        b_mat = np.stack(ipdf["embedding"].to_numpy()).astype("float64")
-        b_unit = b_mat / np.sqrt((b_mat * b_mat).sum(axis=1))[:, None]
-        cos = a_unit @ b_unit.T
-        out_vec, out_nbr, out_cos = [], [], []
-        for i in range(len(a_ids)):
-            mask = b_ids != a_ids[i]
-            cand_cos, cand_ids = cos[i][mask], b_ids[mask]
-            sel = np.lexsort((cand_ids, -cand_cos))[:k]
-            out_vec.extend([a_ids[i]] * len(sel))
-            out_nbr.extend(cand_ids[sel])
-            out_cos.extend(cand_cos[sel])
+            return _empty_pairs("cos_raw")
+        a_ids, a_unit = _unit_rows(qpdf)
+        b_ids, b_unit = _unit_rows(ipdf)
+        out_vec, out_nbr, out_cos = _partial_topk(a_ids, b_ids, a_unit @ b_unit.T, k)
         if not out_vec:
-            return empty
+            return _empty_pairs("cos_raw")
         return pd.DataFrame({"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_cos})
 
     cand = (
@@ -857,29 +870,13 @@ def ivf_topk(
     def rank_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         # queries probing this centroid x index vectors assigned to it:
         # one matmul per centroid list, partial top-k per query
-        empty = pd.DataFrame(
-            {"vec_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
-             "cos_raw": pd.Series(dtype="float64")}
-        )
         if len(qpdf) == 0 or len(ipdf) == 0:
-            return empty
-        a_ids = qpdf["vec_id"].to_numpy()
-        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
-        a_unit = a_mat / np.sqrt((a_mat * a_mat).sum(axis=1))[:, None]
-        b_ids = ipdf["vec_id"].to_numpy()
-        b_mat = np.stack(ipdf["embedding"].to_numpy()).astype("float64")
-        b_unit = b_mat / np.sqrt((b_mat * b_mat).sum(axis=1))[:, None]
-        cos = a_unit @ b_unit.T
-        out_vec, out_nbr, out_cos = [], [], []
-        for i in range(len(a_ids)):
-            mask = b_ids != a_ids[i]
-            cand_cos, cand_ids = cos[i][mask], b_ids[mask]
-            sel = np.lexsort((cand_ids, -cand_cos))[:k]
-            out_vec.extend([a_ids[i]] * len(sel))
-            out_nbr.extend(cand_ids[sel])
-            out_cos.extend(cand_cos[sel])
+            return _empty_pairs("cos_raw")
+        a_ids, a_unit = _unit_rows(qpdf)
+        b_ids, b_unit = _unit_rows(ipdf)
+        out_vec, out_nbr, out_cos = _partial_topk(a_ids, b_ids, a_unit @ b_unit.T, k)
         if not out_vec:
-            return empty
+            return _empty_pairs("cos_raw")
         return pd.DataFrame({"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_cos})
 
     cand = (
@@ -1005,16 +1002,10 @@ def pq_topk(
     )
 
     def adc_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"vec_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
-             "approx_dot": pd.Series(dtype="float64")}
-        )
         if len(qpdf) == 0 or len(ipdf) == 0:
-            return empty
+            return _empty_pairs("approx_dot")
         cb = bc_books.value  # (m, ksub, dsub)
-        a_ids = qpdf["vec_id"].to_numpy()
-        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
-        a_unit = a_mat / np.sqrt((a_mat * a_mat).sum(axis=1))[:, None]
+        a_ids, a_unit = _unit_rows(qpdf)
         b_ids = ipdf["vec_id"].to_numpy()
         codes = np.stack(ipdf["codes"].to_numpy())  # (ni, m)
         # lookup tables: lut[q, s, c] = <q_sub[s], codebook[s][c]>
@@ -1029,16 +1020,9 @@ def pq_topk(
         oh = np.zeros((len(b_ids), m * ksub))
         oh[np.arange(len(b_ids))[:, None], np.arange(m)[None, :] * ksub + codes] = 1.0
         acc = lut.reshape(len(a_ids), m * ksub) @ oh.T
-        out_vec, out_nbr, out_dot = [], [], []
-        for i in range(len(a_ids)):
-            mask = b_ids != a_ids[i]
-            cand_dot, cand_ids = acc[i][mask], b_ids[mask]
-            sel = np.lexsort((cand_ids, -cand_dot))[:refine]
-            out_vec.extend([a_ids[i]] * len(sel))
-            out_nbr.extend(cand_ids[sel])
-            out_dot.extend(cand_dot[sel])
+        out_vec, out_nbr, out_dot = _partial_topk(a_ids, b_ids, acc, refine)
         if not out_vec:
-            return empty
+            return _empty_pairs("approx_dot")
         return pd.DataFrame(
             {"vec_id": out_vec, "nbr_id": out_nbr, "approx_dot": out_dot}
         )
@@ -1192,32 +1176,21 @@ def ivfpq_topk(
 
     # --- per-list ADC ranking: cogroup on centroid id, codes side only ---
     def adc_rank(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"vec_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
-             "approx_dot": pd.Series(dtype="float64")}
-        )
+        # same one-hot-dgemm ADC as pq_topk's kernel (see the comment
+        # there for why this beats the per-subspace gather)
         if len(qpdf) == 0 or len(ipdf) == 0:
-            return empty
+            return _empty_pairs("approx_dot")
         cb = bc_books.value
-        a_ids = qpdf["vec_id"].to_numpy()
-        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
-        a_unit = a_mat / np.sqrt((a_mat * a_mat).sum(axis=1))[:, None]
+        a_ids, a_unit = _unit_rows(qpdf)
         b_ids = ipdf["vec_id"].to_numpy()
         codes = np.stack(ipdf["codes"].to_numpy())
         lut = np.einsum("qsd,skd->qsk", a_unit.reshape(len(a_ids), m, dsub), cb)
         oh = np.zeros((len(b_ids), m * ksub))
         oh[np.arange(len(b_ids))[:, None], np.arange(m)[None, :] * ksub + codes] = 1.0
         acc = lut.reshape(len(a_ids), m * ksub) @ oh.T
-        out_vec, out_nbr, out_dot = [], [], []
-        for i in range(len(a_ids)):
-            mask = b_ids != a_ids[i]
-            cand_dot, cand_ids = acc[i][mask], b_ids[mask]
-            sel = np.lexsort((cand_ids, -cand_dot))[:refine]
-            out_vec.extend([a_ids[i]] * len(sel))
-            out_nbr.extend(cand_ids[sel])
-            out_dot.extend(cand_dot[sel])
+        out_vec, out_nbr, out_dot = _partial_topk(a_ids, b_ids, acc, refine)
         if not out_vec:
-            return empty
+            return _empty_pairs("approx_dot")
         return pd.DataFrame(
             {"vec_id": out_vec, "nbr_id": out_nbr, "approx_dot": out_dot}
         )
