@@ -393,3 +393,46 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_stage"),
         )
     )
+
+
+@_q(
+    "q_retention",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    )
+    SELECT CAST(f.cw AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.cw, a.aw) / 7 AS INT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by acquisition week (first
+    event; both engines truncate weeks to ISO Monday), counted in each
+    subsequent week they were active — the companion to q_funnel in the
+    product-analytics tier. Both inputs are per-user/per-week aggregates
+    before the join, so the join and final aggregate shuffle
+    O(users x active-weeks) rows, never raw events; the offset is an exact
+    integer (day difference of week-truncated dates / 7), immune to
+    engine-rounding boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("aw")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.col("cw").cast("date").alias("cohort_week"),
+            (F.datediff("aw", "cw") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -147,6 +147,7 @@ SWEEP_PRIORITY = (
     "q_repetition_filter",
     "q_join_full",
     "q_funnel",
+    "q_retention",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",
