@@ -284,3 +284,73 @@ def q_window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("latest_spend"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_spend"),
     )
+
+
+@_q(
+    "q_islands",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, day,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS rn
+      FROM d
+    )
+    SELECT user_id,
+           min(day) AS streak_start,
+           CAST(count(*) AS BIGINT) AS streak_days
+    FROM t GROUP BY user_id, day - rn
+    """,
+)
+def q_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user via the
+    classic row_number-difference anchor (day - rn is constant within a
+    run of consecutive days). One window + one aggregate, both partitioned
+    by user — at 100 TB the input is first reduced to DISTINCT
+    (user, day), so the window sorts O(users x active-days) rows, never
+    raw events. The complement of session_window gap detection: this finds
+    runs in DISCRETE sequences (days), not event-time gaps."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    t = d.withColumn("rn", F.row_number().over(w))
+    return (
+        t.groupBy("user_id", F.date_sub("day", F.col("rn")).alias("anchor"))
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.count("*").alias("streak_days"),
+        )
+        .select("user_id", "streak_start", "streak_days")
+    )
+
+
+@_q(
+    "q_string_agg",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): distinct values joined in
+    sorted order — the deterministic form (unordered string_agg is
+    nondeterministic under parallel aggregation on BOTH engines, and would
+    never hash-match). Spark expresses it as
+    array_join(array_sort(collect_set(...))): collect_set's partial state
+    is the distinct set, so the shuffle carries sets, not rows, and the
+    sort happens once per group at the end."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count("*").alias("n"),
+    )

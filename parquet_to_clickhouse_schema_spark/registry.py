@@ -148,6 +148,8 @@ SWEEP_PRIORITY = (
     "q_join_full",
     "q_funnel",
     "q_retention",
+    "q_islands",
+    "q_string_agg",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",
