@@ -44,6 +44,29 @@ def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).orc(path)
 
 
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Raw text ingestion (one row per line, or per file with whole=True) —
+    the first step of a crawl->documents pipeline before any schema
+    exists. Line mode splits files at newlines so a single huge file still
+    parallelizes; whole-file mode is for document-per-file corpora."""
+    tune(spark)
+    return spark.read.text(path, wholetext=whole)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Built-in binaryFile source: (path, modificationTime, length, content)
+    per file — the ingestion path for image/audio/video payloads feeding
+    multimodal.extract_features. Spark parallelizes across files; pair
+    with maxPartitionBytes-style sizing (many small media files per task,
+    one task per huge file is the failure mode to avoid by sharding
+    upstream)."""
+    tune(spark)
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:

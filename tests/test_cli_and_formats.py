@@ -102,6 +102,26 @@ def test_compacted_write_controls_file_count(spark, tmp_path):
     assert len(files) == 2
 
 
+def test_text_and_binary_file_sources(spark, tmp_path):
+    from parquet_to_clickhouse_schema_spark.sources.formats import (
+        read_binary_files,
+        read_text,
+    )
+
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    (tmp_path / "b.bin").write_bytes(b"\x00\x01\x02payload")
+    lines = read_text(spark, str(tmp_path / "a.txt"))
+    assert {r.value for r in lines.collect()} == {"line one", "line two"}
+    whole = read_text(spark, str(tmp_path / "a.txt"), whole=True)
+    assert whole.count() == 1
+
+    bins = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = bins.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].content) == b"\x00\x01\x02payload"
+    assert rows[0].length == 10
+
+
 def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     """Backfilling one partition rewrites that partition and leaves the
     rest byte-identical (static mode would truncate them all)."""
