@@ -20,7 +20,10 @@ def optimized_plan(df: DataFrame) -> str:
 
 
 def formatted_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().explainString("formatted")
+    # Spark 4's explainString takes an ExplainMode enum, not a string
+    jvm = df.sparkSession.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
 
 
 def scan_read_schema(df: DataFrame) -> str:
@@ -65,3 +68,16 @@ def codegen_stage_count(df: DataFrame) -> int:
     separate plan and does NOT finalize this one)."""
     plan = executed_plan(df)
     return max(plan.count("WholeStageCodegen"), plan.count("*("))
+
+
+def explain_query(name: str, spark=None, sf_dir: str = "/root/testdata/sf0.001") -> str:
+    """Formatted physical plan for any registered query key — the
+    introspection entry point (`python -c "from
+    parquet_to_clickhouse_schema_spark.plans.inspect import explain_query;
+    print(explain_query('q_agg_hash'))"`). Builds the plan only; nothing
+    executes."""
+    from parquet_to_clickhouse_schema_spark import registry
+    from parquet_to_clickhouse_schema_spark.session import get_spark
+
+    spark = spark or get_spark("explain")
+    return formatted_plan(registry.all_queries()[name](spark, sf_dir))

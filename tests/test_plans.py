@@ -200,3 +200,27 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     )
     assert uses_sort_merge_join(j)
     assert shuffle_count(j) == 0, executed_plan(j)
+
+
+def test_explain_query_returns_formatted_plan(spark):
+    from parquet_to_clickhouse_schema_spark.plans.inspect import explain_query
+
+    out = explain_query("q_agg_hash", spark, SF_SMOKE)
+    assert "HashAggregate" in out and "Physical Plan" in out
+
+
+def test_cached_table_plans_as_in_memory_scan(spark):
+    """spark.catalog cache: the second consumer reads the columnar
+    InMemoryRelation instead of re-scanning parquet — the interactive /
+    dashboard pattern (cache the hot aggregate once, serve many queries).
+    At 100 TB you cache the REDUCED intermediate, never the raw fact."""
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    load_table(spark, SF_SMOKE, "nation").createOrReplaceTempView("nation_cache_t")
+    spark.catalog.cacheTable("nation_cache_t")
+    try:
+        df = spark.table("nation_cache_t").groupBy("n_regionkey").count()
+        df.collect()  # materialize the cache
+        assert "In-memory table" in executed_plan(df)
+    finally:
+        spark.catalog.uncacheTable("nation_cache_t")
