@@ -1240,7 +1240,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("q_pq_topk")  # rows-only: approximate — recall vs q_cosine_topk is test-asserted
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible entry for the product-quantization ANN path (defaults:
-    k=3, 8 subspaces x 16 codes, refine=32). See pq_topk for the 100-TB
+    k=3, 8 subspaces x 16 codes, refine=64). See pq_topk for the 100-TB
     compression story."""
     return pq_topk(spark, sf_dir)
 
