@@ -44,6 +44,34 @@ def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Native XML source (built into Spark 4). As with CSV/JSON, pass an
+    explicit schema in production — inference is an extra full pass."""
+    tune(spark)
+    r = spark.read.format("xml").option("rowTag", row_tag).options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def datasource_available(spark: SparkSession, fmt: str) -> bool:
+    """Probe whether a DataSource format is deployable in this runtime
+    (e.g. 'avro' is built-in-but-external since Spark 2.4 and needs its
+    jar on the classpath). Distinguishes 'source not found' from
+    path errors so the probe needs no real data."""
+    try:
+        spark.read.format(fmt).load("/__datasource_probe_nonexistent__")
+    except Exception as e:  # noqa: BLE001 — classifying the error IS the probe
+        return "Failed to find data source" not in str(e)
+    return True
+
+
 def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     """Raw text ingestion (one row per line, or per file with whole=True) —
     the first step of a crawl->documents pipeline before any schema

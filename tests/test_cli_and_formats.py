@@ -122,6 +122,23 @@ def test_text_and_binary_file_sources(spark, tmp_path):
     assert rows[0].length == 10
 
 
+def test_xml_source_and_datasource_probe(spark, tmp_path):
+    from parquet_to_clickhouse_schema_spark.sources.formats import (
+        datasource_available,
+        read_xml,
+    )
+
+    (tmp_path / "t.xml").write_text(
+        "<rows><row><a>1</a><b>x</b></row><row><a>2</a><b>y</b></row></rows>"
+    )
+    df = read_xml(spark, str(tmp_path / "t.xml"), row_tag="row")
+    assert {(r.a, r.b) for r in df.collect()} == {(1, "x"), (2, "y")}
+    assert datasource_available(spark, "xml")
+    assert datasource_available(spark, "parquet")
+    # avro is built-in-but-external; its jar is not shipped in this image
+    assert not datasource_available(spark, "avro")
+
+
 def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     """Backfilling one partition rewrites that partition and leaves the
     rest byte-identical (static mode would truncate them all)."""
