@@ -144,6 +144,38 @@ def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_try_funcs",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_as_int,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           floor((o_totalprice / NULLIF(o_orderkey % 4, 0)) * 100.0 + 0.5) / 100.0
+               AS safe_ratio
+    FROM orders
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe expressions for dirty data: try_cast yields NULL instead of the
+    ANSI runtime error ('1-URGENT' is not an int; its leading digit is),
+    and try_divide absorbs the zero divisor. Under Spark 4's default ANSI
+    mode these are the difference between a 100 TB job DYING on one
+    malformed row and recording a NULL to filter later — the ingest-side
+    companion to the quality/PII filters. DuckDB twins: TRY_CAST and
+    x / NULLIF(d, 0)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_as_int"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias(
+            "prio_digit"
+        ),
+        qround(
+            F.try_divide(F.col("o_totalprice"), F.pmod("o_orderkey", F.lit(4))), 2
+        ).alias("safe_ratio"),
+    )
+
+
+@_q(
     "q_array_funcs",
     """
     SELECT vec_id,

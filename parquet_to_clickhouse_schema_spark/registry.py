@@ -150,6 +150,7 @@ SWEEP_PRIORITY = (
     "q_retention",
     "q_islands",
     "q_string_agg",
+    "q_try_funcs",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",
