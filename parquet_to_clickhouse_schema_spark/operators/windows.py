@@ -165,3 +165,37 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.percent_rank().over(w_val), 6).alias("pct_rank"),
         qround(F.cume_dist().over(w_val), 6).alias("cume"),
     )
+
+
+@_q(
+    "q_window_distinct_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(count(DISTINCT o_orderstatus)
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS statuses_so_far
+    FROM orders
+    """,
+)
+def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count-distinct per partition: Spark has no DISTINCT window
+    aggregates, so the engine expresses it as size(collect_set() OVER w) —
+    set-valued window state whose size is bounded by the attribute's
+    cardinality (3 statuses here), NOT the frame length, which is what
+    keeps it viable over long histories at scale. DuckDB twin uses the
+    native count(DISTINCT ...) OVER. The ordering carries the full
+    (o_orderdate, o_orderkey) tiebreak so running prefixes agree."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderstatus").over(w))
+        .cast("bigint")
+        .alias("statuses_so_far"),
+    )

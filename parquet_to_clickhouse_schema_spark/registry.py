@@ -151,6 +151,7 @@ SWEEP_PRIORITY = (
     "q_islands",
     "q_string_agg",
     "q_try_funcs",
+    "q_window_distinct_running",
     # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
     "q_pack_sequences",
     "q_data_split",
