@@ -36,21 +36,24 @@ QUERIES, ORACLES, _q = new_registry()
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by normalized text: hash-groupBy on the normalization key.
-    At 100 TB the groupBy key should be a fixed-width digest
-    (xxhash64/sha2 of the normalized text), not the text itself, so the
-    shuffle carries 8-64 bytes per row instead of whole documents — the
-    text column here is small enough that Catalyst's plan is identical."""
+    """Exact dedup by normalized text: hash-groupBy on a fixed-width DIGEST
+    of the normalization key, not the text itself — the shuffle carries 32
+    bytes per row instead of whole documents (at 100 TB that is the
+    difference between shuffling ~the corpus and shuffling ~0.03% of it).
+    sha2-256 collisions are cryptographically negligible, so grouping by
+    digest partitions rows exactly like grouping by the normalized text and
+    the output (which never exposes the key) is identical — the DuckDB twin
+    keeps the semantic GROUP BY lower(trim(text)) as the specification."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.col("text")))
+    digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
     return (
-        d.groupBy(norm.alias("norm_text"))
+        d.groupBy(digest.alias("text_digest"))
         .agg(
             F.min("doc_id").alias("rep_doc_id"),
             F.count("*").alias("n_copies"),
             F.min("n_chars").alias("rep_chars"),
         )
-        .drop("norm_text")
+        .drop("text_digest")
     )
 
 
@@ -969,6 +972,12 @@ def pq_topk(
     smat = np.stack(sample["embedding"].to_numpy()).astype("float64")
     smat = smat / np.sqrt((smat * smat).sum(axis=1))[:, None]
     dim = smat.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_topk: embedding dim {dim} is not divisible by m={m} "
+            "subspaces; pick m dividing dim (otherwise the trailing "
+            f"{dim % m} dimensions would be silently dropped)"
+        )
     dsub = dim // m
     bc_books = spark.sparkContext.broadcast(_pq_train_codebooks(smat, m, ksub))
 
@@ -1110,6 +1119,12 @@ def ivfpq_topk(
     smat = np.stack(sample["embedding"].to_numpy()).astype("float64")
     smat = smat / np.sqrt((smat * smat).sum(axis=1))[:, None]
     dim = smat.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"ivfpq_topk: embedding dim {dim} is not divisible by m={m} "
+            "subspaces; pick m dividing dim (otherwise the trailing "
+            f"{dim % m} dimensions would be silently dropped)"
+        )
     dsub = dim // m
     cmat = smat[:n_centroids].copy()  # hash-ordered sample: deterministic seed
     for _ in range(10):  # Lloyd iterations on the unit sphere

@@ -103,69 +103,81 @@ CONTRACT_KEYS = (
     "q_udaf_grouped",
 )
 
-# Round-3 sweep priority: the driver's correctness sweep checks the FIRST
-# ~50 queries() keys each round, and every registered key needs at least one
-# green CORRECTNESS row across rounds (VERDICT r2 "Next round" #3). r1
-# verified the first 50 keys of r1's ordering; r2 verified the 50 contract
-# keys. These keys lead in round 3: the r2 harness failure (fixed this
-# round), the r1 fix that was never re-swept, every key changed this round,
-# and the 16 keys no sweep has ever reached. Contract keys follow, then the
-# twice-verified extras.
+# Round-5 sweep priority: the driver's correctness sweep checks the FIRST
+# ~50 queries() keys each round. After r3/r4 verified the r3-changed and
+# r3-new keys, the 61 keys whose latest green row dates to r1/r2 are now
+# 2-3 rounds stale (VERDICT r4 "Next round" #3). This round leads with the
+# keys whose implementations changed in round 5 (digest-key dedup, de-skewed
+# pack_sequences, rank, PQ validation), then every r1/r2-stale key in
+# registration order — so after this round ~50 of the 61 have a fresh row and
+# the remainder rotate to the front of round 6.
 SWEEP_PRIORITY = (
-    # broken in r2's sweep — fixed this round, must re-verify
-    "q_map_funcs",
-    # fixed in r1->r2 gap, never driver-checked since
-    "q_agg_collect",
-    # implementations changed in round 3 — need fresh green rows
-    "q_schema_infer",
-    "q_cosine_topk",
-    "q_dedup_embedding",
-    "q_dedup_simhash",
-    "q_dedup_ngram",
-    # new in round 3 — no prior row exists
-    "q_udtf_ngrams",
-    "q_percentile_approx",
-    "q_ann_lsh_topk",
-    "q_ivf_topk",
-    "q_report_regional_revenue",
-    "q_report_nation_profit",
-    "q_report_promo_share",
-    "q_report_disjunctive_revenue",
-    "q_stratified_sample",
-    "q_decontaminate",
-    "q_pii_redact",
-    "q_tfidf_top",
-    "q_agg_distinct_twophase",
-    "q_dedup_clusters",
-    "q_resample_gapfill",
-    "q_gapfill_ffill",
-    "q_lateral_join",
-    "q_embed_centroid",
-    "q_hll_sketch",
+    # implementations changed in round 5 — need fresh green rows
+    "q_dedup_exact",
+    "q_pack_sequences",
+    "q_window_rank",
     "q_pq_topk",
     "q_ivfpq_topk",
-    "q_repetition_filter",
-    "q_join_full",
-    "q_funnel",
-    "q_retention",
-    "q_islands",
-    "q_string_agg",
-    "q_try_funcs",
-    "q_window_distinct_running",
-    # never reached by any sweep (r1 stopped at 50; r2 swept contract keys)
-    "q_pack_sequences",
-    "q_data_split",
-    "q_chunk_docs",
-    "q_parquet_meta",
-    "q_scd1_merge",
-    "q_scd2_apply",
-    "q_salted_join",
-    "q_explode_pos",
-    "q_lang_id",
-    "q_quality_score",
-    "q_token_count",
-    "q_doc_fingerprint",
-    "q_vocab_top",
+    # last green row r1/r2 — stale, re-verify (registration order)
+    "q_ddl_sparksql",
+    "q_scan_project",
+    "q_filter_pred",
+    "q_join_broadcast",
+    "q_join_sortmerge",
+    "q_join_multiway",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_join_asof",
+    "q_agg_hash",
+    "q_agg_distinct",
+    "q_agg_approx_distinct",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_agg_filtered",
+    "q_window_lag",
+    "q_window_frame",
+    "q_window_range_frame",
+    "q_topk",
+    "q_topk_per_group",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cond_funcs",
+    "q_array_funcs",
+    "q_explode",
+    "q_json_funcs",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_stream_dedup",
+    "q_near_dedup_minhash",
+    "q_text_stats",
+    "q_multimodal_cols",
+    "q_udf_python",
+    "q_udf_pandas",
+    "q_udaf_grouped",
+    "q_report_top_orders",
+    "q_report_revenue_delta",
+    "q_report_returned_customers",
+    "q_report_late_orders",
+    "q_window_dist",
+    "q_intersect_all",
+    "q_except_set",
+    "q_pivot",
+    "q_unpivot",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_subquery_corr",
+    "q_having",
+    "q_percentile",
+    "q_stats_agg",
+    "q_window_value",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

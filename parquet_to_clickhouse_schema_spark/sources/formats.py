@@ -68,7 +68,17 @@ def datasource_available(spark: SparkSession, fmt: str) -> bool:
     try:
         spark.read.format(fmt).load("/__datasource_probe_nonexistent__")
     except Exception as e:  # noqa: BLE001 — classifying the error IS the probe
-        return "Failed to find data source" not in str(e)
+        # Spark 4 raises error class DATA_SOURCE_NOT_FOUND; Spark 3 used the
+        # "Failed to find data source" prose. Match both — prose alone is a
+        # false positive on Spark 4 (unknown formats would report available).
+        cls = getattr(e, "getErrorClass", lambda: None)()
+        if cls == "DATA_SOURCE_NOT_FOUND":
+            return False
+        msg = str(e)
+        return (
+            "DATA_SOURCE_NOT_FOUND" not in msg
+            and "Failed to find data source" not in msg
+        )
     return True
 
 

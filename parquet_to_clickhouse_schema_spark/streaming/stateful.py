@@ -36,10 +36,12 @@ def _alerts_fn(step: float):
     ) -> Iterator[pd.DataFrame]:
         (total,) = state.get if state.exists else (0.0,)
         rows = []
-        for pdf in pdfs:
-            # event-time order within the micro-batch: deterministic given
-            # the (ts, event_id) total order
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # A key's micro-batch input can span several Arrow chunks; sorting
+        # each chunk independently would accumulate out of event-time order.
+        # Concat the whole key's input first, then one global sort.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 before = int(total // step)
                 total += float(value)
@@ -98,8 +100,12 @@ def spend_alerts_transform_with_state(
         def handleInputRows(self, key, rows, timerValues):
             total = self._total.get()[0] if self._total.exists() else 0.0
             out = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"])
+            # same chunk-spanning fix as _alerts_fn: concat, then one sort
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["ts", "event_id"]
+                )
                 for ts, value in zip(pdf["ts"], pdf["value"]):
                     before = int(total // step)
                     total += float(value)

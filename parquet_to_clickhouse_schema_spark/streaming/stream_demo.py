@@ -23,31 +23,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_to_clickhouse_schema_spark.session import tune
-
-# events schema as the streaming source sees it (ts arrives as raw int64
-# nanoseconds under nanosAsLong — same normalization as sources/io.py)
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from parquet_to_clickhouse_schema_spark.sources.io import _normalize_nanos
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded readStream over the events table.
+
+    The readStream schema is derived from the table's actual footer (via a
+    batch scan, which sees exactly what the stream source will see: under
+    ``nanosAsLong`` a TIMESTAMP(NANOS) column arrives as LongType, a plain
+    timestamp[us] column arrives as TimestampType). The nanos→micros
+    conversion is applied only when ``ts`` really is a Long — the same
+    type-conditional adapter the batch path uses (sources/io.py), so both
+    paths stay correct whichever physical type the data carries.
+    """
     tune(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource requires a directory (or glob) — events.parquet is a
     # single file, so glob its last character to make the parent the basePath.
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .load(f"{sf_dir}/events.parque[t]")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = _normalize_nanos(raw)
+    if isinstance(out.schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+        # NTZ). Session timezone is pinned UTC, so the cast is value-preserving
+        # and the stream agrees with the batch twins' NTZ values on collect.
+        out = out.withColumn("ts", F.col("ts").cast("timestamp"))
+    return out
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,22 +204,31 @@ def stream_upsert_foreachbatch(
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
+        # event_id is persisted into the target: equal-ts events that land
+        # in DIFFERENT micro-batches must still resolve by the global
+        # (ts desc, event_id desc) order the batch twin uses, which is only
+        # possible if the stored row remembers which event produced it.
+        # prio remains the FINAL tiebreak so replaying a micro-batch (same
+        # event_id on both sides) converges — the exactly-once recipe.
         updates = (
             batch_df.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("user_id", "ts", "event_type", "value")
+            .select("user_id", "event_id", "ts", "event_type", "value")
         )
         if os.path.isdir(target):
             current = sess.read.parquet(target)
+            if "event_id" not in current.columns:
+                # pre-seeded / legacy target rows: lowest possible rank
+                current = current.withColumn("event_id", F.lit(-1).cast("long"))
             w2 = Window.partitionBy("user_id").orderBy(
-                F.col("ts").desc(), F.col("prio").desc()
+                F.col("ts").desc(), F.col("event_id").desc(), F.col("prio").desc()
             )
             merged = (
                 current.withColumn("prio", F.lit(0))
                 .unionByName(updates.withColumn("prio", F.lit(1)))
                 .withColumn("rn", F.row_number().over(w2))
                 .filter(F.col("rn") == 1)
-                .select("user_id", "ts", "event_type", "value")
+                .select("user_id", "event_id", "ts", "event_type", "value")
             )
             staged = target + "__staged"
             merged.write.mode("overwrite").parquet(staged)

@@ -137,6 +137,10 @@ def test_xml_source_and_datasource_probe(spark, tmp_path):
     assert datasource_available(spark, "parquet")
     # avro is built-in-but-external; its jar is not shipped in this image
     assert not datasource_available(spark, "avro")
+    # a format that does not exist at all must probe unavailable too
+    # (regression: Spark 4's DATA_SOURCE_NOT_FOUND error class was not
+    # matched, so unknown formats reported available)
+    assert not datasource_available(spark, "no_such_format_xyz")
 
 
 def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):

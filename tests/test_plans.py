@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from parquet_to_clickhouse_schema_spark.operators import relational, sortset
 from parquet_to_clickhouse_schema_spark.plans.inspect import (
+    optimized_plan,
     codegen_stage_count,
     executed_plan,
     pushed_filters,
@@ -224,3 +225,26 @@ def test_cached_table_plans_as_in_memory_scan(spark):
         assert "In-memory table" in executed_plan(df)
     finally:
         spark.catalog.uncacheTable("nation_cache_t")
+
+
+def test_dedup_exact_shuffles_fixed_width_digest(spark):
+    """q_dedup_exact's shuffle key must be the 32-byte sha2 digest, never the
+    normalized document text — at 100 TB the digest key shuffles ~0.03% of
+    the bytes the text key would."""
+    import re
+
+    from parquet_to_clickhouse_schema_spark.operators.llm import q_dedup_exact
+
+    df = q_dedup_exact(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    m = re.search(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert m, plan
+    # the shuffle key is the computed grouping expression, not the raw text
+    key = m.group(1)
+    assert not key.startswith("text#"), key
+    # and that grouping expression is the sha2 digest, computed MAP-SIDE:
+    # the plan string prints downstream-first, so everything below the
+    # Exchange line is the pre-shuffle (map) side — sha2 must live there
+    map_side = plan[m.start() :]
+    assert "sha2" in map_side, plan
+    assert "sha2" in optimized_plan(df)

@@ -190,6 +190,18 @@ def test_pq_recall_vs_bruteforce(spark):
     assert recall >= 0.7, f"PQ recall too low: {recall:.2f}"
 
 
+def test_pq_rejects_indivisible_subspace_count(spark):
+    """dim % m != 0 must fail fast on the driver with a clear message, not
+    silently drop trailing dimensions or throw a reshape error on an
+    executor mid-job (embeddings table is dim=64; m=7 does not divide it)."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import ivfpq_topk, pq_topk
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(spark, SF_SMOKE, m=7)
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_topk(spark, SF_SMOKE, m=7)
+
+
 def test_ivfpq_recall_vs_bruteforce(spark):
     """IVF-PQ composition: recall ceiling is the IVF probe recall (0.75 at
     8/16 lists on near-orthogonal vectors); the ADC+exact-refine stage must

@@ -124,3 +124,41 @@ def test_foreachbatch_upsert_matches_batch_twin(spark, tmp_path):
     # untouched seeded key survives; all streamed keys equal the batch twin
     assert got.pop(999_999_999)[1] == "seed"
     assert got == want
+
+
+def test_stream_source_schema_follows_footer(spark, tmp_path):
+    """The readStream schema must be derived from the table's real footer:
+    TIMESTAMP(NANOS) data (nanosAsLong → LongType) gets the ns→us
+    conversion; plain timestamp[us] data must pass through untouched.
+    Regression for the hardcoded-LongType schema that shrank every
+    microsecond timestamp 1000× when the testdata moved to timestamp[us]."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_clickhouse_schema_spark.streaming.stream_demo import (
+        read_events_stream,
+    )
+
+    base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    stamps = [base + datetime.timedelta(minutes=i) for i in range(4)]
+    for unit in ("ns", "us"):
+        d = tmp_path / unit
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(stamps, pa.timestamp(unit)),
+                "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+                "event_type": pa.array(["click"] * 4),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+                "props": pa.array(["{}"] * 4),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        got = run_to_memory(
+            read_events_stream(spark, str(d)), f"t_footer_{unit}", "append"
+        )
+        rows = sorted(got.collect(), key=lambda r: r.event_id)
+        assert [r.ts for r in rows] == stamps, unit
