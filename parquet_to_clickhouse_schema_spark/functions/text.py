@@ -367,3 +367,83 @@ def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("query", "scan", "merge")
+
+
+@_q(
+    "q_bm25_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, dl, count(*) AS tf
+      FROM toks WHERE tok IN ('query', 'scan', 'merge')
+      GROUP BY doc_id, tok, dl
+    ),
+    dfreq AS (
+      SELECT tok, count(DISTINCT doc_id) AS df
+      FROM toks WHERE tok IN ('query', 'scan', 'merge')
+      GROUP BY tok
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             avg(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    )
+    SELECT doc_id,
+           floor(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+             * (tf * ({BM25_K1} + 1))
+             / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+           ) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+    FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance score of every document against a fixed query
+    term set — the lexical-retrieval scoring pass of a data pipeline
+    (quality-weighted sampling, query-targeted corpus slicing).
+
+    Scale shape mirrors q_tfidf_top: term frequencies are a (doc, term)
+    aggregate over the exploded token stream FILTERED to the query terms
+    (the explode-filter collapses to a few rows per doc before any
+    shuffle); document frequency is a |query|-row broadcast; corpus stats
+    (N, avgdl) are a 1-row broadcast. No full-vocabulary state anywhere,
+    so the plan is scan-bound at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("tok"),
+        F.size(F.split("text", " ")).alias("dl"),
+    ).filter(F.col("tok").isin(*BM25_TERMS))
+    tf = toks.groupBy("doc_id", "tok", "dl").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    score = (
+        idf
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(qround(F.sum(score), 6).alias("bm25"))
+    )

@@ -22,19 +22,39 @@ QUERIES, ORACLES, _q = new_registry()
 PACK_BUDGET = 256  # tokens per packed sequence
 
 
+PACK_SUBBUCKETS = 16  # md5-nibble sub-buckets inside each lang
+
+
 @_q(
     "q_pack_sequences",
     f"""
-    SELECT doc_id, lang, n_tokens,
-           CAST(floor((cum_tokens - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
-    FROM (
+    WITH t AS (
       SELECT doc_id, lang,
              len(string_split(text, ' ')) AS n_tokens,
-             sum(len(string_split(text, ' ')))
-                 OVER (PARTITION BY lang ORDER BY len(string_split(text, ' ')) DESC, doc_id
-                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             instr('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS s
       FROM documents
+    ), c AS (
+      SELECT doc_id, lang, s, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang, s
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    ), tot AS (
+      SELECT lang, s,
+             CAST(ceil(sum(n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS n_bins
+      FROM t GROUP BY lang, s
+    ), off AS (
+      SELECT lang, s,
+             COALESCE(sum(n_bins) OVER (PARTITION BY lang ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS bin_off
+      FROM tot
     )
+    SELECT c.doc_id, c.lang, CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           CAST(bin_off + floor((cum_tokens - c.n_tokens) / {PACK_BUDGET}.0)
+                AS BIGINT) AS bin_id
+    FROM c JOIN off ON c.lang = off.lang AND c.s = off.s
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,24 +62,58 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Greedy bin packing is inherently sequential; the scalable deterministic
     form is sort-by-size + running-sum binning (first-fit-decreasing over a
-    cumulative window): one shuffle on the partition key, one sort, bin id =
-    floor(preceding_cumsum / budget). Within 1 doc of optimal occupancy for
-    corpus-scale inputs and fully order-independent."""
+    cumulative window): bin id = floor(preceding_cumsum / budget).
+
+    De-skewed: the cumulative window partitions on (lang, sub_bucket), not
+    lang alone — with one dominant language a lang-partitioned window
+    serializes the whole corpus through ONE task. The sub-bucket is the
+    first md5 nibble of doc_id (content-free, deterministic, identical in
+    DuckDB — same discipline as q_data_split), giving {PACK_SUBBUCKETS}×
+    the parallelism. Each sub-bucket packs its own bins; per-bucket bin-id
+    ranges are made disjoint with budget-aligned offsets
+    (offset_s = Σ_{{s'<s}} ceil(tokens_{{s'}}/budget), a langs×16-row
+    aggregate, broadcast back), so bin ids stay globally unique per lang
+    and every bin still respects the token budget."""
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " "))
+    base = (
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .withColumn(
+            "_nib",
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1),
+        )
+        .withColumn("s", F.expr("instr('0123456789abcdef', _nib) - 1"))
+        .drop("_nib")
+    )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "s")
         .orderBy(F.col("n_tokens").desc(), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    tot = base.groupBy("lang", "s").agg(
+        F.ceil(F.sum("n_tokens") / float(PACK_BUDGET)).alias("n_bins")
+    )
+    off_w = (
+        Window.partitionBy("lang")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = tot.withColumn(
+        "bin_off", F.coalesce(F.sum("n_bins").over(off_w), F.lit(0))
+    ).drop("n_bins")
     return (
-        d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        cum.join(F.broadcast(off), ["lang", "s"])
         .select(
             "doc_id",
             "lang",
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / float(PACK_BUDGET))
+            (
+                F.col("bin_off")
+                + F.floor(
+                    (F.col("cum_tokens") - F.col("n_tokens")) / float(PACK_BUDGET)
+                )
+            )
             .cast("bigint")
             .alias("bin_id"),
         )
@@ -288,3 +342,62 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_shingles"))
     )
+
+
+EPOCH_SEED = "#1"
+
+
+@_q(
+    "q_epoch_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || '{EPOCH_SEED}'), 1, 15) AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: a reproducible pseudo-random global
+    permutation of the corpus (training-order randomization that survives
+    re-runs and resumes — rand() does not). Position = global row_number
+    in md5(doc_id || epoch_seed) order; changing the seed gives an
+    independent permutation per epoch.
+
+    A naive global row_number is a ONE-TASK total sort at 100 TB, so the
+    position is computed with rank_low_cardinality (empty partition key =
+    whole corpus): quantile-bucketed two-pass row_number over the numeric
+    value of the hash's first 15 hex chars — fixed-width hex orders
+    lexicographically exactly like its numeric value, which is what makes
+    the Spark numeric form and the oracle's string ORDER BY agree."""
+    from parquet_to_clickhouse_schema_spark.operators.windows import (
+        rank_low_cardinality,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(EPOCH_SEED)).cast(
+                    "binary"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = d.select("doc_id", hv.alias("hv"))
+    return rank_low_cardinality(
+        hashed,
+        [],
+        "hv",
+        ascending=True,
+        tiebreak_cols=["doc_id"],
+        output_col="pos",
+        method="row_number",
+    ).select("doc_id", "pos")

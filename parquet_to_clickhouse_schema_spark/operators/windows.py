@@ -199,3 +199,112 @@ def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("statuses_so_far"),
     )
+
+
+def rank_low_cardinality(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    ascending: bool = True,
+    tiebreak_cols: list[str] | None = None,
+    output_col: str = "rnk",
+    method: str = "rank",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Two-pass quantile-bucketed rank: the scale-safe form of
+    ``rank()/row_number() OVER (PARTITION BY low_cardinality ORDER BY v)``.
+
+    A plain window with a 3-value partition key funnels each group through
+    ONE task — at 100 TB that is a single executor sorting billions of rows.
+    This op keeps every stage wide:
+
+    1. Per-group quantile boundaries of the order column
+       (``percentile_approx``, one aggregation job; the driver collect is
+       groups × num_buckets doubles — bounded, the same pattern as
+       ivf_topk's centroid pull). Boundaries are a DETERMINISTIC function
+       of the data, so every lineage that re-derives the bucket id agrees
+       — no reliance on exchange reuse or partition-id stability (a
+       spark_partition_id formulation was measured flaky for exactly that
+       reason).
+    2. ``_bkt = #boundaries < v``: rows equal on v always share a bucket,
+       so rank ties never straddle a bucket boundary. The local window
+       partitions on ``(part, _bkt)`` — a fine-grained, quantile-balanced
+       key — and sorts slices that fit in executor memory.
+    3. A tiny ``(part, _bkt) → count`` table (map-side combined) turned
+       into per-bucket offsets via a cumulative window in rank order,
+       broadcast-joined back: ``global = local + rows_in_earlier_buckets``.
+
+    method='rank' (ties share rank — correct because equal order values
+    share a bucket) or 'row_number' (pass ``tiebreak_cols`` forming a total
+    order, same determinism rule as any row_number). dense_rank is NOT
+    offset-composable (it would need distinct-counts, not row-counts) and
+    is deliberately unsupported. Rows with NULL order values are not
+    supported (filter or impute first).
+    """
+    if method not in ("rank", "row_number"):
+        raise ValueError(f"method must be 'rank' or 'row_number', got {method!r}")
+    sess = df.sparkSession
+    n = num_buckets or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    fracs = [i / n for i in range(1, n)]
+    bounds = (
+        df.groupBy(*part_cols)
+        .agg(F.percentile_approx(order_col, fracs, 10_000).alias("_bounds"))
+    )
+    # empty part_cols = ONE global group (a total-order rank over the whole
+    # table); the 1-row bounds table cross-joins instead of equi-joining
+    tagged = (
+        df.crossJoin(F.broadcast(bounds))
+        if not part_cols
+        else df.join(F.broadcast(bounds), part_cols)
+    )
+    v = F.col(order_col)
+    tagged = tagged.withColumn(
+        "_bkt", F.size(F.filter("_bounds", lambda b: b < v))
+    ).drop("_bounds")
+
+    order_exprs = [v.asc() if ascending else v.desc()] + [
+        F.col(c) for c in (tiebreak_cols or [])
+    ]
+    loc_w = Window.partitionBy(*part_cols, "_bkt").orderBy(*order_exprs)
+    fn = F.rank() if method == "rank" else F.row_number()
+    local = tagged.withColumn("_lrk", fn.over(loc_w))
+
+    counts = tagged.groupBy(*part_cols, "_bkt").agg(F.count("*").alias("_cnt"))
+    off_w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("_bkt").asc() if ascending else F.col("_bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))
+    ).drop("_cnt")
+    return (
+        local.join(F.broadcast(offsets), [*part_cols, "_bkt"])
+        .withColumn(output_col, (F.col("_lrk") + F.col("_off")).cast("bigint"))
+        .drop("_bkt", "_lrk", "_off")
+    )
+
+
+@_q(
+    "q_window_rank_scalable",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS BIGINT) AS rnk
+    FROM lineitem
+    """,
+)
+def q_window_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_window_rank's ranking via rank_low_cardinality: identical output
+    (oracle-gated against the same OVER clause), but no stage ever holds a
+    whole l_returnflag group in one task — the plan that survives 100×."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return rank_low_cardinality(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        ascending=False,
+        output_col="rnk",
+        method="rank",
+    )

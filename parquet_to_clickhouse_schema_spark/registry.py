@@ -112,10 +112,13 @@ CONTRACT_KEYS = (
 # registration order — so after this round ~50 of the 61 have a fresh row and
 # the remainder rotate to the front of round 6.
 SWEEP_PRIORITY = (
-    # implementations changed in round 5 — need fresh green rows
+    # implementations changed (or new) in round 5 — need fresh green rows
     "q_dedup_exact",
     "q_pack_sequences",
     "q_window_rank",
+    "q_window_rank_scalable",
+    "q_bm25_score",
+    "q_epoch_shuffle",
     "q_pq_topk",
     "q_ivfpq_topk",
     # last green row r1/r2 — stale, re-verify (registration order)

@@ -248,3 +248,74 @@ def test_dedup_exact_shuffles_fixed_width_digest(spark):
     map_side = plan[m.start() :]
     assert "sha2" in map_side, plan
     assert "sha2" in optimized_plan(df)
+
+
+def test_scalable_rank_equals_window_rank_and_stays_wide(spark):
+    """rank_low_cardinality must (a) reproduce the plain window's rank()
+    exactly and (b) never shuffle on the bare 3-value partition key — its
+    rank stage partitions on the fine-grained (_pid, key) pair."""
+    import re
+
+    from parquet_to_clickhouse_schema_spark.operators.windows import (
+        q_window_rank,
+        q_window_rank_scalable,
+    )
+
+    want = sorted(
+        (r.l_orderkey, r.l_linenumber, r.l_returnflag, r.l_quantity, r.rnk)
+        for r in q_window_rank(spark, SF_SMOKE).collect()
+    )
+    df = q_window_rank_scalable(spark, SF_SMOKE)
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.l_returnflag, r.l_quantity, r.rnk)
+        for r in df.collect()
+    )
+    assert got == want
+    plan = executed_plan(df)
+    # the rank window itself must partition on the fine-grained
+    # (l_returnflag, _bkt) pair — never on the 3-value key alone
+    rank_windows = [
+        line
+        for line in plan.splitlines()
+        if "rank(" in line and "windowspecdefinition" in line
+    ]
+    assert rank_windows, plan
+    assert all("_bkt" in line for line in rank_windows), plan
+    # and the shuffle feeding it is on (l_returnflag, _bkt) too
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("_bkt" in k for k in keys), plan
+
+
+def test_scalable_row_number_equals_window_row_number(spark):
+    """rank_low_cardinality(method='row_number') with a total-order tiebreak
+    reproduces the plain window row_number exactly."""
+    from pyspark.sql import Window
+
+    from parquet_to_clickhouse_schema_spark.operators.windows import (
+        rank_low_cardinality,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    want = sorted(
+        (r.l_orderkey, r.l_linenumber, r.l_returnflag, r.rn)
+        for r in li.withColumn("rn", F.row_number().over(w)).collect()
+    )
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.l_returnflag, r.rn)
+        for r in rank_low_cardinality(
+            li,
+            ["l_returnflag"],
+            "l_quantity",
+            ascending=False,
+            tiebreak_cols=["l_orderkey", "l_linenumber"],
+            output_col="rn",
+            method="row_number",
+        ).collect()
+    )
+    assert got == want

@@ -92,3 +92,53 @@ def test_skew_ratio_diagnostic(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     ratio = top_key_skew_ratio(ev, "event_type")
     assert 0.15 < ratio < 0.5  # 5 event types, roughly uniform
+
+
+def test_pack_sequences_deskewed_under_dominant_language(spark, tmp_path):
+    """q_pack_sequences with one language carrying ~95% of the corpus: the
+    cumulative window must spread that language over md5-nibble sub-buckets
+    (a lang-only partition key would serialize the whole corpus through one
+    task), while still agreeing with the DuckDB oracle and keeping every
+    bin inside the token budget."""
+    import duckdb
+
+    from parquet_to_clickhouse_schema_spark.operators.training import (
+        ORACLES,
+        PACK_BUDGET,
+        q_pack_sequences,
+    )
+
+    rows = [
+        (i, "en" if i % 100 < 95 else "fr", " ".join(["tok"] * (5 + i % 40)))
+        for i in range(2000)
+    ]
+    spark.createDataFrame(rows, "doc_id long, lang string, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    out = q_pack_sequences(spark, str(tmp_path)).collect()
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(ORACLES["q_pack_sequences"]).fetchall()))
+    assert sorted(map(tuple, out)) == want
+
+    # de-skew evidence: the dominant language's windowed groups are split
+    # across many sub-buckets, so no single task owns 95% of the corpus
+    from collections import defaultdict
+
+    bins = defaultdict(int)
+    en_bins = set()
+    for r in out:
+        bins[(r.lang, r.bin_id)] += r.n_tokens
+        if r.lang == "en":
+            en_bins.add(r.bin_id)
+    # >= 12 of the 16 nibble buckets materialize for 1900 docs
+    from parquet_to_clickhouse_schema_spark.operators.training import PACK_SUBBUCKETS
+
+    assert len(en_bins) >= PACK_SUBBUCKETS - 4
+    # every bin respects the budget (first doc of a bin may start it, so a
+    # bin never exceeds budget + one doc, and docs here are < budget)
+    assert all(v <= PACK_BUDGET + 44 for v in bins.values())
