@@ -245,3 +245,24 @@ def stream_upsert_foreachbatch(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension table —
+    the standard streaming lookup pattern. Stateless (no watermark needed:
+    the static side is re-resolved each micro-batch, so a dimension update
+    between batches is picked up automatically) and broadcast (the dim
+    ships to executors once per micro-batch; at 100 TB/day the stream side
+    never shuffles for this join). Left join keeps events whose key has no
+    dimension row — dropping them silently is the classic enrichment bug."""
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    return ev.join(F.broadcast(cust), "user_id", "left").select(
+        "event_id", "user_id", "event_type", "segment", "acctbal"
+    )

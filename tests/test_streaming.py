@@ -162,3 +162,34 @@ def test_stream_source_schema_follows_footer(spark, tmp_path):
         )
         rows = sorted(got.collect(), key=lambda r: r.event_id)
         assert [r.ts for r in rows] == stamps, unit
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static broadcast join agrees row-for-row with the same join on
+    the static table, including events with no matching dimension row."""
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+    from parquet_to_clickhouse_schema_spark.streaming.stream_demo import (
+        stream_enrich_static,
+    )
+
+    got = {
+        (r.event_id, r.user_id, r.event_type, r.segment, r.acctbal)
+        for r in run_to_memory(
+            stream_enrich_static(spark, SF_SMOKE), "t_enrich", "append"
+        ).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    want = {
+        (r.event_id, r.user_id, r.event_type, r.segment, r.acctbal)
+        for r in ev.join(cust, "user_id", "left")
+        .select("event_id", "user_id", "event_type", "segment", "acctbal")
+        .collect()
+    }
+    assert got == want
+    # the left join must have kept at least one unmatched event if any exist
+    assert len(got) == ev.count()
