@@ -401,3 +401,110 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_col="pos",
         method="row_number",
     ).select("doc_id", "pos")
+
+
+HEX15 = float(16**15)  # 15 hex chars = 60 bits of md5 → uniform in [0, 1)
+WEIGHT_CHARS = 400.0  # chars at which a doc reaches sampling weight 1.0
+SAMPLE_SEED = "#w1"
+
+
+@_q(
+    "q_sample_weighted",
+    f"""
+    SELECT doc_id, lang,
+           floor(least(1.0, n_chars / {WEIGHT_CHARS}) * 1000000.0 + 0.5)
+               / 1000000.0 AS weight
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{SAMPLE_SEED}'),
+                              1, 15) AS BIGINT) / {HEX15}
+          < least(1.0, n_chars / {WEIGHT_CHARS})
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus downsampling: keep each document with
+    probability equal to its weight (here a length proxy, capped at 1.0) —
+    the standard way to temperature-balance a training mix without an RNG.
+    The coin flip is u < w with u a 60-bit md5 uniform of (doc_id, seed):
+    deterministic, reproducible across re-runs/repartitions/engines, and a
+    pure per-row filter — no shuffle, scan-bound at 100 TB. Changing the
+    seed resamples independently."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / WEIGHT_CHARS)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SEED)).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(HEX15)
+    )
+    from parquet_to_clickhouse_schema_spark.functions.compat import qround
+
+    return d.filter(u < w).select("doc_id", "lang", qround(w, 6).alias("weight"))
+
+
+SOURCE_CAP = 15
+
+
+@_q(
+    "q_source_cap",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR) || '#cap'), 1, 15) AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+                  AS BIGINT) AS pos
+      FROM h
+    )
+    SELECT doc_id, source, pos FROM r WHERE pos <= {SOURCE_CAP}
+    """,
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most SOURCE_CAP (15) docs per source,
+    chosen by deterministic md5 order (an unbiased, reproducible sample of
+    each source — NOT first-N, which biases toward ingestion order). The
+    standard mix-balancing guard against one crawl dominating the corpus.
+
+    source is a low-cardinality key, so the per-source row_number uses
+    rank_low_cardinality (quantile-bucketed two-pass): no single task ever
+    owns a whole source — the 100 TB-safe form of the windowed cap."""
+    from parquet_to_clickhouse_schema_spark.operators.windows import (
+        rank_low_cardinality,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#cap")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = d.select("doc_id", "source", hv.alias("hv"))
+    return (
+        rank_low_cardinality(
+            hashed,
+            ["source"],
+            "hv",
+            ascending=True,
+            tiebreak_cols=["doc_id"],
+            output_col="pos",
+            method="row_number",
+        )
+        .filter(F.col("pos") <= SOURCE_CAP)
+        .select("doc_id", "source", "pos")
+    )

@@ -119,6 +119,8 @@ SWEEP_PRIORITY = (
     "q_window_rank_scalable",
     "q_bm25_score",
     "q_epoch_shuffle",
+    "q_sample_weighted",
+    "q_source_cap",
     "q_pq_topk",
     "q_ivfpq_topk",
     # last green row r1/r2 — stale, re-verify (registration order)
