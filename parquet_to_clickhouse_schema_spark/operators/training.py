@@ -307,9 +307,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-word shingle with any train-split document, with the count
     of distinct leaked shingles. The standard eval-contamination check
     before a training run. Same split rule as q_data_split; the
-    contamination test is an equi-join on the shingle string — O(shared
-    vocabulary), never all-pairs — so it scales exactly like the MinHash
-    banding join. The repartition after tokenization is the projection-
+    contamination test is an equi-join on the shingle's 64-bit hash —
+    O(shared vocabulary), never all-pairs — so it scales exactly like the
+    MinHash banding join, and the shuffle carries 8-byte keys instead of
+    8-word strings. The repartition after tokenization is the projection-
     collapse barrier (without it the split() recomputes per shingle).
     Output: contaminated test doc_id + distinct shared-shingle count."""
     d = load_table(spark, sf_dir, "documents")
@@ -325,20 +326,28 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split").isNotNull() & (F.size("toks") >= SHINGLE_W))
         .repartition("doc_id")
     )
+    # every downstream shuffle (dropDuplicates, distinct, equi-join) carries
+    # the 8-byte xxhash64 of the shingle, never the ~50-char 8-word string —
+    # the same fixed-width-digest discipline as q_dedup_exact. The oracle
+    # joins on the string; results agree unless two distinct shingles
+    # collide in 64 bits (~|vocab|²/2⁶⁴, negligible at any corpus size
+    # where 64-bit hashing is sane).
     sh = base.select(
         "doc_id",
         "split",
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - (SHINGLE_W - 1)),
-                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, SHINGLE_W)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i, SHINGLE_W))
+                ),
             )
-        ).alias("shingle"),
-    ).dropDuplicates(["doc_id", "split", "shingle"])
-    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
-    test_sh = sh.filter(F.col("split") == "test").select("doc_id", "shingle")
+        ).alias("shingle_h"),
+    ).dropDuplicates(["doc_id", "split", "shingle_h"])
+    train_sh = sh.filter(F.col("split") == "train").select("shingle_h").distinct()
+    test_sh = sh.filter(F.col("split") == "test").select("doc_id", "shingle_h")
     return (
-        test_sh.join(train_sh, "shingle", "left_semi")
+        test_sh.join(train_sh, "shingle_h", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_shingles"))
     )

@@ -34,6 +34,7 @@ QUERIES = {
     "q_join_sortmerge": relational.q_join_sortmerge,
     "q_join_multiway": relational.q_join_multiway,
     "q_window_rank": windows.q_window_rank,
+    "q_window_rank_scalable": windows.q_window_rank_scalable,
     "q_topk": sortset.q_topk,
 }
 
