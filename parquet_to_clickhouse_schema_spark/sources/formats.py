@@ -165,3 +165,25 @@ def lakehouse_available() -> dict[str, bool]:
         except ImportError:
             out[mod] = False
     return out
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort-within-files parquet layout: rows are globally
+    range-distributed on sort_cols, then sorted inside each file, so every
+    file (and every row group) covers a NARROW, largely disjoint range of
+    the sort key. Parquet stores per-row-group min/max; a reader filtering
+    on the sort key then skips whole row groups/files (zone-map pruning) —
+    on a 100 TB table this is the difference between scanning everything
+    and touching a handful of files. The write itself costs one range
+    shuffle; the payoff is every subsequent selective scan."""
+    if n_files:
+        df = df.repartitionByRange(n_files, *sort_cols)
+    else:
+        df = df.repartitionByRange(*sort_cols)
+    df.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

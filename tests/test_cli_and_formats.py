@@ -171,3 +171,48 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
 def test_lakehouse_probe_runs():
     avail = lakehouse_available()
     assert set(avail) == {"delta", "pyiceberg"}
+
+
+def test_write_sorted_produces_prunable_row_groups(tmp_path, spark):
+    """write_sorted's files must cover narrow, mostly-disjoint sort-key
+    ranges (the zone-map property parquet min/max stats give a reader),
+    while a plain hash-distributed write leaves every file spanning
+    ~the full key range — the layout that defeats row-group skipping."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from parquet_to_clickhouse_schema_spark.sources.formats import write_sorted
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+
+    sorted_path = str(tmp_path / "sorted")
+    plain_path = str(tmp_path / "plain")
+    write_sorted(li, sorted_path, ["l_orderkey"], n_files=8)
+    li.repartition(8).write.parquet(plain_path)
+
+    def file_ranges(root):
+        spans = []
+        for f in sorted(globmod.glob(f"{root}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(0).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                spans.append((min(mins), max(maxs)))
+        return spans
+
+    key_span = max(m for _, m in file_ranges(plain_path)) + 1
+    sorted_spans = file_ranges(sorted_path)
+    plain_spans = file_ranges(plain_path)
+    # sorted layout: each file covers a small slice of the key space
+    assert all((hi - lo) < key_span / 3 for lo, hi in sorted_spans), sorted_spans
+    # plain layout: files span ~everything (sanity that the test can fail)
+    assert all((hi - lo) > key_span * 0.9 for lo, hi in plain_spans), plain_spans
+    # and a selective reader would touch few sorted files: count overlaps
+    probe_lo, probe_hi = 0, key_span // 20
+    touched = sum(1 for lo, hi in sorted_spans if hi >= probe_lo and lo <= probe_hi)
+    assert touched <= 2, sorted_spans

@@ -319,3 +319,16 @@ def test_scalable_row_number_equals_window_row_number(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_stratified_sample_gets_window_group_limit(spark):
+    """q_stratified_sample's rn<=quota window must plan with map-side
+    WindowGroupLimit: each task pre-filters to <=quota rows per stratum
+    before the shuffle, so the low-cardinality lang partition never
+    funnels the whole corpus through one sort task."""
+    from parquet_to_clickhouse_schema_spark.operators.training import (
+        q_stratified_sample,
+    )
+
+    plan = executed_plan(q_stratified_sample(spark, SF_SMOKE))
+    assert plan.count("WindowGroupLimit") >= 2  # partial (map-side) + final
