@@ -187,3 +187,81 @@ def write_sorted(
     else:
         df = df.repartitionByRange(*sort_cols)
     df.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def zorder_value(cols: list[str], bits: int = 16):
+    """Z-order (Morton) curve value over k non-negative integer columns:
+    interleaves the low `bits` bits of each column into one long, so rows
+    close in EVERY dimension get close z-values. Pure JVM bit arithmetic
+    (shiftright/bitwiseAND/shiftleft sums) — no UDF, fully codegen'd.
+
+    Columns must already be scaled to [0, 2^bits): at 100 TB you first
+    rank/quantile-bucket each dimension (e.g. with percentile_approx
+    boundaries) and interleave the bucket ids. k * bits must fit in 63."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a signed long")
+    terms = []
+    for j, c in enumerate(cols):
+        col = F.col(c).cast("long")
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(col, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional layout: range-partition + sort files by the Morton
+    z-value of `zorder_cols`, so parquet min/max stats prune files for
+    selective predicates on ANY of the dimensions — the property a
+    single-column sort (write_sorted) only gives its one sort key. The
+    standard lakehouse OPTIMIZE ZORDER BY, expressed with built-in
+    expressions and one range shuffle.
+
+    Each dimension is first scaled to [0, 2^bits) from its min/max (one
+    1-row aggregate): interleaving RAW values with unequal ranges lets the
+    widest dimension own every significant bit and the curve degenerates
+    to a single-column sort (measured: a 0..6000 key next to a 0..100 key
+    left the second dimension unpruned). Equi-width scaling is right for
+    roughly uniform dimensions; for heavy skew, pre-compute quantile
+    bucket ids (percentile_approx) and pass those columns instead."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(zorder_cols)],
+        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(zorder_cols)],
+    ).collect()[0]
+    scaled = df
+    names = []
+    for i, c in enumerate(zorder_cols):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        span = max(int(mx) - int(mn), 0) + 1
+        name = f"_zb_{i}"
+        names.append(name)
+        scaled = scaled.withColumn(
+            name,
+            F.least(
+                F.lit(2**bits - 1),
+                F.floor((F.col(c).cast("long") - int(mn)) * (2**bits) / span),
+            ).cast("long"),
+        )
+    out = (
+        scaled.withColumn("_z", zorder_value(names, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *names)
+    )
+    out.write.mode(mode).parquet(path)
