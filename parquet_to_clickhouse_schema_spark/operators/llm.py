@@ -1353,7 +1353,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ multimodal ---
 
 
-@_q("q_multimodal_cols")  # rows-only: binary/struct columns are engine-specific
+@_q(
+    "q_multimodal_cols",
+    """
+    SELECT doc_id, 'text' AS modality, lang,
+           CAST(strlen(text) AS BIGINT) AS payload_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+)
 def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column handling: documents become (payload binary, meta
     struct) rows — the schema shape for opaque image/audio/video bytes with
