@@ -121,6 +121,7 @@ SWEEP_PRIORITY = (
     "q_epoch_shuffle",
     "q_sample_weighted",
     "q_source_cap",
+    "q_ewma",
     "q_pq_topk",
     "q_ivfpq_topk",
     # last green row r1/r2 — stale, re-verify (registration order)

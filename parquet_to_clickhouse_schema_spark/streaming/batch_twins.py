@@ -241,3 +241,43 @@ def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("sum_val").isNull().alias("was_gap"),
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@_q(
+    "q_ewma",
+    f"""
+    SELECT user_id,
+           floor(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)
+                 * 10000.0 + 0.5) / 10000.0 AS ewma
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of purchase values —
+    the classic time-decayed signal (recent activity dominates) that no
+    built-in window aggregate expresses because the recurrence
+    EWMA_t = α·x_t + (1-α)·EWMA_{{t-1}} is a sequential fold.
+
+    Expressed as collect-in-order + F.aggregate (a JVM-side fold over each
+    user's event array): per-key state is the user's own event list, so
+    the shuffle is one hash partition by user and the fold is linear —
+    the per-key-bounded layout that scales, unlike a cross-row recursive
+    CTE. Both engines fold the same doubles in the same (ts, event_id)
+    order, so the float results agree bit-for-bit and the query
+    hash-matches the DuckDB list_reduce twin."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    xs = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(
+        xs,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+            EWMA_ALPHA * x["value"] + (1 - EWMA_ALPHA) * acc
+        ),
+    )
+    return ev.groupBy("user_id").agg(qround(fold, 4).alias("ewma"))
