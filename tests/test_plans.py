@@ -332,3 +332,45 @@ def test_stratified_sample_gets_window_group_limit(spark):
 
     plan = executed_plan(q_stratified_sample(spark, SF_SMOKE))
     assert plan.count("WindowGroupLimit") >= 2  # partial (map-side) + final
+
+
+def test_scalable_rank_property_random_skew_and_ties(spark):
+    """Property check: rank_low_cardinality == plain-window rank on random
+    data with heavy ties, skewed groups, and varying bucket counts — the
+    regimes where bucket-boundary bugs would show (a tie group straddling
+    buckets, an empty bucket, one group owning ~all rows)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from parquet_to_clickhouse_schema_spark.operators.windows import (
+        rank_low_cardinality,
+    )
+
+    rnd = random.Random(42)
+    for trial in range(6):
+        n = rnd.choice([37, 200, 1000])
+        n_keys = rnd.choice([1, 2, 5])
+        n_vals = rnd.choice([3, 10, 1000])  # 3 → massive ties
+        skew = rnd.random() < 0.5
+        rows = []
+        for i in range(n):
+            k = "k0" if (skew and rnd.random() < 0.9) else f"k{rnd.randrange(n_keys)}"
+            rows.append((i, k, float(rnd.randrange(n_vals))))
+        df = spark.createDataFrame(rows, "id long, k string, v double")
+        w = Window.partitionBy("k").orderBy(F.col("v").desc())
+        want = sorted(
+            (r.id, r.rnk)
+            for r in df.withColumn("rnk", F.rank().over(w).cast("bigint")).collect()
+        )
+        got = sorted(
+            (r.id, r.rnk)
+            for r in rank_low_cardinality(
+                df,
+                ["k"],
+                "v",
+                ascending=False,
+                num_buckets=rnd.choice([2, 7, 32]),
+            ).collect()
+        )
+        assert got == want, f"trial {trial}: n={n} keys={n_keys} vals={n_vals} skew={skew}"
