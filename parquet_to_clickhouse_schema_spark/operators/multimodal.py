@@ -106,3 +106,121 @@ def extract_features(spark: SparkSession, sf_dir: str, fake: bool = True) -> Dat
         "doc_id", "payload", F.col("meta.modality").alias("modality")
     )
     return mm.mapInPandas(decode_payload_batches(fake=fake), schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int, resize_ok boolean"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, sample_ok boolean"
+
+
+def resize_payload(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """Resize one image payload to (width, height). Real decode-resize-encode
+    needs PIL/libvips — stubbed per the build contract. The deterministic
+    fake emits exactly width*height bytes by striding/cycling the source so
+    tests can assert the size contract end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs (PIL/libvips) are not available in this environment; "
+            "pass fake=True for the deterministic stub"
+        )
+    target = width * height
+    if not payload:
+        return bytes(target)
+    reps = -(-target // len(payload))
+    return (payload * reps)[:target]
+
+
+def resize_batches(width: int, height: int, fake: bool = True):
+    """mapInPandas iterator for bulk image resize: (doc_id, payload) in,
+    (doc_id, payload, width, height, resize_ok) out. The payload column
+    stays binary through Arrow both ways — at 100 TB the only knob is
+    bytes-per-partition (repartition upstream so a batch of decoded images
+    fits the Python worker's memory)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, ok = [], []
+            for payload in pdf["payload"]:
+                try:
+                    out.append(resize_payload(bytes(payload), width, height, fake=fake))
+                    ok.append(True)
+                except NotImplementedError:
+                    out.append(b"")
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                    "resize_ok": ok,
+                }
+            )
+
+    return fn
+
+
+def resize_images(
+    spark: SparkSession, sf_dir: str, width: int = 8, height: int = 4, fake: bool = True
+) -> DataFrame:
+    """Bulk resize over the multimodal table (stub codec, real plumbing)."""
+    mm = multimodal_table(spark, sf_dir).select("doc_id", "payload")
+    return mm.mapInPandas(resize_batches(width, height, fake=fake), schema=RESIZE_SCHEMA)
+
+
+def sample_frames_payload(
+    payload: bytes, n_frames: int, fake: bool = False
+) -> list[bytes]:
+    """Sample n_frames evenly spaced frames from one video payload. Real
+    demuxing needs ffmpeg — stubbed. The deterministic fake slices the
+    payload into n_frames evenly spaced fixed-width byte windows (the shape
+    a real frame sampler produces: one binary blob per sampled frame)."""
+    if not fake:
+        raise NotImplementedError(
+            "video codecs (ffmpeg) are not available in this environment; "
+            "pass fake=True for the deterministic stub"
+        )
+    if not payload:
+        return [b""] * n_frames
+    w = max(len(payload) // n_frames, 1)
+    return [payload[i * w : i * w + w] or payload[-w:] for i in range(n_frames)]
+
+
+def frame_sample_batches(n_frames: int, fake: bool = True):
+    """mapInPandas iterator for frame sampling: one input row fans out to
+    n_frames output rows (doc_id, frame_idx, frame, sample_ok) — the
+    explode happens INSIDE the Python worker so frame bytes cross Arrow
+    once, already split."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, oks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    fs = sample_frames_payload(bytes(payload), n_frames, fake=fake)
+                    ok = True
+                except NotImplementedError:
+                    fs, ok = [b""] * n_frames, False
+                for i, fr in enumerate(fs):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(fr)
+                    oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "sample_ok": oks,
+                }
+            )
+
+    return fn
+
+
+def sample_frames(
+    spark: SparkSession, sf_dir: str, n_frames: int = 4, fake: bool = True
+) -> DataFrame:
+    """Bulk frame sampling over the multimodal table (stub codec, real
+    plumbing): each payload row fans out to n_frames frame rows."""
+    mm = multimodal_table(spark, sf_dir).select("doc_id", "payload")
+    return mm.mapInPandas(frame_sample_batches(n_frames, fake=fake), schema=FRAMES_SCHEMA)

@@ -50,3 +50,37 @@ def test_extract_features_end_to_end(spark):
     # stubbed real decode: plumbing still flows, decode_ok=False
     stubbed = extract_features(spark, SF_SMOKE, fake=False).limit(5).collect()
     assert all(not r.decode_ok for r in stubbed)
+
+
+def test_resize_respects_size_contract(spark):
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import resize_images
+
+    out = resize_images(spark, SF_SMOKE, width=8, height=4).collect()
+    assert len(out) > 0
+    assert all(len(bytes(r.payload)) == 32 for r in out)
+    assert all(r.resize_ok for r in out)
+    assert all((r.width, r.height) == (8, 4) for r in out)
+
+
+def test_resize_real_codec_is_honestly_stubbed(spark):
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import resize_images
+
+    out = resize_images(spark, SF_SMOKE, fake=False).collect()
+    assert all(not r.resize_ok for r in out)  # NotImplemented surfaces per-row
+
+
+def test_frame_sampling_fans_out_per_payload(spark):
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        multimodal_table,
+        sample_frames,
+    )
+
+    n_docs = multimodal_table(spark, SF_SMOKE).count()
+    out = sample_frames(spark, SF_SMOKE, n_frames=4).collect()
+    assert len(out) == n_docs * 4
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+    # deterministic fake: frames are non-empty slices of the payload
+    assert all(len(bytes(r.frame)) > 0 for r in out)
