@@ -109,8 +109,17 @@ CONTRACT_KEYS = (
 # 2-3 rounds stale (VERDICT r4 "Next round" #3). This round leads with the
 # keys whose implementations changed in round 5 (digest-key dedup, de-skewed
 # pack_sequences, rank, PQ validation), then every r1/r2-stale key in
-# registration order — so after this round ~50 of the 61 have a fresh row and
-# the remainder rotate to the front of round 6.
+# registration order — so after this round ~50 of the 61 have a fresh row.
+#
+# ROUND 6: a ~50-key sweep covers this tuple only through
+# q_near_dedup_minhash, so these keys still carry r1/r2 rows and must lead
+# round 6's priority (plus anything round 6 changes): q_text_stats,
+# q_udf_pandas, q_udf_python,
+# q_udaf_grouped, q_report_top_orders, q_report_revenue_delta,
+# q_report_returned_customers, q_report_late_orders, q_window_dist,
+# q_intersect_all, q_except_set, q_pivot, q_unpivot, q_subquery_scalar,
+# q_subquery_in, q_subquery_corr, q_having, q_percentile, q_stats_agg,
+# q_window_value.
 SWEEP_PRIORITY = (
     # implementations changed (or new) in round 5 — need fresh green rows
     "q_dedup_exact",
@@ -122,6 +131,7 @@ SWEEP_PRIORITY = (
     "q_sample_weighted",
     "q_source_cap",
     "q_ewma",
+    "q_multimodal_cols",  # oracle newly attached in r5 — must sweep fresh
     "q_pq_topk",
     "q_ivfpq_topk",
     # last green row r1/r2 — stale, re-verify (registration order)
@@ -164,7 +174,6 @@ SWEEP_PRIORITY = (
     "q_stream_dedup",
     "q_near_dedup_minhash",
     "q_text_stats",
-    "q_multimodal_cols",
     "q_udf_python",
     "q_udf_pandas",
     "q_udaf_grouped",
