@@ -1388,3 +1388,93 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("bigint").alias("payload_bytes"),
         F.sha2(F.col("payload"), 256).alias("payload_sha256"),
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 10,
+    id_col: str = "vec_id",
+):
+    """Distributed Lloyd's k-means over a vector column — the at-scale
+    replacement for the driver-side sample training ivf_topk/pq_topk use
+    (fine for codebooks, wrong when the corpus no longer fits a sample).
+
+    Per iteration, two jobs and NO vector ever crosses a shuffle:
+    1. assign: centroids broadcast; a vectorized mapInPandas computes the
+       argmax-dot label per row (BLAS tile per Arrow batch).
+    2. update: posexplode → groupBy(label, dim) partial sums — the shuffle
+       carries k × dim (label, dim, sum, count) rows, the same reduction
+       shape as q_embed_centroid. New centroids collect k × dim scalars to
+       the driver (bounded, like the IVF centroid pull).
+
+    Deterministic: init is farthest-point traversal over a bounded
+    xxhash64-ordered sample (greedy k-center — separates well-spread
+    clusters where naive first-k seeding collapses two seeds into one
+    blob and Lloyd's sticks in that local optimum); empty clusters keep
+    their previous centroid. Returns (centroids ndarray [k × dim],
+    assignments DataFrame[id_col, label])."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_seed = max(64 * k, 256)
+    seed = (
+        df.withColumn("_h", F.xxhash64(id_col))
+        .orderBy("_h", id_col)
+        .limit(n_seed)
+        .select(vec_col)
+        .toPandas()
+    )
+    smat = np.stack(seed[vec_col].to_numpy()).astype("float64")
+    chosen = [0]
+    d2min = ((smat - smat[0]) ** 2).sum(1)
+    while len(chosen) < min(k, len(smat)):
+        nxt = int(d2min.argmax())
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((smat - smat[nxt]) ** 2).sum(1))
+    cent = smat[chosen].copy()
+    if len(cent) < k:  # degenerate tiny input: pad by repeating
+        cent = np.resize(cent, (k, smat.shape[1]))
+    dim = cent.shape[1]
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    def make_assign(cmat):
+        bc = spark.sparkContext.broadcast(cmat)
+
+        def assign(batches):
+            c = bc.value
+            for b in batches:
+                mat = np.stack(b["_v"].to_numpy()).astype("float64")
+                d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) + (c * c).sum(1)[None, :]
+                yield pd.DataFrame(
+                    {"_id": b["_id"], "label": d2.argmin(1).astype("int32")}
+                )
+
+        return assign
+
+    assigned = None
+    for _ in range(iters):
+        assigned = base.mapInPandas(
+            make_assign(cent), schema="_id long, label int"
+        )
+        sums = (
+            base.join(assigned, "_id")
+            .select("label", F.posexplode("_v").alias("i", "x"))
+            .groupBy("label", "i")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cent.copy()
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["label"], [np.zeros(dim), 0])
+            acc[r["label"]][0][r["i"]] = r["s"]
+            acc[r["label"]][1] = r["n"]
+        for lbl, (vec, n) in acc.items():
+            if n:
+                new[lbl] = vec / n
+        cent = new
+    return cent, assigned.select(F.col("_id").alias(id_col), "label")

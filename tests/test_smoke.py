@@ -255,3 +255,36 @@ def test_filters_pushed_down(spark):
     )
     explained = li._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in explained
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    """Distributed Lloyd's k-means on 3 well-separated planted blobs must
+    recover one centroid per blob (within noise) and assign every point to
+    its blob's centroid — deterministically across runs."""
+    import random
+
+    import numpy as np
+
+    from parquet_to_clickhouse_schema_spark.operators.llm import kmeans_fit
+
+    rnd = random.Random(7)
+    centers = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 0.0]]
+    rows = []
+    for i in range(300):
+        c = centers[i % 3]
+        rows.append((i, [v + rnd.gauss(0, 0.5) for v in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cent, assigned = kmeans_fit(df, k=3, iters=8)
+    # each true center has a recovered centroid within 1.0
+    for c in centers:
+        dists = np.sqrt(((cent - np.array(c)) ** 2).sum(axis=1))
+        assert dists.min() < 1.0, (c, cent)
+    # assignments: points of one blob share a label, blobs get distinct labels
+    lab = {r.vec_id: r.label for r in assigned.collect()}
+    blob_labels = [{lab[i] for i in range(b, 300, 3)} for b in range(3)]
+    assert all(len(s) == 1 for s in blob_labels)
+    assert len(set().union(*blob_labels)) == 3
+    # determinism: a second fit returns identical centroids
+    cent2, _ = kmeans_fit(df, k=3, iters=8)
+    assert np.array_equal(cent, cent2)
