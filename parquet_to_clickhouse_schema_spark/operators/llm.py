@@ -1478,3 +1478,20 @@ def kmeans_fit(
                 new[lbl] = vec / n
         cent = new
     return cent, assigned.select(F.col("_id").alias(id_col), "label")
+
+
+@_q("q_kmeans_clusters")  # rows-only: iterative algorithm, no SQL twin
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the embeddings table with distributed Lloyd's k-means and
+    return per-cluster sizes — the iterative-algorithm entry of the query
+    surface (same rows-only class as the streaming twins: no portable SQL
+    expresses the iteration). Deterministic end-to-end (farthest-point
+    init over a hash-ordered sample, argmin ties break low), so repeated
+    runs return identical rows."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, assigned = kmeans_fit(e, k=4, iters=4)
+    return (
+        assigned.groupBy("label")
+        .agg(F.count("*").alias("n_vecs"))
+        .select(F.col("label").cast("int").alias("label"), F.col("n_vecs").cast("bigint").alias("n_vecs"))
+    )

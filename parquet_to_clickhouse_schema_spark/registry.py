@@ -132,6 +132,7 @@ SWEEP_PRIORITY = (
     "q_source_cap",
     "q_ewma",
     "q_multimodal_cols",  # oracle newly attached in r5 — must sweep fresh
+    "q_kmeans_clusters",  # new in r5 (rows-only: iterative)
     "q_pq_topk",
     "q_ivfpq_topk",
     # last green row r1/r2 — stale, re-verify (registration order)
