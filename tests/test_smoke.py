@@ -288,3 +288,42 @@ def test_kmeans_recovers_planted_blobs(spark):
     # determinism: a second fit returns identical centroids
     cent2, _ = kmeans_fit(df, k=3, iters=8)
     assert np.array_equal(cent, cent2)
+
+
+def test_fuzzy_pairs_prefix_filter_is_lossless(spark):
+    """The ed-join prefix filter must be EXACT, not best-effort: the blocked
+    q_fuzzy_pairs result equals the unblocked same-language quadratic join
+    pair-for-pair (Ukkonen's bound guarantees no qualifying pair can be
+    dropped, unlike the recall-based MinHash/SimHash blockers)."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        FUZZY_MAXD,
+        FUZZY_PLEN,
+        q_fuzzy_pairs,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    p = F.rpad(F.lower(F.substring("text", 1, FUZZY_PLEN)), FUZZY_PLEN, ".")
+    base = d.select("doc_id", "lang", p.alias("p"))
+    a, b = base.alias("a"), base.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("a.p"), F.col("b.p")).cast("int"))
+        .filter(F.col("edit_dist") <= FUZZY_MAXD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "edit_dist",
+        )
+    )
+    want = {(r.doc_a, r.doc_b, r.edit_dist) for r in naive.collect()}
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in q_fuzzy_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert want, "corpus has no fuzzy pairs; equality test is vacuous"
