@@ -281,3 +281,52 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ev.groupBy("user_id").agg(qround(fold, 4).alias("ewma"))
+
+
+SESSION_GAP_MIN = 30
+
+
+@_q(
+    "q_sessionize",
+    f"""
+    SELECT user_id, event_id, ts,
+           CAST(1 + sum(CASE WHEN prev_ts IS NULL
+                              OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+    FROM (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session assignment: every event gets its user's 1-based
+    session index under the {SESSION_GAP_MIN}-minute-gap rule — the row-level
+    counterpart of q_session_window's per-session aggregate (attribution,
+    journey analysis, and training-sequence construction all need the id on
+    the event, not the session summary). Classic two-window form: lag()
+    marks session starts, a running sum of start-markers numbers them; one
+    shuffle on user_id, both windows share it; (ts, event_id) is the unique
+    tiebreak that makes the assignment deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("ts").over(w)
+    # interval comparison works for TIMESTAMP and TIMESTAMP_NTZ alike
+    # (a long cast would fail analysis on NTZ)
+    is_start = F.when(
+        prev.isNull()
+        | (F.col("ts") - prev > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")),
+        1,
+    ).otherwise(0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.sum(is_start).over(run)).cast("bigint").alias("session_idx"),
+    )
