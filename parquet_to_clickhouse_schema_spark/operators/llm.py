@@ -1590,3 +1590,49 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= FUZZY_MAXD)
         .select("doc_a", "doc_b", "lang", "edit_dist")
     )
+
+
+@_q(
+    "q_dedup_keep_best",
+    """
+    SELECT rep_doc_id, n_copies, rep_chars
+    FROM (
+      SELECT doc_id AS rep_doc_id,
+             CAST(count(*) OVER (PARTITION BY lower(trim(text))) AS BIGINT)
+                 AS n_copies,
+             CAST(n_chars AS BIGINT) AS rep_chars,
+             row_number() OVER (PARTITION BY lower(trim(text))
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the BEST representative per duplicate group
+    (here: most characters, doc_id tiebreak) instead of q_dedup_exact's
+    min-id — the form a quality-aware pipeline wants (keep the longest /
+    highest-quality copy, drop the rest).
+
+    Same fixed-width-digest shuffle discipline as q_dedup_exact: one
+    hash-groupBy on sha2(normalized text), argmax via max(struct(quality,
+    -doc_id)) so the whole selection is a single map-side-combinable
+    aggregate — no window over the corpus, no second shuffle. The oracle
+    expresses the same argmax with a row_number window over the raw
+    normalized text (the semantic spec; digest grouping is the physical
+    form)."""
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        d.groupBy(digest.alias("text_digest"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            best.alias("best"),
+        )
+        .select(
+            (-F.col("best.neg_id")).cast("bigint").alias("rep_doc_id"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            F.col("best.n_chars").cast("bigint").alias("rep_chars"),
+        )
+    )
