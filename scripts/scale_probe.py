@@ -40,10 +40,20 @@ QUERIES = {
 
 
 def _llm_queries():
-    from parquet_to_clickhouse_schema_spark.operators import llm
+    from parquet_to_clickhouse_schema_spark.operators import llm, training
     from parquet_to_clickhouse_schema_spark.functions import text
 
     return {
+        # round-5 additions. q_fuzzy_pairs is deliberately NOT probed: the
+        # k-replica corpus gives every doc k exact copies, so its OUTPUT
+        # (all pairs within edit distance 3) grows ~k² by construction
+        # (~22M qualifying pairs at k=10) — the probe would measure the
+        # dataset's quadratic pair count, not the plan. Its scale evidence
+        # is the lossless-blocking equality test plus the measured 82s→22s
+        # prefix-filter win at sf0.1.
+        "q_bm25_score": text.q_bm25_score,
+        "q_epoch_shuffle": training.q_epoch_shuffle,
+        "q_pack_sequences": training.q_pack_sequences,
         "q_dedup_exact": llm.q_dedup_exact,
         "q_near_dedup_minhash": llm.q_near_dedup_minhash,
         "q_dedup_ngram": llm.q_dedup_ngram,

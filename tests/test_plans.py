@@ -374,3 +374,29 @@ def test_scalable_rank_property_random_skew_and_ties(spark):
             ).collect()
         )
         assert got == want, f"trial {trial}: n={n} keys={n_keys} vals={n_vals} skew={skew}"
+
+
+def test_bm25_broadcasts_stats_and_prunes_scan(spark):
+    """q_bm25_score's document-frequency and corpus-stats sides must
+    broadcast (no shuffle for the joins), and the token explode must be
+    filtered to the query terms before any aggregation."""
+    from parquet_to_clickhouse_schema_spark.functions.text import q_bm25_score
+
+    df = q_bm25_score(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    # bounded shuffle inventory: the filtered (doc,term) tf aggregate, the
+    # |query|-row df aggregate, the 1-row corpus stats, the final per-doc
+    # aggregate (+ AQE bookkeeping) — and NO shuffle join of tf against
+    # either stats side (those broadcast, asserted above)
+    assert shuffle_count(df) <= 5, plan
+
+
+def test_fuzzy_pairs_has_no_cartesian_product(spark):
+    """The lossless prefix filter must plan as equi-joins — a
+    CartesianProduct would mean the quadratic fallback leaked in."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import q_fuzzy_pairs
+
+    plan = executed_plan(q_fuzzy_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
