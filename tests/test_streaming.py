@@ -193,3 +193,66 @@ def test_stream_static_enrichment_matches_batch(spark):
     assert got == want
     # the left join must have kept at least one unmatched event if any exist
     assert len(got) == ev.count()
+
+
+def test_watermark_finalizes_windows_and_drops_late_rows(spark, tmp_path):
+    """True watermark semantics, which the single-batch bounded source never
+    exercises: with maxFilesPerTrigger=1 each file is its own micro-batch,
+    so (1) a window is emitted in append mode exactly once, when the
+    watermark passes it, and (2) rows arriving behind the watermark are
+    DROPPED — the documented late-data policy."""
+    import datetime
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    h0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        path = str(d / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    now = _time.time()
+    # batch 1: three on-time rows in hour 0
+    write("part-0.parquet", [(1, h0, 1), (2, h0 + datetime.timedelta(minutes=5), 1), (3, h0 + datetime.timedelta(minutes=50), 2)], now - 300)
+    # batch 2: hour 2 rows — advances the watermark far past hour 0's end
+    write("part-1.parquet", [(4, h0 + datetime.timedelta(hours=2), 1)], now - 250)
+    # batch 3: spacer — the watermark update from batch 2 lands one batch
+    # later (Spark computes batch N's watermark from data through N-1)
+    write("part-2.parquet", [(6, h0 + datetime.timedelta(hours=2, minutes=5), 1)], now - 200)
+    # batch 4: LATE hour-0 rows, now far behind the watermark — dropped
+    write("part-3.parquet", [(5, h0 + datetime.timedelta(minutes=10), 3)], now - 100)
+
+    schema = spark.read.parquet(str(d)).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → watermarkable
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    got = {(r.ws, r.n) for r in run_to_memory(agg, "t_late", "append").collect()}
+    # hour-0 window: emitted once, counting ONLY the 3 on-time rows (the
+    # late event_id=5 was behind the watermark); hour-2 window: never
+    # finalized (nothing advanced the watermark past it) so absent
+    assert got == {(h0, 3)}, got
