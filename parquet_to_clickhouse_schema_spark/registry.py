@@ -136,6 +136,7 @@ SWEEP_PRIORITY = (
     "q_fuzzy_pairs",  # new in r5
     "q_sessionize",  # new in r5
     "q_dedup_keep_best",  # new in r5
+    "q_rolling_distinct",  # new in r5
     "q_pq_topk",
     "q_ivfpq_topk",
     # last green row r1/r2 — stale, re-verify (registration order)

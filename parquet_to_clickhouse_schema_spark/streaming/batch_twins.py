@@ -330,3 +330,39 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (F.sum(is_start).over(run)).cast("bigint").alias("session_idx"),
     )
+
+
+@_q(
+    "q_rolling_distinct",
+    """
+    WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM pairs)
+    SELECT days.d AS report_day,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS u7
+    FROM days JOIN pairs p ON p.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (rolling WAU shape) — the
+    metric a COUNT(DISTINCT) OVER a RANGE frame would express if Spark
+    supported distinct window aggregates over time ranges.
+
+    Scalable form: reduce to distinct (day, user) pairs first (one
+    shuffle, corpus → days×users), then fan each pair out to the ≤7 report
+    days it can serve (explode(sequence)) and run a partial-aggregated
+    count-distinct per day — the shuffle carries at most 7×|pairs| rows,
+    never raw events, and no window holds more than one day's state. The
+    oracle expresses the same thing as a day-range join."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    days = pairs.select(F.col("d").alias("report_day")).distinct()
+    exp = pairs.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("report_day"),
+        "user_id",
+    )
+    return (
+        exp.join(F.broadcast(days), "report_day")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("u7"))
+    )
