@@ -1562,8 +1562,12 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "p", "gk")
     freq = keyed.groupBy("gk").agg(F.count("*").alias("gfreq"))
     pfx_w = Window.partitionBy("doc_id").orderBy(F.col("gfreq").asc(), "gk")
+    # freq is bounded by the distinct (gram, occurrence#) keyspace, which
+    # grows with corpus charset/q — so no forced broadcast (VERDICT r5 #6):
+    # AQE broadcasts it while it fits and falls back to a shuffle join
+    # (with skew-split on hot grams) when it doesn't.
     pref = (
-        keyed.join(F.broadcast(freq), "gk")
+        keyed.join(freq, "gk")
         .withColumn("r", F.row_number().over(pfx_w))
         .filter(F.col("r") <= FUZZY_MAXD * FUZZY_Q + 1)
         .select("doc_id", "lang", "p", "gk")

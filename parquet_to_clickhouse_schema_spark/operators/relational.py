@@ -122,10 +122,12 @@ def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-way star join. Dimension sides (customer/nation/region) are
-    broadcast so the only shuffle of the fact table is the lineitem-orders
-    sort-merge + the final (tiny) aggregation shuffle. Catalyst's join
-    reordering keeps the fact table on the streaming side throughout."""
+    """5-way star join. nation/region are fixed-cardinality (25/5 rows at
+    every scale factor) so their broadcast hints are always safe. customer
+    grows linearly with SF — at 100 TB it's billions of rows, so no forced
+    hint: AQE broadcasts it when its runtime size is under the threshold and
+    falls back to shuffle/sort-merge gracefully when it isn't. Catalyst's
+    join reordering keeps the fact table on the streaming side throughout."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -133,7 +135,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")

@@ -107,14 +107,17 @@ def q_report_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_report_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: which customers return the most revenue. Returnflag
-    filter reduces lineitem ~3x at the scan; dims broadcast."""
+    filter reduces lineitem ~3x at the scan. nation (fixed 25 rows) keeps
+    its broadcast hint; customer grows with SF so AQE picks its strategy at
+    runtime — a forced broadcast would OOM at 100 TB instead of degrading
+    to a sort-merge join."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(

@@ -244,7 +244,15 @@ def rank_low_cardinality(
     if method not in ("rank", "row_number"):
         raise ValueError(f"method must be 'rank' or 'row_number', got {method!r}")
     sess = df.sparkSession
-    n = num_buckets or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    if num_buckets:
+        n = num_buckets
+    else:
+        # shuffle.partitions may be non-numeric on some deployments
+        # (e.g. "auto" under Databricks AQE) — fall back to a sane default
+        try:
+            n = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            n = 200
     fracs = [i / n for i in range(1, n)]
     bounds = (
         df.groupBy(*part_cols)

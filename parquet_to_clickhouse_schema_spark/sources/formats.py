@@ -216,6 +216,25 @@ def zorder_value(cols: list[str], bits: int = 16):
     return out
 
 
+def _zorder_bucket_expr(col: str, mn: int, span: int, bits: int):
+    """Exact [0, 2^bits) bucket of an integer column over [mn, mn+span).
+
+    Integer `div` keeps the bucket exact for 64-bit key spans — double
+    division loses precision past ~2^40 (a value just under a bucket
+    boundary rounds up across it). The multiply form (value spread across
+    the full 2^bits range, equal bit significance per dimension) is safe
+    while (span-1)*2^bits fits in a long; for wider spans, divide first by
+    the bucket width instead (same buckets, no overflow)."""
+    from pyspark.sql import functions as F
+
+    if span <= 2 ** (62 - bits):
+        bucket = F.expr(f"(CAST({col} AS BIGINT) - {mn}L) * {2**bits}L div {span}L")
+    else:
+        width = -(-span // 2**bits)  # ceil(span / 2^bits)
+        bucket = F.expr(f"(CAST({col} AS BIGINT) - {mn}L) div {width}L")
+    return F.least(F.lit(2**bits - 1), bucket).cast("long")
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -248,16 +267,17 @@ def write_zordered(
     names = []
     for i, c in enumerate(zorder_cols):
         mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
-        span = max(int(mx) - int(mn), 0) + 1
+        if mn is None or mx is None:
+            raise ValueError(
+                f"write_zordered: z-order column {c!r} has no non-NULL values "
+                "(min/max is NULL) — drop it from zorder_cols or filter/impute "
+                "NULLs first"
+            )
+        mn, mx = int(mn), int(mx)
+        span = max(mx - mn, 0) + 1
         name = f"_zb_{i}"
         names.append(name)
-        scaled = scaled.withColumn(
-            name,
-            F.least(
-                F.lit(2**bits - 1),
-                F.floor((F.col(c).cast("long") - int(mn)) * (2**bits) / span),
-            ).cast("long"),
-        )
+        scaled = scaled.withColumn(name, _zorder_bucket_expr(c, mn, span, bits))
     out = (
         scaled.withColumn("_z", zorder_value(names, bits))
         .repartitionByRange(n_files, "_z")

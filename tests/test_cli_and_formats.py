@@ -264,3 +264,69 @@ def test_zorder_layout_prunes_on_both_dimensions(tmp_path, spark):
     # single-column sort prunes its key but is blind on the other dimension
     assert overlap_frac(spath, 0, 0, okey_hi) <= 0.3
     assert overlap_frac(spath, 1, 0, skey_hi) >= 0.9
+
+
+def test_zorder_null_column_fails_fast(tmp_path, spark):
+    """ADVICE r5: an all-NULL z-order column used to surface as an opaque
+    int(None) TypeError — it must raise a clear ValueError naming the
+    column."""
+    import pytest
+
+    from parquet_to_clickhouse_schema_spark.sources.formats import write_zordered
+
+    df = spark.createDataFrame([(1, None), (2, None)], "a long, b long")
+    with pytest.raises(ValueError, match="'b'.*non-NULL|non-NULL.*'b'"):
+        write_zordered(df, str(tmp_path / "z"), ["a", "b"], n_files=2)
+
+
+def test_zorder_wide_span_exact_integer_buckets(spark):
+    """ADVICE r5: bucket scaling for key spans wider than ~2^40 used to go
+    through double division — a value just under a bucket boundary rounded
+    up across it. The integer `div` helper must match exact Python integer
+    math, including at values chosen to break double rounding."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_clickhouse_schema_spark.sources.formats import (
+        _zorder_bucket_expr,
+    )
+
+    bits = 12
+    span = 2**50
+    # values one below / at bucket boundaries near the top of the range —
+    # exactly where float division rounds across the boundary
+    vals = [0, 1, 2**38 - 1, 2**38, 1000 * 2**38 - 1, span - 2**38, span - 1]
+    want = [min(2**bits - 1, v * 2**bits // span) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    got = [
+        r["bkt"]
+        for r in df.select(
+            "k", _zorder_bucket_expr("k", 0, span, bits).alias("bkt")
+        )
+        .orderBy("k")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_zorder_beyond_multiply_safe_span(spark):
+    """Spans too wide for (span-1)*2^bits to fit a long take the
+    divide-first path — still exact, no overflow."""
+    from parquet_to_clickhouse_schema_spark.sources.formats import (
+        _zorder_bucket_expr,
+    )
+
+    bits = 12
+    span = 2**55  # > 2^(62-12)
+    width = -(-span // 2**bits)
+    vals = [0, width - 1, width, span - 1]
+    want = [min(2**bits - 1, v // width) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    got = [
+        r["bkt"]
+        for r in df.select(
+            "k", _zorder_bucket_expr("k", 0, span, bits).alias("bkt")
+        )
+        .orderBy("k")
+        .collect()
+    ]
+    assert got == want

@@ -50,6 +50,30 @@ def test_multiway_fact_shuffles_once(spark):
     assert shuffle_count(df) <= 3
 
 
+def test_multiway_customer_broadcast_is_aqe_not_hint(spark):
+    """VERDICT r5 #2: customer grows with SF, so its broadcast must come
+    from AQE's runtime size estimate (graceful SMJ fallback at 100 TB), not
+    a forced hint (OOM at 100 TB). Only the fixed-cardinality nation/region
+    may carry hints — exactly two ResolvedHints in the analyzed plan — while
+    the executed plan still broadcasts customer at this SF (asserted by the
+    >=3 BroadcastHashJoin check above)."""
+    df = relational.q_join_multiway(spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+
+
+def test_returned_customers_no_forced_customer_broadcast(spark):
+    """Same rule for the TPC-H Q10 shape: one hint (nation), customer's
+    strategy left to AQE."""
+    from parquet_to_clickhouse_schema_spark.operators import reports
+
+    df = reports.q_report_returned_customers(spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+    # at test SF AQE still picks broadcast for customer
+    assert executed_plan(df).count("BroadcastHashJoin") >= 2
+
+
 def test_range_join_is_nested_loop_broadcast(spark):
     df = relational.q_join_range(spark, SF_SMOKE)
     assert "BroadcastNestedLoopJoin" in executed_plan(df)
@@ -400,3 +424,32 @@ def test_fuzzy_pairs_has_no_cartesian_product(spark):
     plan = executed_plan(q_fuzzy_pairs(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rank_low_cardinality_nonnumeric_shuffle_conf(spark, monkeypatch):
+    """ADVICE r5: num_buckets defaulted from int(spark.sql.shuffle.partitions),
+    which crashes where that conf is non-numeric (e.g. "auto" under
+    Databricks AQE) — the parse must fall back to a numeric default. OSS
+    Spark validates the conf at set-time, so the Databricks value is
+    simulated by patching the RuntimeConfig getter."""
+    from pyspark.sql.conf import RuntimeConfig
+
+    from parquet_to_clickhouse_schema_spark.operators.windows import (
+        rank_low_cardinality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 3.0), (2, "a", 1.0), (3, "b", 2.0)], "id long, k string, v double"
+    )
+    orig = RuntimeConfig.get
+
+    def fake_get(self, key, *args, **kwargs):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return orig(self, key, *args, **kwargs)
+
+    monkeypatch.setattr(RuntimeConfig, "get", fake_get)
+    ranked = rank_low_cardinality(df, ["k"], "v", ascending=False)
+    monkeypatch.undo()
+    got = sorted((r.id, r.rnk) for r in ranked.collect())
+    assert got == [(1, 1), (2, 2), (3, 1)]
