@@ -203,9 +203,10 @@ def test_pq_rejects_indivisible_subspace_count(spark):
 
 
 def test_ivfpq_recall_vs_bruteforce(spark):
-    """IVF-PQ composition: recall ceiling is the IVF probe recall (0.75 at
-    8/16 lists on near-orthogonal vectors); the ADC+exact-refine stage must
-    not lose materially below it (measured 0.757)."""
+    """IVF-PQ composition: recall ceiling is the IVF probe recall (0.86 at
+    8/16 lists on near-orthogonal vectors with Lloyd-trained centroids);
+    the ADC+exact-refine stage must not lose materially below it
+    (measured 0.795)."""
     from parquet_to_clickhouse_schema_spark.operators.llm import ivfpq_topk
 
     exact = {(r.vec_id, r.nbr_id) for r in q_cosine_topk(spark, SF_SMOKE).collect()}
@@ -288,6 +289,16 @@ def test_kmeans_recovers_planted_blobs(spark):
     # determinism: a second fit returns identical centroids
     cent2, _ = kmeans_fit(df, k=3, iters=8)
     assert np.array_equal(cent, cent2)
+    # ADVICE r5: the returned assignments must be consistent with the
+    # returned (FINAL) centroids — recomputing argmin labels from `cent`
+    # in numpy must reproduce the assignments DataFrame exactly
+    vecs = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    for vid, label in lab.items():
+        d2 = ((cent - vecs[vid]) ** 2).sum(axis=1)
+        assert int(d2.argmin()) == label, (vid, label, d2)
+    # with_assignments=False returns (centroids, None) and trains identically
+    cent3, none = kmeans_fit(df, k=3, iters=8, with_assignments=False)
+    assert none is None and np.array_equal(cent, cent3)
 
 
 def test_fuzzy_pairs_prefix_filter_is_lossless(spark):
