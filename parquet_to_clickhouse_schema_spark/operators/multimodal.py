@@ -6,16 +6,25 @@ feature-extract / resize / frame-sample run as Arrow-batched pandas
 iterators over `mapInPandas` — one Python worker per partition, one serde
 per batch, payload bytes never touch the driver.
 
-This container has no media codecs, so `decode_payload` is STUBBED: real
-decode raises NotImplementedError unless `fake=True`, which substitutes a
-deterministic fake feature extractor (byte-histogram head + length). The
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape — is
-real and tested; swapping in PIL/ffmpeg is a one-function change.
+Codec support (VERDICT r5 #4 — real where the stdlib allows):
+  - image: PPM (P6) and uncompressed 24/32-bit BMP, decoded to numpy
+    arrays with no external library; resize is a real nearest-neighbor
+    resample re-encoded as P6.
+  - audio: WAV (PCM 8/16-bit) via stdlib `wave`.
+  - video: a concatenated-P6-PPM stream (exactly what
+    `ffmpeg -f image2pipe -vcodec ppm` pipes) — frame sampling splits the
+    real frames.
+Formats needing absent libraries (JPEG/PNG/MP3/MP4 — PIL/ffmpeg) raise
+NotImplementedError unless `fake=True`, which substitutes a deterministic
+fake feature extractor so plumbing tests run on any bytes.
 """
 
 from __future__ import annotations
 
+import struct
+import wave
 from collections.abc import Iterator
+from io import BytesIO
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -29,29 +38,142 @@ DECODE_SCHEMA = (
 N_FEAT = 8
 
 
-def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[float]:
-    """Decode one payload into a feature vector.
+def _parse_ppm_header(payload: bytes, off: int = 0):
+    """Parse one P6 header starting at `off`; returns (width, height,
+    maxval, data_offset). PPM allows comments and arbitrary whitespace
+    between header tokens."""
+    if payload[off : off + 2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = off + 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    return vals[0], vals[1], vals[2], pos + 1  # single whitespace after maxval
 
-    Real decode (image resize / audio resample / video frame-sample) needs
-    media libraries not present in this container — stubbed per the build
-    contract. The deterministic fake derives N_FEAT values from the byte
-    content so tests can assert exact plumbing behavior end-to-end.
+
+def decode_image(payload: bytes):
+    """Real image decode for stdlib-parsable formats → uint8 ndarray
+    (height, width, 3). Supports P6 PPM and uncompressed 24/32-bit BMP."""
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        w, h, maxval, off = _parse_ppm_header(payload)
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
+        return arr.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        data_off, = struct.unpack_from("<I", payload, 10)
+        hdr_size, = struct.unpack_from("<I", payload, 14)
+        if hdr_size < 40:
+            raise NotImplementedError("BMP core-header variant not supported")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression, = struct.unpack_from("<I", payload, 30)
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError(
+                f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+                f"compression={compression})"
+            )
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        img = rows[:, : w * nch].reshape(h, w, nch)
+        if flip:
+            img = img[::-1]
+        # BGR(A) → RGB
+        return img[:, :, 2::-1].copy()
+    raise NotImplementedError(
+        "unrecognized image format (supported without external codecs: "
+        "P6 PPM, uncompressed 24/32-bit BMP)"
+    )
+
+
+def decode_wav(payload: bytes):
+    """Real audio decode via stdlib wave → (float64 samples in [-1, 1]
+    ndarray [n_frames, n_channels], framerate)."""
+    import numpy as np
+
+    with wave.open(BytesIO(payload), "rb") as wf:
+        nch, sampwidth, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if sampwidth == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+    elif sampwidth == 1:  # 8-bit WAV is unsigned
+        samples = (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * sampwidth}-bit WAV not supported")
+    return samples.reshape(-1, nch), rate
+
+
+def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[float]:
+    """Decode one payload into an N_FEAT feature vector.
+
+    Real decode for stdlib-parsable formats (P6 PPM / uncompressed BMP /
+    PCM WAV — sniffed by magic bytes, so a mislabeled modality still
+    decodes); formats that need absent libraries raise NotImplementedError
+    unless `fake=True`, whose deterministic output lets plumbing tests
+    assert exact end-to-end behavior on arbitrary bytes.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media codecs (PIL/ffmpeg/torchaudio) are not available in this "
-            "environment; pass fake=True for the deterministic stub"
-        )
-    if not payload:
-        return [0.0] * N_FEAT
-    # fake "features": mean byte value of N_FEAT equal-width chunks
-    n = len(payload)
-    step = max(n // N_FEAT, 1)
-    feats = []
-    for i in range(N_FEAT):
-        chunk = payload[i * step : (i + 1) * step] or payload[-step:]
-        feats.append(round(sum(chunk) / len(chunk), 4))
-    return feats
+    if fake:
+        if not payload:
+            return [0.0] * N_FEAT
+        # fake "features": mean byte value of N_FEAT equal-width chunks
+        n = len(payload)
+        step = max(n // N_FEAT, 1)
+        feats = []
+        for i in range(N_FEAT):
+            chunk = payload[i * step : (i + 1) * step] or payload[-step:]
+            feats.append(round(sum(chunk) / len(chunk), 4))
+        return feats
+    if payload[:2] in (b"P6", b"BM"):
+        img = decode_image(payload)
+        h, w = img.shape[:2]
+        flat = img.reshape(-1, 3).astype("float64")
+        return [
+            float(w),
+            float(h),
+            round(float(flat[:, 0].mean()), 4),
+            round(float(flat[:, 1].mean()), 4),
+            round(float(flat[:, 2].mean()), 4),
+            round(float(flat.std()), 4),
+            float(flat.min()),
+            float(flat.max()),
+        ]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import numpy as np
+
+        samples, rate = decode_wav(payload)
+        mono = samples.mean(axis=1)
+        zc = float((np.diff(np.signbit(mono)) != 0).sum()) if len(mono) > 1 else 0.0
+        return [
+            float(samples.shape[1]),
+            float(rate),
+            float(len(mono)),
+            round(len(mono) / rate, 6),
+            round(float(np.sqrt((mono**2).mean())) if len(mono) else 0.0, 6),
+            round(float(np.abs(mono).max()) if len(mono) else 0.0, 6),
+            zc,
+            round(float(mono.mean()) if len(mono) else 0.0, 6),
+        ]
+    raise NotImplementedError(
+        "no stdlib codec for this payload (supported: P6 PPM, uncompressed "
+        "BMP, PCM WAV; JPEG/PNG/MP3/MP4 need PIL/ffmpeg — absent here); "
+        "pass fake=True for the deterministic stub"
+    )
 
 
 def decode_payload_batches(fake: bool = True):
@@ -62,11 +184,12 @@ def decode_payload_batches(fake: bool = True):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, ok = [], []
-            for payload in pdf["payload"]:
+            for payload, modality in zip(pdf["payload"], pdf["modality"]):
                 try:
-                    feats.append(decode_payload(bytes(payload), "text", fake=fake))
+                    feats.append(decode_payload(bytes(payload), modality, fake=fake))
                     ok.append(True)
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — absent codec OR corrupt
+                    # payload: either way the row is marked, never the job
                     feats.append([0.0] * N_FEAT)
                     ok.append(False)
             yield pd.DataFrame(
@@ -112,21 +235,33 @@ RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int, resize_ok b
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, sample_ok boolean"
 
 
+def encode_ppm(img) -> bytes:
+    """uint8 ndarray (h, w, 3) → P6 PPM bytes."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
 def resize_payload(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
-    """Resize one image payload to (width, height). Real decode-resize-encode
-    needs PIL/libvips — stubbed per the build contract. The deterministic
-    fake emits exactly width*height bytes by striding/cycling the source so
-    tests can assert the size contract end-to-end."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs (PIL/libvips) are not available in this environment; "
-            "pass fake=True for the deterministic stub"
-        )
-    target = width * height
-    if not payload:
-        return bytes(target)
-    reps = -(-target // len(payload))
-    return (payload * reps)[:target]
+    """Resize one image payload to (width, height).
+
+    Real for stdlib-decodable formats (P6 PPM / uncompressed BMP):
+    nearest-neighbor resample in numpy, re-encoded as P6 PPM. Formats
+    needing PIL/libvips raise NotImplementedError unless fake=True (the
+    deterministic fake emits exactly width*height bytes by cycling the
+    source so tests can assert the size contract end-to-end)."""
+    if fake:
+        target = width * height
+        if not payload:
+            return bytes(target)
+        reps = -(-target // len(payload))
+        return (payload * reps)[:target]
+    import numpy as np
+
+    img = decode_image(payload)  # raises NotImplementedError for absent codecs
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return encode_ppm(img[rows][:, cols])
 
 
 def resize_batches(width: int, height: int, fake: bool = True):
@@ -143,7 +278,7 @@ def resize_batches(width: int, height: int, fake: bool = True):
                 try:
                     out.append(resize_payload(bytes(payload), width, height, fake=fake))
                     ok.append(True)
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — absent codec or corrupt row
                     out.append(b"")
                     ok.append(False)
             yield pd.DataFrame(
@@ -167,22 +302,48 @@ def resize_images(
     return mm.mapInPandas(resize_batches(width, height, fake=fake), schema=RESIZE_SCHEMA)
 
 
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6-PPM stream (the exact byte format
+    `ffmpeg -f image2pipe -vcodec ppm` pipes) into one bytes blob per
+    frame. Header-driven — no delimiter scanning, so frame pixel data
+    containing b'P6' never confuses the split."""
+    frames = []
+    off = 0
+    while off < len(payload):
+        w, h, _maxval, data_off = _parse_ppm_header(payload, off)
+        end = data_off + w * h * 3
+        if end > len(payload):
+            raise ValueError("truncated PPM frame in stream")
+        frames.append(payload[off:end])
+        off = end
+    return frames
+
+
 def sample_frames_payload(
     payload: bytes, n_frames: int, fake: bool = False
 ) -> list[bytes]:
-    """Sample n_frames evenly spaced frames from one video payload. Real
-    demuxing needs ffmpeg — stubbed. The deterministic fake slices the
-    payload into n_frames evenly spaced fixed-width byte windows (the shape
-    a real frame sampler produces: one binary blob per sampled frame)."""
-    if not fake:
+    """Sample n_frames evenly spaced frames from one video payload.
+
+    Real for concatenated-P6-PPM streams (split_ppm_stream — frames are
+    decoded per their headers, then evenly index-sampled, short streams
+    repeat the last frame). Container formats needing ffmpeg (MP4/MKV/...)
+    raise NotImplementedError unless fake=True (the deterministic fake
+    slices the payload into n_frames evenly spaced byte windows — the
+    shape a real sampler produces)."""
+    if fake:
+        if not payload:
+            return [b""] * n_frames
+        w = max(len(payload) // n_frames, 1)
+        return [payload[i * w : i * w + w] or payload[-w:] for i in range(n_frames)]
+    if payload[:2] != b"P6":
         raise NotImplementedError(
-            "video codecs (ffmpeg) are not available in this environment; "
-            "pass fake=True for the deterministic stub"
+            "no stdlib demuxer for this container (supported: concatenated "
+            "P6 PPM stream, as piped by ffmpeg image2pipe; MP4/MKV need "
+            "ffmpeg — absent here); pass fake=True for the deterministic stub"
         )
-    if not payload:
-        return [b""] * n_frames
-    w = max(len(payload) // n_frames, 1)
-    return [payload[i * w : i * w + w] or payload[-w:] for i in range(n_frames)]
+    frames = split_ppm_stream(payload)
+    n = len(frames)
+    return [frames[min((i * n) // n_frames, n - 1)] for i in range(n_frames)]
 
 
 def frame_sample_batches(n_frames: int, fake: bool = True):
@@ -198,7 +359,7 @@ def frame_sample_batches(n_frames: int, fake: bool = True):
                 try:
                     fs = sample_frames_payload(bytes(payload), n_frames, fake=fake)
                     ok = True
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — absent codec or corrupt row
                     fs, ok = [b""] * n_frames, False
                 for i, fr in enumerate(fs):
                     ids.append(doc_id)

@@ -1,4 +1,5 @@
-"""Multimodal plumbing: mapInPandas decode pipeline (stubbed codecs)."""
+"""Multimodal plumbing: mapInPandas decode pipeline — real stdlib codecs
+(PPM/BMP/WAV/PPM-stream) plus the deterministic fake for absent ones."""
 
 import pytest
 
@@ -11,7 +12,8 @@ from parquet_to_clickhouse_schema_spark.operators.multimodal import (
 from tests.conftest import SF_SMOKE
 
 
-def test_real_decode_is_stubbed():
+def test_unsupported_format_raises_not_implemented():
+    """Bytes with no stdlib codec (not PPM/BMP/WAV) still refuse honestly."""
     with pytest.raises(NotImplementedError):
         decode_payload(b"abc", "image", fake=False)
 
@@ -84,3 +86,118 @@ def test_frame_sampling_fans_out_per_payload(spark):
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
     # deterministic fake: frames are non-empty slices of the payload
     assert all(len(bytes(r.frame)) > 0 for r in out)
+
+
+# ---- real stdlib codecs (PPM / BMP / WAV / PPM-stream), VERDICT r5 #4 ----
+
+
+def _ppm_bytes(w, h, rgb):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb)
+
+
+def _bmp_bytes(w, h, rows_rgb):
+    """Minimal uncompressed 24-bit BMP: rows_rgb is h rows (top-down) of
+    w (r, g, b) tuples; BMP stores bottom-up BGR with 4-byte row padding."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    data = b""
+    for row in reversed(rows_rgb):
+        line = b"".join(bytes((b_, g, r)) for (r, g, b_) in row)
+        data += line + b"\x00" * (stride - len(line))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return header + data
+
+
+def _wav_bytes(samples16, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack("<%dh" % len(samples16), *samples16))
+    return buf.getvalue()
+
+
+def test_decode_real_formats_through_pipeline(spark):
+    """fake=False over real PPM/BMP/WAV bytes must decode for real inside
+    the mapInPandas pipeline; a corrupt payload marks its row, not the job."""
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        DECODE_SCHEMA,
+        decode_payload_batches,
+    )
+
+    ppm = _ppm_bytes(2, 1, [255, 0, 0, 0, 0, 255])  # one red, one blue px
+    bmp = _bmp_bytes(2, 2, [[(10, 20, 30), (40, 50, 60)],
+                            [(70, 80, 90), (100, 110, 120)]])
+    wav = _wav_bytes([0, 16384, -16384, 0], rate=8000)
+    rows = [
+        (1, bytearray(ppm), "image"),
+        (2, bytearray(bmp), "image"),
+        (3, bytearray(wav), "audio"),
+        (4, bytearray(b"\x89PNG not decodable"), "image"),
+        (5, bytearray(b"P6\n9999 9999\n255\n"), "image"),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, modality string")
+    out = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            decode_payload_batches(fake=False), schema=DECODE_SCHEMA
+        ).collect()
+    }
+    assert out[1].decode_ok and out[2].decode_ok and out[3].decode_ok
+    assert not out[4].decode_ok and not out[5].decode_ok
+    # PPM: w=2 h=1, mean R = (255+0)/2, mean B = (0+255)/2
+    assert out[1].feat[:5] == [2.0, 1.0, 127.5, 0.0, 127.5]
+    # BMP round-trips RGB (channel means of the 4 px)
+    assert out[2].feat[:5] == [2.0, 2.0, 55.0, 65.0, 75.0]
+    # WAV: 1 channel, rate, 4 samples, duration
+    assert out[3].feat[:4] == [1.0, 8000.0, 4.0, 0.0005]
+
+
+def test_resize_real_ppm_nearest_neighbor(spark):
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        decode_image,
+        resize_payload,
+    )
+
+    # 2x2 quadrant image upscaled 2x: each quadrant becomes a 2x2 block
+    quad = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0]
+    src = _ppm_bytes(2, 2, quad)
+    out = resize_payload(src, 4, 4, fake=False)
+    img = decode_image(out)
+    assert img.shape == (4, 4, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0) and tuple(img[0, 3]) == (0, 255, 0)
+    assert tuple(img[3, 0]) == (0, 0, 255) and tuple(img[3, 3]) == (255, 255, 0)
+
+
+def test_frame_sample_real_ppm_stream(spark):
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        sample_frames_payload,
+    )
+
+    frames = [_ppm_bytes(1, 1, [i, i, i]) for i in range(10)]
+    stream = b"".join(frames)
+    got = sample_frames_payload(stream, 4, fake=False)
+    # evenly index-sampled real frames: 0, 2, 5, 7
+    assert got == [frames[0], frames[2], frames[5], frames[7]]
+
+
+def test_bmp_topdown_and_32bit(spark):
+    """Negative-height (top-down) and 32-bit BMPs decode too."""
+    import struct
+
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import decode_image
+
+    # 1x2 top-down 32-bit BMP: rows stored in display order, BGRA
+    data = bytes((30, 20, 10, 0)) + bytes((60, 50, 40, 0))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 32, 0, len(data), 0, 0, 0, 0)
+    img = decode_image(header + data)
+    assert img.shape == (2, 1, 3)
+    assert tuple(img[0, 0]) == (10, 20, 30) and tuple(img[1, 0]) == (40, 50, 60)
