@@ -82,6 +82,22 @@ def datasource_available(spark: SparkSession, fmt: str) -> bool:
     return True
 
 
+def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Avro reader. Avro has been built-in-but-EXTERNAL since Spark 2.4:
+    the `avro` format ships outside the Spark distribution and must be
+    deployed with --packages org.apache.spark:spark-avro_2.13:<version>.
+    The probe turns the otherwise-cryptic DATA_SOURCE_NOT_FOUND into an
+    actionable error naming the jar."""
+    tune(spark)
+    if not datasource_available(spark, "avro"):
+        raise RuntimeError(
+            "avro DataSource is not on the classpath (it is external since "
+            "Spark 2.4); submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    return spark.read.format("avro").options(**options).load(path)
+
+
 def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     """Raw text ingestion (one row per line, or per file with whole=True) —
     the first step of a crawl->documents pipeline before any schema

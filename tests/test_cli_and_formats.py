@@ -330,3 +330,15 @@ def test_zorder_beyond_multiply_safe_span(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_read_avro_raises_actionable_error_when_jar_absent(spark):
+    """VERDICT r5 #8: this runtime has no spark-avro jar, so read_avro must
+    fail with a clear message naming the missing package, not a cryptic
+    DATA_SOURCE_NOT_FOUND from inside Spark."""
+    import pytest
+
+    from parquet_to_clickhouse_schema_spark.sources.formats import read_avro
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, "/tmp/nonexistent.avro")
