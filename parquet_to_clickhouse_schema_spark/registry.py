@@ -103,76 +103,27 @@ CONTRACT_KEYS = (
     "q_udaf_grouped",
 )
 
-# Round-5 sweep priority: the driver's correctness sweep checks the FIRST
-# ~50 queries() keys each round. After r3/r4 verified the r3-changed and
-# r3-new keys, the 61 keys whose latest green row dates to r1/r2 are now
-# 2-3 rounds stale (VERDICT r4 "Next round" #3). This round leads with the
-# keys whose implementations changed in round 5 (digest-key dedup, de-skewed
-# pack_sequences, rank, PQ validation), then every r1/r2-stale key in
-# registration order — so after this round ~50 of the 61 have a fresh row.
-#
-# ROUND 6: a ~50-key sweep covers this tuple only through
-# q_near_dedup_minhash, so these keys still carry r1/r2 rows and must lead
-# round 6's priority (plus anything round 6 changes): q_text_stats,
-# q_udf_pandas, q_udf_python,
-# q_udaf_grouped, q_report_top_orders, q_report_revenue_delta,
-# q_report_returned_customers, q_report_late_orders, q_window_dist,
-# q_intersect_all, q_except_set, q_pivot, q_unpivot, q_subquery_scalar,
-# q_subquery_in, q_subquery_corr, q_having, q_percentile, q_stats_agg,
-# q_window_value.
+# Round-6 sweep priority: the driver's correctness sweep checks the FIRST
+# ~50 queries() keys each round. r5's 50-key sweep refreshed the r5-changed
+# keys plus the contract keys through q_near_dedup_minhash; 25 keys still
+# carry r1/r2 rows (VERDICT r5 "What's missing" #1 — critically, the
+# streaming-window contract keys have never been driver-verified against
+# the regenerated events.ts data). This round leads with round-6 changes
+# (stream-stream twin, AQE-hint joins, fuzzy-pairs join, distributed IVF
+# training), then ALL 25 r1/r2-stale keys, then r3-era keys now 3 rounds
+# old — so a 50-key sweep retires every r1/r2 row and most of r3's.
 SWEEP_PRIORITY = (
-    # implementations changed (or new) in round 5 — need fresh green rows
-    "q_dedup_exact",
-    "q_pack_sequences",
-    "q_window_rank",
-    "q_window_rank_scalable",
-    "q_bm25_score",
-    "q_epoch_shuffle",
-    "q_sample_weighted",
-    "q_source_cap",
-    "q_ewma",
-    "q_multimodal_cols",  # oracle newly attached in r5 — must sweep fresh
-    "q_kmeans_clusters",  # new in r5 (rows-only: iterative)
-    "q_fuzzy_pairs",  # new in r5
-    "q_sessionize",  # new in r5
-    "q_dedup_keep_best",  # new in r5
-    "q_rolling_distinct",  # new in r5
-    "q_pq_topk",
-    "q_ivfpq_topk",
-    # last green row r1/r2 — stale, re-verify (registration order)
-    "q_ddl_sparksql",
-    "q_scan_project",
-    "q_filter_pred",
-    "q_join_broadcast",
-    "q_join_sortmerge",
-    "q_join_multiway",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_range",
-    "q_join_asof",
-    "q_agg_hash",
-    "q_agg_distinct",
-    "q_agg_approx_distinct",
-    "q_rollup",
-    "q_cube",
-    "q_grouping_sets",
-    "q_agg_filtered",
-    "q_window_lag",
-    "q_window_frame",
-    "q_window_range_frame",
-    "q_topk",
-    "q_topk_per_group",
-    "q_union",
-    "q_intersect",
-    "q_except",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_cond_funcs",
-    "q_array_funcs",
-    "q_explode",
-    "q_json_funcs",
+    # implementations changed (or new) in round 6 — need fresh green rows
+    "q_stream_stream_join",  # new in r6 (batch twin of the interval join)
+    "q_join_multiway",  # r6: customer broadcast now AQE-decided
+    "q_report_returned_customers",  # r6: same (also r1/r2-stale)
+    "q_fuzzy_pairs",  # r6: gram-frequency join now AQE-decided
+    "q_ivf_topk",  # r6: distributed coarse-centroid training (rows-only)
+    "q_ivfpq_topk",  # r6: same (rows-only)
+    "q_kmeans_clusters",  # r6: final-centroid assignment fix (rows-only)
+    "q_pq_topk",  # rows-only; re-sweep with the ANN family
+    # last green row r1/r2 — stale 4+ rounds, re-verify (VERDICT r5 list);
+    # streaming twins first: never checked against the regenerated events.ts
     "q_tumbling_window",
     "q_sliding_window",
     "q_session_window",
@@ -184,9 +135,9 @@ SWEEP_PRIORITY = (
     "q_udaf_grouped",
     "q_report_top_orders",
     "q_report_revenue_delta",
-    "q_report_returned_customers",
     "q_report_late_orders",
     "q_window_dist",
+    "q_window_value",
     "q_intersect_all",
     "q_except_set",
     "q_pivot",
@@ -197,7 +148,25 @@ SWEEP_PRIORITY = (
     "q_having",
     "q_percentile",
     "q_stats_agg",
-    "q_window_value",
+    # last green row r3 — now 3 rounds old, refresh while budget remains
+    "q_map_funcs",
+    "q_cosine_topk",
+    "q_dedup_simhash",
+    "q_dedup_ngram",
+    "q_dedup_embedding",
+    "q_dedup_clusters",
+    "q_ann_lsh_topk",
+    "q_decontaminate",
+    "q_tfidf_top",
+    "q_stratified_sample",
+    "q_repetition_filter",
+    "q_embed_centroid",
+    "q_join_full",
+    "q_funnel",
+    "q_retention",
+    "q_islands",
+    "q_string_agg",
+    "q_try_funcs",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
