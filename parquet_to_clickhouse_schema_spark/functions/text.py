@@ -447,3 +447,59 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(qround(F.sum(score), 6).alias("bm25"))
     )
+
+
+# PII patterns shared by the Spark query and the DuckDB oracle. Kept to the
+# regex subset Java regex and RE2 agree on (no lookaround, no backrefs):
+# \b, \d, bounded quantifiers, character classes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+_PII_ORACLE = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '%(email)s')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '%(ip)s')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '%(phone)s')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '%(email)s', '[EMAIL]', 'g'),
+               '%(ip)s', '[IP]', 'g'),
+               '%(phone)s', '[PHONE]', 'g') AS clean_text
+    FROM documents
+""" % {"email": PII_EMAIL, "ip": PII_IP, "phone": PII_PHONE}
+
+
+@_q("q_pii_scrub", _PII_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the RAW corpus: count and replace
+    emails, IPv4 addresses and phone numbers with typed placeholder tokens
+    — the compliance scrub every training corpus runs before tokenization.
+    Complements q_pii_redact (which INJECTS deterministic PII so redaction
+    is observable on the PII-free synthetic corpus): this is the production
+    entry point — no injection, detects-nothing is a valid outcome, and the
+    planted-PII test (tests/test_smoke.py) proves the patterns fire on real
+    PII shapes including IPv4. Counts are computed on the ORIGINAL text
+    (audit trail); redaction applies email → IP → phone in that fixed
+    order so the two engines transform identically.
+
+    Pure JVM regexp built-ins inside whole-stage codegen: scan-bound at
+    100 TB, no UDF, no shuffle at all (row-local transformation). The
+    pattern subset is restricted to what Java regex and RE2 evaluate
+    identically — the oracle proves the parity on every sweep."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
+            PII_IP,
+            "[IP]",
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_IP)).cast("int").alias("n_ips"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE)).cast("int").alias("n_phones"),
+        clean.alias("clean_text"),
+    )

@@ -265,3 +265,40 @@ def q_agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@_q(
+    "q_anomaly_zscore",
+    """
+    WITH s AS (
+      SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           floor(((value - m) / sd) * 10000.0 + 0.5) / 10000.0 AS z,
+           (abs((value - m) / sd) > 3.0) AS is_anomaly
+    FROM events e JOIN s ON e.event_type = s.event_type
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flagging — the metrics-monitoring pass of a
+    pipeline (spot broken extractors / value drift before training ingests
+    them).
+
+    Scale shape: stats are a tiny groupBy aggregate (|event_type| rows)
+    broadcast back onto the fact scan — the naive window-function form
+    (avg(value) OVER (PARTITION BY event_type)) would funnel each type's
+    full history through one task, the same 3-value-partition-key
+    scale-killer q_window_rank documents. This form is one map-side-combined
+    shuffle plus a broadcast join: scan-bound at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        qround(z, 4).alias("z"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )

@@ -115,6 +115,8 @@ CONTRACT_KEYS = (
 SWEEP_PRIORITY = (
     # implementations changed (or new) in round 6 — need fresh green rows
     "q_stream_stream_join",  # new in r6 (batch twin of the interval join)
+    "q_pii_scrub",  # new in r6 (PII detect + redact)
+    "q_anomaly_zscore",  # new in r6 (per-type z-score flags)
     "q_join_multiway",  # r6: customer broadcast now AQE-decided
     "q_report_returned_customers",  # r6: same (also r1/r2-stale)
     "q_fuzzy_pairs",  # r6: gram-frequency join now AQE-decided

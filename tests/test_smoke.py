@@ -338,3 +338,51 @@ def test_fuzzy_pairs_prefix_filter_is_lossless(spark):
     }
     assert got == want
     assert want, "corpus has no fuzzy pairs; equality test is vacuous"
+
+
+def test_pii_scrub_redacts_planted_pii(spark, tmp_path):
+    """The synthetic corpus carries no PII, so the oracle proves only regex
+    parity there — this plants real emails/IPs/phones and asserts detection
+    counts and redaction output."""
+    from parquet_to_clickhouse_schema_spark.functions.text import q_pii_scrub
+
+    rows = [
+        (1, "contact alice.smith+spam@example.co.uk or bob@site.org today"),
+        (2, "server 192.168.1.254 peered with 10.0.0.1 at noon"),
+        (3, "call 555-867-5309 or 555.123.4567 now"),
+        (4, "mixed: x@y.io from 8.8.8.8 dial 111-222-3333"),
+        (5, "clean text with no personal data at all"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {r.doc_id: r for r in q_pii_scrub(spark, str(tmp_path)).collect()}
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (2, 0, 0)
+    assert out[1].clean_text == "contact [EMAIL] or [EMAIL] today"
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 2, 0)
+    assert out[2].clean_text == "server [IP] peered with [IP] at noon"
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 2)
+    assert out[3].clean_text == "call [PHONE] or [PHONE] now"
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (1, 1, 1)
+    assert out[4].clean_text == "mixed: [EMAIL] from [IP] dial [PHONE]"
+    assert out[5].clean_text == rows[4][1]
+
+
+def test_anomaly_zscore_flags_planted_outlier(spark, tmp_path):
+    import datetime
+
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+        q_anomaly_zscore,
+    )
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [(i, ts, i, "click", 10.0 + (i % 3), "{}") for i in range(50)]
+    rows.append((99, ts, 99, "click", 10000.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r.event_id: r for r in q_anomaly_zscore(spark, str(tmp_path)).collect()}
+    assert out[99].is_anomaly
+    assert sum(1 for r in out.values() if r.is_anomaly) == 1
