@@ -22,8 +22,14 @@ data size matters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark._registry import new_registry
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+QUERIES, ORACLES, _q = new_registry()
 
 
 def connected_components(
@@ -104,3 +110,102 @@ def dedup_clusters(spark, sf_dir: str, threshold: float = 0.5) -> DataFrame:
         F.col("jaccard_est") >= threshold
     )
     return connected_components(pairs)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Distributed power-iteration PageRank over a directed edge list →
+    (id, rank), sum(rank) = 1.
+
+    Per iteration: one equi-join of edges to ranks on the source id, one
+    groupBy(dst) sum — both hash-partitioned on vertex id, the same
+    shuffle discipline as connected_components — plus a 1-row aggregate
+    collect for the dangling mass (nodes with no out-edges donate their
+    rank uniformly; skipping this leaks mass and ranks drift low).
+    localCheckpoint() truncates the lineage each round, without which the
+    plan doubles per iteration. At 100 TB: ranks and edges shuffle on the
+    vertex id; nothing driver-side ever exceeds one scalar per iteration.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionAll(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    e = (
+        edges.join(out_deg, src)
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"), "deg")
+        .localCheckpoint()
+    )
+    # graphs with no sinks (every node has an out-edge — e.g. the
+    # bidirectional purchase graph) skip the per-iteration dangling-mass
+    # job entirely: one anti-join up front instead of one 1-row aggregate
+    # per iteration
+    has_dangling = (
+        nodes.join(out_deg, nodes.id == F.col(src), "left_anti").limit(1).count()
+        > 0
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = e.join(ranks, e.u == ranks.id).select(
+            F.col("v").alias("id"), (F.col("rank") / F.col("deg")).alias("c")
+        )
+        summed = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+        if has_dangling:
+            # dangling mass = rank not emitted via any out-edge (1-row agg)
+            emitted = (
+                ranks.join(out_deg, ranks.id == F.col(src), "left_semi")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+            dangling = max(1.0 - emitted, 0.0)
+        else:
+            dangling = 0.0
+        ranks = (
+            nodes.join(summed, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+@_q("q_pagerank")  # rows-only: iterative float fixpoint, no portable SQL twin
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier purchase graph: an edge per
+    distinct (customer, supplier) purchase relationship from
+    lineitem⋈orders, both directions (bipartite random walk — a supplier
+    is central when many well-connected customers buy from it). Same
+    rows-only class as q_kmeans_clusters: the iteration has no portable
+    SQL twin (recursive CTEs forbid aggregates in the recursive term).
+    Returns every node with its rounded rank; prefixed ids keep the two
+    node families distinct."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = rel.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        rel.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank(edges, iters=8)
+    return pr.select("id", qround(F.col("rank"), 6).alias("rank"))

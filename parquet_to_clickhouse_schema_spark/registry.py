@@ -15,6 +15,7 @@ from parquet_to_clickhouse_schema_spark.functions import scalar, text
 from parquet_to_clickhouse_schema_spark.operators import (
     aggregation,
     core,
+    graph,
     llm,
     merge,
     relational,
@@ -44,6 +45,7 @@ _MODULES = [
     udfs,
     skew,
     merge,
+    graph,
 ]
 
 # SURVEY.md §2.2's declared engine contract, in SURVEY order. These keys are
@@ -117,6 +119,7 @@ SWEEP_PRIORITY = (
     "q_stream_stream_join",  # new in r6 (batch twin of the interval join)
     "q_pii_scrub",  # new in r6 (PII detect + redact)
     "q_anomaly_zscore",  # new in r6 (per-type z-score flags)
+    "q_pagerank",  # new in r6 (rows-only: iterative float fixpoint)
     "q_join_multiway",  # r6: customer broadcast now AQE-decided
     "q_report_returned_customers",  # r6: same (also r1/r2-stale)
     "q_fuzzy_pairs",  # r6: gram-frequency join now AQE-decided

@@ -75,3 +75,40 @@ def test_observe_quality_metrics_single_pass(spark):
     expected_nulls = dirty.filter(F.col("value").isNull()).count()
     assert m["n_null_value"] == expected_nulls > 0
     assert m["n_null_props"] == 0
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    """On a directed star (all leaves -> hub, hub -> all leaves) the hub
+    must dominate; ranks sum to 1; leaves tie exactly."""
+    edges = [(f"l{i}", "hub") for i in range(8)] + [("hub", f"l{i}") for i in range(8)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from parquet_to_clickhouse_schema_spark.operators.graph import pagerank
+
+    pr = {r.id: r.rank for r in pagerank(df, iters=20).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    assert pr["hub"] > max(v for k, v in pr.items() if k != "hub") * 3
+    leaf_vals = {round(v, 10) for k, v in pr.items() if k != "hub"}
+    assert len(leaf_vals) == 1
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    """A sink node (no out-edges) must not leak rank mass: with the
+    dangling redistribution, sum(rank) stays 1."""
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]  # c is a sink
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from parquet_to_clickhouse_schema_spark.operators.graph import pagerank
+
+    pr = {r.id: r.rank for r in pagerank(df, iters=15).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    assert pr["c"] > pr["b"] > pr["a"]
+
+
+def test_q_pagerank_runs_and_is_stable(spark):
+    from parquet_to_clickhouse_schema_spark.operators.graph import q_pagerank
+    from tests.conftest import SF_SMOKE
+
+    out = q_pagerank(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    assert abs(sum(r.rank for r in out) - 1.0) < 1e-3  # rounded to 6 dp
+    # every node id is prefixed and ranks positive
+    assert all(r.id[:2] in ("c:", "s:") and r.rank > 0 for r in out)
