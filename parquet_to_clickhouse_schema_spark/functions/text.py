@@ -503,3 +503,132 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(PII_PHONE)).cast("int").alias("n_phones"),
         clean.alias("clean_text"),
     )
+
+
+@_q(
+    "q_unigram_nll",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_tot FROM toks)
+    SELECT doc_id,
+           floor(avg(-ln(c / n_tot)) * 1000000.0 + 0.5) / 1000000.0 AS nll
+    FROM toks JOIN freq USING (tok) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram language model — the CCNet/Gopher-style statistical quality
+    signal (documents of improbable tokens score high = likely noise; a
+    perplexity proxy without a trained LM).
+
+    Scale shape: the token stream is an explode over split() (pure JVM);
+    the unigram table is VOCAB-bounded (Heaps' law: ~1M rows at 100 TB),
+    so its join back onto the token stream is an AQE broadcast, not a
+    fact-fact shuffle; the corpus total is a 1-row broadcast. One real
+    shuffle total — the per-doc re-aggregation. No UDF anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("n_tot"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(n)
+        .groupBy("doc_id")
+        .agg(qround(F.avg(-F.log(F.col("c") / F.col("n_tot"))), 6).alias("nll"))
+    )
+
+
+# bigram-PMI parameters: minimum pair support and result size
+PMI_MIN_COUNT = 5
+PMI_TOP = 100
+
+
+@_q(
+    "q_bigram_pmi",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tok AS a,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a, b, count(*) AS c_ab FROM bg WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (
+      SELECT (SELECT sum(c_ab) FROM pairs) AS n_bi,
+             (SELECT sum(c) FROM uni) AS n_uni
+    )
+    SELECT a, b, CAST(c_ab AS BIGINT) AS pair_count,
+           floor(ln((c_ab / n_bi) / ((ua.c / n_uni) * (ub.c / n_uni)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pmi
+    FROM pairs
+    JOIN uni ua ON pairs.a = ua.tok
+    JOIN uni ub ON pairs.b = ub.tok
+    CROSS JOIN tot
+    WHERE c_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, a, b
+    LIMIT {PMI_TOP}
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information over adjacent-token
+    bigrams — the corpus-statistics pass behind tokenizer merges, multiword
+    expression mining, and boilerplate detection.
+
+    Scale shape: bigrams come from a JVM `transform(sequence(...))` over
+    the split token array (no window, no UDF — the pairing is row-local);
+    both the bigram and unigram count tables are vocab-bounded, so the two
+    enrichment joins are AQE broadcasts; corpus totals are a 1-row
+    broadcast. The only fact-sized shuffle is the initial pair count, and
+    the final top-{PMI_TOP} is a TakeOrdered, not a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = F.split(F.col("text"), " ")
+    bg = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> struct(split(text, ' ')[i-1] AS a, "
+                    "split(text, ' ')[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    pairs = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    uni = d.select(F.explode(toks_arr).alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    tot = pairs.agg(F.sum("c_ab").alias("n_bi")).crossJoin(
+        uni.agg(F.sum("c").alias("n_uni"))
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    pmi = F.log(
+        (F.col("c_ab") / F.col("n_bi"))
+        / ((F.col("ca") / F.col("n_uni")) * (F.col("cb") / F.col("n_uni")))
+    )
+    return (
+        pairs.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(tot)
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("bigint").alias("pair_count"),
+            qround(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(PMI_TOP)
+    )

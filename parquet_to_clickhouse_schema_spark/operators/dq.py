@@ -1,0 +1,182 @@
+"""Data-quality audit: declarative constraint checks over the warehouse.
+
+At 100 TB you cannot eyeball the data; quality regressions (a loader that
+starts emitting NULL keys, an upstream that re-sends a partition, an FK that
+silently orphans) are caught by a standing audit query that runs after every
+load. This module provides the check primitives and one audit query that
+unions them into a (constraint, table_name, violations) summary — the shape
+a monitoring system ingests directly.
+
+Scale shape of every check:
+- not-null / range / enum-domain: a conditional `sum(case when ...)` —
+  scan-bound, map-side combinable, zero shuffle beyond the 1-row final agg.
+- uniqueness: `count(*) - count(distinct key)` — two-phase distinct agg on
+  the key, the same shuffle discipline as q_agg_distinct.
+- referential integrity: a LEFT ANTI join child→parent counted — an equi
+  shuffle (or broadcast when the parent is a dim) whose output is one long.
+- reconciliation (order total vs sum of its lines): one groupBy on the FK
+  then a 1:1 join — the heaviest check, still a single shuffle.
+
+Every check emits exactly one row even when clean (violations = 0), so the
+summary's row-set is stable and a disappearing check is itself a signal.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark._registry import new_registry
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+QUERIES, ORACLES, _q = new_registry()
+
+
+def check_not_null(df: DataFrame, table: str, col: str) -> DataFrame:
+    """Violations = rows where `col` IS NULL. Scan-bound conditional sum."""
+    return df.agg(
+        F.lit(f"not_null:{col}").alias("constraint"),
+        F.lit(table).alias("table_name"),
+        F.coalesce(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("violations"),
+    )
+
+
+def check_unique(df: DataFrame, table: str, col: str) -> DataFrame:
+    """Violations = count(*) - count(distinct col): 0 iff `col` is a key.
+
+    NULLs are excluded from count(distinct) by SQL semantics, so a NULL key
+    counts as a violation here — pair with check_not_null to tell the two
+    failure modes apart.
+    """
+    return df.agg(
+        F.lit(f"unique:{col}").alias("constraint"),
+        F.lit(table).alias("table_name"),
+        (F.count(F.lit(1)) - F.countDistinct(F.col(col)))
+        .cast("long")
+        .alias("violations"),
+    )
+
+
+def check_fk(
+    child: DataFrame,
+    child_table: str,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+) -> DataFrame:
+    """Violations = child rows whose key has no parent row (orphans).
+
+    LEFT ANTI join — Spark plans broadcast-anti when the parent is small,
+    shuffled-anti otherwise; either way the output is one count.
+    """
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias("__pk")).distinct(),
+        child[child_key] == F.col("__pk"),
+        "left_anti",
+    )
+    return orphans.agg(
+        F.lit(f"fk:{child_key}->{parent_key}").alias("constraint"),
+        F.lit(child_table).alias("table_name"),
+        F.count(F.lit(1)).cast("long").alias("violations"),
+    )
+
+
+def check_predicate(
+    df: DataFrame, table: str, name: str, violated_when: Column
+) -> DataFrame:
+    """Violations = rows where `violated_when` is TRUE (NULL counts as
+    not-violated; add an explicit isNull clause when NULL is bad)."""
+    return df.agg(
+        F.lit(name).alias("constraint"),
+        F.lit(table).alias("table_name"),
+        F.coalesce(F.sum(F.when(violated_when, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("violations"),
+    )
+
+
+def run_checks(checks: list[DataFrame]) -> DataFrame:
+    """Union the 1-row check frames into the audit summary."""
+    if not checks:
+        raise ValueError("run_checks needs at least one check")
+    return reduce(DataFrame.unionByName, checks)
+
+
+@_q(
+    "q_dq_checks",
+    """
+    SELECT 'not_null:c_name' AS constraint, 'customer' AS table_name,
+           CAST(count(*) FILTER (WHERE c_name IS NULL) AS BIGINT) AS violations
+    FROM customer
+    UNION ALL
+    SELECT 'unique:o_orderkey', 'orders',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'fk:l_orderkey->o_orderkey', 'lineitem', CAST(count(*) AS BIGINT)
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey', 'orders', CAST(count(*) AS BIGINT)
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'range:l_quantity>0', 'lineitem',
+           CAST(count(*) FILTER (WHERE NOT (l_quantity > 0)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:0<=l_discount<=1', 'lineitem',
+           CAST(count(*) FILTER (
+               WHERE NOT (l_discount BETWEEN 0 AND 1)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'enum:l_returnflag', 'lineitem',
+           CAST(count(*) FILTER (
+               WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing data-quality audit over the star schema: NULL keys, PK
+    uniqueness, two FK orphan checks, numeric ranges, and an enum domain —
+    one (constraint, table_name, violations) row per check, clean or not.
+
+    Each check is independently scan-bound or single-shuffle (module
+    docstring); the union is evaluated as independent stages so a cluster
+    runs them concurrently. At 100 TB the audit costs roughly one read of
+    each fact table — which is why the checks are unioned into ONE summary
+    instead of N separate jobs re-reading the same scans.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return run_checks(
+        [
+            check_not_null(customer, "customer", "c_name"),
+            check_unique(orders, "orders", "o_orderkey"),
+            check_fk(lineitem, "lineitem", "l_orderkey", orders, "o_orderkey"),
+            check_fk(orders, "orders", "o_custkey", customer, "c_custkey"),
+            check_predicate(
+                lineitem,
+                "lineitem",
+                "range:l_quantity>0",
+                ~(F.col("l_quantity") > 0),
+            ),
+            check_predicate(
+                lineitem,
+                "lineitem",
+                "range:0<=l_discount<=1",
+                ~F.col("l_discount").between(0, 1),
+            ),
+            check_predicate(
+                lineitem,
+                "lineitem",
+                "enum:l_returnflag",
+                ~F.col("l_returnflag").isin("A", "N", "R"),
+            ),
+        ]
+    )

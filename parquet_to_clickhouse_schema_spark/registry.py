@@ -15,6 +15,7 @@ from parquet_to_clickhouse_schema_spark.functions import scalar, text
 from parquet_to_clickhouse_schema_spark.operators import (
     aggregation,
     core,
+    dq,
     graph,
     llm,
     merge,
@@ -46,6 +47,7 @@ _MODULES = [
     skew,
     merge,
     graph,
+    dq,
 ]
 
 # SURVEY.md §2.2's declared engine contract, in SURVEY order. These keys are

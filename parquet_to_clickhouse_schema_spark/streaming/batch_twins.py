@@ -407,3 +407,116 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("u7"))
     )
+
+
+@_q(
+    "q_interp_linear",
+    """
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+                   floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS v
+            FROM events GROUP BY 1, 2),
+    grid AS (SELECT s.hr, t.event_type, a.v
+             FROM spine s CROSS JOIN types t
+             LEFT JOIN agg a ON a.hr = s.hr AND a.event_type = t.event_type),
+    ctx AS (
+      SELECT hr, event_type, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+                 OVER w_prev AS pt,
+             first_value(v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+                 OVER w_next AS nt
+      FROM grid
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT hr, event_type,
+           floor(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(epoch(hr) - epoch(pt) AS DOUBLE)
+                                 / CAST(epoch(nt) - epoch(pt) AS DOUBLE))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv
+           END * 1000000.0 + 0.5) / 1000000.0 AS v_interp,
+           (v IS NULL) AS was_gap
+    FROM ctx
+    """,
+)
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hourly grid: empty hours get the
+    time-weighted blend of the surrounding observed hourly averages (sensor
+    /metric semantics where a gauge moves continuously), with one-sided
+    fill at series edges — completing the gapfill family (zero-fill =
+    counters, ffill = last-known gauges, linear = continuous signals).
+
+    Same scale shape as its siblings: the only fact-sized work is the
+    one-shuffle hourly average; the grid is O(hours x types) regardless of
+    event count, and the four IGNORE-NULLS context windows run over that
+    tiny grid partitioned by type. Interpolation itself is pure row-local
+    arithmetic on epoch seconds — identical association order on both
+    engines, so the oracle hash-matches bit-for-bit after rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    agg = ev.groupBy(hr.alias("hr"), "event_type").agg(
+        qround(F.avg("value"), 6).alias("v")
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types).join(agg, ["hr", "event_type"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("v").isNotNull(), F.col("hr"))
+    ctx = grid.select(
+        "hr",
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    frac = (
+        (F.unix_timestamp("hr") - F.unix_timestamp("pt")).cast("double")
+        / (F.unix_timestamp("nt") - F.unix_timestamp("pt")).cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select(
+        "hr",
+        "event_type",
+        qround(interp, 6).alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )

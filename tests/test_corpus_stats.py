@@ -1,0 +1,101 @@
+"""Unigram-NLL, bigram-PMI and linear-interpolation semantics on small
+hand-checkable inputs (the oracle sweep proves engine parity; these prove
+the math)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.functions import text as tx
+from parquet_to_clickhouse_schema_spark.streaming import batch_twins as bt
+
+from .conftest import SF_SMOKE
+
+
+def test_unigram_nll_math(spark, tmp_path):
+    # corpus: "a a b" + "a c" → counts a=3,b=1,c=1, N=5
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en", "s", 5), (2, "a c", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["nll"]
+        for r in tx.q_unigram_nll(spark, str(tmp_path)).collect()
+    }
+    pa, pb, pc = 3 / 5, 1 / 5, 1 / 5
+    exp1 = -(math.log(pa) + math.log(pa) + math.log(pb)) / 3
+    exp2 = -(math.log(pa) + math.log(pc)) / 2
+    assert abs(out[1] - exp1) < 1e-6
+    assert abs(out[2] - exp2) < 1e-6
+    # rarer-token doc scores HIGHER (more surprising) — the quality signal
+    assert out[2] > out[1]
+
+
+def test_bigram_pmi_favors_exclusive_pairs(spark, tmp_path):
+    # "x y" always adjacent and exclusive; "a"/"b" frequent but independent
+    rows = [(i, "x y a b a b a b", "en", "s", 10) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = tx.q_bigram_pmi(spark, str(tmp_path)).collect()
+    assert out, "expected pairs above min support"
+    best = out[0]
+    assert (best["a"], best["b"]) == ("x", "y")
+    # PMI of the exclusive pair must beat the independent filler pair
+    filler = [r for r in out if (r["a"], r["b"]) == ("a", "b")]
+    assert filler and best["pmi"] > filler[0]["pmi"]
+
+
+def test_bigram_pmi_runs_on_testdata(spark):
+    rows = tx.q_bigram_pmi(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= tx.PMI_TOP
+    # deterministic ordering contract: (pmi desc, a, b)
+    keys = [(-r["pmi"], r["a"], r["b"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_interp_linear_fills_interior_gap(spark, tmp_path):
+    # one type, hourly obs at 00:00 (v=10) and 03:00 (v=40); 01/02 are gaps
+    rows = [
+        (1, "2024-01-01 00:30:00", 7, "m", 10.0, "{}"),
+        (2, "2024-01-01 03:30:00", 7, "m", 40.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["hr"].hour, r["event_type"]): (r["v_interp"], r["was_gap"])
+        for r in bt.q_interp_linear(spark, str(tmp_path)).collect()
+    }
+    assert out[(0, "m")] == (10.0, False)
+    assert out[(1, "m")] == (20.0, True)
+    assert out[(2, "m")] == (30.0, True)
+    assert out[(3, "m")] == (40.0, False)
+
+
+def test_interp_linear_edge_gaps_one_sided(spark, tmp_path):
+    # obs only at 01:00 for type A while type B spans 00..02 → A's edge
+    # hours take the nearest observed value, not NULL
+    rows = [
+        (1, "2024-01-01 01:10:00", 7, "A", 5.0, "{}"),
+        (2, "2024-01-01 00:10:00", 8, "B", 1.0, "{}"),
+        (3, "2024-01-01 02:10:00", 8, "B", 3.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["hr"].hour, r["event_type"]): r["v_interp"]
+        for r in bt.q_interp_linear(spark, str(tmp_path)).collect()
+    }
+    assert out[(0, "A")] == 5.0  # bfill at left edge
+    assert out[(2, "A")] == 5.0  # ffill at right edge
+    assert out[(1, "B")] == 2.0  # interior linear blend for B

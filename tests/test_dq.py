@@ -1,0 +1,59 @@
+"""Data-quality audit: check primitives must detect planted violations and
+stay silent (violations=0, but still one row) on clean data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark.operators import dq
+
+from .conftest import SF_SMOKE
+
+
+def _rows(df):
+    return {(r["constraint"], r["table_name"]): r["violations"] for r in df.collect()}
+
+
+def test_check_not_null_counts_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id int, name string"
+    )
+    out = _rows(dq.check_not_null(df, "t", "name"))
+    assert out == {("not_null:name", "t"): 2}
+
+
+def test_check_not_null_empty_table_is_zero_not_null(spark):
+    df = spark.createDataFrame([], "id int, name string")
+    out = _rows(dq.check_not_null(df, "t", "name"))
+    assert out == {("not_null:name", "t"): 0}
+
+
+def test_check_unique_counts_dupes_and_null_keys(spark):
+    # two copies of id=1 (1 extra) + one NULL id (not counted by distinct)
+    df = spark.createDataFrame([(1,), (1,), (2,), (None,)], "id int")
+    out = _rows(dq.check_unique(df, "t", "id"))
+    assert out == {("unique:id", "t"): 2}
+
+
+def test_check_fk_counts_orphans(spark):
+    child = spark.createDataFrame([(1, 10), (2, 10), (3, 99)], "id int, fk int")
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    out = _rows(dq.check_fk(child, "child", "fk", parent, "pk"))
+    assert out == {("fk:fk->pk", "child"): 1}
+
+
+def test_check_predicate_null_is_not_violation(spark):
+    df = spark.createDataFrame([(5.0,), (-1.0,), (None,)], "v double")
+    out = _rows(dq.check_predicate(df, "t", "range:v>0", ~(F.col("v") > 0)))
+    assert out == {("range:v>0", "t"): 1}
+
+
+def test_run_checks_empty_raises():
+    with pytest.raises(ValueError):
+        dq.run_checks([])
+
+
+def test_q_dq_checks_clean_on_testdata(spark):
+    out = _rows(dq.q_dq_checks(spark, SF_SMOKE))
+    assert len(out) == 7
+    # the synthetic warehouse is referentially clean
+    assert all(v == 0 for v in out.values()), out
