@@ -301,3 +301,70 @@ def write_zordered(
         .drop("_z", *names)
     )
     out.write.mode(mode).parquet(path)
+
+
+def file_stats(path: str) -> dict:
+    """Parquet file-layout statistics for a dataset directory: file count,
+    total/min/max/avg bytes. The signal that drives compaction policy — a
+    100 TB table with 10 MB average files pays metadata, open, and
+    scheduling costs per file that dwarf the scan itself (the classic
+    small-files problem), while multi-GB files serialize within-file
+    parallelism for non-splittable readers.
+
+    Driver-side os.walk, metadata only: on object stores swap in the
+    equivalent listing API; no data pages are read either way."""
+    import os
+
+    sizes = [
+        os.path.getsize(os.path.join(root, name))
+        for root, _dirs, names in os.walk(path)
+        for name in names
+        if name.endswith(".parquet")
+    ]
+    if not sizes:
+        return {"n_files": 0, "total_bytes": 0, "min_bytes": 0,
+                "max_bytes": 0, "avg_bytes": 0.0}
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes),
+        "max_bytes": max(sizes),
+        "avg_bytes": sum(sizes) / len(sizes),
+    }
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_mb: float = 128,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Size-aware small-file compaction: measure the dataset's actual bytes,
+    bin-pack into ceil(total / target_mb) output files, rewrite. The
+    standing maintenance job every streaming/incremental sink needs — each
+    micro-batch or task writes its own files, and after a day a partition
+    holds thousands of KB-sized parquet files.
+
+    Unlike write_compacted (caller picks the count), the count here derives
+    from MEASURED on-disk bytes, so the same call works on any partition
+    regardless of accumulated skew. Compression ratios survive a rewrite
+    approximately, making on-disk size a sound proxy for output size.
+    coalesce() (no shuffle) when reducing; with `sort_cols` the rewrite
+    instead range-partitions + sorts (one shuffle) so compaction doubles as
+    zone-map clustering — at 100 TB, compaction passes are the natural
+    place to restore sort order cheaply, since the data is being rewritten
+    anyway. Returns before/after file_stats plus the chosen file count."""
+    import math
+
+    before = file_stats(in_path)
+    if before["n_files"] == 0:
+        raise ValueError(f"no parquet files under {in_path!r}")
+    n_files = max(1, math.ceil(before["total_bytes"] / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path)
+    if sort_cols:
+        write_sorted(df, out_path, sort_cols, n_files=n_files)
+    else:
+        write_compacted(df, out_path, n_files)
+    after = file_stats(out_path)
+    return {"before": before, "after": after, "n_files_target": n_files}

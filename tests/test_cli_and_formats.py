@@ -342,3 +342,73 @@ def test_read_avro_raises_actionable_error_when_jar_absent(spark):
 
     with pytest.raises(RuntimeError, match="spark-avro"):
         read_avro(spark, "/tmp/nonexistent.avro")
+
+
+def test_compact_small_files_reduces_count_preserves_rows(tmp_path, spark):
+    from parquet_to_clickhouse_schema_spark.sources.formats import (
+        compact_small_files,
+        file_stats,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    # fragment into many tiny files (the streaming-sink failure mode)
+    li.repartition(64).write.parquet(src)
+    assert file_stats(src)["n_files"] == 64
+    report = compact_small_files(spark, src, dst, target_mb=128)
+    assert report["before"]["n_files"] == 64
+    # whole table is far under one 128 MB target file
+    assert report["n_files_target"] == 1
+    assert report["after"]["n_files"] == 1
+    assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_compact_small_files_with_sort_restores_clustering(tmp_path, spark):
+    import pyarrow.parquet as pq
+
+    from parquet_to_clickhouse_schema_spark.sources.formats import (
+        compact_small_files,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "clustered")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.repartition(32).write.parquet(src)
+    compact_small_files(spark, src, dst, target_mb=0.05, sort_cols=["l_orderkey"])
+    # every output file must cover a narrow l_orderkey range (zone-map
+    # friendly); with random fragmentation each file would span ~the full key
+    import glob
+    import os
+
+    lo_hi = []
+    for f in sorted(glob.glob(os.path.join(dst, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "l_orderkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        lo_hi.append((min(mins), max(maxs)))
+    assert len(lo_hi) >= 2
+    # disjoint (or nearly) ranges: sorted by lo, each file's hi stays below
+    # the next file's hi, and overlaps are boundary-only
+    lo_hi.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(lo_hi, lo_hi[1:]):
+        assert hi1 <= hi2
+        assert lo2 >= lo1
+
+
+def test_compact_small_files_empty_dir_raises(tmp_path, spark):
+    import pytest
+
+    from parquet_to_clickhouse_schema_spark.sources.formats import (
+        compact_small_files,
+    )
+
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(ValueError):
+        compact_small_files(spark, str(tmp_path / "empty"), str(tmp_path / "o"))
