@@ -13,6 +13,7 @@ for Spark's distributed execution at large scale.
 
 from parquet_to_clickhouse_schema_spark.ddl import (
     infer_parquet_schema,
+    schema_diff,
     schema_to_clickhouse,
     struct_to_clickhouse_ddl,
     struct_to_spark_ddl,
@@ -23,6 +24,7 @@ __all__ = [
     "get_spark",
     "tune",
     "infer_parquet_schema",
+    "schema_diff",
     "schema_to_clickhouse",
     "struct_to_clickhouse_ddl",
     "struct_to_spark_ddl",

@@ -348,3 +348,60 @@ def struct_to_spark_ddl(schema: T.StructType, table_name: str, location: str | N
     )
     loc = f"\nLOCATION '{location}'" if location else ""
     return f"CREATE TABLE {table_name} (\n{cols}\n) USING parquet{loc};\n"
+
+
+def schema_diff(
+    old_path: str,
+    new_path: str,
+    spark: SparkSession | None = None,
+) -> list[dict]:
+    """Schema-drift report between two Parquet datasets (footer-only, no
+    data pages — same metadata discipline as schema_to_clickhouse): one
+    entry per added / removed / retyped / renullabled column, recursing
+    into structs with dotted paths.
+
+    This is the tool-side complement of the DDL generator: when tomorrow's
+    partition stops matching yesterday's, the DDL this package emitted goes
+    stale, and at 100 TB the drift is found by footer comparison in
+    milliseconds, not by a failed full-scan job hours later. Change kinds:
+      added / removed          — column present in only one side
+      type_changed             — same path, different Spark type
+      nullability_changed      — same path+type, different nullability
+    Returns [] when the schemas match.
+    """
+    old_schema = infer_parquet_schema(old_path, spark)
+    new_schema = infer_parquet_schema(new_path, spark)
+
+    def flatten(st: T.StructType, prefix: str = "") -> dict[str, tuple[str, bool]]:
+        out: dict[str, tuple[str, bool]] = {}
+        for f in st.fields:
+            path = f"{prefix}{f.name}"
+            if isinstance(f.dataType, T.StructType):
+                out[path] = ("struct", f.nullable)
+                out.update(flatten(f.dataType, prefix=f"{path}."))
+            else:
+                out[path] = (f.dataType.simpleString(), f.nullable)
+        return out
+
+    old_cols = flatten(old_schema)
+    new_cols = flatten(new_schema)
+    changes: list[dict] = []
+    for path in sorted(old_cols.keys() | new_cols.keys()):
+        if path not in new_cols:
+            t, n = old_cols[path]
+            changes.append({"column": path, "change": "removed", "old_type": t,
+                            "new_type": None})
+        elif path not in old_cols:
+            t, n = new_cols[path]
+            changes.append({"column": path, "change": "added", "old_type": None,
+                            "new_type": t})
+        else:
+            (ot, on), (nt, nn) = old_cols[path], new_cols[path]
+            if ot != nt:
+                changes.append({"column": path, "change": "type_changed",
+                                "old_type": ot, "new_type": nt})
+            elif on != nn:
+                changes.append({"column": path, "change": "nullability_changed",
+                                "old_type": f"nullable={on}",
+                                "new_type": f"nullable={nn}"})
+    return changes

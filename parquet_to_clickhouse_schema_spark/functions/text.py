@@ -632,3 +632,40 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(PMI_TOP)
     )
+
+
+@_q(
+    "q_length_histogram",
+    """
+    SELECT CAST(floor(log2(n_chars)) AS INT) AS bucket,
+           CAST(power(2.0, floor(log2(n_chars))) AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY 1, 2
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram — the first chart anyone
+    draws over a new corpus (truncation artifacts show as a spike at the
+    cap bucket; boilerplate shows as mass in the short buckets; the
+    curve's shape drives chunking and packing parameters).
+
+    Pure scan-bound aggregation: the bucket is a row-local log2/floor on an
+    existing column, the groupBy carries ~64 possible buckets, so the
+    shuffle is a few dozen rows of partial aggregates regardless of corpus
+    size — map-side combine does all the work."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    bucket = F.floor(F.log2("n_chars"))
+    return d.groupBy(
+        bucket.cast("int").alias("bucket"),
+        F.pow(F.lit(2.0), bucket).cast("bigint").alias("bucket_lo"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -1338,6 +1338,66 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMBED_OUTLIERS_ORACLE = """
+    WITH ex AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (SELECT label, i, avg(v) AS m FROM ex GROUP BY label, i),
+    dist AS (
+      SELECT vec_id, ex.label AS label, sqrt(sum((v - m) * (v - m))) AS d
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+      GROUP BY vec_id, ex.label
+    ),
+    stats AS (
+      SELECT label, avg(d) AS mu, stddev_samp(d) AS sd FROM dist GROUP BY label
+    )
+    SELECT vec_id, dist.label AS label,
+           floor(d * 1000000.0 + 0.5) / 1000000.0 AS dist,
+           floor((d - mu) / sd * 1000000.0 + 0.5) / 1000000.0 AS z,
+           ((d - mu) / sd) > 2.0 AS is_outlier
+    FROM dist JOIN stats ON dist.label = stats.label
+"""
+
+
+@_q("q_embed_outliers", _EMBED_OUTLIERS_ORACLE)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: each vector's L2 distance to its
+    OWN label's centroid, z-scored within the label — the mislabeled-data /
+    corrupt-embedding screen a training pipeline runs before contrastive or
+    classifier training (a vector far from its class prototype is either
+    noise or a labeling error).
+
+    Scale shape: centroids come from the same posexplode → (label, dim)
+    column-sum as q_embed_centroid (shuffle carries |labels| x dim partial
+    sums); the centroid table is tiny, so its join back onto the exploded
+    stream is an AQE broadcast; per-vector distances re-aggregate with ONE
+    fact-sized shuffle; the per-label moment table (|labels| rows) is again
+    a broadcast. No UDF, no driver math, no vector in a single task."""
+    ex = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = ex.groupBy("label", "i").agg(F.avg("v").alias("m"))
+    dist = (
+        ex.join(cent, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))).alias("d"))
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("d").alias("mu"), F.stddev_samp("d").alias("sd")
+    )
+    z = (F.col("d") - F.col("mu")) / F.col("sd")
+    return dist.join(stats, "label").select(
+        "vec_id",
+        "label",
+        qround(F.col("d"), 6).alias("dist"),
+        qround(z, 6).alias("z"),
+        (z > 2.0).alias("is_outlier"),
+    )
+
+
 # ------------------------------------------------------------ text stats ---
 
 

@@ -453,3 +453,41 @@ def test_real_testdata_ddl():
     assert "    l_orderkey Int64\n" in ddl
     assert ", l_quantity Nullable(Float64)\n" in ddl
     assert ", l_shipdate Nullable(Int64)\n" in ddl  # strict: TIMESTAMP→Int64
+
+
+def test_schema_diff_identical_and_drifted(tmp_path, spark):
+    from parquet_to_clickhouse_schema_spark.ddl import schema_diff
+
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    spark.createDataFrame(
+        [(1, "a", 1.5)], "id bigint, name string, score double"
+    ).write.parquet(old)
+    # drop `score`, add `tags`, retype `name`
+    spark.createDataFrame(
+        [(1, 2, ["x"])], "id bigint, name int, tags array<string>"
+    ).write.parquet(new)
+    assert schema_diff(old, old) == []
+    changes = {c["column"]: c["change"] for c in schema_diff(old, new)}
+    assert changes == {
+        "score": "removed",
+        "tags": "added",
+        "name": "type_changed",
+    }
+
+
+def test_schema_diff_recurses_into_structs(tmp_path, spark):
+    from parquet_to_clickhouse_schema_spark.ddl import schema_diff
+
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    spark.createDataFrame(
+        [((1, "x"),)], "meta struct<a: bigint, b: string>"
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [((1, 1.0),)], "meta struct<a: bigint, b: double>"
+    ).write.parquet(new)
+    changes = schema_diff(old, new)
+    assert [(c["column"], c["change"]) for c in changes] == [
+        ("meta.b", "type_changed")
+    ]
