@@ -118,6 +118,12 @@ CONTRACT_KEYS = (
 # old — so a 50-key sweep retires every r1/r2 row and most of r3's.
 SWEEP_PRIORITY = (
     # implementations changed (or new) in round 6 — need fresh green rows
+    "q_dq_checks",  # new in r6 (data-quality audit)
+    "q_unigram_nll",  # new in r6 (unigram-LM quality signal)
+    "q_bigram_pmi",  # new in r6 (PMI collocations)
+    "q_interp_linear",  # new in r6 (linear gap interpolation)
+    "q_embed_outliers",  # new in r6 (centroid-distance z-score)
+    "q_length_histogram",  # new in r6 (log2 length buckets)
     "q_stream_stream_join",  # new in r6 (batch twin of the interval join)
     "q_pii_scrub",  # new in r6 (PII detect + redact)
     "q_anomaly_zscore",  # new in r6 (per-type z-score flags)
