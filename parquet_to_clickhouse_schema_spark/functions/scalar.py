@@ -294,3 +294,36 @@ def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         qround(F.col("v0").cast("double"), 6).alias("val"),
     )
+
+
+@_q(
+    "q_variant_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+           json_extract_string(props, '$.missing') AS missing_field
+    FROM events
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse_json
+    once into a binary variant, then typed variant_get extractions — the
+    modern path for schema-on-read JSON at 100 TB. Unlike per-access
+    get_json_object (q_json_funcs), the parse cost is paid ONCE per row
+    regardless of how many fields are pulled, and the variant's internal
+    dictionary-encoded binary layout keeps repeated-key payloads compact
+    through shuffles and parquet (variant shredding).
+
+    try_variant_get returns NULL (not an error) for absent paths and
+    failed casts — the dirty-data contract. Row-local, scan-bound,
+    whole-stage codegen; the oracle reads the same fields with DuckDB's
+    JSON path functions."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_field"),
+    )

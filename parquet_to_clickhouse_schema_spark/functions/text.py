@@ -669,3 +669,46 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("bigint").alias("max_chars"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@_q(
+    "q_source_entropy",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+    tot AS (SELECT source, sum(c) AS n FROM tf GROUP BY source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(any_value(n) AS BIGINT) AS n_tokens,
+           floor(-sum((c / n) * ln(c / n)) * 1000000.0 + 0.5) / 1000000.0
+               AS entropy_nats
+    FROM tf JOIN tot USING (source)
+    GROUP BY source
+    """,
+)
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution (plus vocabulary
+    size and token count) — the corpus-mixing diversity signal: a source
+    whose entropy collapses is template spam; mixing weights that maximize
+    blended entropy give broader coverage per training token.
+
+    Scale shape: one (source, token) count shuffle — vocab-bounded per
+    source — then a per-source total (|sources| rows, broadcast back) and
+    the -Σ p·ln p reduction, map-side combinable. Nothing fact-sized moves
+    after the first aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tot = tf.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tf.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("vocab"),
+            F.any_value(F.col("n")).cast("bigint").alias("n_tokens"),
+            qround(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+    )

@@ -302,3 +302,87 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(z, 4).alias("z"),
         (F.abs(z) > 3.0).alias("is_anomaly"),
     )
+
+
+@_q(
+    "q_mode_agg",
+    """
+    SELECT event_type, k_mode, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT event_type, k AS k_mode, count(*) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, k) AS rn
+      FROM (SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events)
+      GROUP BY event_type, k
+    )
+    WHERE rn = 1
+    """,
+)
+def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, smallest-value
+    tiebreak) of the JSON `k` field per event type.
+
+    Built-in `mode()` is tie-nondeterministic in BOTH engines, so the
+    oracle could never hash-match it; the deterministic form is a
+    (group, value) count plus an argmax — expressed as max(struct(cnt,
+    -k)) so the whole selection is ONE map-side-combinable aggregate
+    after the count shuffle, never a window over the counts. Shuffles
+    carry (|groups| x |distinct values|) partial counts — at 100 TB the
+    value domain, not the row count, bounds the state."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    counts = ev.select("event_type", k.alias("k")).groupBy(
+        "event_type", "k"
+    ).agg(F.count("*").alias("n"))
+    best = counts.groupBy("event_type").agg(
+        F.max(F.struct(F.col("n"), (-F.col("k")).alias("neg_k"))).alias("b")
+    )
+    return best.select(
+        "event_type",
+        (-F.col("b.neg_k")).alias("k_mode"),
+        F.col("b.n").cast("bigint").alias("n"),
+    )
+
+
+@_q(
+    "q_mad_robust",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med_val FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, med_val, abs(value - med_val) AS ad
+      FROM events e JOIN med ON e.event_type = med.event_type
+    )
+    SELECT event_type,
+           floor(any_value(med_val) * 1000000.0 + 0.5) / 1000000.0 AS med_val,
+           floor(median(ad) * 1000000.0 + 0.5) / 1000000.0 AS mad,
+           floor(median(ad) * 1.4826 * 1000000.0 + 0.5) / 1000000.0
+               AS sigma_robust
+    FROM dev GROUP BY event_type
+    """,
+)
+def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scale statistics per event type: median, median absolute
+    deviation, and the 1.4826-scaled robust sigma — the outlier-resistant
+    counterpart to q_anomaly_zscore's mean/stddev (one wild value can move
+    a mean arbitrarily; it moves a median by at most one rank).
+
+    Two exact-median passes: per-type median (tiny |types|-row result,
+    broadcast back onto the fact scan), then the median of absolute
+    deviations. Exact medians are rank-based — at 100 TB swap
+    percentile_approx into the same shape for constant memory (the
+    tolerance-tested q_percentile_approx path); the oracle gates the exact
+    form."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med_val"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med_val", F.abs(F.col("value") - F.col("med_val")).alias("ad")
+    )
+    return dev.groupBy("event_type").agg(
+        qround(F.any_value(F.col("med_val")), 6).alias("med_val"),
+        qround(F.median("ad"), 6).alias("mad"),
+        qround(F.median("ad") * 1.4826, 6).alias("sigma_robust"),
+    )

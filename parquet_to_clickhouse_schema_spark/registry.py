@@ -118,6 +118,11 @@ CONTRACT_KEYS = (
 # old — so a 50-key sweep retires every r1/r2 row and most of r3's.
 SWEEP_PRIORITY = (
     # implementations changed (or new) in round 6 — need fresh green rows
+    "q_mode_agg",  # new in r6 (deterministic per-group mode)
+    "q_mad_robust",  # new in r6 (median absolute deviation)
+    "q_event_transitions",  # new in r6 (Markov transition matrix)
+    "q_source_entropy",  # new in r6 (token-distribution entropy)
+    "q_variant_json",  # new in r6 (VARIANT semi-structured access)
     "q_dq_checks",  # new in r6 (data-quality audit)
     "q_unigram_nll",  # new in r6 (unigram-LM quality signal)
     "q_bigram_pmi",  # new in r6 (PMI collocations)

@@ -520,3 +520,49 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(interp, 6).alias("v_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@_q(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    pairs AS (
+      SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL
+      GROUP BY src, dst
+    ),
+    tot AS (SELECT src, sum(n) AS n_src FROM pairs GROUP BY src)
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           floor(n / n_src * 1000000.0 + 0.5) / 1000000.0 AS p
+    FROM pairs JOIN tot USING (src)
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the behavioral model behind funnel
+    drop-off analysis, session simulation, and anomalous-flow detection.
+
+    Scale shape: the lead() window partitions by user_id — millions of
+    small partitions, the scalable window case (contrast the 3-value
+    event_type partitioning q_window_rank documents as the scale-killer);
+    (ts, event_id) ordering makes the sequence total even with timestamp
+    ties. The pair count collapses the fact table to |types|² rows before
+    the tiny row-normalization join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return pairs.join(tot, "src").select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n"),
+        qround(F.col("n") / F.col("n_src"), 6).alias("p"),
+    )
