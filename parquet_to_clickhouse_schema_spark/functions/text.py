@@ -712,3 +712,64 @@ def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
         )
     )
+
+
+# BPE pair-counting parameters
+BPE_TOP = 50
+
+
+@_q(
+    "q_bpe_pairs",
+    f"""
+    WITH words AS (
+      SELECT tok, count(*) AS wfreq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE len(tok) >= 2
+      GROUP BY tok
+    ),
+    pairs AS (
+      SELECT substr(tok, i, 1) AS a, substr(tok, i + 1, 1) AS b,
+             sum(wfreq) AS pair_count
+      FROM words, unnest(range(1, len(tok))) AS t(i)
+      GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(pair_count AS BIGINT) AS pair_count
+    FROM pairs
+    ORDER BY pair_count DESC, a, b
+    LIMIT {BPE_TOP}
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-trainer merge step: corpus-weighted adjacent character-pair
+    counts, ranked — the top pair is the next merge a byte-pair-encoding
+    tokenizer would learn. Iterating this op (merge, re-pair, recount) IS
+    BPE training; the single gated step exercises the whole plan shape.
+
+    Scale shape — the same trick real BPE trainers use: pairs are
+    generated over the DISTINCT word table (vocab-bounded by Heaps' law)
+    weighted by word frequency, never over the raw corpus, so the
+    expensive explode runs on ~1M rows even at 100 TB. One corpus-sized
+    shuffle (the word count), one vocab-sized shuffle (the pair sum), and
+    a TakeOrdered top-{BPE_TOP}; ties rank deterministically by (a, b)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("wfreq"))
+    )
+    pairs = words.select(
+        "wfreq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1), "
+                "i -> struct(substr(tok, i, 1) AS a, substr(tok, i + 1, 1) AS b))"
+            )
+        ).alias("p"),
+    ).select("wfreq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("wfreq").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "a", "b")
+        .limit(BPE_TOP)
+    )

@@ -101,6 +101,43 @@ def check_predicate(
     )
 
 
+def check_reconcile(
+    detail: DataFrame,
+    detail_key: str,
+    detail_amount: Column,
+    summary: DataFrame,
+    summary_key: str,
+    summary_amount: str,
+    name: str,
+    rel_tol: float = 1e-9,
+) -> DataFrame:
+    """Cross-table reconciliation: violations = summary rows whose stored
+    amount differs from the re-aggregated detail amount by more than
+    `rel_tol` relative (order totals vs their lines, ledger vs journal,
+    daily rollup vs raw events).
+
+    Kept OFF the oracle hash gate deliberately: float re-aggregation order
+    differs across engines, so the tolerance comparison is the semantics —
+    an exact-hash twin would gate on summation order, not correctness.
+    One groupBy on the detail FK then a 1:1 join with the summary — the
+    heaviest check in the family, still a single shuffle each side (and
+    shuffle-free on the summary side when it is bucketed on the key)."""
+    agg = detail.groupBy(F.col(detail_key).alias("__k")).agg(
+        F.sum(detail_amount).alias("__computed")
+    )
+    joined = summary.join(agg, summary[summary_key] == F.col("__k"), "left")
+    bad = F.abs(F.col(summary_amount) - F.coalesce(F.col("__computed"), F.lit(0.0))) > (
+        rel_tol * F.greatest(F.abs(F.col(summary_amount)), F.lit(1.0))
+    )
+    return joined.agg(
+        F.lit(name).alias("constraint"),
+        F.lit("reconcile").alias("table_name"),
+        F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("violations"),
+    )
+
+
 def run_checks(checks: list[DataFrame]) -> DataFrame:
     """Union the 1-row check frames into the audit summary."""
     if not checks:

@@ -114,3 +114,61 @@ def scd2_merge(
     base_cols = [c for c in current_history.columns if c not in ("valid_from", "valid_to", "is_current")]
     merged = current_history.select(base_cols).unionAll(updates.select(base_cols))
     return scd2_apply(merged, key, change_ts)
+
+
+@_q(
+    "q_cdc_apply",
+    """
+    WITH feed AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, ts, event_id, value, op,
+             count(*) OVER (PARTITION BY user_id) AS n_changes,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM feed
+    )
+    SELECT user_id, ts AS last_ts,
+           floor(value * 1000000.0 + 0.5) / 1000000.0 AS last_value,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture compaction: apply a keyed change feed (upserts +
+    deletes, ordered by (ts, event_id)) to produce the final table state —
+    the Debezium-feed → snapshot primitive every lakehouse ingestion runs.
+    The events stream is read as a feed on a user-profile table: 'error'
+    events are tombstones (DELETE), everything else upserts the row.
+
+    Scale shape: ONE map-side-combinable aggregate — max(struct(ts,
+    event_id, op, value)) per key picks the latest change and count(*)
+    rides along, then tombstoned keys are filtered. No window over the
+    feed (the row_number form the oracle uses funnels each key's history
+    through a sort; max(struct) pre-combines within every map task, so
+    the shuffle carries one candidate row per key per task). Struct
+    comparison is lexicographic by field order, matching the (ts DESC,
+    event_id DESC) ranking exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    latest = feed.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "op", "value")).alias("last"),
+        F.count("*").cast("bigint").alias("n_changes"),
+    )
+    from parquet_to_clickhouse_schema_spark.functions.compat import qround
+
+    return latest.filter(F.col("last.op") != "D").select(
+        "user_id",
+        F.col("last.ts").alias("last_ts"),
+        qround(F.col("last.value"), 6).alias("last_value"),
+        "n_changes",
+    )

@@ -118,6 +118,8 @@ CONTRACT_KEYS = (
 # old — so a 50-key sweep retires every r1/r2 row and most of r3's.
 SWEEP_PRIORITY = (
     # implementations changed (or new) in round 6 — need fresh green rows
+    "q_cdc_apply",  # new in r6 (CDC feed -> snapshot compaction)
+    "q_bpe_pairs",  # new in r6 (BPE merge-pair counting)
     "q_mode_agg",  # new in r6 (deterministic per-group mode)
     "q_mad_robust",  # new in r6 (median absolute deviation)
     "q_event_transitions",  # new in r6 (Markov transition matrix)

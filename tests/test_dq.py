@@ -57,3 +57,18 @@ def test_q_dq_checks_clean_on_testdata(spark):
     assert len(out) == 7
     # the synthetic warehouse is referentially clean
     assert all(v == 0 for v in out.values()), out
+
+
+def test_check_reconcile_flags_drifted_totals(spark):
+    detail = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0), (3, 1.0)], "fk int, amt double"
+    )
+    summary = spark.createDataFrame(
+        [(1, 15.0), (2, 99.0), (4, 3.0)], "pk int, total double"
+    )
+    out = dq.check_reconcile(
+        detail, "fk", F.col("amt"), summary, "pk", "total", "orders_vs_lines"
+    ).collect()[0]
+    # pk=1 matches; pk=2 drifts; pk=4 has no detail rows (computed 0 != 3)
+    assert out["violations"] == 2
+    assert out["constraint"] == "orders_vs_lines"
