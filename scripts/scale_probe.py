@@ -27,7 +27,7 @@ from parquet_to_clickhouse_schema_spark.session import get_spark
 from parquet_to_clickhouse_schema_spark.sources.io import TABLES, load_table
 
 BASE_SF = "/root/testdata/sf0.1"
-SCALED_ROOT = "/tmp/spark_graft_scale"
+SCALED_ROOT = "/tmp/spark_graft_scale_v2"  # v2: events now scale too
 
 QUERIES = {
     "q_agg_hash": aggregation.q_agg_hash,
@@ -69,6 +69,28 @@ def _llm_queries():
     }
 
 
+def _r6_queries():
+    from parquet_to_clickhouse_schema_spark.functions import text
+    from parquet_to_clickhouse_schema_spark.operators import aggregation, dq, llm, merge
+    from parquet_to_clickhouse_schema_spark.streaming import batch_twins
+
+    return {
+        # round-6 additions. q_interp_linear is grid-bounded (O(hours x
+        # types) regardless of fact size) so a fact-scale probe is
+        # uninformative; q_bigram_pmi/q_bpe_pairs outputs are fixed top-k.
+        "q_dq_checks": dq.q_dq_checks,
+        "q_unigram_nll": text.q_unigram_nll,
+        "q_bigram_pmi": text.q_bigram_pmi,
+        "q_bpe_pairs": text.q_bpe_pairs,
+        "q_source_entropy": text.q_source_entropy,
+        "q_cdc_apply": merge.q_cdc_apply,
+        "q_event_transitions": batch_twins.q_event_transitions,
+        "q_embed_outliers": llm.q_embed_outliers,
+        "q_mode_agg": aggregation.q_mode_agg,
+        "q_mad_robust": aggregation.q_mad_robust,
+    }
+
+
 KEY_SHIFT = 10_000_000_000
 
 
@@ -102,8 +124,20 @@ def build_scaled(spark, k: int) -> str:
         e_k = e_i if e_k is None else e_k.unionAll(e_i)
     d_k.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     e_k.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    # events scale by (event_id, user_id) shift: k-times more USERS with the
+    # same per-user sequence depth — the realistic growth axis for event
+    # streams (windows/sessionization per user stay constant-size)
+    ev = load_table(spark, BASE_SF, "events")
+    ev_k = None
+    for i in range(k):
+        shift = F.lit(i * KEY_SHIFT)
+        ev_i = ev.withColumn("event_id", F.col("event_id") + shift).withColumn(
+            "user_id", F.col("user_id") + shift
+        )
+        ev_k = ev_i if ev_k is None else ev_k.unionAll(ev_i)
+    ev_k.write.mode("overwrite").parquet(f"{out}/events.parquet")
     for t in TABLES:
-        if t in ("lineitem", "orders", "documents", "embeddings"):
+        if t in ("lineitem", "orders", "documents", "embeddings", "events"):
             continue
         dst = f"{out}/{t}.parquet"
         if not os.path.isdir(dst):
@@ -132,6 +166,8 @@ def main() -> None:
     queries = dict(QUERIES)
     if "--llm" in sys.argv:
         queries = _llm_queries()
+    if "--r6" in sys.argv:
+        queries = _r6_queries()
 
     results = {}
     for name, fn in queries.items():
