@@ -453,3 +453,79 @@ def test_rank_low_cardinality_nonnumeric_shuffle_conf(spark, monkeypatch):
     monkeypatch.undo()
     got = sorted((r.id, r.rnk) for r in ranked.collect())
     assert got == [(1, 1), (2, 2), (3, 1)]
+
+
+def test_cdc_apply_is_single_partial_aggregate_no_window(spark):
+    """q_cdc_apply's claim: latest-change selection is ONE map-side-
+    combinable max(struct) aggregate, never a per-key window sort."""
+    from parquet_to_clickhouse_schema_spark.operators.merge import q_cdc_apply
+
+    df = q_cdc_apply(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "Window" not in plan
+    assert "partial_max" in plan or plan.count("Aggregate") >= 2
+    # one shuffle for the keyed aggregate (plus possibly AQE coalesce)
+    assert shuffle_count(df) <= 2
+
+
+def test_mode_agg_argmax_no_window(spark):
+    """q_mode_agg's claim: the mode is an argmax-struct aggregate over the
+    (group, value) counts — no row_number window over the counts."""
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import q_mode_agg
+
+    df = q_mode_agg(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final per level
+
+
+def test_unigram_nll_broadcasts_freq_table(spark):
+    """q_unigram_nll's claim: the vocab-bounded unigram table broadcasts
+    onto the token stream (AQE), never a fact-fact sort-merge."""
+    from parquet_to_clickhouse_schema_spark.functions.text import q_unigram_nll
+
+    df = q_unigram_nll(spark, SF_SMOKE)
+    df.collect()  # let AQE finalize join strategies
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embed_outliers_broadcasts_centroids_and_moments(spark):
+    """q_embed_outliers's claim: centroid and per-label moment tables are
+    broadcast back; the only fact-sized shuffles are the two aggregates."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import q_embed_outliers
+
+    df = q_embed_outliers(spark, SF_SMOKE)
+    df.collect()
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_dq_checks_fk_uses_anti_join(spark):
+    from parquet_to_clickhouse_schema_spark.operators.dq import q_dq_checks
+
+    df = q_dq_checks(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "LeftAnti" in plan
+    # every check pre-aggregates map-side before the 1-row final agg
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_bpe_pairs_explodes_vocab_not_corpus(spark):
+    """q_bpe_pairs's claim: the char-pair explode runs over the DISTINCT
+    word table (vocab-bounded), i.e. AFTER a word-count aggregate."""
+    from parquet_to_clickhouse_schema_spark.functions.text import q_bpe_pairs
+
+    df = q_bpe_pairs(spark, SF_SMOKE)
+    plan = optimized_plan(df)
+    # Generate (the pair explode) must sit ABOVE the word-frequency
+    # Aggregate in the optimized plan: corpus -> aggregate -> generate
+    gen_pos = plan.index("Generate")
+    agg_positions = [i for i in range(len(plan)) if plan.startswith("Aggregate", i)]
+    assert any(p > gen_pos for p in agg_positions), (
+        "expected a word-count Aggregate BELOW (after, in plan text) the "
+        "pair-explode Generate; explode appears to run on the raw corpus"
+    )
+    plan_x = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan_x
