@@ -386,3 +386,55 @@ def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.median("ad"), 6).alias("mad"),
         qround(F.median("ad") * 1.4826, 6).alias("sigma_robust"),
     )
+
+
+# equal-frequency binning: number of buckets
+QBUCKETS = 10
+
+
+@_q(
+    "q_quantile_bucketize",
+    f"""
+    WITH v AS (
+      SELECT floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS val FROM lineitem
+    ),
+    b AS (
+      SELECT quantile_cont(val, [x / {QBUCKETS}.0
+                                 for x in range(1, {QBUCKETS})]) AS bnds
+      FROM v
+    )
+    SELECT CAST(len(list_filter(bnds, x -> val > x)) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(min(val) * 100.0 + 0.5) / 100.0 AS lo,
+           floor(max(val) * 100.0 + 0.5) / 100.0 AS hi
+    FROM v CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning: assign every lineitem price to one
+    of {QBUCKETS} quantile buckets — the discretization pass behind
+    monotone features, calibration curves, and stratified anything. Exact
+    quantile boundaries (linear interpolation — the same formula in both
+    engines) are computed once, then assignment is a row-local
+    count-of-boundaries-below fold over the broadcast 1-row boundary
+    array: no sort of the fact table, no window.
+
+    At 100 TB swap the exact percentile for percentile_approx in the SAME
+    plan shape (tolerance-tested in q_percentile_approx); assignment cost
+    is unchanged. Values are pre-rounded to cents so the boundary
+    comparison is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(qround(F.col("l_extendedprice"), 2).alias("val"))
+    fracs = [i / QBUCKETS for i in range(1, QBUCKETS)]
+    bnds = v.agg(F.percentile("val", F.lit(fracs)).alias("bnds"))
+    bucket = F.size(F.filter("bnds", lambda x: F.col("val") > x))
+    return (
+        v.crossJoin(F.broadcast(bnds))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            qround(F.min("val"), 2).alias("lo"),
+            qround(F.max("val"), 2).alias("hi"),
+        )
+    )

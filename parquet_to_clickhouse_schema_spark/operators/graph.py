@@ -209,3 +209,54 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, iters=8)
     return pr.select("id", qround(F.col("rank"), 6).alias("rank"))
+
+
+@_q(
+    "q_graph_degree",
+    """
+    WITH rel AS (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (
+      SELECT c AS id, count(*) AS degree FROM rel GROUP BY c
+      UNION ALL
+      SELECT s AS id, count(*) AS degree FROM rel GROUP BY s
+    )
+    SELECT substr(id, 1, 1) AS node_type,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1, 2
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer↔supplier purchase graph (the
+    same edge set q_pagerank walks): how many customers buy from k
+    suppliers, how many suppliers serve k customers. The first structural
+    check on any graph workload — a heavy-tailed distribution predicts the
+    hot-key skew an equi-partitioned graph algorithm must salt around, so
+    this op IS the skew probe for the pagerank/components family.
+
+    Scale shape: one distinct on the (customer, supplier) relationship
+    (the fact-sized shuffle), then two tiny aggregates — per-node degree
+    and the |distinct degrees|-row histogram. Unlike q_pagerank (iterative
+    fixpoint, rows-only), this is pure declarative SQL and oracle-gated."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    deg = rel.groupBy(F.col("c").alias("id")).agg(
+        F.count("*").alias("degree")
+    ).unionAll(
+        rel.groupBy(F.col("s").alias("id")).agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy(
+        F.substring("id", 1, 1).alias("node_type"),
+        F.col("degree").cast("bigint").alias("degree"),
+    ).agg(F.count("*").cast("bigint").alias("n_nodes"))
