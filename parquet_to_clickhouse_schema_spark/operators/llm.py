@@ -1732,3 +1732,37 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.n_chars").cast("bigint").alias("rep_chars"),
         )
     )
+
+
+@_q(
+    "q_dup_rate_report",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique,
+           floor((1.0 - count(DISTINCT md5(lower(trim(text))))
+                        / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5)
+               / 1000000.0 AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate report: the monitoring metric OVER the
+    dedup family — which ingestion source is feeding us copies, tracked
+    per load so a scraper regression shows up as a dup_rate step change,
+    before anyone reruns the dedup itself.
+
+    Same digest discipline as q_dedup_exact: the distinct-count runs on
+    md5(normalized text) so the two-phase distinct shuffle carries
+    fixed-width digests, never document bodies. Both engines compute md5,
+    so the oracle matches on the digest semantics exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    dig = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(dig).cast("bigint").alias("n_unique"),
+        qround(
+            1.0 - F.countDistinct(dig) / F.count("*").cast("double"), 6
+        ).alias("dup_rate"),
+    )

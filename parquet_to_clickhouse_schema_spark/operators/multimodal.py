@@ -38,12 +38,12 @@ DECODE_SCHEMA = (
 N_FEAT = 8
 
 
-def _parse_ppm_header(payload: bytes, off: int = 0):
-    """Parse one P6 header starting at `off`; returns (width, height,
-    maxval, data_offset). PPM allows comments and arbitrary whitespace
+def _parse_ppm_header(payload: bytes, off: int = 0, magic: bytes = b"P6"):
+    """Parse one P6/P5 header starting at `off`; returns (width, height,
+    maxval, data_offset). PNM allows comments and arbitrary whitespace
     between header tokens."""
-    if payload[off : off + 2] != b"P6":
-        raise ValueError("not a P6 PPM payload")
+    if payload[off : off + 2] != magic:
+        raise ValueError(f"not a {magic.decode()} PNM payload")
     pos = off + 2
     vals = []
     while len(vals) < 3:
@@ -62,9 +62,17 @@ def _parse_ppm_header(payload: bytes, off: int = 0):
 
 def decode_image(payload: bytes):
     """Real image decode for stdlib-parsable formats → uint8 ndarray
-    (height, width, 3). Supports P6 PPM and uncompressed 24/32-bit BMP."""
+    (height, width, 3). Supports P6 PPM, P5 PGM (grayscale, replicated to
+    3 channels so every consumer sees one shape) and uncompressed
+    24/32-bit BMP."""
     import numpy as np
 
+    if payload[:2] == b"P5":
+        w, h, maxval, off = _parse_ppm_header(payload, magic=b"P5")
+        if maxval > 255:
+            raise NotImplementedError("16-bit PGM not supported")
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=off)
+        return np.repeat(arr.reshape(h, w, 1), 3, axis=2).copy()
     if payload[:2] == b"P6":
         w, h, maxval, off = _parse_ppm_header(payload)
         if maxval > 255:
@@ -98,7 +106,7 @@ def decode_image(payload: bytes):
         return img[:, :, 2::-1].copy()
     raise NotImplementedError(
         "unrecognized image format (supported without external codecs: "
-        "P6 PPM, uncompressed 24/32-bit BMP)"
+        "P6 PPM, P5 PGM, uncompressed 24/32-bit BMP)"
     )
 
 
@@ -139,7 +147,7 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
             chunk = payload[i * step : (i + 1) * step] or payload[-step:]
             feats.append(round(sum(chunk) / len(chunk), 4))
         return feats
-    if payload[:2] in (b"P6", b"BM"):
+    if payload[:2] in (b"P6", b"P5", b"BM"):
         img = decode_image(payload)
         h, w = img.shape[:2]
         flat = img.reshape(-1, 3).astype("float64")
@@ -170,7 +178,7 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
             round(float(mono.mean()) if len(mono) else 0.0, 6),
         ]
     raise NotImplementedError(
-        "no stdlib codec for this payload (supported: P6 PPM, uncompressed "
+        "no stdlib codec for this payload (supported: P6 PPM, P5 PGM, uncompressed "
         "BMP, PCM WAV; JPEG/PNG/MP3/MP4 need PIL/ffmpeg — absent here); "
         "pass fake=True for the deterministic stub"
     )

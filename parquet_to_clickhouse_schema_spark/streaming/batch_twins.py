@@ -566,3 +566,31 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         qround(F.col("n") / F.col("n_src"), 6).alias("p"),
     )
+
+
+@_q(
+    "q_hourly_profile",
+    """
+    SELECT event_type,
+           CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS avg_val
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type — the diurnal
+    fingerprint behind anomaly baselines (compare now vs this hour's
+    norm, not the global mean) and capacity planning.
+
+    Scan-bound: hour extraction is row-local, the groupBy carries at most
+    |types| x 24 groups, map-side combine reduces everything before the
+    one tiny shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        qround(F.avg("value"), 6).alias("avg_val"),
+    )

@@ -201,3 +201,18 @@ def test_bmp_topdown_and_32bit(spark):
     img = decode_image(header + data)
     assert img.shape == (2, 1, 3)
     assert tuple(img[0, 0]) == (10, 20, 30) and tuple(img[1, 0]) == (40, 50, 60)
+
+
+def test_decode_pgm_grayscale_replicates_channels():
+    import numpy as np
+
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    payload = b"P5\n# comment\n4 3\n255\n" + gray.tobytes()
+    img = decode_image(payload)
+    assert img.shape == (3, 4, 3)
+    assert (img[:, :, 0] == gray).all()
+    assert (img[:, :, 1] == gray).all() and (img[:, :, 2] == gray).all()
