@@ -1766,3 +1766,120 @@ def q_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct(dig) / F.count("*").cast("double"), 6
         ).alias("dup_rate"),
     )
+
+
+# exact-substring duplication parameters: anchor length, winnow window,
+# boilerplate ceiling (anchors present in more docs than this are dropped)
+SUBDUP_K = 32
+SUBDUP_W = 8
+SUBDUP_BOILERPLATE = 50
+
+
+@_q(
+    "q_substring_dup",
+    f"""
+    WITH hashes AS (
+      SELECT doc_id,
+             list_transform(range(1, GREATEST(len(text) - {SUBDUP_K} + 1, 0) + 1),
+                            i -> md5(text[i:i + {SUBDUP_K} - 1])) AS h
+      FROM documents
+    ),
+    anchors AS (
+      SELECT DISTINCT doc_id, anchor
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, GREATEST(len(h) - {SUBDUP_W} + 1, 1) + 1),
+                 j -> list_min(h[j:j + {SUBDUP_W} - 1])))) AS anchor
+        FROM hashes WHERE len(h) > 0
+      )
+    ),
+    keep AS (
+      SELECT anchor FROM anchors GROUP BY anchor
+      HAVING count(*) <= {SUBDUP_BOILERPLATE} AND count(*) > 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_anchors
+    FROM anchors a
+    JOIN keep USING (anchor)
+    JOIN anchors b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring duplication across documents (the Lee et al.
+    'Deduplicating Training Data' ExactSubstr operator): document pairs
+    sharing a verbatim run of >= {SUBDUP_K + SUBDUP_W - 1} characters,
+    found via winnowed {SUBDUP_K}-gram anchors — copied paragraphs,
+    licenses, quoted passages that whole-document dedup can never see.
+
+    The winnowing guarantee makes the blocking LOSSLESS for long matches:
+    every window of {SUBDUP_W} consecutive {SUBDUP_K}-gram hashes
+    contributes its minimum as an anchor, so any shared substring of
+    length >= K+W-1 = {SUBDUP_K + SUBDUP_W - 1} contains a full window of
+    shared hashes on both sides and therefore a shared ANCHOR — while
+    only ~1/{SUBDUP_W} of positions become join keys. Anchors present in
+    > {SUBDUP_BOILERPLATE} documents are dropped BEFORE the pair join —
+    they are exactly the hot keys that would quadratically explode it.
+    Note the ceiling bounds each join bucket (<= {SUBDUP_BOILERPLATE}²/2
+    pairs); it does NOT suppress every pair among docs sharing mass
+    boilerplate: anchor election is window-context-dependent, so boundary
+    windows can elect secondary anchors of the same shared run in doc
+    SUBSETS under the ceiling — those pairs are true positives of the
+    "shares a >= K+W-1 run" predicate, and a pipeline that wants them
+    gone filters known-boilerplate strings upstream.
+
+    Scale shape: hashing is row-local JVM (transform over sequence — two
+    array passes per doc, no UDF); the anchor table is ~len/{SUBDUP_W}
+    keys per doc; the pair generation is an equi-join on 32-char digests
+    with the boilerplate ceiling bounding every bucket's fan-out to
+    {SUBDUP_BOILERPLATE}²/2 pairs. No all-pairs comparison anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_pos = F.greatest(F.length(text) - SUBDUP_K + 1, F.lit(0))
+    # sequence(1, 0) would infer step -1, so gate the empty case explicitly
+    hashes = d.select(
+        "doc_id",
+        F.when(
+            n_pos >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_pos),
+                lambda i: F.md5(text.substr(i, F.lit(SUBDUP_K)).cast("binary")),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("h"),
+    )
+    n_win = F.greatest(F.size("h") - SUBDUP_W + 1, F.lit(1))
+    anchors = (
+        hashes.filter(F.size("h") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n_win),
+                        lambda j: F.array_min(F.slice("h", j, SUBDUP_W)),
+                    )
+                )
+            ).alias("anchor"),
+        )
+        .distinct()
+    )
+    keep = (
+        anchors.groupBy("anchor")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(
+            (F.col("n_docs") <= SUBDUP_BOILERPLATE) & (F.col("n_docs") > 1)
+        )
+        .select("anchor")
+    )
+    a = anchors.join(keep, "anchor")
+    b = anchors.select(
+        F.col("anchor").alias("anchor"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, (a.anchor == b.anchor) & (a.doc_id < F.col("doc_b")))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_anchors"))
+    )

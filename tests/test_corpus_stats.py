@@ -99,3 +99,58 @@ def test_interp_linear_edge_gaps_one_sided(spark, tmp_path):
     assert out[(0, "A")] == 5.0  # bfill at left edge
     assert out[(2, "A")] == 5.0  # ffill at right edge
     assert out[(1, "B")] == 2.0  # interior linear blend for B
+
+
+def test_substring_dup_winnowing_guarantee(spark, tmp_path):
+    """Any verbatim run of >= K+W-1 chars MUST produce a pair (lossless
+    blocking); unrelated docs must not."""
+    from parquet_to_clickhouse_schema_spark.operators import llm
+
+    shared = "x" .join(f"seg{i:04d}" for i in range(8))  # 63 chars, unique-ish
+    assert len(shared) >= llm.SUBDUP_K + llm.SUBDUP_W - 1
+    rows = [
+        (1, "aaaa " + shared + " bbbb", "en", "s", 100),
+        (2, "cccc " + shared + " dddd", "en", "s", 100),
+        # doc 3 shares nothing 32 chars long with 1/2
+        (3, "totally different content with no overlap at all " + "z" * 40,
+         "en", "s", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in llm.q_substring_dup(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_substring_dup_boilerplate_ceiling_bounds_hot_buckets(spark, tmp_path):
+    """When > SUBDUP_BOILERPLATE docs share one verbatim run, the dominant
+    anchor (selected in every doc) is dropped, so the pair count stays far
+    below all-pairs: the quadratic hot-bucket explosion is bounded. The
+    surviving pairs come from SECONDARY anchors elected by boundary
+    windows in subsets of docs — true positives (those docs really do
+    share a >= K+W-1 run), each bucket bounded by the ceiling."""
+    import hashlib
+
+    from parquet_to_clickhouse_schema_spark.operators import llm
+
+    boiler = "this is the standard license header all files carry verbatim"
+    n = llm.SUBDUP_BOILERPLATE + 15
+    rows = [
+        (i, hashlib.md5(str(i).encode()).hexdigest() * 2 + " " + boiler,
+         "en", "s", 100)
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = llm.q_substring_dup(spark, str(tmp_path)).collect()
+    all_pairs = n * (n - 1) // 2
+    # the dominant anchor alone would have produced ALL pairs
+    assert len(out) < all_pairs / 2
+    # and no surviving anchor bucket exceeds the ceiling's quadratic bound
+    cap = llm.SUBDUP_BOILERPLATE * (llm.SUBDUP_BOILERPLATE - 1) // 2
+    assert len(out) <= cap
