@@ -154,3 +154,68 @@ def test_substring_dup_boilerplate_ceiling_bounds_hot_buckets(spark, tmp_path):
     # and no surviving anchor bucket exceeds the ceiling's quadratic bound
     cap = llm.SUBDUP_BOILERPLATE * (llm.SUBDUP_BOILERPLATE - 1) // 2
     assert len(out) <= cap
+
+
+def _asof_brute(left, right, direction, tolerance):
+    """Reference semantics: nearest right row per (by, on) by linear scan."""
+    out = []
+    for key, lo, lv in left:
+        cands = [
+            (ro, rv)
+            for rk, ro, rv in right
+            if rk == key
+            and (ro <= lo if direction == "backward" else ro >= lo)
+            and (tolerance is None or abs(lo - ro) <= tolerance)
+        ]
+        if cands:
+            best = min(cands, key=lambda c: abs(lo - c[0]))
+            out.append((key, lo, lv, best[0], best[1]))
+        else:
+            out.append((key, lo, lv, None, None))
+    return sorted(out)
+
+
+def test_asof_join_all_directions_and_tolerance(spark):
+    from parquet_to_clickhouse_schema_spark.operators.relational import asof_join
+
+    left_rows = [(1, 10.0, "a"), (1, 20.0, "b"), (2, 5.0, "c"), (3, 7.0, "d")]
+    right_rows = [(1, 9.0, 100), (1, 19.0, 200), (1, 21.0, 300), (2, 50.0, 400)]
+    left = spark.createDataFrame(left_rows, "k int, t double, lab string")
+    right = spark.createDataFrame(right_rows, "k int, t double, val int")
+    for direction in ("backward", "forward"):
+        for tol in (None, 2.0):
+            got = sorted(
+                (r["k"], r["t"], r["lab"], r["t_right"], r["val"])
+                for r in asof_join(
+                    left, right, on="t", by="k",
+                    direction=direction, tolerance=tol,
+                ).collect()
+            )
+            want = _asof_brute(left_rows, right_rows, direction, tol)
+            assert got == want, (direction, tol, got, want)
+
+
+def test_asof_join_equal_timestamp_inclusive(spark):
+    from parquet_to_clickhouse_schema_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 10.0, "x")], "k int, t double, lab string")
+    right = spark.createDataFrame([(1, 10.0, 7)], "k int, t double, val int")
+    for direction in ("backward", "forward"):
+        row = asof_join(left, right, "t", "k", direction=direction).collect()[0]
+        assert row["val"] == 7, direction
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """The plan claim: union + one window, never a join operator."""
+    from parquet_to_clickhouse_schema_spark.operators.relational import asof_join
+    from parquet_to_clickhouse_schema_spark.plans.inspect import (
+        executed_plan,
+        shuffle_count,
+    )
+
+    left = spark.createDataFrame([(1, 1.0, "x")], "k int, t double, lab string")
+    right = spark.createDataFrame([(1, 1.0, 2)], "k int, t double, val int")
+    df = asof_join(left, right, "t", "k")
+    plan = executed_plan(df)
+    assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin/NestedLoop
+    assert shuffle_count(df) <= 2
