@@ -217,3 +217,95 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+
+
+@_q(
+    "q_profile_table",
+    """
+    SELECT 'l_quantity' AS column_name,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           printf('%.2f', min(l_quantity)) AS min_val,
+           printf('%.2f', max(l_quantity)) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(count(*) - count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           printf('%.2f', min(l_discount)), printf('%.2f', max(l_discount))
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(count(*) - count(l_returnflag) AS BIGINT),
+           CAST(count(DISTINCT l_returnflag) AS BIGINT),
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', CAST(count(*) - count(l_shipdate) AS BIGINT),
+           CAST(count(DISTINCT l_shipdate) AS BIGINT),
+           strftime(min(l_shipdate), '%Y-%m-%d'),
+           strftime(max(l_shipdate), '%Y-%m-%d')
+    FROM lineitem
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the fact table (null count, distinct count,
+    min/max rendered to stable strings) — the Deequ/pandas-profiling pass
+    that runs before anyone writes a query against unfamiliar data, and
+    the input to the dq-check thresholds.
+
+    ONE scan produces all profiles: per-column aggregates are computed in
+    a single wide agg (count/min/max map-side combine; the exact
+    distincts expand via Spark's multi-distinct rewrite), then unpivoted
+    to the (column, stats...) report shape driver-side-free. Numeric
+    min/max are printf-rendered at fixed precision so the cross-engine
+    comparison is on canonical strings, not float formatting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+
+    def prof(col, mn, mx):
+        return F.struct(
+            (n - F.count(col)).cast("long").alias("n_nulls"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+            mn.alias("min_val"),
+            mx.alias("max_val"),
+        ).alias(col)
+
+    agg = li.agg(
+        prof(
+            "l_quantity",
+            F.format_string("%.2f", F.min("l_quantity")),
+            F.format_string("%.2f", F.max("l_quantity")),
+        ),
+        prof(
+            "l_discount",
+            F.format_string("%.2f", F.min("l_discount")),
+            F.format_string("%.2f", F.max("l_discount")),
+        ),
+        prof("l_returnflag", F.min("l_returnflag"), F.max("l_returnflag")),
+        prof(
+            "l_shipdate",
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd"),
+        ),
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}.n_nulls").alias("n_nulls"),
+                        F.col(f"{c}.n_distinct").alias("n_distinct"),
+                        F.col(f"{c}.min_val").alias("min_val"),
+                        F.col(f"{c}.max_val").alias("max_val"),
+                    )
+                    for c in [
+                        "l_quantity",
+                        "l_discount",
+                        "l_returnflag",
+                        "l_shipdate",
+                    ]
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")
