@@ -143,11 +143,6 @@ SWEEP_PRIORITY = (
     "q_pagerank",  # new in r6 (rows-only: iterative float fixpoint)
     "q_join_multiway",  # r6: customer broadcast now AQE-decided
     "q_report_returned_customers",  # r6: same (also r1/r2-stale)
-    "q_fuzzy_pairs",  # r6: gram-frequency join now AQE-decided
-    "q_ivf_topk",  # r6: distributed coarse-centroid training (rows-only)
-    "q_ivfpq_topk",  # r6: same (rows-only)
-    "q_kmeans_clusters",  # r6: final-centroid assignment fix (rows-only)
-    "q_pq_topk",  # rows-only; re-sweep with the ANN family
     # last green row r1/r2 — stale 4+ rounds, re-verify (VERDICT r5 list);
     # streaming twins first: never checked against the regenerated events.ts
     "q_tumbling_window",
@@ -174,6 +169,15 @@ SWEEP_PRIORITY = (
     "q_having",
     "q_percentile",
     "q_stats_agg",
+    # r6-changed keys below the ~50 budget line: all have recent green
+    # rows (fuzzy r5 hash-gated; the ANN family rows-only r3/r5 — the
+    # driver's rows-only check adds little over the in-repo recall and
+    # consistency tests, so the 25 r1/r2-stale keys outrank them)
+    "q_fuzzy_pairs",  # r6: gram-frequency join now AQE-decided
+    "q_ivf_topk",  # r6: distributed coarse-centroid training (rows-only)
+    "q_ivfpq_topk",  # r6: same (rows-only)
+    "q_kmeans_clusters",  # r6: final-centroid assignment fix (rows-only)
+    "q_pq_topk",  # rows-only; re-sweep with the ANN family
     # last green row r3 — now 3 rounds old, refresh while budget remains
     "q_map_funcs",
     "q_cosine_topk",
