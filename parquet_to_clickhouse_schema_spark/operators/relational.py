@@ -371,6 +371,10 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    reserved = {"__is_left", "__p", "__m", "__on"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
     payload = F.struct(
         F.col(on).alias("__on"), *[F.col(c) for c in right_cols]
