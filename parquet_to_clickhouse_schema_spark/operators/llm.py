@@ -1883,3 +1883,102 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_shared_anchors"))
     )
+
+
+@_q(
+    "q_embed_quantize",
+    """
+    WITH prep AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, label, v,
+             list_reduce(list_transform(v, x -> abs(x)),
+                         (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0
+                 AS scale
+      FROM prep
+    ),
+    coded AS (
+      SELECT vec_id, label, scale,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+               ELSE GREATEST(-127.0, LEAST(127.0, floor(x / scale + 0.5)))
+               END) AS codes
+      FROM scaled
+    )
+    SELECT vec_id, label,
+           floor(scale * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
+           CAST(list_reduce(list_transform(codes, c -> abs(c)),
+                            (a, b) -> CASE WHEN b > a THEN b ELSE a END)
+                AS INT) AS max_code,
+           CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT)
+               AS n_saturated
+    FROM coded
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding (per-vector absmax
+    scale, codes in [-127, 127]) — the 4x storage compression a 100 TB
+    vector corpus takes before ANN indexing. Gated columns are the
+    per-vector scale (one exact division), the max |code| (sanity: must
+    be 127 for a non-zero vector by absmax construction) and the
+    saturated-dimension count.
+
+    Row-local throughout: scale and codes are higher-order-function folds
+    over the array inside whole-stage codegen — no UDF, no shuffle,
+    scan-bound. Quantization uses floor(x/scale + 0.5) (round-half-up)
+    rather than round() because the engines' round() differ on ties. The
+    reconstruction-MSE metric lives in embed_quantize_mse: its 64-term
+    error sum drifts ~1e-12 between engines (fused-multiply-add codegen),
+    so it is bound-asserted in tests rather than hash-gated — the same
+    policy as check_reconcile."""
+    return _embed_quantized(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        qround(F.col("scale"), 9).alias("scale"),
+        F.aggregate(
+            F.transform("codes", lambda c: F.abs(c)),
+            F.lit(0.0),
+            lambda a, b: F.when(b > a, b).otherwise(a),
+        )
+        .cast("int")
+        .alias("max_code"),
+        F.size(F.filter("codes", lambda c: F.abs(c) == 127))
+        .cast("bigint")
+        .alias("n_saturated"),
+    )
+
+
+def _embed_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared quantization core: (vec_id, label, v, scale, codes)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = e.select("vec_id", "label", v.alias("v"))
+    absmax = F.aggregate(
+        F.transform("v", lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda a, b: F.when(b > a, b).otherwise(a),
+    )
+    d = d.withColumn("scale", absmax / 127.0)
+    codes = F.transform(
+        "v",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+            F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x / F.col("scale") + 0.5)),
+            )
+        ),
+    )
+    return d.withColumn("codes", codes)
+
+
+def embed_quantize_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction MSE per vector (codes*scale vs original). Library
+    metric — bound-asserted in tests (see q_embed_quantize docstring)."""
+    d = _embed_quantized(spark, sf_dir)
+    sq_err = F.zip_with(
+        "v", "codes", lambda x, c: (x - c * F.col("scale")) * (x - c * F.col("scale"))
+    )
+    mse = F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b) / F.size("v")
+    return d.select("vec_id", "label", "scale", mse.alias("mse"))

@@ -118,6 +118,7 @@ CONTRACT_KEYS = (
 # old — so a 50-key sweep retires every r1/r2 row and most of r3's.
 SWEEP_PRIORITY = (
     # implementations changed (or new) in round 6 — need fresh green rows
+    "q_embed_quantize",  # new in r6 (int8 absmax embedding compression)
     "q_profile_table",  # new in r6 (Deequ-style column profiles)
     "q_substring_dup",  # new in r6 (ExactSubstr dedup via winnowed anchors)
     "q_dup_rate_report",  # new in r6 (per-source duplication monitoring)

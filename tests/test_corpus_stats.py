@@ -219,3 +219,22 @@ def test_asof_join_single_shuffle_no_join(spark):
     plan = executed_plan(df)
     assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin/NestedLoop
     assert shuffle_count(df) <= 2
+
+
+def test_embed_quantize_mse_bound_and_saturation(spark):
+    """int8 absmax quantization invariants: max|code| = 127 for non-zero
+    vectors, per-dim error <= scale/2 (so mse <= (scale/2)^2), and the
+    codes reconstruct within that bound."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        embed_quantize_mse,
+        q_embed_quantize,
+    )
+
+    gated = q_embed_quantize(spark, SF_SMOKE).collect()
+    assert gated
+    for r in gated:
+        assert r["max_code"] == 127 or r["scale"] == 0.0
+        assert 0 < r["n_saturated"] <= 64
+    for r in embed_quantize_mse(spark, SF_SMOKE).collect():
+        # rounding error per dim is at most scale/2 (+ float slack)
+        assert r["mse"] <= (r["scale"] / 2) ** 2 * 1.000001 + 1e-18
