@@ -439,3 +439,119 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@_q(
+    "q_report_order_count_dist",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_report_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer, INCLUDING
+    zero-order customers — the outer-join-then-double-aggregate pattern
+    (count(o_orderkey) counts only matched rows, so the left join's null
+    rows become the c_count = 0 bucket).
+
+    Scale shape: one equi-shuffle customer⋈orders (both sides key-
+    partitioned; AQE broadcasts customer while it fits), a per-customer
+    count (map-side combinable), then the second aggregate collapses to
+    |distinct counts| rows — a handful however large the tables."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+@_q(
+    "q_report_small_qty_revenue",
+    """
+    SELECT floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0
+               AS avg_yearly
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey
+    ) t ON l.l_partkey = t.pk
+    WHERE l.l_quantity < t.qty_thresh
+    """,
+)
+def q_report_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — every
+    lineitem below 20% of its part's average quantity. The classic
+    correlated-aggregate-subquery query; the scalable form is the
+    explicit self-aggregation-then-join (exactly what Catalyst
+    decorrelates the subquery into).
+
+    Scale shape: the per-part average is a map-side-combinable aggregate
+    whose output is |parts| rows; its join back onto lineitem shares the
+    l_partkey shuffle key, and the final result is ONE row. No per-row
+    subquery execution anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thresh = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(thresh, li.l_partkey == thresh.pk)
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(qround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_q(
+    "q_report_big_orders",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           floor(o.o_totalprice * 100.0 + 0.5) / 100.0 AS o_totalprice,
+           floor(t.sum_qty * 100.0 + 0.5) / 100.0 AS sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    ) t ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def q_report_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — customers whose orders total
+    more than 250 units. The grouped-HAVING-as-semi-filter pattern: the
+    aggregate-with-threshold runs FIRST, collapsing lineitem to the few
+    qualifying orderkeys, and only those join onward to orders/customer.
+
+    Scale shape: the lineitem aggregate is map-side combinable on
+    l_orderkey; the HAVING filter drops ~all groups before any join, so
+    the subsequent joins are near-broadcast-sized however large the fact
+    table — the optimizer ordering a naive join-first formulation would
+    miss."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            qround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            qround(F.col("sum_qty"), 2).alias("sum_qty"),
+        )
+    )

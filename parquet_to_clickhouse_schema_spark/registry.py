@@ -118,6 +118,9 @@ CONTRACT_KEYS = (
 # old — so a 50-key sweep retires every r1/r2 row and most of r3's.
 SWEEP_PRIORITY = (
     # implementations changed (or new) in round 6 — need fresh green rows
+    "q_report_order_count_dist",  # new in r6 (Q13 shape)
+    "q_report_small_qty_revenue",  # new in r6 (Q17 shape)
+    "q_report_big_orders",  # new in r6 (Q18 shape)
     "q_embed_quantize",  # new in r6 (int8 absmax embedding compression)
     "q_profile_table",  # new in r6 (Deequ-style column profiles)
     "q_substring_dup",  # new in r6 (ExactSubstr dedup via winnowed anchors)
