@@ -124,13 +124,10 @@ SWEEP_PRIORITY = (
     "q_embed_quantize",  # new in r6 (int8 absmax embedding compression)
     "q_profile_table",  # new in r6 (Deequ-style column profiles)
     "q_substring_dup",  # new in r6 (ExactSubstr dedup via winnowed anchors)
-    "q_dup_rate_report",  # new in r6 (per-source duplication monitoring)
-    "q_hourly_profile",  # new in r6 (diurnal seasonality profile)
     "q_graph_degree",  # new in r6 (degree distribution, oracle-gated graph)
     "q_quantile_bucketize",  # new in r6 (equal-frequency binning)
     "q_cdc_apply",  # new in r6 (CDC feed -> snapshot compaction)
     "q_bpe_pairs",  # new in r6 (BPE merge-pair counting)
-    "q_mode_agg",  # new in r6 (deterministic per-group mode)
     "q_mad_robust",  # new in r6 (median absolute deviation)
     "q_event_transitions",  # new in r6 (Markov transition matrix)
     "q_source_entropy",  # new in r6 (token-distribution entropy)
@@ -140,7 +137,6 @@ SWEEP_PRIORITY = (
     "q_bigram_pmi",  # new in r6 (PMI collocations)
     "q_interp_linear",  # new in r6 (linear gap interpolation)
     "q_embed_outliers",  # new in r6 (centroid-distance z-score)
-    "q_length_histogram",  # new in r6 (log2 length buckets)
     "q_stream_stream_join",  # new in r6 (batch twin of the interval join)
     "q_pii_scrub",  # new in r6 (PII detect + redact)
     "q_anomaly_zscore",  # new in r6 (per-type z-score flags)
@@ -173,6 +169,12 @@ SWEEP_PRIORITY = (
     "q_having",
     "q_percentile",
     "q_stats_agg",
+    # r6 trivial scan-bound aggregates below the budget line (locally
+    # oracle-verified at both SFs; the simplest plans in the new set)
+    "q_hourly_profile",
+    "q_length_histogram",
+    "q_mode_agg",
+    "q_dup_rate_report",
     # r6-changed keys below the ~50 budget line: all have recent green
     # rows (fuzzy r5 hash-gated; the ANN family rows-only r3/r5 — the
     # driver's rows-only check adds little over the in-repo recall and
