@@ -529,3 +529,53 @@ def test_bpe_pairs_explodes_vocab_not_corpus(spark):
     )
     plan_x = executed_plan(df)
     assert "TakeOrderedAndProject" in plan_x
+
+
+def test_big_orders_aggregates_before_joining(spark):
+    """Q18 shape: the HAVING aggregate must collapse lineitem BEFORE any
+    join — in the optimized plan the lineitem Aggregate sits below the
+    joins (later in plan text), not above them."""
+    from parquet_to_clickhouse_schema_spark.operators.reports import (
+        q_report_big_orders,
+    )
+
+    df = q_report_big_orders(spark, SF_SMOKE)
+    plan = optimized_plan(df)
+    first_join = plan.index("Join")
+    agg_positions = [i for i in range(len(plan)) if plan.startswith("Aggregate", i)]
+    assert any(p > first_join for p in agg_positions)
+    # the qualifying-orders side is tiny -> AQE broadcasts the joins
+    df.collect()
+    assert "BroadcastHashJoin" in executed_plan(df)
+
+
+def test_small_qty_revenue_decorrelated_single_shuffle_key(spark):
+    """Q17 shape: per-part threshold joins lineitem on the SAME l_partkey
+    key — no per-row subquery, no cartesian."""
+    from parquet_to_clickhouse_schema_spark.operators.reports import (
+        q_report_small_qty_revenue,
+    )
+
+    df = q_report_small_qty_revenue(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_profile_table_single_scan(spark):
+    """q_profile_table's claim: ONE scan feeds every column profile."""
+    from parquet_to_clickhouse_schema_spark.operators.dq import q_profile_table
+
+    df = q_profile_table(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_embed_quantize_no_shuffle_no_python(spark):
+    """q_embed_quantize's claim: row-local folds, scan-bound."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import q_embed_quantize
+
+    df = q_embed_quantize(spark, SF_SMOKE)
+    assert shuffle_count(df) == 0
+    plan = executed_plan(df)
+    assert "Python" not in plan and "Arrow" not in plan
