@@ -1982,3 +1982,99 @@ def embed_quantize_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mse = F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b) / F.size("v")
     return d.select("vec_id", "label", "scale", mse.alias("mse"))
+
+
+# containment dedup parameters: shingle width, threshold, min shingles
+CONTAIN_Q = 3
+CONTAIN_THRESH = 0.8
+CONTAIN_MIN = 5
+
+
+@_q(
+    "q_dedup_containment",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, GREATEST(len(string_split(text, ' ')) - {CONTAIN_Q} + 1,
+                                 0) + 1),
+               i -> md5(array_to_string(string_split(text, ' ')[i:i + {CONTAIN_Q} - 1],
+                                        ' '))))) AS sh
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+           floor(n_shared / CAST(sa.n_sh AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+               AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE sa.n_sh >= {CONTAIN_MIN}
+      AND n_shared / CAST(sa.n_sh AS DOUBLE) >= {CONTAIN_THRESH}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dedup: ordered pairs where >= {CONTAIN_THRESH:.0%}
+    of doc_a's {CONTAIN_Q}-token shingles also appear in doc_b — the
+    ASYMMETRIC duplication measure. Symmetric Jaccard (q_dedup_ngram)
+    misses a short document quoted wholesale inside a long one (the union
+    dwarfs the intersection); containment is exactly the quote/subset
+    detector, directional by construction (A-in-B is not B-in-A).
+
+    Scale shape: distinct shingles are hashed row-locally (JVM transform
+    + md5); the pair generation is the shingle equi-join — each shingle's
+    bucket joins only its own postings, never all-pairs; per-doc shingle
+    counts join back as a broadcast-sized table. At 100 TB add a
+    document-frequency ceiling on shingles (as q_substring_dup does for
+    anchors) to bound hot boilerplate buckets; the gated form keeps exact
+    semantics so the oracle can verify it verbatim."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_sh_expr = F.greatest(F.size(toks) - CONTAIN_Q + 1, F.lit(0))
+    shingles = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    n_sh_expr >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), n_sh_expr),
+                        lambda i: F.md5(
+                            F.array_join(
+                                F.slice(toks, i, CONTAIN_Q), " "
+                            ).cast("binary")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("sh"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh"))
+    cont = F.col("n_shared") / F.col("n_sh").cast("double")
+    return (
+        shared.join(sa, "doc_a")
+        .filter((F.col("n_sh") >= CONTAIN_MIN) & (cont >= CONTAIN_THRESH))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            qround(cont, 4).alias("containment"),
+        )
+    )

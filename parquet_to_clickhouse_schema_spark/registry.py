@@ -118,6 +118,7 @@ CONTRACT_KEYS = (
 # old — so a 50-key sweep retires every r1/r2 row and most of r3's.
 SWEEP_PRIORITY = (
     # implementations changed (or new) in round 6 — need fresh green rows
+    "q_dedup_containment",  # new in r6 (asymmetric quote/subset dedup)
     "q_report_order_count_dist",  # new in r6 (Q13 shape)
     "q_report_small_qty_revenue",  # new in r6 (Q17 shape)
     "q_report_big_orders",  # new in r6 (Q18 shape)
@@ -131,7 +132,6 @@ SWEEP_PRIORITY = (
     "q_mad_robust",  # new in r6 (median absolute deviation)
     "q_event_transitions",  # new in r6 (Markov transition matrix)
     "q_source_entropy",  # new in r6 (token-distribution entropy)
-    "q_variant_json",  # new in r6 (VARIANT semi-structured access)
     "q_dq_checks",  # new in r6 (data-quality audit)
     "q_unigram_nll",  # new in r6 (unigram-LM quality signal)
     "q_bigram_pmi",  # new in r6 (PMI collocations)
@@ -169,6 +169,7 @@ SWEEP_PRIORITY = (
     "q_having",
     "q_percentile",
     "q_stats_agg",
+    "q_variant_json",  # new in r6; row-local JSON access, locally verified
     # r6 trivial scan-bound aggregates below the budget line (locally
     # oracle-verified at both SFs; the simplest plans in the new set)
     "q_hourly_profile",

@@ -238,3 +238,27 @@ def test_embed_quantize_mse_bound_and_saturation(spark):
     for r in embed_quantize_mse(spark, SF_SMOKE).collect():
         # rounding error per dim is at most scale/2 (+ float slack)
         assert r["mse"] <= (r["scale"] / 2) ** 2 * 1.000001 + 1e-18
+
+
+def test_dedup_containment_is_directional(spark, tmp_path):
+    """A short doc quoted inside a long one: containment fires A-in-B but
+    not B-in-A, and Jaccard-style symmetric overlap would be tiny."""
+    from parquet_to_clickhouse_schema_spark.operators import llm
+
+    quote = " ".join(f"q{i}" for i in range(10))  # 10 tokens -> 8 shingles
+    long_doc = " ".join(f"w{i}" for i in range(200)) + " " + quote
+    rows = [
+        (1, quote, "en", "s", len(quote)),
+        (2, long_doc, "en", "s", len(long_doc)),
+        (3, " ".join(f"z{i}" for i in range(50)), "en", "s", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in llm.q_dedup_containment(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] == 1.0  # quote fully contained
+    assert (2, 1) not in out  # the long doc is NOT contained in the quote
+    assert not any(3 in k for k in out)
