@@ -517,3 +517,67 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= SOURCE_CAP)
         .select("doc_id", "source", "pos")
     )
+
+
+MIX_SEED = "#bal1"
+
+
+@_q(
+    "q_mix_balanced",
+    f"""
+    WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+    floor_n AS (SELECT min(n_s) AS n_min FROM counts),
+    p AS (
+      SELECT source, n_s, n_min / CAST(n_s AS DOUBLE) AS keep_p
+      FROM counts CROSS JOIN floor_n
+    )
+    SELECT d.doc_id, d.source,
+           floor(keep_p * 1000000.0 + 0.5) / 1000000.0 AS keep_p
+    FROM documents d JOIN p ON d.source = p.source
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '{MIX_SEED}'),
+                              1, 15) AS BIGINT) / {{hex15}} < keep_p
+    """.replace("{hex15}", str(HEX15)),
+)
+def q_mix_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus mixing: downsample every source to (in expectation)
+    the size of the RAREST source — the uniform-mixture special case of
+    training-mix rebalancing (arbitrary target weights are the same plan
+    with a different keep_p table). A web-dominated crawl becomes a
+    source-uniform corpus in one pass.
+
+    Scale shape: per-source counts are one map-side-combined aggregate
+    (|sources| rows); keep probabilities derive from that tiny table and
+    broadcast back onto the scan; the keep decision is the same
+    deterministic 60-bit md5 coin as q_sample_weighted — no RNG, no
+    shuffle of the corpus, reproducible across re-runs, repartitions and
+    engines. Changing MIX_SEED resamples independently of the quality
+    sampler's seed."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    p = counts.crossJoin(F.broadcast(n_min)).select(
+        "source", (F.col("n_min") / F.col("n_s").cast("double")).alias("keep_p")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(MIX_SEED)
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(HEX15)
+    )
+    from parquet_to_clickhouse_schema_spark.functions.compat import qround
+
+    return (
+        d.join(F.broadcast(p), "source")
+        .filter(u < F.col("keep_p"))
+        .select("doc_id", "source", qround(F.col("keep_p"), 6).alias("keep_p"))
+    )
