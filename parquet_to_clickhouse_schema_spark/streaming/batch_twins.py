@@ -594,3 +594,88 @@ def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         qround(F.avg("value"), 6).alias("avg_val"),
     )
+
+
+@_q(
+    "q_abtest_lift",
+    """
+    WITH assign AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+             max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    rates AS (
+      SELECT grp, count(*) AS n, sum(conv) AS k,
+             sum(conv) / CAST(count(*) AS DOUBLE) AS rate
+      FROM assign GROUP BY grp
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN grp = 0 THEN n END) AS n_a,
+        max(CASE WHEN grp = 0 THEN k END) AS k_a,
+        max(CASE WHEN grp = 0 THEN rate END) AS rate_a,
+        max(CASE WHEN grp = 1 THEN n END) AS n_b,
+        max(CASE WHEN grp = 1 THEN k END) AS k_b,
+        max(CASE WHEN grp = 1 THEN rate END) AS rate_b
+      FROM rates
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           floor(rate_a * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+           floor(rate_b * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+           floor((rate_b - rate_a) * 1000000.0 + 0.5) / 1000000.0 AS lift,
+           floor((rate_b - rate_a) / sqrt(
+             ((k_a + k_b) / CAST(n_a + n_b AS DOUBLE))
+             * (1 - (k_a + k_b) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 / n_a + 1.0 / n_b)
+           ) * 1000000.0 + 0.5) / 1000000.0 AS z
+    FROM wide
+    """,
+)
+def q_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test on conversion (did the user ever make a
+    high-value purchase, value > 90):
+    per-cohort rates, absolute lift, and the pooled-variance z statistic —
+    the experiment-readout query every product pipeline runs. Cohort
+    assignment here is the deterministic user_id parity (a stand-in for
+    the experiment's bucketing hash — same plan either way).
+
+    Scale shape: one per-user aggregate (max-of-indicator, map-side
+    combinable — never a distinct over raw events), a 2-row cohort
+    aggregate, and row-local arithmetic on the 1-row pivot. The z math
+    runs in one fixed expression-order on both engines, so it hash-gates
+    cleanly (single division chains, no long float folds)."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("conv")
+    ).withColumn("grp", (F.col("user_id") % 2).cast("int"))
+    rates = assign.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("conv").alias("k"),
+        (F.sum("conv") / F.count("*").cast("double")).alias("rate"),
+    )
+    wide = rates.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("k"))).alias("k_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("rate"))).alias("rate_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("k"))).alias("k_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("rate"))).alias("rate_b"),
+    )
+    pooled = (F.col("k_a") + F.col("k_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        qround(F.col("rate_a"), 6).alias("rate_a"),
+        qround(F.col("rate_b"), 6).alias("rate_b"),
+        qround(F.col("rate_b") - F.col("rate_a"), 6).alias("lift"),
+        qround((F.col("rate_b") - F.col("rate_a")) / se, 6).alias("z"),
+    )
