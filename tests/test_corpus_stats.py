@@ -262,3 +262,30 @@ def test_dedup_containment_is_directional(spark, tmp_path):
     assert (1, 2) in out and out[(1, 2)] == 1.0  # quote fully contained
     assert (2, 1) not in out  # the long doc is NOT contained in the quote
     assert not any(3 in k for k in out)
+
+
+def test_mix_balanced_equalizes_sources(spark, tmp_path):
+    """Each source's kept count lands near the rarest source's size, and
+    the sample is deterministic across runs (md5 coin, no RNG)."""
+    from parquet_to_clickhouse_schema_spark.operators import training
+
+    rows = []
+    doc = 0
+    for src, n in (("web", 400), ("code", 100), ("wiki", 50)):
+        for _ in range(n):
+            rows.append((doc, f"text {doc}", "en", src, 10))
+            doc += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out1 = training.q_mix_balanced(spark, str(tmp_path)).collect()
+    out2 = training.q_mix_balanced(spark, str(tmp_path)).collect()
+    assert sorted(r["doc_id"] for r in out1) == sorted(r["doc_id"] for r in out2)
+    from collections import Counter
+
+    kept = Counter(r["source"] for r in out1)
+    # rarest source keeps everything (keep_p = 1), others ~50 in expectation;
+    # 3-sigma bounds for binomial(400, .125) and binomial(100, .5)
+    assert kept["wiki"] == 50
+    assert 30 <= kept["web"] <= 70
+    assert 35 <= kept["code"] <= 65
