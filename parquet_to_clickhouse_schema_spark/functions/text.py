@@ -773,3 +773,58 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "a", "b")
         .limit(BPE_TOP)
     )
+
+
+# Zipf fit: number of top-ranked tokens entering the regression
+ZIPF_TOP = 1000
+
+
+@_q(
+    "q_zipf_slope",
+    f"""
+    WITH freq AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+      FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           floor(regr_slope(ln(c), ln(r)) * 1000000.0 + 0.5) / 1000000.0
+               AS zipf_slope,
+           floor(regr_r2(ln(c), ln(r)) * 1000000.0 + 0.5) / 1000000.0 AS r2
+    FROM ranked WHERE r <= {ZIPF_TOP}
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: the slope of ln(freq) vs
+    ln(rank) for the top {ZIPF_TOP} tokens (natural text sits near -1;
+    template spam and synthetic soup deviate) plus the fit's R² — a
+    one-row corpus-health fingerprint that detects generation artifacts
+    and boilerplate floods without reading a single document twice.
+
+    Scale shape: the token count is the only corpus-sized shuffle; the
+    top-{ZIPF_TOP} slice is a TakeOrdered (distributed), the rank window
+    runs over just that slice, and the regression aggregates are
+    map-side-combinable closed-form sums. regr_slope/regr_r2 evaluate
+    the same closed form in both engines; per-statistic rounding absorbs
+    the summation-order ulps exactly as q_stats_agg's corr does."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    # TakeOrdered pulls the top slice distributed-ly; the global rank
+    # window then runs over only ZIPF_TOP rows (a global no-partition
+    # window over the full vocab would serialize it into one task)
+    top = freq.orderBy(F.col("c").desc(), "tok").limit(ZIPF_TOP)
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = top.withColumn("r", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        qround(F.regr_slope(F.log("c"), F.log("r")), 6).alias("zipf_slope"),
+        qround(F.regr_r2(F.log("c"), F.log("r")), 6).alias("r2"),
+    )

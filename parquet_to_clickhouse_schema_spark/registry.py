@@ -118,6 +118,7 @@ CONTRACT_KEYS = (
 # old — so a 50-key sweep retires every r1/r2 row and most of r3's.
 SWEEP_PRIORITY = (
     # implementations changed (or new) in round 6 — need fresh green rows
+    "q_zipf_slope",  # new in r6 (Zipf log-log fit corpus fingerprint)
     "q_abtest_lift",  # new in r6 (two-proportion A/B readout)
     "q_mix_balanced",  # new in r6 (balanced source mixing, md5 coin)
     "q_dedup_containment",  # new in r6 (asymmetric quote/subset dedup)
@@ -135,7 +136,6 @@ SWEEP_PRIORITY = (
     "q_event_transitions",  # new in r6 (Markov transition matrix)
     "q_source_entropy",  # new in r6 (token-distribution entropy)
     "q_dq_checks",  # new in r6 (data-quality audit)
-    "q_unigram_nll",  # new in r6 (unigram-LM quality signal)
     "q_embed_outliers",  # new in r6 (centroid-distance z-score)
     "q_stream_stream_join",  # new in r6 (batch twin of the interval join)
     "q_pii_scrub",  # new in r6 (PII detect + redact)
@@ -172,6 +172,7 @@ SWEEP_PRIORITY = (
     "q_variant_json",  # new in r6; row-local JSON access, locally verified
     "q_interp_linear",  # new in r6; grid-bounded interpolation, locally verified
     "q_bigram_pmi",  # new in r6; vocab-keyed joins, locally verified
+    "q_unigram_nll",  # new in r6; vocab-keyed joins, locally verified
     # r6 trivial scan-bound aggregates below the budget line (locally
     # oracle-verified at both SFs; the simplest plans in the new set)
     "q_hourly_profile",
