@@ -555,3 +555,447 @@ def q_report_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.col("sum_qty"), 2).alias("sum_qty"),
         )
     )
+
+
+@_q(
+    "q_report_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
+               AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_report_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two trading nations per year,
+    split by direction. The nation pair predicate can't be applied until
+    BOTH nation joins resolve, but each side's nation filter
+    (n_name IN (N1, N2)) IS pushable pre-join — we filter both broadcast
+    nation dims to the 2-row pair first, so the fact rows that survive the
+    supplier/customer joins are already restricted to the two nations and
+    the residual direction predicate drops at most half.
+
+    Scale shape: lineitem x orders is the only real shuffle;
+    supplier/customer/nation broadcast (customer via AQE at size)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            qround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_q(
+    "q_report_market_share",
+    """
+    SELECT l_year,
+           floor((sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0.0 END)
+                  / sum(volume)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region    ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY l_year
+    """,
+)
+def q_report_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of all revenue consumed
+    in a region, per year. The numerator condition (supplier nation) rides
+    a conditional aggregate over the SAME joined stream as the denominator
+    — one pass, no second scan, no self-join.
+
+    Scale shape: identical join topology to Q7; the region filter prunes
+    the customer-side nation dim to 5 rows before it ever touches the
+    fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("l_year"))
+        .agg(
+            qround(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "q_report_ship_priority",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q_report_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: this schema has no l_shipmode, so the
+    grouping column is l_linestatus): per line status, how many lineitems
+    shipped this year belong to urgent/high-priority vs other orders.
+    Two conditional counts out of one joined pass.
+
+    Scale shape: the date window prunes lineitem at the scan; the join is
+    the single orderkey equi-shuffle; output is |linestatus| rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q_report_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
+                 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_report_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    the aggregate-then-compare-to-scalar-max pattern (the reference SQL
+    uses a view; the DataFrame form materializes the per-supplier aggregate
+    once and reuses it for both the max and the equality filter).
+
+    The comparison happens on the ROUNDED revenue (2 decimals) so the
+    engine-side float summation-order ulps can't decide who wins the max.
+
+    Scale shape: per-supplier aggregate is map-side combinable to
+    |suppliers| rows; the scalar max is a 1-row broadcast; supplier join
+    broadcasts the tiny filtered winner set."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            qround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+        .cache()  # tiny (|suppliers| rows); reused by max + filter
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    winners = rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx")).drop("mx")
+    return s.join(winners, s.s_suppkey == winners.l_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@_q(
+    "q_report_part_supp_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_report_part_supp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    (brand, type, size) class — the partsupp table is synthesized as the
+    DISTINCT (partkey, suppkey) projection of lineitem, exactly how a
+    100 TB shop derives a relationship dim from the fact.
+
+    Scale shape: the distinct pair projection is the only fact shuffle
+    (16-byte keys); part broadcasts with its filters applied; the distinct
+    count rides the (brand,type,size) group — bounded output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q_report_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    regional AS (
+      SELECT ps.l_partkey, ps.l_suppkey, ps.unit_cost, s_name, n_name
+      FROM ps
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           floor(unit_cost * 100.0 + 0.5) / 100.0 AS unit_cost
+    FROM regional
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 10
+      AND unit_cost = (SELECT min(r2.unit_cost) FROM regional r2
+                       WHERE r2.l_partkey = regional.l_partkey)
+    """,
+)
+def q_report_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the European supplier(s)
+    offering it at minimum unit cost (partsupp's supplycost synthesized as
+    min observed extendedprice/quantity). The correlated-min subquery
+    decorrelates to a per-part min aggregate joined back on the shared
+    l_partkey key.
+
+    The min/equality pair is EXACTLY portable cross-engine: unit_cost is a
+    per-row division (bit-identical in both engines) and min is
+    order-insensitive, so no rounding is needed before the comparison —
+    unlike sum-based thresholds.
+
+    Scale shape: the ps synthesis is one map-side-combinable aggregate on
+    (partkey, suppkey); the region filter shrinks it via broadcast dims
+    BEFORE the per-part min, and the min join shares the partkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    regional = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "l_suppkey", "unit_cost", "s_name", "n_name")
+    )
+    min_cost = regional.groupBy(F.col("l_partkey").alias("mc_key")).agg(
+        F.min("unit_cost").alias("mc")
+    )
+    return (
+        regional.join(
+            min_cost,
+            (regional.l_partkey == min_cost.mc_key)
+            & (regional.unit_cost == min_cost.mc),
+        )
+        .join(F.broadcast(p), regional.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            qround(F.col("unit_cost"), 2).alias("unit_cost"),
+        )
+    )
+
+
+@_q(
+    "q_report_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(l_shipdate > o_orderdate + INTERVAL 60 DAY AS INT) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp,
+             max(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+      FROM late GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_order JOIN supplier ON late_supp = s_suppkey
+    WHERE n_supp >= 2 AND n_late_supp = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q_report_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: 'late' = shipped >60 days after order
+    date): suppliers who were the SOLE late supplier on a multi-supplier
+    finished order — the classic EXISTS + NOT-EXISTS pair.
+
+    Scale shape: instead of two correlated self-joins over the fact (the
+    literal SQL reading), ONE per-order aggregate computes (distinct
+    suppliers, distinct late suppliers, the late supplier id) — the
+    n_late_supp = 1 condition makes max() over late suppliers exact, so
+    the whole EXISTS/NOT-EXISTS logic collapses into a single orderkey
+    shuffle + a broadcast supplier join. The DuckDB oracle states the same
+    aggregate form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .cast("int")
+            .alias("is_late"),
+        )
+    )
+    per_order = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@_q(
+    "q_report_idle_customers",
+    """
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-06-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q_report_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: grouping by nation instead of phone
+    prefix, and 'idle' = no order in the trailing window rather than never
+    — every synthetic customer has lifetime orders): wealthy customers —
+    above the positive-balance average — with no recent order.
+    Scalar-subquery threshold + anti-join.
+
+    Scale shape: the threshold is a 1-row aggregate broadcast into the
+    customer scan filter; the NOT EXISTS is a left-anti join on the
+    custkey shuffle (orders pruned by the pushed date filter and projected
+    to its join key only); the final aggregate is |nations| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            qround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -354,3 +354,134 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@_q(
+    "q_recursive_cte",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01 00:00:00'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+    ),
+    rev AS (
+      SELECT date_trunc('month', o_orderdate) AS om,
+             floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS month_revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY om
+    )
+    SELECT CAST(m AS DATE) AS month_start,
+           coalesce(month_revenue, 0.0) AS month_revenue,
+           coalesce(n_orders, 0) AS n_orders
+    FROM months LEFT JOIN rev ON m = om
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): a monthly calendar spine
+    generated by recursion, left-joined to monthly order revenue so months
+    with no orders surface as explicit zero rows — the recursive companion
+    to the sequence()-based spine in q_resample_gapfill.
+
+    Scale shape: the recursion materializes ~80 spine rows on tiny local
+    iterations (depth = months, well under
+    spark.sql.cteRecursionLevelLimit); the fact-side aggregate is map-side
+    combinable to |months| rows, so the join is a broadcast of the spine
+    however large orders is."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+        ),
+        rev AS (
+          SELECT date_trunc('month', o_orderdate) AS om,
+                 floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS month_revenue,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders_rcte GROUP BY om
+        )
+        SELECT CAST(m AS DATE) AS month_start,
+               coalesce(month_revenue, 0.0D) AS month_revenue,
+               coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders
+        FROM months LEFT JOIN rev ON m = om
+        """
+    )
+
+
+@_q(
+    "q_distinct_on",
+    """
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey AS last_orderkey,
+           o_orderdate AS last_orderdate,
+           floor(o_totalprice * 100.0 + 0.5) / 100.0 AS last_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON semantics (latest order per customer): pick ONE whole
+    row per key by an explicit ordering. Spark has no DISTINCT ON; the
+    scale-correct form is a single max(struct(...)) aggregate — the
+    ordering columns lead the struct so struct comparison IS the ORDER BY
+    (o_orderdate DESC, o_orderkey DESC), and the payload rides along.
+
+    Unlike the row_number()-over-window form (full partition sort), the
+    argmax struct is map-side combinable: every partition reduces to one
+    candidate per key before the shuffle — the same pattern as
+    q_dedup_keep_best / q_cdc_apply, stated here as the DISTINCT ON
+    equivalence. Deterministic because o_orderkey is unique."""
+    o = load_table(spark, sf_dir, "orders")
+    best = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "o_custkey",
+        F.col("b.o_orderkey").alias("last_orderkey"),
+        F.col("b.o_orderdate").alias("last_orderdate"),
+        qround(F.col("b.o_totalprice"), 2).alias("last_totalprice"),
+    )
+
+
+@_q(
+    "q_order_nulls",
+    """
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_or_null,
+           o_orderpriority
+    FROM orders
+    ORDER BY nullif(o_orderstatus, 'P') ASC NULLS FIRST,
+             o_orderpriority ASC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def q_order_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-ordering semantics, observable through a LIMIT: the
+    engines DISAGREE by default (Spark ASC puts nulls first, DuckDB ASC
+    puts nulls last), so any ordered-limit query over a nullable sort key
+    MUST spell the null position or silently return different rows. The
+    unique o_orderkey tiebreak makes the limit deterministic.
+
+    Scale shape: ordered limit is TakeOrderedAndProject — per-partition
+    top-50 then a driver merge, never a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+            "o_orderpriority",
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_first(),
+            F.col("o_orderpriority").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(50)
+    )
