@@ -1,0 +1,160 @@
+"""Time-series diagnostics over the events stream: autocorrelation and
+CUSUM changepoint statistics.
+
+Both follow the aggregate-first discipline the windows/anomaly family
+established: the raw fact collapses to a (time-bucket, measure) series via a
+map-side-combinable aggregate BEFORE any window or self-join touches it, so
+the expensive part is one fact scan and everything after operates on a table
+whose size is bounded by the time span, not the event volume — at 100 TB the
+hourly series for a month is still 720 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark._registry import new_registry
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+QUERIES, ORACLES, _q = new_registry()
+
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+@_q(
+    "q_acf",
+    """
+    WITH series AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hsec,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY hsec
+    ),
+    lags(lag_hours) AS (VALUES (1), (2), (3), (6), (12), (24))
+    SELECT lag_hours,
+           floor(corr(a.cnt, b.cnt) * 1000000.0 + 0.5) / 1000000.0 AS acf,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lags
+    JOIN series a ON true
+    JOIN series b ON b.hsec = a.hsec - lag_hours * 3600
+    GROUP BY lag_hours
+    """,
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags
+    1/2/3/6/12/24 h — the seasonality detector behind q_hourly_profile
+    (a strong lag-24 ACF is what tells you a diurnal profile is real).
+
+    Pairs are formed by an equi-join of the series to itself on shifted
+    epoch-hour keys (exact integer arithmetic — no interval math to
+    disagree on), once per lag via a tiny lag dimension.
+
+    Scale shape: the fact collapses to |hours| rows first; the self-join
+    and corr() run on that bounded series (broadcast-sized at any event
+    volume), so lag count multiplies a tiny table, never the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))).alias("hsec")
+        )
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    lags = spark.range(0).sparkSession.createDataFrame(
+        [(lag,) for lag in ACF_LAGS], "lag_hours INT"
+    )
+    a = series.select(F.col("hsec").alias("a_hsec"), F.col("cnt").alias("a_cnt"))
+    b = series.select(F.col("hsec").alias("b_hsec"), F.col("cnt").alias("b_cnt"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("b_hsec") == F.col("a_hsec") - F.col("lag_hours") * 3600,
+        )
+    )
+    return pairs.groupBy("lag_hours").agg(
+        qround(F.corr("a_cnt", "b_cnt"), 6).alias("acf"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+
+
+@_q(
+    "q_cusum",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY event_type, d
+    ),
+    stats AS (
+      SELECT event_type, avg(cnt) AS mu, stddev_samp(cnt) AS sigma
+      FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+      SELECT daily.event_type, d,
+             sum((cnt - mu) / sigma)
+                 OVER (PARTITION BY daily.event_type ORDER BY d) AS s
+      FROM daily JOIN stats ON daily.event_type = stats.event_type
+    ),
+    r AS (
+      SELECT event_type, d,
+             floor(abs(s) * 1000000.0 + 0.5) / 1000000.0 AS abs_s
+      FROM cusum
+    ),
+    mx AS (
+      SELECT event_type, max(abs_s) AS peak_cusum,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_type, CAST(min(d) AS DATE) AS peak_day,
+           any_value(peak_cusum) AS peak_cusum, any_value(n_days) AS n_days
+    FROM r JOIN mx ON r.event_type = mx.event_type AND r.abs_s = mx.peak_cusum
+    GROUP BY r.event_type
+    """,
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint statistic per event type: the running sum of
+    standardized daily counts; its peak |S| marks the most likely
+    level-shift point (Page's cumulative-sum detector over the daily
+    series). Output: where each type's drift peaks and how hard.
+
+    Determinism: the peak day is argmax over the ROUNDED |S| with
+    earliest-day tiebreak, so cross-engine ulp noise in mean/stddev can't
+    flip the winner except exactly at a rounding boundary (same contract
+    as the report-tier qround sums).
+
+    Scale shape: the fact collapses to |types| x |days| rows before the
+    window; the per-type cumsum sorts those tiny partitions, not events —
+    the same aggregate-first discipline as q_anomaly_zscore, so the
+    5-value partition key is windowing a ~150-row table, not the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    stats = daily.groupBy(F.col("event_type").alias("st_type")).agg(
+        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sigma")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cusum = (
+        daily.join(F.broadcast(stats), daily.event_type == stats.st_type)
+        .withColumn("s", F.sum((F.col("cnt") - F.col("mu")) / F.col("sigma")).over(w))
+    )
+    rounded = cusum.select(
+        "event_type", "d", qround(F.abs("s"), 6).alias("abs_s")
+    )
+    mx = rounded.groupBy(F.col("event_type").alias("mx_type")).agg(
+        F.max("abs_s").alias("peak_cusum"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    return (
+        rounded.join(
+            F.broadcast(mx),
+            (rounded.event_type == mx.mx_type) & (rounded.abs_s == mx.peak_cusum),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("d").alias("peak_day"),
+            F.any_value("peak_cusum").alias("peak_cusum"),
+            F.any_value("n_days").alias("n_days"),
+        )
+    )

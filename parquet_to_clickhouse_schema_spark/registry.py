@@ -24,6 +24,7 @@ from parquet_to_clickhouse_schema_spark.operators import (
     skew,
     sortset,
     sqlfeatures,
+    timeseries,
     training,
     udfs,
     windows,
@@ -42,6 +43,7 @@ _MODULES = [
     text,
     batch_twins,
     llm,
+    timeseries,
     training,
     udfs,
     skew,
