@@ -828,3 +828,104 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.regr_slope(F.log("c"), F.log("r")), 6).alias("zipf_slope"),
         qround(F.regr_r2(F.log("c"), F.log("r")), 6).alias("r2"),
     )
+
+
+OOV_VOCAB_K = 500  # vocabulary size for the OOV-rate readout
+
+
+@_q(
+    "q_oov_rate",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+        ORDER BY freq DESC, tok LIMIT {OOV_VOCAB_K}
+      )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           floor((sum(CASE WHEN vocab.tok IS NULL THEN 1.0 ELSE 0.0 END)
+                  / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS oov_rate
+    FROM toks LEFT JOIN vocab USING (tok)
+    GROUP BY source
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus's own top-500
+    token vocabulary — the tokenizer-coverage readout run before freezing
+    a vocab (a source with high OOV will fragment into bytes/UNKs).
+
+    Vocabulary selection is deterministic (count desc, token asc) so the
+    rank-500 boundary can't flip cross-engine on ties.
+
+    Scale shape: token counting is map-side combinable and vocab-bounded;
+    the top-k is a TakeOrdered slice of the count table; the vocab joins
+    back BROADCAST (500 rows) onto the token stream, so the only fact-
+    scale shuffle is the per-source final aggregate — |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(OOV_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            qround(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+FREQ_SKETCH_K = 5  # heavy hitters reported per source
+
+
+@_q("q_freq_topk_sketch")  # rows-only: sketch estimates are approximate by design
+def q_freq_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy hitters via the approx_top_k sketch — the
+    constant-memory companion to the exact q_vocab_top: each partition
+    tracks a bounded item map and the maps MERGE, so the shuffle carries
+    one sketch per partition instead of the full (source, token) count
+    table. The 100 TB form of "top tokens per source".
+
+    Exactness contract: with maxItemsTracked >= the true distinct-token
+    count the estimates ARE exact (tested against the exact counts at
+    test SF); at scale the 10k cap bounds memory and the counts become
+    upper-bound estimates — which is why this key is rows-only.
+
+    Output is exploded to scalar columns (driver canonicalizer forbids
+    array/struct cells): source, rank, token, est_count."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    sk = toks.groupBy("source").agg(
+        F.expr(f"approx_top_k(tok, {FREQ_SKETCH_K}, 10000)").alias("topk")
+    )
+    ranked = sk.select(
+        "source", F.posexplode("topk").alias("pos", "entry")
+    )
+    return ranked.select(
+        "source",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("entry.item").alias("token"),
+        F.col("entry.count").cast("bigint").alias("est_count"),
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_to_clickhouse_schema_spark._registry import new_registry
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
 from parquet_to_clickhouse_schema_spark.sources.io import TABLES, load_table
 
 QUERIES, ORACLES, _q = new_registry()
@@ -581,3 +582,215 @@ def q_mix_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < F.col("keep_p"))
         .select("doc_id", "source", qround(F.col("keep_p"), 6).alias("keep_p"))
     )
+
+
+@_q(
+    "q_contamination_score",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+                  END AS split,
+             string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, split,
+             array_to_string(toks[i:i + {SHINGLE_W - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, split, toks,
+                   unnest(range(1, len(toks) - {SHINGLE_W - 2})) AS i
+            FROM base WHERE split IS NOT NULL AND len(toks) >= {SHINGLE_W})
+    ),
+    tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train')
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN tr.shingle IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_shared,
+           floor((sum(CASE WHEN tr.shingle IS NULL THEN 0.0 ELSE 1.0 END)
+                  / count(*)) * 1000000.0 + 0.5) / 1000000.0
+               AS contamination
+    FROM sh LEFT JOIN tr USING (shingle)
+    WHERE sh.split = 'test'
+    GROUP BY sh.doc_id
+    """,
+)
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination: for EVERY test-split document, the fraction of
+    its distinct 8-word shingles that also appear in the train split —
+    q_decontaminate's boolean membership turned into the score a filtering
+    threshold actually needs (drop at >5%, flag at >0.1%, ...). Includes
+    the zero-contamination rows the semi-join form can't emit.
+
+    Same shingle machinery and 64-bit-hash discipline as q_decontaminate;
+    the membership probe is a LEFT join against the distinct train-shingle
+    set so the per-doc denominator rides the same pass as the numerator."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split_col = (
+        F.when(nibble.isin(*"0123456789ab"), "train")
+        .when(nibble.isin("e", "f"), "test")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    toks = F.split("text", " ")
+    base = (
+        d.select("doc_id", split_col.alias("split"), toks.alias("toks"))
+        .filter(F.col("split").isNotNull() & (F.size("toks") >= SHINGLE_W))
+        .repartition("doc_id")
+    )
+    sh = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (SHINGLE_W - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i, SHINGLE_W))
+                ),
+            )
+        ).alias("shingle_h"),
+    ).dropDuplicates(["doc_id", "split", "shingle_h"])
+    train_sh = (
+        sh.filter(F.col("split") == "train")
+        .select("shingle_h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test_sh = sh.filter(F.col("split") == "test").select("doc_id", "shingle_h")
+    return (
+        test_sh.join(train_sh, "shingle_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_shared"),
+            qround(
+                F.sum(F.coalesce(F.col("hit").cast("double"), F.lit(0.0)))
+                / F.count("*"),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+CURRICULUM_SEED = "#c1"
+
+
+@_q(
+    "q_curriculum_order",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(floor(log2(n_chars + 1)) AS BIGINT) AS difficulty_bucket,
+             substr(md5(CAST(doc_id AS VARCHAR) || '{CURRICULUM_SEED}'), 1, 13) AS hv
+      FROM documents
+    )
+    SELECT doc_id, difficulty_bucket,
+           CAST(row_number() OVER (ORDER BY difficulty_bucket, hv, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: a global training position that presents short
+    (easy) documents first, shuffled WITHIN each difficulty tier by the
+    deterministic md5 coin — ordered curriculum between tiers, epoch-
+    shuffle randomness inside them.
+
+    The composite (bucket, hash) order packs into ONE bigint —
+    bucket * 2^52 + 52-bit hash prefix — so the global row_number reuses
+    rank_low_cardinality's quantile-bucketed two-pass rank (no single-task
+    total sort; same scale argument as q_epoch_shuffle). Fixed-width hex
+    orders like its numeric value, which keeps the oracle's string ORDER
+    BY and the packed bigint in exact agreement."""
+    from parquet_to_clickhouse_schema_spark.operators.windows import (
+        rank_low_cardinality,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.log2(F.col("n_chars") + 1)).cast("bigint")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(CURRICULUM_SEED)
+                ).cast("binary")
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = d.select(
+        "doc_id",
+        bucket.alias("difficulty_bucket"),
+        (bucket * F.lit(2**52).cast("bigint") + hv).alias("ok_packed"),
+    )
+    return rank_low_cardinality(
+        keyed,
+        [],
+        "ok_packed",
+        ascending=True,
+        tiebreak_cols=["doc_id"],
+        output_col="pos",
+        method="row_number",
+    ).select("doc_id", "difficulty_bucket", "pos")
+
+
+HISTORY_SOURCES = tuple(f"src{i}" for i in range(10))  # the already-ingested half
+
+
+@_q(
+    "q_incremental_dedup",
+    f"""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents
+      WHERE source IN {HISTORY_SOURCES!r}
+    ),
+    batch AS (
+      SELECT doc_id, source, md5(text) AS digest FROM documents
+      WHERE source NOT IN {HISTORY_SOURCES!r}
+    ),
+    fresh AS (
+      SELECT b.doc_id, b.source, b.digest
+      FROM batch b LEFT JOIN hist USING (digest)
+      WHERE hist.digest IS NULL
+    )
+    SELECT doc_id, source, digest
+    FROM fresh
+    WHERE doc_id = (SELECT min(f2.doc_id) FROM fresh f2
+                    WHERE f2.digest = fresh.digest)
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch (sources src10+) is deduped
+    against the already-ingested history (src0..src9) AND against itself,
+    keeping the lowest doc_id per digest — the daily-append pattern where
+    re-hashing the full corpus per batch would be O(corpus) instead of
+    O(batch + history-index probe).
+
+    Scale shape: both sides shuffle 16-byte md5 digests, never text; the
+    history probe is a left-anti equi-join (at production scale the
+    history digest set lives as its own compacted table — here it derives
+    from the same corpus split); the within-batch keep-first is the
+    map-side-combinable min aggregate, not a window."""
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text").cast("binary"))
+    hist = (
+        d.filter(F.col("source").isin(*HISTORY_SOURCES))
+        .select(digest.alias("digest"))
+        .distinct()
+    )
+    batch = d.filter(~F.col("source").isin(*HISTORY_SOURCES)).select(
+        "doc_id", "source", digest.alias("digest")
+    )
+    fresh = batch.join(hist, "digest", "left_anti")
+    keep = fresh.groupBy(F.col("digest").alias("keep_digest")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    return fresh.join(
+        keep,
+        (F.col("digest") == F.col("keep_digest"))
+        & (F.col("doc_id") == F.col("keep_id")),
+    ).select("doc_id", "source", "digest")
