@@ -679,3 +679,141 @@ def q_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("rate_b") - F.col("rate_a"), 6).alias("lift"),
         qround((F.col("rate_b") - F.col("rate_a")) / se, 6).alias("z"),
     )
+
+
+@_q(
+    "q_stream_enrich",
+    """
+    SELECT event_id, e.user_id, event_type,
+           c_mktsegment AS segment,
+           floor(coalesce(c_acctbal, 0.0) * 100.0 + 0.5) / 100.0 AS acctbal
+    FROM events e
+    LEFT JOIN customer ON c_custkey = e.user_id
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_enrich_static (stream_demo.py): dimension
+    enrichment of the event stream via a broadcast LEFT join — left so
+    events with no dimension row survive (dropping them silently is the
+    classic enrichment bug). The streaming variant re-resolves the static
+    side each micro-batch; this twin states the per-batch semantics as one
+    gated query.
+
+    Scale shape: broadcast join, stream side never shuffles. The dim here
+    (customer) grows with SF, so production would gate the broadcast on
+    size — kept explicit in the twin because the streaming lookup pattern
+    REQUIRES the broadcast (a stream-side shuffle join would re-shuffle
+    every micro-batch)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    return ev.join(F.broadcast(cust), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "segment",
+        qround(F.coalesce("acctbal", F.lit(0.0)), 2).alias("acctbal"),
+    )
+
+
+@_q(
+    "q_window_time_range",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+           floor((sum(value) OVER w) * 10000.0 + 0.5) / 10000.0
+               AS value_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the trailing-1-hour event count
+    and value sum at every event — the batch statement of a sliding
+    stream aggregate keyed by event time (q_window_range_frame's frame is
+    value-based; this one is wall-clock-based, the form ops dashboards
+    actually use).
+
+    Both engines evaluate the frame over integer epoch MICROseconds
+    (unix_micros / epoch_us), so the RANGE bound is exact integer
+    arithmetic at full timestamp precision — whole-second truncation
+    would disagree with the oracle on events straddling the boundary by
+    sub-second amounts (seen at sf0.1), and interval-typed bounds have
+    engine-specific semantics.
+
+    Scale shape: partitioned by user_id (high cardinality — the GOOD
+    window case: many small partitions, no single-task funnel); one
+    shuffle on user_id, frames resolved by the running two-pointer pass
+    inside each sorted partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("bigint").alias("n_trailing_1h"),
+        qround(F.sum("value").over(w), 4).alias("value_trailing_1h"),
+    )
+
+
+@_q(
+    "q_time_rollup",
+    """
+    SELECT CASE WHEN grouping(d) = 0 THEN 'day'
+                WHEN grouping(wk) = 0 THEN 'week'
+                ELSE 'month' END AS grain,
+           coalesce(d, wk, mo) AS bucket_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+    FROM (
+      SELECT event_type, value,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(date_trunc('month', ts) AS DATE) AS mo
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((d, event_type), (wk, event_type), (mo, event_type))
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup: day, week, and month aggregates of the
+    event stream in ONE pass via GROUPING SETS — the hypertable
+    continuous-aggregate pattern (materialize once, serve every zoom
+    level) without rescanning the fact per grain.
+
+    Scale shape: Catalyst expands grouping sets by replicating each input
+    row once per set (3x here) into a single hash aggregate — one fact
+    scan, one shuffle, versus three scans for the UNION ALL formulation.
+    grouping() disambiguates the grain, so week-starts that coincide with
+    month-starts can't collide."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "value",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+        F.date_trunc("month", "ts").cast("date").alias("mo"),
+    )
+    base.createOrReplaceTempView("events_rollup")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(d) = 0 THEN 'day'
+                    WHEN grouping(wk) = 0 THEN 'week'
+                    ELSE 'month' END AS grain,
+               coalesce(d, wk, mo) AS bucket_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               floor((sum(value)) * 10000.0D + 0.5D) / 10000.0D AS total_value
+        FROM events_rollup
+        GROUP BY GROUPING SETS ((d, event_type), (wk, event_type), (mo, event_type))
+        """
+    )
