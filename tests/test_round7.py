@@ -1,0 +1,179 @@
+"""Round-7 operator tests: properties the DuckDB oracle gate can't state
+(rows-only sketch exactness, semantic equivalence to the literal SQL
+reading, boundary semantics of the time-range frame, recursion limits).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark import registry
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+Q = registry.all_queries()
+
+
+def test_freq_topk_sketch_exact_at_test_sf(spark):
+    """With maxItemsTracked >= |vocab|, approx_top_k is EXACT — verify the
+    sketch ranks/counts against the brute-force (source, token) counts."""
+    got = Q["q_freq_topk_sketch"](spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    exact = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    by_source: dict[str, dict[str, int]] = {}
+    for r in exact:
+        by_source.setdefault(r.source, {})[r.tok] = r.cnt
+    assert len(got) > 0
+    for row in got:
+        counts = by_source[row.source]
+        # the sketch count must equal the true count for its token
+        assert counts[row.token] == row.est_count
+        # and the reported top-k must dominate every unreported token
+        kth = min(r.est_count for r in got if r.source == row.source)
+        n_better = sum(1 for c in counts.values() if c > kth)
+        assert n_better <= 5
+
+
+def test_waiting_suppliers_matches_literal_exists_form(spark):
+    """The single-aggregate Q21 form must equal the literal
+    EXISTS + NOT EXISTS double-self-join reading."""
+    got = {
+        (r.s_name, r.numwait)
+        for r in Q["q_report_waiting_suppliers"](spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, SF_SMOKE, "supplier")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = li.select("l_orderkey", F.col("l_suppkey").alias("o_supp")).distinct()
+    has_other = l1.join(
+        other,
+        (l1.l_orderkey == other.l_orderkey) & (l1.l_suppkey != other.o_supp),
+        "left_semi",
+    )
+    other_late = l1.select("l_orderkey", F.col("l_suppkey").alias("o_supp"))
+    sole_late = has_other.join(
+        other_late,
+        (has_other.l_orderkey == other_late.l_orderkey)
+        & (has_other.l_suppkey != other_late.o_supp),
+        "left_anti",
+    )
+    expected_df = (
+        sole_late.join(s, sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+    expected = {(r.s_name, r.numwait) for r in expected_df.collect()}
+    assert got == expected
+
+
+def test_distinct_on_matches_window_form(spark):
+    """The argmax-struct DISTINCT ON must equal row_number()=1."""
+    from pyspark.sql import Window
+
+    got = {
+        (r.o_custkey, r.last_orderkey)
+        for r in Q["q_distinct_on"](spark, SF_SMOKE).collect()
+    }
+    o = load_table(spark, SF_SMOKE, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    expected = {
+        (r.o_custkey, r.o_orderkey)
+        for r in o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == expected
+
+
+def test_time_range_frame_boundary_inclusive(spark):
+    """An event exactly 3600 s earlier IS in the trailing-1h frame; one
+    microsecond beyond is not — pin the bound the oracle agrees on."""
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 7, t0 - datetime.timedelta(seconds=3600, microseconds=1), "view", 1.0, "{}"),
+        (2, 7, t0 - datetime.timedelta(seconds=3600), "view", 2.0, "{}"),
+        (3, 7, t0, "view", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for name in ("events",):
+            df.write.mode("overwrite").parquet(f"{tmp}/{name}.parquet")
+        out = {r.event_id: r for r in Q["q_window_time_range"](spark, tmp).collect()}
+    assert out[3].n_trailing_1h == 2  # events 2 (exactly -3600 s) and 3
+    assert out[3].value_trailing_1h == pytest.approx(6.0)
+    assert out[2].n_trailing_1h == 2  # events 1 and 2 are within an hour
+
+
+def test_recursive_cte_spine_and_totals(spark):
+    """80 monthly spine rows; order counts reconcile with the table."""
+    rows = Q["q_recursive_cte"](spark, SF_SMOKE).collect()
+    assert len(rows) == 80
+    months = [r.month_start for r in rows]
+    assert months[0] if False else min(months) == datetime.date(1995, 1, 1)
+    assert max(months) == datetime.date(2001, 8, 1)
+    total = sum(r.n_orders for r in rows)
+    assert total == load_table(spark, SF_SMOKE, "orders").count()
+
+
+def test_incremental_dedup_invariants(spark):
+    """No history digest leaks through; output digests are unique; every
+    output doc is the min doc_id of its digest within the batch."""
+    out = Q["q_incremental_dedup"](spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    digests = [r.digest for r in out]
+    assert len(digests) == len(set(digests))
+    d = load_table(spark, SF_SMOKE, "documents")
+    hist = {
+        r.digest
+        for r in d.filter(
+            F.col("source").isin([f"src{i}" for i in range(10)])
+        )
+        .select(F.md5(F.col("text").cast("binary")).alias("digest"))
+        .distinct()
+        .collect()
+    }
+    assert not (set(digests) & hist)
+
+
+def test_curriculum_order_is_a_permutation_sorted_by_bucket(spark):
+    out = Q["q_curriculum_order"](spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    assert sorted(r.pos for r in out) == list(range(1, n + 1))
+    by_pos = sorted(out, key=lambda r: r.pos)
+    buckets = [r.difficulty_bucket for r in by_pos]
+    assert buckets == sorted(buckets)  # easy (short) tiers first
+
+
+def test_acf_and_cusum_sanity(spark):
+    acf = Q["q_acf"](spark, SF_SMOKE).collect()
+    assert {r.lag_hours for r in acf} == {1, 2, 3, 6, 12, 24}
+    for r in acf:
+        assert -1.0 <= r.acf <= 1.0
+        assert r.n_pairs > 0
+    cs = Q["q_cusum"](spark, SF_SMOKE).collect()
+    assert len(cs) == 5  # one row per event type
+    for r in cs:
+        assert r.peak_cusum >= 0.0
+        assert r.n_days > 0
