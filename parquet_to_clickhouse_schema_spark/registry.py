@@ -109,48 +109,85 @@ CONTRACT_KEYS = (
     "q_udaf_grouped",
 )
 
-# Round-6 sweep priority: the driver's correctness sweep checks the FIRST
-# ~50 queries() keys each round. r5's 50-key sweep refreshed the r5-changed
-# keys plus the contract keys through q_near_dedup_minhash; 25 keys still
-# carry r1/r2 rows (VERDICT r5 "What's missing" #1 — critically, the
-# streaming-window contract keys have never been driver-verified against
-# the regenerated events.ts data). This round leads with round-6 changes
-# (stream-stream twin, AQE-hint joins, fuzzy-pairs join, distributed IVF
-# training), then ALL 25 r1/r2-stale keys, then r3-era keys now 3 rounds
-# old — so a 50-key sweep retires every r1/r2 row and most of r3's.
+# Round-7 sweep priority: the driver's correctness sweep checks the FIRST
+# ~50 queries() keys each round. No CORRECTNESS_r06 artifact landed, so BOTH
+# the r6-new keys and the r7-new keys have never had a driver row — and the
+# four streaming-window contract twins are still waiting for their first
+# check against the regenerated events.ts (VERDICT r5 top item). Order:
+# (a) r7-new keys, (b) the streaming contract twins, (c) r6-new keys, with
+# the most trivial scan-bound r6 aggregates below the budget line (they are
+# the least likely to drift and are locally verified at both SFs).
 SWEEP_PRIORITY = (
-    # implementations changed (or new) in round 6 — need fresh green rows
-    "q_zipf_slope",  # new in r6 (Zipf log-log fit corpus fingerprint)
-    "q_abtest_lift",  # new in r6 (two-proportion A/B readout)
-    "q_mix_balanced",  # new in r6 (balanced source mixing, md5 coin)
-    "q_dedup_containment",  # new in r6 (asymmetric quote/subset dedup)
-    "q_report_order_count_dist",  # new in r6 (Q13 shape)
-    "q_report_small_qty_revenue",  # new in r6 (Q17 shape)
-    "q_report_big_orders",  # new in r6 (Q18 shape)
-    "q_embed_quantize",  # new in r6 (int8 absmax embedding compression)
-    "q_profile_table",  # new in r6 (Deequ-style column profiles)
-    "q_substring_dup",  # new in r6 (ExactSubstr dedup via winnowed anchors)
-    "q_graph_degree",  # new in r6 (degree distribution, oracle-gated graph)
-    "q_quantile_bucketize",  # new in r6 (equal-frequency binning)
-    "q_cdc_apply",  # new in r6 (CDC feed -> snapshot compaction)
-    "q_bpe_pairs",  # new in r6 (BPE merge-pair counting)
-    "q_mad_robust",  # new in r6 (median absolute deviation)
-    "q_event_transitions",  # new in r6 (Markov transition matrix)
-    "q_source_entropy",  # new in r6 (token-distribution entropy)
-    "q_dq_checks",  # new in r6 (data-quality audit)
-    "q_embed_outliers",  # new in r6 (centroid-distance z-score)
-    "q_stream_stream_join",  # new in r6 (batch twin of the interval join)
-    "q_pii_scrub",  # new in r6 (PII detect + redact)
-    "q_anomaly_zscore",  # new in r6 (per-type z-score flags)
-    "q_pagerank",  # new in r6 (rows-only: iterative float fixpoint)
-    "q_join_multiway",  # r6: customer broadcast now AQE-decided
-    "q_report_returned_customers",  # r6: same (also r1/r2-stale)
-    # last green row r1/r2 — stale 4+ rounds, re-verify (VERDICT r5 list);
-    # streaming twins first: never checked against the regenerated events.ts
+    # new in round 7 — need first driver rows
+    "q_report_volume_shipping",
+    "q_report_market_share",
+    "q_report_ship_priority",
+    "q_report_top_supplier",
+    "q_report_part_supp_count",
+    "q_report_min_cost_supplier",
+    "q_report_waiting_suppliers",
+    "q_report_idle_customers",
+    "q_recursive_cte",
+    "q_distinct_on",
+    "q_order_nulls",
+    "q_acf",
+    "q_cusum",
+    "q_oov_rate",
+    "q_freq_topk_sketch",  # rows-only by design (sketch)
+    "q_contamination_score",
+    "q_curriculum_order",
+    "q_incremental_dedup",
+    "q_stream_enrich",
+    "q_window_time_range",
+    "q_time_rollup",
+    # streaming contract twins: never driver-verified against the
+    # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
     "q_tumbling_window",
     "q_sliding_window",
     "q_session_window",
     "q_stream_dedup",
+    # new in round 6 — still awaiting first driver rows
+    "q_zipf_slope",
+    "q_abtest_lift",
+    "q_mix_balanced",
+    "q_dedup_containment",
+    "q_report_order_count_dist",
+    "q_report_small_qty_revenue",
+    "q_report_big_orders",
+    "q_embed_quantize",
+    "q_profile_table",
+    "q_substring_dup",
+    "q_graph_degree",
+    "q_quantile_bucketize",
+    "q_cdc_apply",
+    "q_bpe_pairs",
+    "q_mad_robust",
+    "q_event_transitions",
+    "q_source_entropy",
+    "q_dq_checks",
+    "q_embed_outliers",
+    "q_stream_stream_join",
+    "q_pii_scrub",
+    "q_anomaly_zscore",
+    "q_pagerank",  # rows-only (iterative float fixpoint)
+    "q_variant_json",
+    "q_interp_linear",
+    "q_bigram_pmi",
+    "q_unigram_nll",
+    # r6-changed joins + trivial r6 scan-bound aggregates below the ~50
+    # budget line (locally oracle-verified at both SFs every round)
+    "q_join_multiway",
+    "q_report_returned_customers",
+    "q_hourly_profile",
+    "q_length_histogram",
+    "q_mode_agg",
+    "q_dup_rate_report",
+    "q_fuzzy_pairs",
+    "q_ivf_topk",
+    "q_ivfpq_topk",
+    "q_kmeans_clusters",
+    "q_pq_topk",
+    # r1/r2-era keys not re-swept since (next rotation's candidates)
     "q_near_dedup_minhash",
     "q_text_stats",
     "q_udf_python",
@@ -171,44 +208,6 @@ SWEEP_PRIORITY = (
     "q_having",
     "q_percentile",
     "q_stats_agg",
-    "q_variant_json",  # new in r6; row-local JSON access, locally verified
-    "q_interp_linear",  # new in r6; grid-bounded interpolation, locally verified
-    "q_bigram_pmi",  # new in r6; vocab-keyed joins, locally verified
-    "q_unigram_nll",  # new in r6; vocab-keyed joins, locally verified
-    # r6 trivial scan-bound aggregates below the budget line (locally
-    # oracle-verified at both SFs; the simplest plans in the new set)
-    "q_hourly_profile",
-    "q_length_histogram",
-    "q_mode_agg",
-    "q_dup_rate_report",
-    # r6-changed keys below the ~50 budget line: all have recent green
-    # rows (fuzzy r5 hash-gated; the ANN family rows-only r3/r5 — the
-    # driver's rows-only check adds little over the in-repo recall and
-    # consistency tests, so the 25 r1/r2-stale keys outrank them)
-    "q_fuzzy_pairs",  # r6: gram-frequency join now AQE-decided
-    "q_ivf_topk",  # r6: distributed coarse-centroid training (rows-only)
-    "q_ivfpq_topk",  # r6: same (rows-only)
-    "q_kmeans_clusters",  # r6: final-centroid assignment fix (rows-only)
-    "q_pq_topk",  # rows-only; re-sweep with the ANN family
-    # last green row r3 — now 3 rounds old, refresh while budget remains
-    "q_map_funcs",
-    "q_cosine_topk",
-    "q_dedup_simhash",
-    "q_dedup_ngram",
-    "q_dedup_embedding",
-    "q_dedup_clusters",
-    "q_ann_lsh_topk",
-    "q_decontaminate",
-    "q_tfidf_top",
-    "q_stratified_sample",
-    "q_repetition_filter",
-    "q_embed_centroid",
-    "q_join_full",
-    "q_funnel",
-    "q_retention",
-    "q_islands",
-    "q_string_agg",
-    "q_try_funcs",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
