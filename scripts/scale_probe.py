@@ -91,6 +91,44 @@ def _r6_queries():
     }
 
 
+def _r7_queries():
+    from parquet_to_clickhouse_schema_spark.functions import text
+    from parquet_to_clickhouse_schema_spark.operators import (
+        reports,
+        sqlfeatures,
+        timeseries,
+        training,
+    )
+    from parquet_to_clickhouse_schema_spark.streaming import batch_twins
+
+    return {
+        # round-7 additions. q_recursive_cte is spine-bounded (80 rows at
+        # any fact scale) and q_order_nulls is a TakeOrdered scan — probing
+        # them measures the scan, not a plan risk. The report shapes ride
+        # lineitem/orders; the stream ops ride the scaled-users events
+        # axis; the corpus ops ride documents.
+        "q_report_volume_shipping": reports.q_report_volume_shipping,
+        "q_report_market_share": reports.q_report_market_share,
+        "q_report_ship_priority": reports.q_report_ship_priority,
+        "q_report_top_supplier": reports.q_report_top_supplier,
+        "q_report_part_supp_count": reports.q_report_part_supp_count,
+        "q_report_min_cost_supplier": reports.q_report_min_cost_supplier,
+        "q_report_waiting_suppliers": reports.q_report_waiting_suppliers,
+        "q_report_idle_customers": reports.q_report_idle_customers,
+        "q_distinct_on": sqlfeatures.q_distinct_on,
+        "q_acf": timeseries.q_acf,
+        "q_cusum": timeseries.q_cusum,
+        "q_oov_rate": text.q_oov_rate,
+        "q_freq_topk_sketch": text.q_freq_topk_sketch,
+        "q_contamination_score": training.q_contamination_score,
+        "q_curriculum_order": training.q_curriculum_order,
+        "q_incremental_dedup": training.q_incremental_dedup,
+        "q_stream_enrich": batch_twins.q_stream_enrich,
+        "q_window_time_range": batch_twins.q_window_time_range,
+        "q_time_rollup": batch_twins.q_time_rollup,
+    }
+
+
 KEY_SHIFT = 10_000_000_000
 
 
@@ -168,6 +206,8 @@ def main() -> None:
         queries = _llm_queries()
     if "--r6" in sys.argv:
         queries = _r6_queries()
+    if "--r7" in sys.argv:
+        queries = _r7_queries()
 
     results = {}
     for name, fn in queries.items():
