@@ -438,3 +438,103 @@ def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.max("val"), 2).alias("hi"),
         )
     )
+
+
+@_q(
+    "q_moving_median",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY event_type, d
+    )
+    SELECT event_type, d, CAST(cnt AS BIGINT) AS n_events,
+           floor((median(cnt) OVER (PARTITION BY event_type ORDER BY d
+                                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                 * 100.0 + 0.5) / 100.0 AS med7
+    FROM daily
+    """,
+)
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day moving MEDIAN of daily event counts per type — the
+    robust companion to a moving average (one traffic spike day drags a
+    mean for a week; the median shrugs it off). Spark evaluates the exact
+    percentile aggregate over the moving rows frame; DuckDB's windowed
+    median is the same exact statistic, and integer counts make the
+    midpoint interpolation exact on both sides.
+
+    Scale shape: the fact collapses to |types| x |days| rows FIRST
+    (map-side combinable count), so the O(frame log frame) per-row median
+    cost applies to a calendar-bounded table, never raw events — same
+    aggregate-first discipline as q_cusum."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    daily.createOrReplaceTempView("daily_mm")
+    return spark.sql(
+        """
+        SELECT event_type, d, CAST(cnt AS BIGINT) AS n_events,
+               floor((percentile(cnt, 0.5D) OVER (
+                          PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                     * 100.0D + 0.5D) / 100.0D AS med7
+        FROM daily_mm
+        """
+    )
+
+
+@_q(
+    "q_benford",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS first_digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    obs AS (
+      SELECT first_digit, CAST(count(*) AS BIGINT) AS n,
+             count(*) / CAST(sum(count(*)) OVER () AS DOUBLE) AS p_obs
+      FROM digits GROUP BY first_digit
+    )
+    SELECT first_digit, n,
+           floor(p_obs * 1000000.0 + 0.5) / 1000000.0 AS p_observed,
+           floor(log10(1.0 + 1.0 / first_digit) * 1000000.0 + 0.5) / 1000000.0
+               AS p_benford,
+           floor(abs(p_obs - log10(1.0 + 1.0 / first_digit)) * 1000000.0 + 0.5)
+               / 1000000.0 AS abs_dev
+    FROM obs
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed
+    leading-digit distribution vs the log10(1 + 1/d) expectation, with
+    absolute deviation per digit — the classic fabricated-numbers screen,
+    here as a standing DQ fingerprint (synthetic uniform prices will
+    deviate hard; organic invoice data should not).
+
+    First digit is taken from the INTEGER part's decimal rendering —
+    exact on both engines (no float formatting involved).
+
+    Scale shape: collapses to <= 9 groups map-side; the share
+    normalization is a window over 9 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    obs = digits.groupBy("first_digit").agg(F.count("*").cast("bigint").alias("n"))
+    from pyspark.sql import Window as W
+
+    p_obs = F.col("n") / F.sum("n").over(W.partitionBy())
+    benford = F.log10(1.0 + 1.0 / F.col("first_digit"))
+    return obs.select(
+        "first_digit",
+        "n",
+        qround(p_obs, 6).alias("p_observed"),
+        qround(benford, 6).alias("p_benford"),
+        qround(F.abs(p_obs - benford), 6).alias("abs_dev"),
+    )

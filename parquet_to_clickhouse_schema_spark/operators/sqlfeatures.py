@@ -485,3 +485,64 @@ def q_order_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@_q(
+    "q_skyline",
+    """
+    WITH pts AS (
+      SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part
+    )
+    SELECT price, size FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price <= a.price AND b.size <= a.size
+        AND (b.price < a.price OR b.size < a.size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the (price, size) pairs not dominated
+    by any other part — minimize both. The oracle states the O(n²)
+    NOT-EXISTS definition; the engine runs the O(n log n) two-phase
+    distributed algorithm:
+
+    1. LOCAL skylines in parallel: within each scan partition
+       (spark_partition_id as the window key), sort by (price, size) and
+       keep rows whose strict-prefix running min size is above their own —
+       a prefix row has price <= current, so prefix_min_size <= size IS
+       domination. Skyline-of-local-skylines = global skyline (domination
+       is transitive and partition-blind), so this pass is lossless.
+    2. GLOBAL pass: the same prefix-min filter over the surviving
+       candidates in one ordered window. Sound because step 1 already cut
+       each partition to its frontier — expected O(log n) points per
+       partition for independent dims (worst case, fully anti-correlated
+       data, the frontier IS the dataset and no algorithm beats moving
+       it).
+
+    Exactly portable: prices/sizes pass through unchanged (no arithmetic),
+    and the dominance test is pure comparison."""
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_retailprice").alias("price"), F.col("p_size").alias("size"))
+        .distinct()
+    )
+    local = pts.withColumn("pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("price", "size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = (
+        local.withColumn("pm", F.min("size").over(w_local))
+        .filter(F.col("pm").isNull() | (F.col("pm") > F.col("size")))
+        .drop("pid", "pm")
+    )
+    w_global = (
+        Window.orderBy("price", "size").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        cand.withColumn("pm", F.min("size").over(w_global))
+        .filter(F.col("pm").isNull() | (F.col("pm") > F.col("size")))
+        .drop("pm")
+    )

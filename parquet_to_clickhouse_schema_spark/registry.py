@@ -140,6 +140,9 @@ SWEEP_PRIORITY = (
     "q_stream_enrich",
     "q_window_time_range",
     "q_time_rollup",
+    "q_moving_median",
+    "q_benford",
+    "q_skyline",
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
     "q_tumbling_window",
