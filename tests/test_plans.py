@@ -579,3 +579,138 @@ def test_embed_quantize_no_shuffle_no_python(spark):
     assert shuffle_count(df) == 0
     plan = executed_plan(df)
     assert "Python" not in plan and "Arrow" not in plan
+
+
+# ---- round 7 ----
+
+
+def test_q7_volume_shipping_dims_broadcast_single_fact_shuffle(spark):
+    """Q7 shape: nation pair + supplier broadcast; at most the
+    lineitem-orders merge and the final aggregate shuffle."""
+    from parquet_to_clickhouse_schema_spark.operators import reports
+
+    df = reports.q_report_volume_shipping(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_part_supp_count_distinct_pair_then_broadcast(spark):
+    """Q16: the only fact-scale shuffle is the DISTINCT (partkey, suppkey)
+    projection; part joins broadcast with its filters pushed to the scan."""
+    from parquet_to_clickhouse_schema_spark.operators import reports
+
+    df = reports.q_report_part_supp_count(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # part's filters are pushed into ITS scan (pushed_filters() reads only
+    # the first scan, which is lineitem here — inspect the plan text)
+    assert "Not(EqualTo(p_brand" in plan and "In(p_size" in plan
+
+
+def test_q21_waiting_suppliers_no_self_join_of_fact(spark):
+    """The EXISTS/NOT-EXISTS pair must run as ONE per-order aggregate —
+    lineitem appears in exactly one scan, not the literal three."""
+    from parquet_to_clickhouse_schema_spark.operators import reports
+
+    df = reports.q_report_waiting_suppliers(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert plan.count("lineitem.parquet") <= plan.count("Scan parquet") or True
+    # direct statement: only one parquet scan of lineitem in the plan
+    import re
+
+    li_scans = len(re.findall(r"Scan parquet[^\n]*lineitem", plan))
+    assert li_scans == 1
+
+
+def test_distinct_on_is_aggregate_not_window(spark):
+    """DISTINCT ON must run as the map-side-combinable argmax struct —
+    no Window node, and a partial aggregate before the exchange."""
+    from parquet_to_clickhouse_schema_spark.operators import sqlfeatures
+
+    df = sqlfeatures.q_distinct_on(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_acf_series_is_broadcast_sized(spark):
+    """The lag self-join must join BROADCAST series copies — the fact
+    never reaches the join."""
+    from parquet_to_clickhouse_schema_spark.operators import timeseries
+
+    df = timeseries.q_acf(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_oov_vocab_broadcast(spark):
+    """The 500-row vocab joins broadcast onto the token stream."""
+    from parquet_to_clickhouse_schema_spark.functions import text
+
+    df = text.q_oov_rate(spark, SF_SMOKE)
+    assert uses_broadcast_join(df)
+
+
+def test_incremental_dedup_shuffles_digests_not_text(spark):
+    """Both dedup joins key on the 16-byte md5 digest; the text column
+    must not survive past the scan projection."""
+    from parquet_to_clickhouse_schema_spark.operators import training
+
+    df = training.q_incremental_dedup(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "md5" in plan
+    # text is consumed by the digest projection, never exchanged
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line
+
+
+def test_window_time_range_single_user_shuffle(spark):
+    """One hashpartitioning exchange on user_id; the frame is resolved
+    inside sorted partitions."""
+    from parquet_to_clickhouse_schema_spark.streaming import batch_twins
+
+    df = batch_twins.q_window_time_range(spark, SF_SMOKE)
+    assert shuffle_count(df) == 1
+    plan = executed_plan(df)
+    assert "specifiedwindowframe(RangeFrame" in plan or "RANGE" in plan
+
+
+def test_time_rollup_is_one_expand_one_aggregate(spark):
+    """GROUPING SETS must run as a single Expand + hash aggregate — one
+    fact scan, not three union'd scans."""
+    from parquet_to_clickhouse_schema_spark.streaming import batch_twins
+
+    df = batch_twins.q_time_rollup(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "Expand" in plan
+    import re
+
+    ev_scans = len(re.findall(r"Scan parquet[^\n]*events", plan))
+    assert ev_scans == 1
+
+
+def test_skyline_local_pass_is_partitioned_window(spark):
+    """Phase 1 windows over spark_partition_id (parallel), and only the
+    reduced candidate set reaches the single-partition global pass."""
+    from parquet_to_clickhouse_schema_spark.operators import sqlfeatures
+
+    df = sqlfeatures.q_skyline(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert plan.count("Window") >= 2  # local + global passes
+    rows = df.count()
+    assert rows >= 1
+
+
+def test_curriculum_order_no_global_single_task_sort(spark):
+    """The global position must come from the two-pass bucketed rank —
+    no SinglePartition exchange carrying the full corpus before a Window.
+    (The tiny final bucket-offset aggregate may collapse to one row.)"""
+    from parquet_to_clickhouse_schema_spark.operators import training
+
+    df = training.q_curriculum_order(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    # the corpus-wide Sort must be preceded by hashpartitioning on the
+    # quantile bucket, not a SinglePartition funnel
+    assert "rangepartitioning" not in plan or "row_number" not in plan
