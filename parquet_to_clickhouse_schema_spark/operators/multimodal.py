@@ -151,13 +151,24 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
         img = decode_image(payload)
         h, w = img.shape[:2]
         flat = img.reshape(-1, 3).astype("float64")
+
+        # half-up quantization (NOT Python's banker's round): matches the
+        # engine-wide qround/sql_qround formula, so a SQL oracle computing
+        # the same mean can floor(x*1e4+0.5)/1e4 and agree bit-for-bit —
+        # channel means of uint8 pixels are exact binary fractions, where
+        # banker's-vs-half-away ties are common, not rare
+        def _q4(x: float) -> float:
+            import math
+
+            return math.floor(float(x) * 1e4 + 0.5) / 1e4
+
         return [
             float(w),
             float(h),
-            round(float(flat[:, 0].mean()), 4),
-            round(float(flat[:, 1].mean()), 4),
-            round(float(flat[:, 2].mean()), 4),
-            round(float(flat.std()), 4),
+            _q4(flat[:, 0].mean()),
+            _q4(flat[:, 1].mean()),
+            _q4(flat[:, 2].mean()),
+            _q4(flat.std()),
             float(flat.min()),
             float(flat.max()),
         ]

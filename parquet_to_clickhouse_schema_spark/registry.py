@@ -143,6 +143,7 @@ SWEEP_PRIORITY = (
     "q_moving_median",
     "q_benford",
     "q_skyline",
+    "q_image_decode",
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
     "q_tumbling_window",
