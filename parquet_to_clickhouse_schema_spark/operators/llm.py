@@ -2139,3 +2139,73 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").alias("n_bytes"),
         "decode_ok",
     )
+
+
+@_q(
+    "q_audio_decode",
+    """
+    WITH px AS (
+      SELECT doc_id, (ascii(substr(text, i, 1)) - 128.0) / 128.0 AS mono
+      FROM documents, unnest(range(1, 97)) AS t(i)
+      WHERE length(text) >= 96
+    )
+    SELECT doc_id,
+           CAST(1 AS INT) AS n_channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(96 AS BIGINT) AS n_samples,
+           CAST(0.012 AS DOUBLE) AS duration_s,
+           floor(sqrt(avg(mono * mono)) * 1000000.0 + 0.5) / 1000000.0 AS rms,
+           floor(max(abs(mono)) * 1000000.0 + 0.5) / 1000000.0 AS max_abs,
+           floor(avg(mono) * 1000000.0 + 0.5) / 1000000.0 AS mean_sample,
+           true AS decode_ok
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-gated: each long-enough document becomes
+    an 8-bit PCM mono WAV (44-byte RIFF header + its first 96 ASCII bytes
+    as samples), decoded by the stdlib wave parser inside mapInPandas
+    (fake=False), and DuckDB independently predicts RMS / peak / mean from
+    the ascii codes ((code-128)/128 per 8-bit PCM convention).
+
+    Bit-exactness argument: every sample is a multiple of 2^-7, squares
+    are multiples of 2^-14, and 96 such terms sum EXACTLY in float64
+    regardless of association order — so avg/sqrt are correctly-rounded
+    functions of identical inputs on both engines, and the half-up 1e-6
+    quantization (decode_payload's _q6) matches sql_qround.
+
+    Scale shape: identical to q_image_decode — row-local synthesis +
+    decode, Arrow-batched, shuffle-free."""
+    import struct as _struct
+
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        DECODE_SCHEMA,
+        decode_payload_batches,
+    )
+
+    hdr = (
+        b"RIFF"
+        + _struct.pack("<I", 36 + 96)
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + _struct.pack("<I", 96)
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
+    payload = F.concat(F.lit(hdr), F.encode(F.substring("text", 1, 96), "utf-8"))
+    mm = d.select(
+        "doc_id", payload.alias("payload"), F.lit("audio").alias("modality")
+    )
+    feats = mm.mapInPandas(decode_payload_batches(fake=False), schema=DECODE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        F.col("feat")[0].cast("int").alias("n_channels"),
+        F.col("feat")[1].cast("int").alias("sample_rate"),
+        F.col("feat")[2].cast("bigint").alias("n_samples"),
+        F.col("feat")[3].alias("duration_s"),
+        F.col("feat")[4].alias("rms"),
+        F.col("feat")[5].alias("max_abs"),
+        F.col("feat")[7].alias("mean_sample"),
+        "decode_ok",
+    )

@@ -173,20 +173,29 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
             float(flat.max()),
         ]
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import math
+
         import numpy as np
 
         samples, rate = decode_wav(payload)
         mono = samples.mean(axis=1)
         zc = float((np.diff(np.signbit(mono)) != 0).sum()) if len(mono) > 1 else 0.0
+
+        # half-up (see the image branch): sample means of 8/16-bit PCM are
+        # exact dyadic rationals where banker's-rounding ties are common —
+        # half-up keeps a SQL oracle bit-identical
+        def _q6(x: float) -> float:
+            return math.floor(float(x) * 1e6 + 0.5) / 1e6
+
         return [
             float(samples.shape[1]),
             float(rate),
             float(len(mono)),
-            round(len(mono) / rate, 6),
-            round(float(np.sqrt((mono**2).mean())) if len(mono) else 0.0, 6),
-            round(float(np.abs(mono).max()) if len(mono) else 0.0, 6),
+            _q6(len(mono) / rate),
+            _q6(float(np.sqrt((mono**2).mean())) if len(mono) else 0.0),
+            _q6(float(np.abs(mono).max()) if len(mono) else 0.0),
             zc,
-            round(float(mono.mean()) if len(mono) else 0.0, 6),
+            _q6(float(mono.mean()) if len(mono) else 0.0),
         ]
     raise NotImplementedError(
         "no stdlib codec for this payload (supported: P6 PPM, P5 PGM, uncompressed "
