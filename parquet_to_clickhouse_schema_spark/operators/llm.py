@@ -2209,3 +2209,87 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feat")[7].alias("mean_sample"),
         "decode_ok",
     )
+
+
+@_q(
+    "q_video_frames",
+    """
+    WITH px AS (
+      SELECT doc_id, CAST((i - 1) // 96 AS INT) AS frame_idx,
+             ((i - 1) % 96) % 3 AS ch,
+             CAST(ascii(substr(text, i, 1)) AS DOUBLE) AS code
+      FROM documents, unnest(range(1, 193)) AS t(i)
+      WHERE length(text) >= 288
+    )
+    SELECT doc_id, frame_idx,
+           CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+           floor(avg(CASE WHEN ch = 0 THEN code END) * 10000.0 + 0.5) / 10000.0
+               AS mean_r,
+           floor(avg(CASE WHEN ch = 1 THEN code END) * 10000.0 + 0.5) / 10000.0
+               AS mean_g,
+           floor(avg(CASE WHEN ch = 2 THEN code END) * 10000.0 + 0.5) / 10000.0
+               AS mean_b,
+           true AS sample_ok
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-path decode, oracle-gated — the third modality: each
+    long-enough document becomes a 3-frame concatenated-P6-PPM stream
+    (the ffmpeg image2pipe shape; frame k's pixels are text bytes
+    96k+1..96k+96), the REAL splitter walks the headers
+    (split_ppm_stream), evenly samples 2 of the 3 frames, and the REAL
+    PNM parser reduces each sampled frame to channel means — all inside
+    ONE mapInPandas pass (sample + decode fused so frame bytes cross
+    Arrow once). DuckDB predicts every value from ascii() positions:
+    sampled frame indices (0*3)//2 = 0 and (1*3)//2 = 1.
+
+    Scale shape: row-local synthesis/split/decode, shuffle-free, like
+    its image/audio siblings."""
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        decode_payload,
+        sample_frames_payload,
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, w, h, mr, mg, mb, ok = [], [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = sample_frames_payload(bytes(payload), 2, fake=False)
+                for i, fr in enumerate(frames):
+                    feat = decode_payload(fr, "image", fake=False)
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    w.append(int(feat[0]))
+                    h.append(int(feat[1]))
+                    mr.append(feat[2])
+                    mg.append(feat[3])
+                    mb.append(feat[4])
+                    ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(w, dtype="int32"),
+                    "height": pd.Series(h, dtype="int32"),
+                    "mean_r": pd.Series(mr, dtype="float64"),
+                    "mean_g": pd.Series(mg, dtype="float64"),
+                    "mean_b": pd.Series(mb, dtype="float64"),
+                    "sample_ok": pd.Series(ok, dtype="bool"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 288)
+    header = F.lit(b"P6\n8 4\n255\n")
+    frame = lambda k: F.concat(  # noqa: E731
+        header, F.encode(F.substring("text", 1 + 96 * k, 96), "utf-8")
+    )
+    payload = F.concat(frame(0), frame(1), frame(2))
+    mm = d.select("doc_id", payload.alias("payload"))
+    schema = (
+        "doc_id long, frame_idx int, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, sample_ok boolean"
+    )
+    return mm.mapInPandas(fn, schema=schema)

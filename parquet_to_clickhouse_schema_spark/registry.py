@@ -145,6 +145,7 @@ SWEEP_PRIORITY = (
     "q_skyline",
     "q_image_decode",
     "q_audio_decode",
+    "q_video_frames",
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
     "q_tumbling_window",
