@@ -309,3 +309,59 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return stacked.select("p.*")
+
+
+@_q(
+    "q_table_checksum",
+    """
+    WITH canon AS (
+      SELECT concat_ws('|',
+               CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               o_orderpriority,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+               printf('%.2f', o_totalprice)) AS row_str
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST('0x' || substr(md5(row_str), 1, 12) AS BIGINT))
+                AS VARCHAR) AS checksum
+    FROM canon
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content checksum: every row renders to a
+    canonical string (ints as decimal, timestamps at second precision,
+    money printf'd at 2 decimals — the same fixed-precision trick as
+    q_profile_table), hashes to a 48-bit md5 prefix, and the SUM of those
+    hashes is the table fingerprint. Two replicas (or two engines, or two
+    migration generations) agree iff content matches — the
+    cross-environment reconciliation primitive behind "did the backfill
+    produce exactly the same table?".
+
+    Sum-of-hashes (vs hash-of-sorted-rows) is what makes it distributed:
+    commutative, map-side combinable, no global sort. The sum accumulates
+    in exact wide integers — Spark DECIMAL(38,0), DuckDB HUGEINT — because
+    48-bit terms overflow int64 after only ~2^15 rows; both render to the
+    same decimal string. (bit_xor would dodge overflow but cancels
+    duplicate row PAIRS — a checksum that misses double-loads is useless.)
+
+    Scale shape: one scan, one 1-row reduce; nothing else."""
+    o = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.format_string("%.2f", F.col("o_totalprice")),
+    )
+    h48 = F.conv(F.substring(F.md5(row_str.cast("binary")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    return o.select(h48.cast("decimal(38,0)").alias("h")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("h").cast("string").alias("checksum"),
+    )

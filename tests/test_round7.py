@@ -177,3 +177,34 @@ def test_acf_and_cusum_sanity(spark):
     for r in cs:
         assert r.peak_cusum >= 0.0
         assert r.n_days > 0
+
+
+def test_skyline_matches_brute_force_on_random_points(spark):
+    """Property: the two-phase distributed skyline equals the O(n²)
+    dominance definition on adversarial inputs — anti-correlated points
+    (big frontier), duplicated coordinates, and a dominated cluster."""
+    import itertools
+    import random
+    import tempfile
+
+    rng = random.Random(7)
+    pts = [(round(rng.uniform(0, 100), 2), rng.randint(1, 50)) for _ in range(300)]
+    pts += [(round(100 - s * 1.9, 2), s) for s in range(1, 50)]  # anti-correlated
+    pts += pts[:25]  # exact duplicates
+    rows = [(i, f"part{i}", "B", "T", size, price) for i, (price, size) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/part.parquet")
+        got = {(r.price, r.size) for r in Q["q_skyline"](spark, tmp).collect()}
+    distinct = set(pts)
+    expected = {
+        (p, s)
+        for (p, s) in distinct
+        if not any(
+            (q <= p and t <= s and (q < p or t < s)) for (q, t) in distinct
+        )
+    }
+    assert got == expected
