@@ -151,3 +151,32 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").applyInPandas(
         wavg, schema="l_returnflag string, n_items bigint, wavg_price double"
     )
+
+
+@_q(
+    "q_udf_arrow",
+    """
+    SELECT p_partkey,
+           lower(replace(p_type, ' ', '_')) || '/' || CAST(p_size AS VARCHAR)
+               AS type_slug
+    FROM part
+    """,
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4's useArrow=True): the same
+    def-with-python-body API as q_udf_python, but inputs arrive as Arrow
+    batches instead of per-row pickles — the drop-in migration path that
+    removes most of the row-UDF serde tax without rewriting to the
+    pandas_udf signature. Completes the UDF matrix: row-pickle (the
+    documented slow path), Arrow-batched scalar (this), pandas-vectorized,
+    grouped applyInPandas, and the LATERAL UDTF.
+
+    The logic (slugify a type label) is pure string work, expressed
+    identically in the SQL oracle."""
+
+    @F.udf(T.StringType(), useArrow=True)
+    def slug(ptype: str, size: int) -> str:
+        return ptype.lower().replace(" ", "_") + "/" + str(size)
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", slug("p_type", "p_size").alias("type_slug"))

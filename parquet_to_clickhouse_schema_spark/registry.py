@@ -147,6 +147,7 @@ SWEEP_PRIORITY = (
     "q_audio_decode",
     "q_video_frames",
     "q_table_checksum",
+    "q_udf_arrow",
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
     "q_tumbling_window",
