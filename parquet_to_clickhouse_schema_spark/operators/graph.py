@@ -260,3 +260,110 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("id", 1, 1).alias("node_type"),
         F.col("degree").cast("bigint").alias("degree"),
     ).agg(F.count("*").cast("bigint").alias("n_nodes"))
+
+
+@_q(
+    "q_copurchase_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the part pairs most often bought in the
+    same order (the input to association rules / 'frequently bought
+    together'). Per-order item sets expand to ordered pairs (a < b kills
+    the mirror duplicates) via a self-equi-join on the order key.
+
+    Scale shape: pair expansion is quadratic in ORDER SIZE, not order
+    count — baskets are bounded (~4 distinct parts here; retail baskets
+    are dozens), so the pair stream is a small constant times the fact.
+    The DISTINCT projection first drops duplicate (order, part) lines so
+    quantity re-orders can't inflate counts; the final count is map-side
+    combinable on the pair key and TakeOrdered keeps only the top 20."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@_q(
+    "q_audience_overlap",
+    """
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n_both,
+           floor((CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both))
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: Jaccard similarity of the USER SETS behind every
+    pair of event types (do purchasers and error-hitters overlap?) —
+    segment-overlap analysis, the exact version of what q_hll_sketch's
+    mergeable sketches estimate at scale.
+
+    Scale shape: the fact collapses to DISTINCT (type, user) first; the
+    pair join is keyed on user_id (each user contributes |their types|²
+    pairs — bounded by the type-domain size, 5 here), union sizes come
+    from inclusion-exclusion (|A|+|B|-|A∩B|) so user sets are never
+    materialized twice, and the size table is a |types|-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy(F.col("event_type").alias("sz_type")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = tu.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_a"))
+    b = tu.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = sizes.select(F.col("sz_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("sz_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            qround(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -172,3 +172,53 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("last.value"), 6).alias("last_value"),
         "n_changes",
     )
+
+
+@_q(
+    "q_incremental_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value,
+           floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-type stats are kept as
+    MERGEABLE partials — (count, sum), never avg — so a new day's batch
+    folds into the standing aggregate without rescanning history. Here the
+    stream splits at Jan 21: 'history' partials and 'batch' partials are
+    computed independently (in production the history side is a stored
+    table), unioned, and re-reduced; the oracle is the full recompute the
+    merge must equal. Deriving avg at the END from merged (sum, count) is
+    the entire discipline — averaging averages would be wrong under
+    unequal group sizes.
+
+    Scale shape: each side is one map-side-combinable aggregate to
+    |types| rows; the merge re-aggregates a handful of partial rows. A
+    backfill never touches the fact history again."""
+    from parquet_to_clickhouse_schema_spark.functions.compat import qround
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-21").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("pn"),
+            F.sum("value").alias("psum"),
+        )
+
+    hist = partials(ev.filter(F.col("ts") < cut))
+    batch = partials(ev.filter(F.col("ts") >= cut))
+    merged = (
+        hist.unionByName(batch)
+        .groupBy("event_type")
+        .agg(F.sum("pn").alias("n"), F.sum("psum").alias("s"))
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        qround(F.col("s"), 4).alias("total_value"),
+        qround(F.col("s") / F.col("n"), 4).alias("avg_value"),
+    )

@@ -148,6 +148,9 @@ SWEEP_PRIORITY = (
     "q_video_frames",
     "q_table_checksum",
     "q_udf_arrow",
+    "q_copurchase_pairs",
+    "q_audience_overlap",
+    "q_incremental_agg",
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
     "q_tumbling_window",
