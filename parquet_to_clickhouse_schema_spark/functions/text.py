@@ -830,7 +830,9 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-OOV_VOCAB_K = 500  # vocabulary size for the OOV-rate readout
+OOV_VOCAB_K = 20  # vocab size BELOW the corpus vocabulary (31 distinct
+# tokens) so the OOV branch really fires — at 500 every token was
+# in-vocab and the oracle verified the operator vacuously
 
 
 @_q(
@@ -861,11 +863,11 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vocab (a source with high OOV will fragment into bytes/UNKs).
 
     Vocabulary selection is deterministic (count desc, token asc) so the
-    rank-500 boundary can't flip cross-engine on ties.
+    rank-K boundary can't flip cross-engine on ties.
 
     Scale shape: token counting is map-side combinable and vocab-bounded;
     the top-k is a TakeOrdered slice of the count table; the vocab joins
-    back BROADCAST (500 rows) onto the token stream, so the only fact-
+    back BROADCAST (K rows) onto the token stream, so the only fact-
     scale shuffle is the per-source final aggregate — |sources| rows."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(

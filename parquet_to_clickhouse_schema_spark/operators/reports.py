@@ -767,15 +767,14 @@ def q_report_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     s = load_table(spark, sf_dir, "supplier")
-    rev = (
-        li.groupBy("l_suppkey")
-        .agg(
-            qround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
-            )
+    rev = li.groupBy("l_suppkey").agg(
+        qround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
         )
-        .cache()  # tiny (|suppliers| rows); reused by max + filter
     )
+    # no .cache(): a long-lived session sweeping 185 keys would pin one
+    # cached copy per invocation forever; Spark reuses the aggregate's
+    # exchange across the max and filter branches anyway (ReusedExchange)
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     winners = rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx")).drop("mx")
     return s.join(winners, s.s_suppkey == winners.l_suppkey).select(
@@ -962,7 +961,8 @@ def q_report_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS numcust,
            floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > (SELECT floor(avg(c_acctbal) * 100.0 + 0.5) / 100.0
+                       FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '1999-06-01 00:00:00')
@@ -986,8 +986,11 @@ def q_report_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit("1999-06-01").cast("timestamp"))
         .select("o_custkey")
     )
+    # rounded-scalar compare (same discipline as q_report_top_supplier):
+    # the raw cross-engine avg differs by summation-order ulps, and a
+    # customer inside that gap would flip the row set
     thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        qround(F.avg("c_acctbal"), 2).alias("avg_bal")
     )
     return (
         c.join(F.broadcast(thresh))

@@ -60,9 +60,7 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("double").alias("cnt"))
     )
-    lags = spark.range(0).sparkSession.createDataFrame(
-        [(lag,) for lag in ACF_LAGS], "lag_hours INT"
-    )
+    lags = spark.createDataFrame([(lag,) for lag in ACF_LAGS], "lag_hours INT")
     a = series.select(F.col("hsec").alias("a_hsec"), F.col("cnt").alias("a_cnt"))
     b = series.select(F.col("hsec").alias("b_hsec"), F.col("cnt").alias("b_cnt"))
     pairs = (

@@ -275,6 +275,40 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_W = 8  # words per decontamination shingle
 
 
+def _split_shingles(d: DataFrame) -> DataFrame:
+    """Shared by q_decontaminate / q_contamination_score: assign the
+    md5-nibble train/test split and explode each doc into DISTINCT
+    (doc_id, split, shingle_h) rows — 64-bit xxhash64 of each 8-word
+    shingle, so every downstream shuffle carries 8-byte keys, never the
+    ~50-char strings (the q_dedup_exact digest discipline; collisions are
+    ~|vocab|²/2⁶⁴). The repartition is the projection-collapse barrier
+    (without it the split() recomputes per shingle)."""
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split_col = (
+        F.when(nibble.isin(*"0123456789ab"), "train")
+        .when(nibble.isin("e", "f"), "test")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    toks = F.split("text", " ")
+    base = (
+        d.select("doc_id", split_col.alias("split"), toks.alias("toks"))
+        .filter(F.col("split").isNotNull() & (F.size("toks") >= SHINGLE_W))
+        .repartition("doc_id")
+    )
+    return base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (SHINGLE_W - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i, SHINGLE_W))
+                ),
+            )
+        ).alias("shingle_h"),
+    ).dropDuplicates(["doc_id", "split", "shingle_h"])
+
+
 @_q(
     "q_decontaminate",
     f"""
@@ -314,37 +348,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-word strings. The repartition after tokenization is the projection-
     collapse barrier (without it the split() recomputes per shingle).
     Output: contaminated test doc_id + distinct shared-shingle count."""
-    d = load_table(spark, sf_dir, "documents")
-    nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
-    split_col = (
-        F.when(nibble.isin(*"0123456789ab"), "train")
-        .when(nibble.isin("e", "f"), "test")
-        .otherwise(F.lit(None).cast("string"))
-    )
-    toks = F.split("text", " ")
-    base = (
-        d.select("doc_id", split_col.alias("split"), toks.alias("toks"))
-        .filter(F.col("split").isNotNull() & (F.size("toks") >= SHINGLE_W))
-        .repartition("doc_id")
-    )
-    # every downstream shuffle (dropDuplicates, distinct, equi-join) carries
-    # the 8-byte xxhash64 of the shingle, never the ~50-char 8-word string —
-    # the same fixed-width-digest discipline as q_dedup_exact. The oracle
-    # joins on the string; results agree unless two distinct shingles
-    # collide in 64 bits (~|vocab|²/2⁶⁴, negligible at any corpus size
-    # where 64-bit hashing is sane).
-    sh = base.select(
-        "doc_id",
-        "split",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (SHINGLE_W - 1)),
-                lambda i: F.xxhash64(
-                    F.concat_ws(" ", F.slice(F.col("toks"), i, SHINGLE_W))
-                ),
-            )
-        ).alias("shingle_h"),
-    ).dropDuplicates(["doc_id", "split", "shingle_h"])
+    sh = _split_shingles(load_table(spark, sf_dir, "documents"))
     train_sh = sh.filter(F.col("split") == "train").select("shingle_h").distinct()
     test_sh = sh.filter(F.col("split") == "test").select("doc_id", "shingle_h")
     return (
@@ -626,31 +630,7 @@ def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same shingle machinery and 64-bit-hash discipline as q_decontaminate;
     the membership probe is a LEFT join against the distinct train-shingle
     set so the per-doc denominator rides the same pass as the numerator."""
-    d = load_table(spark, sf_dir, "documents")
-    nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
-    split_col = (
-        F.when(nibble.isin(*"0123456789ab"), "train")
-        .when(nibble.isin("e", "f"), "test")
-        .otherwise(F.lit(None).cast("string"))
-    )
-    toks = F.split("text", " ")
-    base = (
-        d.select("doc_id", split_col.alias("split"), toks.alias("toks"))
-        .filter(F.col("split").isNotNull() & (F.size("toks") >= SHINGLE_W))
-        .repartition("doc_id")
-    )
-    sh = base.select(
-        "doc_id",
-        "split",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (SHINGLE_W - 1)),
-                lambda i: F.xxhash64(
-                    F.concat_ws(" ", F.slice(F.col("toks"), i, SHINGLE_W))
-                ),
-            )
-        ).alias("shingle_h"),
-    ).dropDuplicates(["doc_id", "split", "shingle_h"])
+    sh = _split_shingles(load_table(spark, sf_dir, "documents"))
     train_sh = (
         sh.filter(F.col("split") == "train")
         .select("shingle_h")

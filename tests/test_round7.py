@@ -131,7 +131,7 @@ def test_recursive_cte_spine_and_totals(spark):
     rows = Q["q_recursive_cte"](spark, SF_SMOKE).collect()
     assert len(rows) == 80
     months = [r.month_start for r in rows]
-    assert months[0] if False else min(months) == datetime.date(1995, 1, 1)
+    assert min(months) == datetime.date(1995, 1, 1)
     assert max(months) == datetime.date(2001, 8, 1)
     total = sum(r.n_orders for r in rows)
     assert total == load_table(spark, SF_SMOKE, "orders").count()
