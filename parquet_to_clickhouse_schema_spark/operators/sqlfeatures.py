@@ -546,3 +546,36 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pm").isNull() | (F.col("pm") > F.col("size")))
         .drop("pm")
     )
+
+
+@_q(
+    "q_limit_offset",
+    """
+    SELECT o_orderkey, o_orderdate,
+           floor(o_totalprice * 100.0 + 0.5) / 100.0 AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25 OFFSET 50
+    """,
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination (page 3 of 25): ORDER BY ... LIMIT k OFFSET n
+    — only deterministic with a total order (the unique o_orderkey
+    tiebreak; without it the page boundary rows are engine-arbitrary).
+
+    Scale shape: Spark executes OFFSET+LIMIT as a (n+k)-row TakeOrdered —
+    per-partition top-75 then a driver merge that drops the first 50.
+    Fine for UI pages; the docstring caveat a 100 TB user needs: OFFSET
+    cost grows with n, so deep pagination should switch to keyset
+    (WHERE sort_key > last_seen) — which is just q_filter_pred + q_topk."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderdate",
+            qround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(50)
+        .limit(25)
+    )

@@ -156,3 +156,66 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("n_days").alias("n_days"),
         )
     )
+
+
+@_q(
+    "q_chi_square",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY event_type, dow
+    ),
+    margins AS (
+      SELECT event_type, dow, o,
+             sum(o) OVER (PARTITION BY event_type) AS row_tot,
+             sum(o) OVER (PARTITION BY dow) AS col_tot,
+             sum(o) OVER () AS grand
+      FROM obs
+    )
+    SELECT floor(sum((o - row_tot * col_tot / grand)
+                     * (o - row_tot * col_tot / grand)
+                     / (row_tot * col_tot / grand)) * 10000.0 + 0.5) / 10000.0
+               AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM margins
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and day-of-week:
+    expected counts from the marginals, X² = Σ (O-E)²/E, with degrees of
+    freedom — the categorical companion to q_abtest_lift's two-proportion
+    z (is WHAT users do independent of WHEN in the week they do it?).
+
+    Spark computes the margins with grouped aggregates + broadcast joins
+    (not windows — the contingency table is tiny but the discipline is
+    the same); the oracle states the window form over the same cells.
+
+    Scale shape: the fact collapses to |types| x 7 cells map-side;
+    everything after is arithmetic on ~35 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count("*").cast("double").alias("o"))
+    row_t = obs.groupBy(F.col("event_type").alias("rt_type")).agg(
+        F.sum("o").alias("row_tot")
+    )
+    col_t = obs.groupBy(F.col("dow").alias("ct_dow")).agg(
+        F.sum("o").alias("col_tot")
+    )
+    grand = obs.agg(F.sum("o").alias("grand"))
+    cells = (
+        obs.join(F.broadcast(row_t), obs.event_type == row_t.rt_type)
+        .join(F.broadcast(col_t), obs.dow == col_t.ct_dow)
+        .join(F.broadcast(grand))
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("grand")
+    return cells.agg(
+        qround(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("bigint").alias("dof"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )

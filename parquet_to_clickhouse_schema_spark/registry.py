@@ -151,6 +151,8 @@ SWEEP_PRIORITY = (
     "q_copurchase_pairs",
     "q_audience_overlap",
     "q_incremental_agg",
+    "q_limit_offset",
+    "q_chi_square",
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
     "q_tumbling_window",
