@@ -129,6 +129,40 @@ def _r7_queries():
     }
 
 
+def _r7b_queries():
+    from parquet_to_clickhouse_schema_spark.functions import text
+    from parquet_to_clickhouse_schema_spark.operators import (
+        aggregation,
+        dq,
+        graph,
+        llm,
+        merge,
+        sqlfeatures,
+        timeseries,
+        udfs,
+    )
+
+    return {
+        # round-7 second batch. q_benford/q_moving_median/q_chi_square are
+        # aggregate-first like q_cusum (fact collapses to a calendar/digit
+        # bounded table); included to confirm, not because risk is likely.
+        "q_moving_median": aggregation.q_moving_median,
+        "q_benford": aggregation.q_benford,
+        "q_skyline": sqlfeatures.q_skyline,
+        "q_limit_offset": sqlfeatures.q_limit_offset,
+        "q_chi_square": timeseries.q_chi_square,
+        "q_table_checksum": dq.q_table_checksum,
+        "q_image_decode": llm.q_image_decode,
+        "q_audio_decode": llm.q_audio_decode,
+        "q_video_frames": llm.q_video_frames,
+        "q_copurchase_pairs": graph.q_copurchase_pairs,
+        "q_audience_overlap": graph.q_audience_overlap,
+        "q_incremental_agg": merge.q_incremental_agg,
+        "q_udf_arrow": udfs.q_udf_arrow,
+        "q_oov_rate": text.q_oov_rate,  # re-probe: vocab K changed to 20
+    }
+
+
 KEY_SHIFT = 10_000_000_000
 
 
@@ -208,6 +242,8 @@ def main() -> None:
         queries = _r6_queries()
     if "--r7" in sys.argv:
         queries = _r7_queries()
+    if "--r7b" in sys.argv:
+        queries = _r7b_queries()
 
     results = {}
     for name, fn in queries.items():
