@@ -208,3 +208,53 @@ def test_skyline_matches_brute_force_on_random_points(spark):
         )
     }
     assert got == expected
+
+
+def test_table_checksum_invariant_under_row_order(spark):
+    """The checksum must be a pure content function: reshuffling rows and
+    repartitioning cannot change it; flipping one cent in one row must."""
+    import tempfile
+
+    base = load_table(spark, SF_SMOKE, "orders")
+    with tempfile.TemporaryDirectory() as tmp:
+        # same content, different physical order + partitioning
+        base.orderBy(F.rand(7)).repartition(13).write.parquet(
+            f"{tmp}/orders.parquet"
+        )
+        shuffled = Q["q_table_checksum"](spark, tmp).first()
+    orig = Q["q_table_checksum"](spark, SF_SMOKE).first()
+    assert (orig.n_rows, orig.checksum) == (shuffled.n_rows, shuffled.checksum)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tampered = base.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 0.01).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        tampered.write.parquet(f"{tmp}/orders.parquet")
+        bad = Q["q_table_checksum"](spark, tmp).first()
+    assert bad.checksum != orig.checksum
+    assert bad.n_rows == orig.n_rows
+
+
+def test_curriculum_packed_key_orders_like_tuple():
+    """Property: bucket * 2^52 + hash52 orders exactly like the
+    (bucket, hash) tuple — the packing must never let a high hash in a low
+    bucket overtake a higher bucket."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pair = st.tuples(
+        st.integers(min_value=0, max_value=40),  # log2 length buckets
+        st.integers(min_value=0, max_value=2**52 - 1),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(pair, pair)
+    def check(a, b):
+        pack = lambda t: t[0] * 2**52 + t[1]  # noqa: E731
+        assert (pack(a) < pack(b)) == (a < b)
+        assert pack(a) <= 2**63 - 1  # stays inside BIGINT
+
+    check()
