@@ -1002,3 +1002,134 @@ def q_report_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@_q(
+    "q_report_important_stock",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_extendedprice * l_quantity) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      GROUP BY l_partkey, l_suppkey
+    )
+    , pv AS (
+      SELECT l_partkey, sum(value) AS part_value FROM ps GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           floor(part_value * 100.0 + 0.5) / 100.0 AS part_value
+    FROM pv
+    WHERE part_value > (SELECT 3.0 * avg(part_value) FROM pv)
+    """,
+)
+def q_report_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: the parts holding an outsized share of a nation
+    group's inventory value (partsupp synthesized from lineitem like
+    Q2/Q16; value = price x quantity). The grouped aggregate is compared
+    against a SCALAR multiple of the average part value — the
+    HAVING-vs-scalar-subquery pattern. (TPC-H's literal 'fraction of the
+    grand total' threshold is scale-VARIANT: a fixed 0.1% returns the
+    whole table at small part counts and zero rows at large ones — 3x
+    average is the same plan shape with a scale-invariant answer.)
+
+    Portability note: the HAVING compares RAW sums on both sides of the
+    inequality (not rounded) — safe here because the cross-engine ulp
+    noise is relative ~1e-15 while the threshold gap between any part and
+    0.1% of total is many orders larger; the OUTPUT value is qround'd as
+    usual. (The same argument as q_having's integer counts, extended to
+    a ratio test.)
+
+    Scale shape: the ps synthesis is one map-side-combinable aggregate
+    with broadcast dims; the grand total is a 1-row reuse of ps (Spark
+    plans ReusedExchange); output is the surviving parts only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    ps = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    pv = ps.groupBy("l_partkey").agg(F.sum("value").alias("raw_value"))
+    thresh = pv.agg((F.lit(3.0) * F.avg("raw_value")).alias("thresh"))
+    return (
+        pv.join(F.broadcast(thresh))
+        .filter(F.col("raw_value") > F.col("thresh"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            qround(F.col("raw_value"), 2).alias("part_value"),
+        )
+    )
+
+
+@_q(
+    "q_report_excess_supply",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    part_tot AS (
+      SELECT l_partkey AS pk, sum(qty) AS part_qty FROM shipped GROUP BY pk
+    ),
+    dominant AS (
+      SELECT DISTINCT l_suppkey FROM shipped
+      JOIN part_tot ON l_partkey = pk
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%' AND qty > 0.5 * part_qty
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+)
+def q_report_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate the supply of some red part
+    (>50% of its shipped quantity this year) — the nested-IN-subqueries
+    query (suppliers IN (partsupp-derived set) with a correlated quantity
+    threshold), stated as the aggregate-join chain Catalyst decorrelates
+    it into.
+
+    The 0.5 * part_qty comparison is raw-sum vs raw-sum on the SAME
+    engine's aggregates; l_quantity values are small integers stored as
+    doubles, so the sums are EXACT in both engines (integer-valued
+    doubles far below 2^53) and the > test cannot flip cross-engine.
+
+    Scale shape: the shipped aggregate shares its l_partkey shuffle with
+    the per-part total; part's LIKE filter broadcasts; the final IN is a
+    left-semi join onto the tiny supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    part_tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("part_qty")
+    )
+    dominant = (
+        shipped.join(part_tot, shipped.l_partkey == part_tot.pk)
+        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .filter(F.col("qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )

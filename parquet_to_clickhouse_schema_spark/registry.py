@@ -153,6 +153,8 @@ SWEEP_PRIORITY = (
     "q_incremental_agg",
     "q_limit_offset",
     "q_chi_square",
+    "q_report_important_stock",
+    "q_report_excess_supply",
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
     "q_tumbling_window",
