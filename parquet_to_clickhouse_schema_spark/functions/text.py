@@ -931,3 +931,106 @@ def q_freq_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entry.item").alias("token"),
         F.col("entry.count").cast("bigint").alias("est_count"),
     )
+
+
+def bpe_train(
+    spark: SparkSession,
+    words: DataFrame,
+    n_merges: int = 10,
+) -> list[tuple[str, str, int]]:
+    """Full iterative BPE training over a (tok, wfreq) word-frequency table:
+    repeat [count adjacent symbol pairs -> take the most frequent ->
+    merge it everywhere] n_merges times, returning the learned merges as
+    (left, right, pair_count) in merge order — the distributed version of
+    the Sennrich et al. trainer loop, of which q_bpe_pairs is one gated
+    step.
+
+    Distributed representation: each word is an ARRAY of current symbols
+    (initially characters). Per iteration:
+    - pair counts: vocab-bounded explode + map-side-combinable sum (the
+      word table follows Heaps' law — ~1M rows at 100 TB, so iterations
+      cost vocab scans, not corpus scans; the corpus is touched ONCE to
+      build word frequencies);
+    - argmax: a deterministic TakeOrdered(1) by (count desc, left, right)
+      — ulp-free because counts are exact integers;
+    - merge: a JVM-side aggregate fold over each symbol array (no UDF) —
+      left-to-right, non-overlapping, exactly like the reference trainer.
+    localCheckpoint every few iterations truncates the growing lineage
+    (the same discipline as pagerank/kmeans)."""
+    syms = words.select(
+        "wfreq", F.expr("split(tok, '')").alias("syms")
+    ).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for it in range(n_merges):
+        pairs = syms.select(
+            "wfreq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+        ).filter(F.col("p.a").isNotNull() & F.col("p.b").isNotNull())
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wfreq").cast("bigint").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0].a, top[0].b, int(top[0].c)
+        merges.append((a, b, c))
+        merged = a + b
+        # left-to-right non-overlapping merge as an aggregate fold: carry
+        # (acc array, pending flag); when the previous symbol == a and the
+        # current == b, replace the last acc element with the merged symbol
+        syms = syms.select(
+            "wfreq",
+            F.expr(
+                f"""
+                aggregate(
+                  syms,
+                  CAST(array() AS ARRAY<STRING>),
+                  (acc, x) -> CASE
+                    WHEN size(acc) > 0
+                         AND element_at(acc, -1) = {a!r}
+                         AND x = {b!r}
+                    THEN concat(slice(acc, 1, size(acc) - 1),
+                                array({merged!r}))
+                    ELSE concat(acc, array(x))
+                  END
+                )
+                """
+            ).alias("syms"),
+        )
+        if (it + 1) % 3 == 0:
+            syms = syms.localCheckpoint()
+    return merges
+
+
+BPE_TRAIN_MERGES = 6
+
+
+@_q("q_bpe_train")  # rows-only: iterative argmax loop is not single-query SQL
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE trainer (bpe_train) as a gated key: the first
+    BPE_TRAIN_MERGES learned merges in order — (rank, left, right,
+    pair_count). Deterministic end to end (integer counts, lexicographic
+    tiebreak), equivalence-tested against a pure-Python reference trainer
+    in-engine; rows-only at the driver because the per-iteration argmax
+    loop is not expressible as one SQL statement (same class as
+    q_kmeans_clusters / q_pagerank)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("wfreq"))
+    )
+    merges = bpe_train(spark, words, n_merges=BPE_TRAIN_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank INT, left STRING, right STRING, pair_count BIGINT",
+    )

@@ -258,3 +258,51 @@ def test_curriculum_packed_key_orders_like_tuple():
         assert pack(a) <= 2**63 - 1  # stays inside BIGINT
 
     check()
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """The distributed trainer's merges == a pure-Python BPE trainer run
+    on the collected word-frequency table (count desc, (a,b) asc ties)."""
+    from collections import Counter
+
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in sorted(
+            Q["q_bpe_train"](spark, SF_SMOKE).collect(), key=lambda r: r.merge_rank
+        )
+    ]
+    d = load_table(spark, SF_SMOKE, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("wfreq"))
+        .collect()
+    )
+    cur = {}
+    for r in words:
+        cur[tuple(r.tok)] = cur.get(tuple(r.tok), 0) + r.wfreq
+    ref = []
+    for _ in range(6):
+        pc = Counter()
+        for symtuple, f in cur.items():
+            for x, y in zip(symtuple, symtuple[1:]):
+                pc[(x, y)] += f
+        if not pc:
+            break
+        mx = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == mx)
+        ref.append((a, b, mx))
+        new = {}
+        for symtuple, f in cur.items():
+            out, i = [], 0
+            while i < len(symtuple):
+                if i + 1 < len(symtuple) and symtuple[i] == a and symtuple[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(symtuple[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        cur = new
+    assert got == ref
