@@ -368,3 +368,71 @@ def compact_small_files(
         write_compacted(df, out_path, n_files)
     after = file_stats(out_path)
     return {"before": before, "after": after, "n_files_target": n_files}
+
+
+def export_for_clickhouse(
+    df: DataFrame,
+    out_dir: str,
+    table_name: str,
+    primary_key: str,
+    n_files: int | None = None,
+) -> str:
+    """Full ClickHouse handoff — the reference's DDL generation
+    (`/root/reference/src/parquetutils.rs:17-61`) extended with the data
+    files it stops short of: write `{out_dir}/schema.sql` (the same
+    drop+create MergeTree DDL, from the DataFrame's own schema) plus
+    `{out_dir}/data/` as gzip TSV in ClickHouse's TabSeparated format,
+    ready for `clickhouse-client --query "INSERT INTO t FORMAT
+    TabSeparated" < part.tsv.gz`.
+
+    TabSeparated rendering rules handled here: ClickHouse expects
+    `\\N` for NULL, tab/newline/backslash escaped inside strings, and
+    `YYYY-MM-DD hh:mm:ss` timestamps — all rendered JVM-side with
+    built-ins (no UDF), so the export is one distributed write.
+
+    Returns the DDL string. The parquet-side schema port (`ddl.py`)
+    stays footer-only; this entry point is for materializing QUERY
+    RESULTS into the warehouse the reference targets."""
+    import os
+
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    from parquet_to_clickhouse_schema_spark.ddl import struct_to_clickhouse_ddl
+
+    # strict=False: query results carry types the reference panics on
+    # (decimals, dates); the engine maps them faithfully instead
+    ddl = struct_to_clickhouse_ddl(
+        df.schema, table_name, primary_key, strict=False
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/schema.sql", "w") as fh:
+        fh.write(ddl)
+
+    def render(field: T.StructField) -> Column:
+        c = F.col(field.name)
+        if isinstance(field.dataType, T.TimestampType | T.TimestampNTZType):
+            s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        elif isinstance(field.dataType, T.DateType):
+            s = F.date_format(c, "yyyy-MM-dd")
+        elif isinstance(field.dataType, T.StringType):
+            # ClickHouse TSV escaping: backslash first, then tab/newline
+            s = F.regexp_replace(c, r"\\", r"\\\\")
+            s = F.regexp_replace(s, "\t", r"\\t")
+            s = F.regexp_replace(s, "\n", r"\\n")
+        elif isinstance(field.dataType, T.BinaryType):
+            s = F.base64(c)
+        else:
+            s = c.cast("string")
+        return F.coalesce(s, F.lit(r"\N"))
+
+    line = F.concat_ws("\t", *[render(f) for f in df.schema.fields])
+    out = df.select(line.alias("value"))
+    if n_files:
+        out = out.coalesce(n_files)
+    (
+        out.write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(f"{out_dir}/data")
+    )
+    return ddl

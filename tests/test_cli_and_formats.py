@@ -412,3 +412,41 @@ def test_compact_small_files_empty_dir_raises(tmp_path, spark):
     (tmp_path / "empty").mkdir()
     with pytest.raises(ValueError):
         compact_small_files(spark, str(tmp_path / "empty"), str(tmp_path / "o"))
+
+
+def test_export_for_clickhouse_roundtrip(spark, tmp_path):
+    """The ClickHouse handoff: DDL file + TabSeparated gz data readable
+    back with the escaping/NULL/timestamp conventions intact."""
+    import gzip
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_clickhouse_schema_spark.sources.formats import (
+        export_for_clickhouse,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain", 1.5, None),
+            (2, "tab\there", 2.0, "2024-01-02 03:04:05"),
+            (3, None, None, "2024-06-30 23:59:59"),
+            (4, "back\\slash and\nnewline", -0.25, None),
+        ],
+        "id long, name string, score double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = str(tmp_path / "export")
+    ddl = export_for_clickhouse(df, out, "t_export", "id", n_files=1)
+    assert ddl.startswith("drop table if exists t_export;")
+    assert "id Int64" in ddl and "primary key (id)" in ddl
+    assert (tmp_path / "export" / "schema.sql").read_text() == ddl
+    gz = sorted(pathlib.Path(out, "data").glob("*.txt.gz"))
+    assert len(gz) == 1
+    lines = gzip.decompress(gz[0].read_bytes()).decode().splitlines()
+    assert len(lines) == 4
+    rows = {ln.split("\t")[0]: ln.split("\t") for ln in lines}
+    assert rows["1"] == ["1", "plain", "1.5", r"\N"]
+    assert rows["2"][1] == r"tab\there"
+    assert rows["2"][3] == "2024-01-02 03:04:05"
+    assert rows["3"][1] == r"\N" and rows["3"][2] == r"\N"
+    assert rows["4"][1] == r"back\\slash and\nnewline"
