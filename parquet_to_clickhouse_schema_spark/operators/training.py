@@ -774,3 +774,62 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("digest") == F.col("keep_digest"))
         & (F.col("doc_id") == F.col("keep_id")),
     ).select("doc_id", "source", "digest")
+
+
+MIX_TEMPERATURE = 0.5  # alpha < 1 flattens the source distribution
+
+
+@_q(
+    "q_mix_temperature",
+    f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_docs,
+             n_docs / CAST(sum(n_docs) OVER () AS DOUBLE) AS raw_share,
+             pow(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE),
+                 {MIX_TEMPERATURE}) AS unnorm
+      FROM counts
+    )
+    SELECT source, n_docs,
+           floor(raw_share * 1000000.0 + 0.5) / 1000000.0 AS raw_share,
+           floor((unnorm / sum(unnorm) OVER ()) * 1000000.0 + 0.5) / 1000000.0
+               AS temp_share,
+           floor(((unnorm / sum(unnorm) OVER ()) / raw_share) * 10000.0 + 0.5)
+               / 10000.0 AS upsample_factor
+    FROM p
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (the multilingual-LM sampling rule:
+    p_s ∝ (n_s/N)^alpha): per source, its raw share, its alpha=0.5
+    flattened share, and the up/down-sampling factor that achieves it —
+    the third member of the mixing family (balanced = alpha 0,
+    proportional = alpha 1, temperature = in between).
+
+    Float portability: pow/div are correctly-rounded operations on
+    identical inputs (integer counts), so qround(1e-6) has ~1e-15
+    relative noise to absorb — the standard ratio contract.
+
+    Scale shape: the corpus collapses to |sources| rows first; the window
+    normalizations run over that tiny table."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    total = F.sum("n_docs").over(W.partitionBy())
+    raw = F.col("n_docs") / total.cast("double")
+    p = counts.select(
+        "source", "n_docs", raw.alias("raw_share"),
+        F.pow(raw, MIX_TEMPERATURE).alias("unnorm"),
+    )
+    temp = F.col("unnorm") / F.sum("unnorm").over(W.partitionBy())
+    return p.select(
+        "source",
+        "n_docs",
+        qround(F.col("raw_share"), 6).alias("raw_share"),
+        qround(temp, 6).alias("temp_share"),
+        qround(temp / F.col("raw_share"), 4).alias("upsample_factor"),
+    )
