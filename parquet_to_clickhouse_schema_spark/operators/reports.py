@@ -1133,3 +1133,70 @@ def q_report_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
     )
+
+
+@_q(
+    "q_funnel_time",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT CAST(date_diff('second', v.t1, p.t3) AS DOUBLE) AS sec
+      FROM v JOIN p ON v.user_id = p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           floor(quantile_cont(sec, 0.5) * 100.0 + 0.5) / 100.0 AS p50_sec,
+           floor(quantile_cont(sec, 0.9) * 100.0 + 0.5) / 100.0 AS p90_sec,
+           floor(avg(sec) * 100.0 + 0.5) / 100.0 AS mean_sec
+    FROM lat
+    """,
+)
+def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: latency from first view to first subsequent
+    purchase per user, summarized as p50/p90/mean seconds — the question
+    that follows q_funnel's "how many convert?" with "how fast?".
+
+    Latencies are exact integers on both engines: DuckDB's
+    date_diff('second') counts second-boundary crossings, which equals
+    Spark's floor(unix_timestamp) subtraction — so the exact percentile
+    interpolation is arithmetic on identical integers, portable.
+
+    Scale shape: two per-user MIN frontiers (map-side combinable), a
+    user-keyed join, then exact percentiles over one row per converted
+    user (the 100 TB swap-in is percentile_approx, q_percentile_approx's
+    documented contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = v.join(p, "user_id").select(
+        (
+            F.unix_timestamp(F.col("t3").cast("timestamp"))
+            - F.unix_timestamp(F.col("t1").cast("timestamp"))
+        )
+        .cast("double")
+        .alias("sec")
+    )
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        qround(F.percentile("sec", F.lit(0.5)), 2).alias("p50_sec"),
+        qround(F.percentile("sec", F.lit(0.9)), 2).alias("p90_sec"),
+        qround(F.avg("sec"), 2).alias("mean_sec"),
+    )
