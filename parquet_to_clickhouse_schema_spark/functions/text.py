@@ -739,6 +739,17 @@ BPE_TOP = 50
     LIMIT {BPE_TOP}
     """,
 )
+def _word_freqs(d: DataFrame) -> DataFrame:
+    """Shared by q_bpe_pairs / q_bpe_train: the (tok, wfreq) word table
+    (tokens of >= 2 chars — 1-char tokens can never produce a pair)."""
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("wfreq"))
+    )
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE-trainer merge step: corpus-weighted adjacent character-pair
     counts, ranked — the top pair is the next merge a byte-pair-encoding
@@ -751,13 +762,7 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive explode runs on ~1M rows even at 100 TB. One corpus-sized
     shuffle (the word count), one vocab-sized shuffle (the pair sum), and
     a TakeOrdered top-{BPE_TOP}; ties rank deterministically by (a, b)."""
-    d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("tok"))
-        .filter(F.length("tok") >= 2)
-        .groupBy("tok")
-        .agg(F.count("*").alias("wfreq"))
-    )
+    words = _word_freqs(load_table(spark, sf_dir, "documents"))
     pairs = words.select(
         "wfreq",
         F.explode(
@@ -962,7 +967,10 @@ def bpe_train(
     ).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     for it in range(n_merges):
-        pairs = syms.select(
+        # fully-merged 1-symbol words can never pair again — and under
+        # Spark 4's default ANSI mode, indexing their array via
+        # sequence(1, 0) throws INVALID_ARRAY_INDEX, so gate the size
+        pairs = syms.filter(F.size("syms") >= 2).select(
             "wfreq",
             F.explode(
                 F.expr(
@@ -970,7 +978,7 @@ def bpe_train(
                     "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
                 )
             ).alias("p"),
-        ).filter(F.col("p.a").isNotNull() & F.col("p.b").isNotNull())
+        )
         top = (
             pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("wfreq").cast("bigint").alias("c"))
@@ -983,26 +991,33 @@ def bpe_train(
         a, b, c = top[0].a, top[0].b, int(top[0].c)
         merges.append((a, b, c))
         merged = a + b
-        # left-to-right non-overlapping merge as an aggregate fold: carry
-        # (acc array, pending flag); when the previous symbol == a and the
-        # current == b, replace the last acc element with the merged symbol
+        # left-to-right non-overlapping merge as an aggregate fold: when
+        # the previous accumulated symbol == a and the current == b,
+        # replace the last acc element with the merged symbol. Built with
+        # Column lambdas (F.lit for the symbols), NOT f-string SQL
+        # literals — repr() of control characters is not a valid Spark
+        # SQL escape and would silently compare the wrong symbol
+        def _make_fold(a: str, b: str, merged: str):
+            def _merge_fold(acc, x):
+                hit = (
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b))
+                )
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return _merge_fold
+
         syms = syms.select(
             "wfreq",
-            F.expr(
-                f"""
-                aggregate(
-                  syms,
-                  CAST(array() AS ARRAY<STRING>),
-                  (acc, x) -> CASE
-                    WHEN size(acc) > 0
-                         AND element_at(acc, -1) = {a!r}
-                         AND x = {b!r}
-                    THEN concat(slice(acc, 1, size(acc) - 1),
-                                array({merged!r}))
-                    ELSE concat(acc, array(x))
-                  END
-                )
-                """
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), _make_fold(a, b, merged)
             ).alias("syms"),
         )
         if (it + 1) % 3 == 0:
@@ -1022,13 +1037,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-engine; rows-only at the driver because the per-iteration argmax
     loop is not expressible as one SQL statement (same class as
     q_kmeans_clusters / q_pagerank)."""
-    d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("tok"))
-        .filter(F.length("tok") >= 2)
-        .groupBy("tok")
-        .agg(F.count("*").alias("wfreq"))
-    )
+    words = _word_freqs(load_table(spark, sf_dir, "documents"))
     merges = bpe_train(spark, words, n_merges=BPE_TRAIN_MERGES)
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],

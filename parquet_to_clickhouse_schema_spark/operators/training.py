@@ -815,17 +815,15 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus collapses to |sources| rows first; the window
     normalizations run over that tiny table."""
-    from pyspark.sql import Window as W
-
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
-    total = F.sum("n_docs").over(W.partitionBy())
+    total = F.sum("n_docs").over(Window.partitionBy())
     raw = F.col("n_docs") / total.cast("double")
     p = counts.select(
         "source", "n_docs", raw.alias("raw_share"),
         F.pow(raw, MIX_TEMPERATURE).alias("unnorm"),
     )
-    temp = F.col("unnorm") / F.sum("unnorm").over(W.partitionBy())
+    temp = F.col("unnorm") / F.sum("unnorm").over(Window.partitionBy())
     return p.select(
         "source",
         "n_docs",

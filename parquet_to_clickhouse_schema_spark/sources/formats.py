@@ -386,9 +386,17 @@ def export_for_clickhouse(
     TabSeparated" < part.tsv.gz`.
 
     TabSeparated rendering rules handled here: ClickHouse expects
-    `\\N` for NULL, tab/newline/backslash escaped inside strings, and
-    `YYYY-MM-DD hh:mm:ss` timestamps — all rendered JVM-side with
-    built-ins (no UDF), so the export is one distributed write.
+    `\\N` for NULL; backslash/tab/newline/carriage-return escaped inside
+    strings; `YYYY-MM-DD hh:mm:ss.ffffff` timestamps (microseconds — the
+    DDL declares DateTime64(6), so the data must carry them); binary
+    columns export as BASE64 TEXT into the String column (decode with
+    base64Decode() in ClickHouse — recorded here because it is a
+    representation change, not a byte-identical round trip). Complex
+    columns (array/struct/map) are REJECTED up front: ClickHouse's TSV
+    syntax for Nested/Tuple/Map is not Spark's cast-to-string rendering,
+    and silently writing unparseable files is worse than an error —
+    pre-flatten or to_json() such columns first. Everything is rendered
+    JVM-side with built-ins (no UDF), one distributed write.
 
     Returns the DDL string. The parquet-side schema port (`ddl.py`)
     stays footer-only; this entry point is for materializing QUERY
@@ -402,6 +410,17 @@ def export_for_clickhouse(
 
     # strict=False: query results carry types the reference panics on
     # (decimals, dates); the engine maps them faithfully instead
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.ArrayType | T.StructType | T.MapType)
+    ]
+    if complex_cols:
+        raise ValueError(
+            "export_for_clickhouse cannot render complex columns as "
+            f"TabSeparated: {complex_cols} — flatten them or wrap in "
+            "to_json() before exporting"
+        )
     ddl = struct_to_clickhouse_ddl(
         df.schema, table_name, primary_key, strict=False
     )
@@ -412,7 +431,7 @@ def export_for_clickhouse(
     def render(field: T.StructField) -> Column:
         c = F.col(field.name)
         if isinstance(field.dataType, T.TimestampType | T.TimestampNTZType):
-            s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+            s = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
         elif isinstance(field.dataType, T.DateType):
             s = F.date_format(c, "yyyy-MM-dd")
         elif isinstance(field.dataType, T.StringType):
@@ -420,6 +439,7 @@ def export_for_clickhouse(
             s = F.regexp_replace(c, r"\\", r"\\\\")
             s = F.regexp_replace(s, "\t", r"\\t")
             s = F.regexp_replace(s, "\n", r"\\n")
+            s = F.regexp_replace(s, "\r", r"\\r")
         elif isinstance(field.dataType, T.BinaryType):
             s = F.base64(c)
         else:

@@ -137,6 +137,7 @@ def _r7b_queries():
         graph,
         llm,
         merge,
+        reports,
         sqlfeatures,
         timeseries,
         udfs,
@@ -160,15 +161,6 @@ def _r7b_queries():
         "q_incremental_agg": merge.q_incremental_agg,
         "q_udf_arrow": udfs.q_udf_arrow,
         "q_oov_rate": text.q_oov_rate,  # re-probe: vocab K changed to 20
-    } | _q20_q11()
-
-
-
-
-def _q20_q11():
-    from parquet_to_clickhouse_schema_spark.operators import reports
-
-    return {
         "q_report_important_stock": reports.q_report_important_stock,
         "q_report_excess_supply": reports.q_report_excess_supply,
     }

@@ -429,9 +429,9 @@ def test_export_for_clickhouse_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [
             (1, "plain", 1.5, None),
-            (2, "tab\there", 2.0, "2024-01-02 03:04:05"),
+            (2, "tab\there", 2.0, "2024-01-02 03:04:05.123456"),
             (3, None, None, "2024-06-30 23:59:59"),
-            (4, "back\\slash and\nnewline", -0.25, None),
+            (4, "back\\slash and\nnewline\rcr", -0.25, None),
         ],
         "id long, name string, score double, ts string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
@@ -447,6 +447,12 @@ def test_export_for_clickhouse_roundtrip(spark, tmp_path):
     rows = {ln.split("\t")[0]: ln.split("\t") for ln in lines}
     assert rows["1"] == ["1", "plain", "1.5", r"\N"]
     assert rows["2"][1] == r"tab\there"
-    assert rows["2"][3] == "2024-01-02 03:04:05"
+    assert rows["2"][3] == "2024-01-02 03:04:05.123456"  # DateTime64(6) precision kept
     assert rows["3"][1] == r"\N" and rows["3"][2] == r"\N"
-    assert rows["4"][1] == r"back\\slash and\nnewline"
+    # complex columns are rejected up front, not silently mis-rendered
+    import pytest as _pytest
+
+    bad = df.withColumn("arr", F.array(F.lit("x")))
+    with _pytest.raises(ValueError, match="complex columns"):
+        export_for_clickhouse(bad, str(tmp_path / "bad"), "t_bad", "id")
+    assert rows["4"][1] == r"back\\slash and\nnewline\rcr"

@@ -306,3 +306,19 @@ def test_bpe_train_matches_pure_python_reference(spark):
             new[tuple(out)] = new.get(tuple(out), 0) + f
         cur = new
     assert got == ref
+
+
+def test_bpe_train_survives_word_collapse_under_ansi(spark):
+    """Regression (ANSI mode): once a 2-char word fully merges into one
+    symbol, later iterations must not index its 1-element array —
+    sequence(1, 0) under spark.sql.ansi.enabled=true threw
+    INVALID_ARRAY_INDEX before the size gate."""
+    from parquet_to_clickhouse_schema_spark.functions.text import bpe_train
+
+    words = spark.createDataFrame(
+        [("ab", 100), ("abc", 10), ("cd", 5)], "tok string, wfreq long"
+    )
+    merges = bpe_train(spark, words, n_merges=4)
+    # first merge collapses 'ab' (the dominant word) into one symbol
+    assert merges[0] == ("a", "b", 110)
+    assert len(merges) >= 2  # training continued past the collapse
