@@ -718,6 +718,17 @@ def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TOP = 50
 
 
+def _word_freqs(d: DataFrame) -> DataFrame:
+    """Shared by q_bpe_pairs / q_bpe_train: the (tok, wfreq) word table
+    (tokens of >= 2 chars — 1-char tokens can never produce a pair)."""
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("wfreq"))
+    )
+
+
 @_q(
     "q_bpe_pairs",
     f"""
@@ -739,17 +750,6 @@ BPE_TOP = 50
     LIMIT {BPE_TOP}
     """,
 )
-def _word_freqs(d: DataFrame) -> DataFrame:
-    """Shared by q_bpe_pairs / q_bpe_train: the (tok, wfreq) word table
-    (tokens of >= 2 chars — 1-char tokens can never produce a pair)."""
-    return (
-        d.select(F.explode(F.split("text", " ")).alias("tok"))
-        .filter(F.length("tok") >= 2)
-        .groupBy("tok")
-        .agg(F.count("*").alias("wfreq"))
-    )
-
-
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE-trainer merge step: corpus-weighted adjacent character-pair
     counts, ranked — the top pair is the next merge a byte-pair-encoding
