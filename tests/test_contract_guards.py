@@ -86,3 +86,18 @@ def test_type_drift_detector_catches_r1_bug_classes():
     assert _type_problems(
         [(None,), (decimal.Decimal("1"),)], ["n"], [(None,), (1.0,)], ["n"]
     )
+
+
+def test_registered_function_names_match_their_keys():
+    """Regression guard: a helper def accidentally placed between a @_q
+    decorator and its query function gets REGISTERED under the query's
+    key (bit q_bpe_pairs in r7 — the decorator bound _word_freqs). Every
+    registered callable must be named exactly like its key."""
+    from parquet_to_clickhouse_schema_spark import registry
+
+    mismatched = {
+        key: fn.__name__
+        for key, fn in registry.all_queries().items()
+        if fn.__name__ != key
+    }
+    assert not mismatched, mismatched
