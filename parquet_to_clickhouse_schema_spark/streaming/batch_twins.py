@@ -817,3 +817,47 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((d, event_type), (wk, event_type), (mo, event_type))
         """
     )
+
+
+@_q(
+    "q_spend_alerts",
+    """
+    WITH run AS (
+      SELECT user_id, ts,
+             sum(value) OVER w AS total,
+             sum(value) OVER w - value AS prev_total
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(unnest(range(CAST(floor(prev_total / 100.0) AS BIGINT) + 1,
+                             CAST(floor(total / 100.0) AS BIGINT) + 1))
+                AS BIGINT) AS alert_level,
+           ts,
+           floor(total * 100.0 + 0.5) / 100.0 AS total
+    FROM run
+    WHERE floor(total / 100.0) > floor(prev_total / 100.0)
+    """,
+)
+def q_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState custom stateful operator
+    (stateful.spend_alerts_stream): per-user cumulative purchase spend
+    with an alert row each time the running total crosses another $100
+    multiple — gating the last library-only streaming semantic under the
+    driver's oracle (the stream/batch equivalence itself is pinned by
+    tests/test_stateful_and_skew.py).
+
+    Cross-engine note: both engines accumulate the running sum over the
+    identical (ts, event_id) order, so the floor-threshold comparisons
+    see the same doubles; a crossing would have to land within ulps of an
+    exact $100 multiple to flip (same risk class as every qround'd sum).
+
+    Scale shape: one user_id shuffle; the streaming form's state is one
+    double per user — O(keys), watermark-evictable."""
+    from parquet_to_clickhouse_schema_spark.streaming.stateful import (
+        spend_alerts_batch,
+    )
+
+    return spend_alerts_batch(spark, sf_dir, step=100.0)
