@@ -110,15 +110,17 @@ CONTRACT_KEYS = (
 )
 
 # Round-7 sweep priority: the driver's correctness sweep checks the FIRST
-# ~50 queries() keys each round. No CORRECTNESS_r06 artifact landed, so BOTH
-# the r6-new keys and the r7-new keys have never had a driver row — and the
-# four streaming-window contract twins are still waiting for their first
-# check against the regenerated events.ts (VERDICT r5 top item). Order:
-# (a) r7-new keys, (b) the streaming contract twins, (c) r6-new keys, with
-# the most trivial scan-bound r6 aggregates below the budget line (they are
-# the least likely to drift and are locally verified at both SFs).
+# ~50 queries() keys each round. No CORRECTNESS_r06 artifact landed, so the
+# r6-new keys AND the r7-new keys all await their first driver row, and the
+# four streaming-window contract twins still await their first check against
+# the regenerated events.ts (VERDICT r5 top item). With 193 keys and a ~50
+# budget the order is: (a) substantive r7-new keys, (b) the streaming
+# contract twins, (c) as many r6-new keys as fit; TRIVIAL r7 keys
+# (TakeOrdered scans, tiny scan-bound aggregates — locally verified at both
+# SFs every session and least likely to drift) wait below the line so the
+# r6 backlog drains faster.
 SWEEP_PRIORITY = (
-    # new in round 7 — need first driver rows
+    # new in round 7 (substantive plans) — need first driver rows
     "q_report_volume_shipping",
     "q_report_market_share",
     "q_report_ship_priority",
@@ -127,13 +129,13 @@ SWEEP_PRIORITY = (
     "q_report_min_cost_supplier",
     "q_report_waiting_suppliers",
     "q_report_idle_customers",
+    "q_report_important_stock",
+    "q_report_excess_supply",
     "q_recursive_cte",
     "q_distinct_on",
-    "q_order_nulls",
     "q_acf",
     "q_cusum",
     "q_oov_rate",
-    "q_freq_topk_sketch",  # rows-only by design (sketch)
     "q_contamination_score",
     "q_curriculum_order",
     "q_incremental_dedup",
@@ -141,31 +143,27 @@ SWEEP_PRIORITY = (
     "q_window_time_range",
     "q_time_rollup",
     "q_moving_median",
-    "q_benford",
     "q_skyline",
     "q_image_decode",
     "q_audio_decode",
     "q_video_frames",
     "q_table_checksum",
-    "q_udf_arrow",
     "q_copurchase_pairs",
     "q_audience_overlap",
     "q_incremental_agg",
-    "q_limit_offset",
     "q_chi_square",
-    "q_report_important_stock",
-    "q_report_excess_supply",
-    "q_bpe_train",  # rows-only (iterative argmax loop)
     "q_mix_temperature",
     "q_funnel_time",
     "q_spend_alerts",
+    "q_bpe_train",  # rows-only (iterative argmax loop)
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
     "q_tumbling_window",
     "q_sliding_window",
     "q_session_window",
     "q_stream_dedup",
-    # new in round 6 — still awaiting first driver rows
+    # new in round 6 — still awaiting first driver rows (as many as the
+    # ~50 budget reaches)
     "q_zipf_slope",
     "q_abtest_lift",
     "q_mix_balanced",
@@ -193,20 +191,25 @@ SWEEP_PRIORITY = (
     "q_interp_linear",
     "q_bigram_pmi",
     "q_unigram_nll",
-    # r6-changed joins + trivial r6 scan-bound aggregates below the ~50
-    # budget line (locally oracle-verified at both SFs every round)
-    "q_join_multiway",
-    "q_report_returned_customers",
     "q_hourly_profile",
     "q_length_histogram",
     "q_mode_agg",
     "q_dup_rate_report",
+    # trivial r7 keys below the budget line (locally verified both SFs):
+    # TakeOrdered scans and tiny scan-bound transforms
+    "q_order_nulls",
+    "q_limit_offset",
+    "q_udf_arrow",
+    "q_benford",
+    "q_freq_topk_sketch",  # rows-only by design (sketch)
+    # r6-changed joins + r1/r2-era keys (next rotation's candidates)
+    "q_join_multiway",
+    "q_report_returned_customers",
     "q_fuzzy_pairs",
     "q_ivf_topk",
     "q_ivfpq_topk",
     "q_kmeans_clusters",
     "q_pq_topk",
-    # r1/r2-era keys not re-swept since (next rotation's candidates)
     "q_near_dedup_minhash",
     "q_text_stats",
     "q_udf_python",
