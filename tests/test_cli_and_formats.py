@@ -434,7 +434,9 @@ def test_export_for_clickhouse_roundtrip(spark, tmp_path):
             (4, "back\\slash and\nnewline\rcr", -0.25, None),
         ],
         "id long, name string, score double, ts string",
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "blob", F.when(F.col("id") == 1, F.encode(F.lit("hi\tthere"), "utf-8"))
+    )
     out = str(tmp_path / "export")
     ddl = export_for_clickhouse(df, out, "t_export", "id", n_files=1)
     assert ddl.startswith("drop table if exists t_export;")
@@ -445,7 +447,13 @@ def test_export_for_clickhouse_roundtrip(spark, tmp_path):
     lines = gzip.decompress(gz[0].read_bytes()).decode().splitlines()
     assert len(lines) == 4
     rows = {ln.split("\t")[0]: ln.split("\t") for ln in lines}
-    assert rows["1"] == ["1", "plain", "1.5", r"\N"]
+    import base64
+
+    assert rows["1"][:4] == ["1", "plain", "1.5", r"\N"]
+    # binary exports as base64 TEXT (documented representation change):
+    # the raw bytes would need TSV escaping; base64 is unambiguous
+    assert base64.b64decode(rows["1"][4]) == b"hi\tthere"
+    assert rows["2"][4] == r"\N"
     assert rows["2"][1] == r"tab\there"
     assert rows["2"][3] == "2024-01-02 03:04:05.123456"  # DateTime64(6) precision kept
     assert rows["3"][1] == r"\N" and rows["3"][2] == r"\N"
