@@ -219,3 +219,74 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("dof"),
         F.count("*").cast("bigint").alias("n_cells"),
     )
+
+
+@_q(
+    "q_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY d
+    ),
+    trended AS (
+      SELECT d, y,
+             avg(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                 AS trend,
+             CAST(count(*) OVER (ORDER BY d
+                                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS wnd
+      FROM daily
+    ),
+    seasonal AS (
+      SELECT *,
+             avg(y - trend) OVER (PARTITION BY dayofweek(d)) AS seas
+      FROM trended
+    )
+    SELECT d, CAST(y AS BIGINT) AS n_events,
+           floor(trend * 10000.0 + 0.5) / 10000.0 AS trend,
+           floor(seas * 10000.0 + 0.5) / 10000.0 AS seasonal,
+           floor((y - trend - seas) * 10000.0 + 0.5) / 10000.0 AS residual,
+           wnd AS trend_window
+    FROM seasonal
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event-count series:
+    trend = centered 7-day moving average, seasonal = mean detrended
+    value per day-of-week, residual = the rest — the STL-flavored
+    pre-step behind every 'is this drop a trend break or just Sunday?'
+    question (q_cusum finds WHERE the level shifts; this explains what
+    the level IS).
+
+    Cross-engine: trend averages integer counts over the identical
+    centered frame (edges use the truncated frame on both engines —
+    trend_window exposes the effective width); the per-dow seasonal mean
+    averages the same ~4 detrended doubles.
+
+    Scale shape: the fact collapses to |days| rows first; every window
+    runs over that calendar-bounded table (the one global ORDER BY frame
+    is over ~30 rows — at a 10-year span still only ~3 650)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "y",
+        F.avg("y").over(w7).alias("trend"),
+        F.count("*").over(w7).cast("bigint").alias("wnd"),
+    )
+    wdow = Window.partitionBy(F.dayofweek("d"))
+    seasonal = trended.withColumn(
+        "seas", F.avg(F.col("y") - F.col("trend")).over(wdow)
+    )
+    return seasonal.select(
+        "d",
+        F.col("y").cast("bigint").alias("n_events"),
+        qround(F.col("trend"), 4).alias("trend"),
+        qround(F.col("seas"), 4).alias("seasonal"),
+        qround(F.col("y") - F.col("trend") - F.col("seas"), 4).alias("residual"),
+        F.col("wnd").alias("trend_window"),
+    )

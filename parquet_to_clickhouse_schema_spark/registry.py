@@ -155,6 +155,7 @@ SWEEP_PRIORITY = (
     "q_mix_temperature",
     "q_funnel_time",
     "q_spend_alerts",
+    "q_seasonal_decompose",
     "q_bpe_train",  # rows-only (iterative argmax loop)
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
