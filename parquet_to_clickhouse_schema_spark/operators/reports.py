@@ -1200,3 +1200,100 @@ def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.percentile("sec", F.lit(0.9)), 2).alias("p90_sec"),
         qround(F.avg("sec"), 2).alias("mean_sec"),
     )
+
+
+@_q(
+    "q_ship_latency",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           floor(quantile_cont(CAST(date_diff('day', o_orderdate, l_shipdate)
+                                    AS DOUBLE), 0.5) * 100.0 + 0.5) / 100.0
+               AS p50_days,
+           floor(quantile_cont(CAST(date_diff('day', o_orderdate, l_shipdate)
+                                    AS DOUBLE), 0.9) * 100.0 + 0.5) / 100.0
+               AS p90_days,
+           floor(avg(CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE))
+                 * 100.0 + 0.5) / 100.0 AS mean_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority (does URGENT
+    actually ship faster?) — the operational-SLA readout; q_funnel_time's
+    TPC-H-side sibling. Day differences are exact integers on both
+    engines (date_diff('day') ≡ datediff of day-truncated timestamps),
+    so the percentile interpolation is integer arithmetic.
+
+    Scale shape: one orderkey equi-shuffle, then exact percentiles per
+    priority group (|priorities| groups; percentile_approx is the
+    documented 100 TB swap-in)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lineitems"),
+            qround(F.percentile(days, F.lit(0.5)), 2).alias("p50_days"),
+            qround(F.percentile(days, F.lit(0.9)), 2).alias("p90_days"),
+            qround(F.avg(days), 2).alias("mean_days"),
+        )
+    )
+
+
+@_q(
+    "q_cohort_ltv",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+      FROM events GROUP BY user_id
+    ),
+    spend AS (
+      SELECT e.user_id, CAST(date_trunc('week', e.ts) AS DATE) AS aw,
+             sum(e.value) AS wk_value
+      FROM events e
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id, aw
+    )
+    SELECT f.cw AS cohort_week,
+           CAST(date_diff('day', f.cw, spend.aw) / 7 AS INT) AS week_offset,
+           CAST(count(DISTINCT spend.user_id) AS BIGINT) AS n_buyers,
+           floor((sum(wk_value)) * 10000.0 + 0.5) / 10000.0 AS cohort_revenue
+    FROM spend JOIN f ON spend.user_id = f.user_id
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: purchase revenue per (acquisition week,
+    weeks-since-acquisition) — q_retention's presence matrix upgraded to
+    the money view (the LTV curve marketing actually plots).
+
+    Scale shape: identical to q_retention — per-user/per-week aggregates
+    BEFORE the join, so shuffles carry O(users x active weeks) rows,
+    never raw events; integer week offsets from day-differences of
+    week-truncated dates."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cw")
+    )
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("aw")
+        )
+        .agg(F.sum("value").alias("wk_value"))
+    )
+    return (
+        spend.join(first, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.datediff("aw", "cw") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+            qround(F.sum("wk_value"), 4).alias("cohort_revenue"),
+        )
+    )

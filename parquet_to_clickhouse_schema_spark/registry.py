@@ -156,6 +156,8 @@ SWEEP_PRIORITY = (
     "q_funnel_time",
     "q_spend_alerts",
     "q_seasonal_decompose",
+    "q_ship_latency",
+    "q_cohort_ltv",
     "q_bpe_train",  # rows-only (iterative argmax loop)
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
