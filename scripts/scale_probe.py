@@ -140,8 +140,10 @@ def _r7b_queries():
         reports,
         sqlfeatures,
         timeseries,
+        training,
         udfs,
     )
+    from parquet_to_clickhouse_schema_spark.streaming import batch_twins
 
     return {
         # round-7 second batch. q_benford/q_moving_median/q_chi_square are
@@ -163,6 +165,12 @@ def _r7b_queries():
         "q_oov_rate": text.q_oov_rate,  # re-probe: vocab K changed to 20
         "q_report_important_stock": reports.q_report_important_stock,
         "q_report_excess_supply": reports.q_report_excess_supply,
+        "q_mix_temperature": training.q_mix_temperature,
+        "q_funnel_time": reports.q_funnel_time,
+        "q_ship_latency": reports.q_ship_latency,
+        "q_cohort_ltv": reports.q_cohort_ltv,
+        "q_spend_alerts": batch_twins.q_spend_alerts,
+        "q_seasonal_decompose": timeseries.q_seasonal_decompose,
     }
 
 
