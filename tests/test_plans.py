@@ -713,3 +713,58 @@ def test_curriculum_order_no_global_single_task_sort(spark):
     # the corpus-wide Sort must be preceded by hashpartitioning on the
     # quantile bucket, not a SinglePartition funnel
     assert "rangepartitioning" not in plan or "row_number" not in plan
+
+
+def test_copurchase_distinct_projection_before_pair_join(spark):
+    """The pair self-join must consume the DISTINCT (order, part)
+    projection — duplicate lines must be collapsed before pairing."""
+    from parquet_to_clickhouse_schema_spark.operators import graph
+
+    df = graph.q_copurchase_pairs(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    import re
+
+    li_scans = len(re.findall(r"Scan parquet[^\n]*lineitem", plan))
+    assert li_scans <= 2  # two lineages of the same distinct projection
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_audience_overlap_sizes_broadcast(spark):
+    from parquet_to_clickhouse_schema_spark.operators import graph
+
+    df = graph.q_audience_overlap(spark, SF_SMOKE)
+    assert uses_broadcast_join(df)
+
+
+def test_incremental_agg_no_fact_rescan_on_merge(spark):
+    """History and batch partials come from pushed-down filters; the merge
+    re-aggregates a |types|-row union (no third events scan)."""
+    from parquet_to_clickhouse_schema_spark.operators import merge
+
+    df = merge.q_incremental_agg(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    import re
+
+    ev_scans = len(re.findall(r"Scan parquet[^\n]*events", plan))
+    assert ev_scans == 2  # one per side, never a third for the merge
+    assert "partial_sum" in plan
+
+
+def test_seasonal_decompose_aggregates_before_windows(spark):
+    """The windows must run over the daily aggregate, not raw events: the
+    plan's windows sit above a HashAggregate on the day bucket."""
+    from parquet_to_clickhouse_schema_spark.operators import timeseries
+
+    df = timeseries.q_seasonal_decompose(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert plan.count("Window") >= 2  # trend frame + dow seasonal
+    assert "HashAggregate" in plan
+
+
+def test_spend_alerts_single_user_shuffle(spark):
+    from parquet_to_clickhouse_schema_spark.streaming import batch_twins
+
+    df = batch_twins.q_spend_alerts(spark, SF_SMOKE)
+    assert shuffle_count(df) == 1
+    plan = executed_plan(df)
+    assert "Generate explode" in plan or "Generate" in plan  # level fan-out
