@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_clickhouse_schema_spark._registry import new_registry
+from parquet_to_clickhouse_schema_spark.functions.compat import qround
 from parquet_to_clickhouse_schema_spark.sources.io import load_table
 
 QUERIES, ORACLES, _q = new_registry()
@@ -364,4 +365,64 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(h48.cast("decimal(38,0)").alias("h")).agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("h").cast("string").alias("checksum"),
+    )
+
+
+@_q(
+    "q_impute_median",
+    """
+    WITH holes AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR) || '#null'), 1, 1)
+                       IN ('0', '1') THEN NULL
+                  ELSE c_acctbal END AS bal
+      FROM customer
+    ),
+    med AS (
+      SELECT c_nationkey, quantile_cont(bal, 0.5) AS med_bal
+      FROM holes WHERE bal IS NOT NULL GROUP BY c_nationkey
+    )
+    SELECT h.c_custkey,
+           floor(coalesce(h.bal, m.med_bal) * 100.0 + 0.5) / 100.0
+               AS bal_imputed,
+           CAST(h.bal IS NULL AS BOOLEAN) AS was_imputed
+    FROM holes h JOIN med m ON h.c_nationkey = m.c_nationkey
+    """,
+)
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation — the standard numeric-repair step of a
+    feature pipeline: null balances (synthesized deterministically by the
+    md5 coin, ~12.5% of rows, so the repair path is genuinely exercised)
+    are filled with their nation's median of the OBSERVED values, and
+    every repair is flagged (silent imputation is an audit bug).
+
+    Scale shape: the per-group median is an aggregate over the non-null
+    subset (|nations| rows out) broadcast back onto the scan — no window
+    over the fact; the exact median's 100 TB swap-in is
+    percentile_approx, as everywhere in this family."""
+    c = load_table(spark, sf_dir, "customer")
+    coin = F.substring(
+        F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("#null")).cast("binary")),
+        1,
+        1,
+    )
+    holes = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(coin.isin("0", "1"), F.lit(None).cast("double")).otherwise(
+            F.col("c_acctbal")
+        ).alias("bal"),
+    )
+    med = (
+        holes.filter(F.col("bal").isNotNull())
+        .groupBy(F.col("c_nationkey").alias("m_key"))
+        .agg(F.percentile("bal", F.lit(0.5)).alias("med_bal"))
+    )
+    return (
+        holes.join(F.broadcast(med), holes.c_nationkey == med.m_key)
+        .select(
+            "c_custkey",
+            qround(F.coalesce("bal", "med_bal"), 2).alias("bal_imputed"),
+            F.col("bal").isNull().alias("was_imputed"),
+        )
     )
