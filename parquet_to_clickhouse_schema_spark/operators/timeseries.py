@@ -290,3 +290,61 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("y") - F.col("trend") - F.col("seas"), 4).alias("residual"),
         F.col("wnd").alias("trend_window"),
     )
+
+
+@_q(
+    "q_rolling_corr",
+    """
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS DOUBLE)
+                 AS clicks,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                 AS purchases
+      FROM events GROUP BY h
+    )
+    SELECT CAST(h * 3600 AS BIGINT) AS hsec,
+           CAST(clicks AS BIGINT) AS clicks,
+           CAST(purchases AS BIGINT) AS purchases,
+           floor(corr(clicks, purchases)
+                     OVER (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr_24h,
+           CAST(count(*) OVER (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS wnd
+    FROM hourly
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour correlation between the click and purchase hourly
+    series — the co-movement monitor (a correlation collapse between
+    traffic and conversions is an incident signal a static corr hides).
+
+    The hour key is integer epoch-hours (exact arithmetic), conditional
+    counts ride ONE grouped pass, and the rolling corr evaluates over the
+    identical integer-count frames on both engines; qround(1e-6) absorbs
+    the aggregate's ulp noise. Missing hours (none in this corpus —
+    ~14 events/hour) would shrink the frame on both engines identically
+    (wnd exposes the effective width).
+
+    Scale shape: the fact collapses to |hours| rows first; the windowed
+    corr runs over the calendar-bounded series — the aggregate-first
+    discipline of this whole module."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("bigint")
+        .alias("h")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("double").alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("double")
+        .alias("purchases"),
+    )
+    w = Window.orderBy("h").rowsBetween(-23, Window.currentRow)
+    return hourly.select(
+        (F.col("h") * 3600).alias("hsec"),
+        F.col("clicks").cast("bigint").alias("clicks"),
+        F.col("purchases").cast("bigint").alias("purchases"),
+        qround(F.corr("clicks", "purchases").over(w), 6).alias("corr_24h"),
+        F.count("*").over(w).cast("bigint").alias("wnd"),
+    )

@@ -159,6 +159,7 @@ SWEEP_PRIORITY = (
     "q_ship_latency",
     "q_cohort_ltv",
     "q_impute_median",
+    "q_rolling_corr",
     "q_bpe_train",  # rows-only (iterative argmax loop)
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
