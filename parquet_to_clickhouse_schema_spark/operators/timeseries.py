@@ -319,11 +319,16 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     series — the co-movement monitor (a correlation collapse between
     traffic and conversions is an incident signal a static corr hides).
 
-    The hour key is integer epoch-hours (exact arithmetic), conditional
-    counts ride ONE grouped pass, and the rolling corr evaluates over the
-    identical integer-count frames on both engines; qround(1e-6) absorbs
-    the aggregate's ulp noise. Missing hours (none in this corpus —
-    ~14 events/hour) would shrink the frame on both engines identically
+    The hour key is integer epoch-hours (exact arithmetic) and the
+    conditional counts ride ONE grouped pass. The correlation itself is
+    the closed-form two-pass formula over window SUMS (n, Σx, Σy, Σxy,
+    Σx², Σy²) — all exact integer-valued doubles, so no cancellation —
+    with an explicit zero-variance guard returning NULL: Spark's corr
+    aggregate THROWS DIVIDE_BY_ZERO under ANSI mode when a frame's
+    series is constant (sparse corpora hit this; DuckDB's corr returns
+    NULL), so the guard is a correctness requirement, not a nicety.
+    qround(1e-6) absorbs the ulp gap vs DuckDB's recurrence-based corr.
+    Missing hours would shrink the frame identically on both engines
     (wnd exposes the effective width).
 
     Scale shape: the fact collapses to |hours| rows first; the windowed
@@ -341,10 +346,22 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("purchases"),
     )
     w = Window.orderBy("h").rowsBetween(-23, Window.currentRow)
+    x, y = F.col("clicks"), F.col("purchases")
+    n = F.count("*").over(w).cast("double")
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxy = F.sum(x * y).over(w)
+    sxx = F.sum(x * x).over(w)
+    syy = F.sum(y * y).over(w)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    r = F.when(
+        (vx > 0) & (vy > 0), (n * sxy - sx * sy) / F.sqrt(vx * vy)
+    ).otherwise(F.lit(None).cast("double"))
     return hourly.select(
         (F.col("h") * 3600).alias("hsec"),
         F.col("clicks").cast("bigint").alias("clicks"),
         F.col("purchases").cast("bigint").alias("purchases"),
-        qround(F.corr("clicks", "purchases").over(w), 6).alias("corr_24h"),
-        F.count("*").over(w).cast("bigint").alias("wnd"),
+        qround(r, 6).alias("corr_24h"),
+        n.cast("bigint").alias("wnd"),
     )
