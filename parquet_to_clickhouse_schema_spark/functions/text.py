@@ -1043,3 +1043,134 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "merge_rank INT, left STRING, right STRING, pair_count BIGINT",
     )
+
+
+@_q(
+    "q_lang_confusion",
+    f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE
+               WHEN {_contains_any_sql("text", _LANG_MARKERS["de"])} THEN 'de'
+               WHEN {_contains_any_sql("text", _LANG_MARKERS["es"])} THEN 'es'
+               WHEN {_contains_any_sql("text", _LANG_MARKERS["fr"])} THEN 'fr'
+               WHEN {_contains_any_sql("text", _LANG_MARKERS["en"])} THEN 'en'
+               ELSE 'und'
+             END AS lang_pred
+      FROM documents
+    )
+    SELECT lang AS lang_true, lang_pred,
+           CAST(count(*) AS BIGINT) AS n,
+           floor((count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang)
+                                  AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+               AS row_share
+    FROM pred
+    GROUP BY lang_true, lang_pred
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation at corpus scale: the confusion matrix of the
+    stopword-marker language identifier against the labeled lang column,
+    with per-true-language row shares (the recall diagonal) — the
+    standing eval every heuristic classifier in a pipeline needs watched
+    (marker drift shows up here before it corrupts a training mix).
+
+    Scale shape: prediction is scan-bound token-set containment; the
+    matrix is |langs|² cells map-side combined; row shares are a window
+    over those cells."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def has_any(words):
+        cond = F.lit(False)
+        for w in words:
+            cond = cond | F.array_contains(toks, w)
+        return cond
+
+    pred = (
+        F.when(has_any(_LANG_MARKERS["de"]), "de")
+        .when(has_any(_LANG_MARKERS["es"]), "es")
+        .when(has_any(_LANG_MARKERS["fr"]), "fr")
+        .when(has_any(_LANG_MARKERS["en"]), "en")
+        .otherwise("und")
+    )
+    cells = (
+        d.select(F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    share = F.col("n") / F.sum("n").over(W.partitionBy("lang_true")).cast("double")
+    return cells.select(
+        "lang_true", "lang_pred", "n", qround(share, 6).alias("row_share")
+    )
+
+
+FILTER_SWEEP_MIN_TOKENS = (10, 20, 40, 60, 80)
+
+
+@_q(
+    "q_filter_sweep",
+    f"""
+    WITH scored AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS distinct_ratio
+      FROM documents
+    ),
+    sweep AS (
+      SELECT min_tokens, n_tokens, distinct_ratio
+      FROM scored, unnest({list(FILTER_SWEEP_MIN_TOKENS)!r}) AS t(min_tokens)
+    )
+    SELECT CAST(min_tokens AS INT) AS min_tokens,
+           CAST(sum(CASE WHEN n_tokens >= min_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           floor((sum(CASE WHEN n_tokens >= min_tokens THEN 1.0 ELSE 0.0 END)
+                  / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS kept_share,
+           floor(coalesce(avg(CASE WHEN n_tokens >= min_tokens
+                                   THEN distinct_ratio END), 0.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS kept_mean_diversity
+    FROM sweep
+    GROUP BY min_tokens
+    """,
+)
+def q_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold tuning sweep: for each candidate minimum-length
+    cutoff, how much corpus survives and how diverse the survivors are —
+    the one-pass parameter sweep run before freezing a quality filter
+    (q_quality_score applies ONE threshold; this shows the whole
+    tradeoff curve so the threshold is chosen with evidence).
+
+    Scale shape: features are computed once per doc, then a tiny
+    threshold dimension fans each doc into |thresholds| sweep rows inside
+    the same pass (Expand, no re-scan); the result is |thresholds|
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "distinct_ratio"
+        ),
+    )
+    thresholds = spark.createDataFrame(
+        [(t,) for t in FILTER_SWEEP_MIN_TOKENS], "min_tokens INT"
+    )
+    kept = F.col("n_tokens") >= F.col("min_tokens")
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .groupBy("min_tokens")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            qround(
+                F.sum(F.when(kept, 1.0).otherwise(0.0)) / F.count("*"), 6
+            ).alias("kept_share"),
+            qround(
+                F.coalesce(
+                    F.avg(F.when(kept, F.col("distinct_ratio"))), F.lit(0.0)
+                ),
+                6,
+            ).alias("kept_mean_diversity"),
+        )
+    )

@@ -538,3 +538,114 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(benford, 6).alias("p_benford"),
         qround(F.abs(p_obs - benford), 6).alias("abs_dev"),
     )
+
+
+BOOTSTRAP_B = 32  # bootstrap replicas
+# Poisson(1) CDF thresholds: u < cdf[k] => weight k (k = 7 tail cap)
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+_HEX15 = float(16**15)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@_q(
+    "q_bootstrap_ci",
+    f"""
+    WITH reps AS (
+      SELECT o_orderkey, o_totalprice, b
+      FROM orders, unnest(range(0, {BOOTSTRAP_B})) AS t(b)
+    ),
+    weighted AS (
+      SELECT b, o_totalprice,
+             {_pois_case_sql(
+                 "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#bs'"
+                 " || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) / " + repr(_HEX15)
+             )} AS w
+      FROM reps
+    ),
+    means AS (
+      SELECT b,
+             floor((sum(w * o_totalprice) / sum(w)) * 10000.0 + 0.5) / 10000.0
+                 AS rep_mean
+      FROM weighted GROUP BY b HAVING sum(w) > 0
+    )
+    SELECT floor((SELECT avg(o_totalprice) FROM orders) * 100.0 + 0.5) / 100.0
+               AS point_mean,
+           floor(quantile_cont(rep_mean, 0.025) * 100.0 + 0.5) / 100.0 AS ci_lo,
+           floor(quantile_cont(rep_mean, 0.975) * 100.0 + 0.5) / 100.0 AS ci_hi,
+           CAST(count(*) AS BIGINT) AS n_replicas
+    FROM means
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% confidence interval for the mean order value via the
+    DETERMINISTIC Poisson bootstrap — the resampling scheme that works on
+    distributed data (Chamandy et al.): instead of drawing n rows with
+    replacement (impossible without a global pass), each row enters
+    replica b with weight ~ Poisson(1), here inverted from the md5
+    uniform of (orderkey, replica) so every re-run and both engines draw
+    the IDENTICAL resamples — rand() would hash-mismatch and defeat
+    retry idempotency.
+
+    Replica means are quantized before the quantile so the CI
+    interpolation runs on identical doubles cross-engine.
+
+    Scale shape: the replica dimension fans each row B=32 times inside
+    one pass (broadcast dim, no re-scan), weights are row-local
+    arithmetic, and each replica mean is a map-side-combinable weighted
+    aggregate — B bounded rows reach the final quantile."""
+    o = load_table(spark, sf_dir, "orders")
+    reps = spark.createDataFrame([(b,) for b in range(BOOTSTRAP_B)], "b INT")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("#bs"),
+                        F.col("b").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(_HEX15)
+    )
+    w = F.lit(7)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = o.crossJoin(F.broadcast(reps)).select(
+        "b", "o_totalprice", w.alias("w")
+    )
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("o_totalprice")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(qround(F.col("swx") / F.col("sw"), 4).alias("rep_mean"))
+    )
+    point = o.agg(qround(F.avg("o_totalprice"), 2).alias("point_mean"))
+    ci = means.agg(
+        qround(F.percentile("rep_mean", F.lit(0.025)), 2).alias("ci_lo"),
+        qround(F.percentile("rep_mean", F.lit(0.975)), 2).alias("ci_hi"),
+        F.count("*").cast("bigint").alias("n_replicas"),
+    )
+    return point.crossJoin(F.broadcast(ci))

@@ -160,6 +160,9 @@ SWEEP_PRIORITY = (
     "q_cohort_ltv",
     "q_impute_median",
     "q_rolling_corr",
+    "q_lang_confusion",
+    "q_filter_sweep",
+    "q_bootstrap_ci",
     "q_bpe_train",  # rows-only (iterative argmax loop)
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
