@@ -606,8 +606,16 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the replica dimension fans each row B=32 times inside
     one pass (broadcast dim, no re-scan), weights are row-local
     arithmetic, and each replica mean is a map-side-combinable weighted
-    aggregate — B bounded rows reach the final quantile."""
-    o = load_table(spark, sf_dir, "orders")
+    aggregate — B bounded rows reach the final quantile. Two measured
+    plan requirements (10s -> 0.7s at sf0.1): the source is
+    repartitioned to the session parallelism BEFORE the fan-out (a
+    single-split scan would otherwise put the whole B x n hash work in
+    ONE task), and the uniform u is materialized once per row in a
+    projection (codegen does NOT common-subexpression the 8-branch
+    Poisson CASE — inlining u re-hashes per branch, ~2x)."""
+    o = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     reps = spark.createDataFrame([(b,) for b in range(BOOTSTRAP_B)], "b INT")
     u = (
         F.conv(
@@ -629,9 +637,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = F.lit(7)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
-    weighted = o.crossJoin(F.broadcast(reps)).select(
-        "b", "o_totalprice", w.alias("w")
+        w = F.when(F.col("u") < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = (
+        o.crossJoin(F.broadcast(reps))
+        .select("b", "o_totalprice", u.alias("u"))
+        .select("b", "o_totalprice", w.alias("w"))
     )
     means = (
         weighted.groupBy("b")

@@ -171,6 +171,10 @@ def _r7b_queries():
         "q_cohort_ltv": reports.q_cohort_ltv,
         "q_spend_alerts": batch_twins.q_spend_alerts,
         "q_seasonal_decompose": timeseries.q_seasonal_decompose,
+        "q_rolling_corr": timeseries.q_rolling_corr,
+        "q_lang_confusion": text.q_lang_confusion,
+        "q_filter_sweep": text.q_filter_sweep,
+        "q_bootstrap_ci": aggregation.q_bootstrap_ci,
     }
 
 
