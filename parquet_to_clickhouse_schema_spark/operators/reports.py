@@ -1297,3 +1297,73 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.sum("wk_value"), 4).alias("cohort_revenue"),
         )
     )
+
+
+@_q(
+    "q_top_movers",
+    """
+    WITH monthly AS (
+      SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             sum(o_totalprice) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name, m
+    ),
+    delta AS (
+      SELECT n_name, m, rev,
+             lag(rev) OVER (PARTITION BY n_name ORDER BY m) AS prev_rev
+      FROM monthly
+    )
+    SELECT n_name, m,
+           floor(rev * 100.0 + 0.5) / 100.0 AS revenue,
+           floor((rev - prev_rev) * 100.0 + 0.5) / 100.0 AS delta,
+           floor(abs(rev - prev_rev) * 100.0 + 0.5) / 100.0 AS abs_delta
+    FROM delta
+    WHERE prev_rev IS NOT NULL
+    ORDER BY floor(abs(rev - prev_rev) * 100.0 + 0.5) / 100.0 DESC,
+             n_name, m
+    LIMIT 10
+    """,
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month top movers: the ten biggest absolute revenue
+    swings across (nation, month) — the anomaly-surfacing report every
+    revenue dashboard leads with. Consecutive-month deltas come from a
+    lag window over the AGGREGATED (nation, month) table.
+
+    The ordered limit ranks by the ROUNDED absolute delta with a unique
+    (n_name, m) tiebreak, so cross-engine sum ulps can't reorder the
+    boundary (the q_cusum argmax contract applied to a top-k).
+
+    Scale shape: one fact aggregate to |nations| x |months| rows; the
+    window and TakeOrdered run on that bounded table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name", F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("n_name").orderBy("m")
+    delta = monthly.withColumn("prev_rev", F.lag("rev").over(w)).filter(
+        F.col("prev_rev").isNotNull()
+    )
+    abs_delta = qround(F.abs(F.col("rev") - F.col("prev_rev")), 2)
+    return (
+        delta.select(
+            "n_name",
+            "m",
+            qround(F.col("rev"), 2).alias("revenue"),
+            qround(F.col("rev") - F.col("prev_rev"), 2).alias("delta"),
+            abs_delta.alias("abs_delta"),
+        )
+        .orderBy(F.col("abs_delta").desc(), "n_name", "m")
+        .limit(10)
+    )

@@ -163,6 +163,7 @@ SWEEP_PRIORITY = (
     "q_lang_confusion",
     "q_filter_sweep",
     "q_bootstrap_ci",
+    "q_top_movers",
     "q_bpe_train",  # rows-only (iterative argmax loop)
     # streaming contract twins: never driver-verified against the
     # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
