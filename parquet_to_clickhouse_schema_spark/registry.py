@@ -109,136 +109,84 @@ CONTRACT_KEYS = (
     "q_udaf_grouped",
 )
 
-# Round-7 sweep priority: the driver's correctness sweep checks the FIRST
-# ~50 queries() keys each round. No CORRECTNESS_r06 artifact landed, so the
-# r6-new keys AND the r7-new keys all await their first driver row, and the
-# four streaming-window contract twins still await their first check against
-# the regenerated events.ts (VERDICT r5 top item). With 193 keys and a ~50
-# budget the order is: (a) substantive r7-new keys, (b) the streaming
-# contract twins, (c) as many r6-new keys as fit; TRIVIAL r7 keys
-# (TakeOrdered scans, tiny scan-bound aggregates — locally verified at both
-# SFs every session and least likely to drift) wait below the line so the
-# r6 backlog drains faster.
+# Round-9 sweep priority: the driver's correctness sweep checks the FIRST
+# ~50 queries() keys each round. Rotation is rebuilt each round from the
+# evidence ledger (`python scripts/sweep_ledger.py`, docs/SWEEP_LEDGER.md):
+# (a) the 32 never-swept ORACLE-GATED keys first — every slot must buy a
+# hash-checked row; (b) the 21 keys whose last driver row predates r3 (the
+# events.ts regeneration); (c) rows-only keys (can only ever return a
+# no_oracle row — q_bpe_train wasted two slots in r7/r8) sit BELOW the
+# budget line, followed by keys with current rows as next-rotation fill.
 SWEEP_PRIORITY = (
-    # new in round 7 (substantive plans) — need first driver rows
-    "q_report_volume_shipping",
-    "q_report_market_share",
-    "q_report_ship_priority",
-    "q_report_top_supplier",
-    "q_report_part_supp_count",
-    "q_report_min_cost_supplier",
-    "q_report_waiting_suppliers",
-    "q_report_idle_customers",
-    "q_report_important_stock",
-    "q_report_excess_supply",
-    "q_recursive_cte",
-    "q_distinct_on",
-    "q_acf",
-    "q_cusum",
-    "q_oov_rate",
-    "q_contamination_score",
-    "q_curriculum_order",
-    "q_incremental_dedup",
-    "q_stream_enrich",
-    "q_window_time_range",
-    "q_time_rollup",
-    "q_moving_median",
-    "q_skyline",
-    "q_image_decode",
-    "q_audio_decode",
-    "q_video_frames",
-    "q_table_checksum",
-    "q_copurchase_pairs",
-    "q_audience_overlap",
-    "q_incremental_agg",
-    "q_chi_square",
-    "q_mix_temperature",
-    "q_funnel_time",
-    "q_spend_alerts",
-    "q_seasonal_decompose",
-    "q_ship_latency",
-    "q_cohort_ltv",
-    "q_impute_median",
-    "q_rolling_corr",
-    "q_lang_confusion",
-    "q_filter_sweep",
-    "q_bootstrap_ci",
-    "q_top_movers",
-    "q_bpe_train",  # rows-only (iterative argmax loop)
-    # streaming contract twins: never driver-verified against the
-    # regenerated events.ts data (r5 verdict's #1 ask; r6's sweep never ran)
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_session_window",
-    "q_stream_dedup",
-    # new in round 6 — still awaiting first driver rows (as many as the
-    # ~50 budget reaches)
-    "q_zipf_slope",
-    "q_abtest_lift",
-    "q_mix_balanced",
+    # (a) never swept, oracle-gated (32) — first driver rows
+    "q_anomaly_zscore",
+    "q_benford",
+    "q_bigram_pmi",
+    "q_bpe_pairs",
+    "q_cdc_apply",
     "q_dedup_containment",
+    "q_dq_checks",
+    "q_dup_rate_report",
+    "q_embed_outliers",
+    "q_embed_quantize",
+    "q_event_transitions",
+    "q_graph_degree",
+    "q_hourly_profile",
+    "q_interp_linear",
+    "q_length_histogram",
+    "q_limit_offset",
+    "q_mad_robust",
+    "q_mix_balanced",
+    "q_mode_agg",
+    "q_order_nulls",
+    "q_pii_scrub",
+    "q_profile_table",
+    "q_quantile_bucketize",
+    "q_report_big_orders",
     "q_report_order_count_dist",
     "q_report_small_qty_revenue",
-    "q_report_big_orders",
-    "q_embed_quantize",
-    "q_profile_table",
-    "q_substring_dup",
-    "q_graph_degree",
-    "q_quantile_bucketize",
-    "q_cdc_apply",
-    "q_bpe_pairs",
-    "q_mad_robust",
-    "q_event_transitions",
     "q_source_entropy",
-    "q_dq_checks",
-    "q_embed_outliers",
     "q_stream_stream_join",
-    "q_pii_scrub",
-    "q_anomaly_zscore",
-    "q_pagerank",  # rows-only (iterative float fixpoint)
-    "q_variant_json",
-    "q_interp_linear",
-    "q_bigram_pmi",
-    "q_unigram_nll",
-    "q_hourly_profile",
-    "q_length_histogram",
-    "q_mode_agg",
-    "q_dup_rate_report",
-    # trivial r7 keys below the budget line (locally verified both SFs):
-    # TakeOrdered scans and tiny scan-bound transforms
-    "q_order_nulls",
-    "q_limit_offset",
+    "q_substring_dup",
     "q_udf_arrow",
-    "q_benford",
-    "q_freq_topk_sketch",  # rows-only by design (sketch)
-    # r6-changed joins + r1/r2-era keys (next rotation's candidates)
-    "q_join_multiway",
-    "q_report_returned_customers",
-    "q_fuzzy_pairs",
-    "q_ivf_topk",
-    "q_ivfpq_topk",
-    "q_kmeans_clusters",
-    "q_pq_topk",
-    "q_near_dedup_minhash",
-    "q_text_stats",
-    "q_udf_python",
-    "q_udf_pandas",
-    "q_udaf_grouped",
-    "q_report_top_orders",
-    "q_report_revenue_delta",
+    "q_unigram_nll",
+    "q_variant_json",
+    # (b) last driver row r1/r2 — stale, predating the events.ts regen
+    "q_except_set",
+    "q_having",
+    "q_intersect_all",
+    "q_near_dedup_minhash",  # r9: promoted to bound-checked oracle
+    "q_percentile",
+    "q_pivot",
     "q_report_late_orders",
+    "q_report_returned_customers",
+    "q_report_revenue_delta",
+    "q_report_top_orders",
+    "q_stats_agg",
+    "q_subquery_corr",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_text_stats",
+    "q_udaf_grouped",
+    "q_udf_pandas",
+    "q_udf_python",
+    "q_unpivot",
     "q_window_dist",
     "q_window_value",
-    "q_intersect_all",
-    "q_except_set",
-    "q_pivot",
-    "q_unpivot",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_subquery_corr",
-    "q_having",
-    "q_percentile",
-    "q_stats_agg",
+    # ---- ~50-budget line ----
+    # (c) never swept but rows-only by design (structural no_oracle rows)
+    "q_freq_topk_sketch",
+    "q_pagerank",
+    # next-rotation fill: keys with current (r4+) rows, most load-bearing
+    # plans first so a bigger budget re-verifies them soonest
+    "q_join_multiway",
+    "q_report_regional_revenue",
+    "q_report_nation_profit",
+    "q_report_market_share",
+    "q_cosine_topk",
+    "q_dedup_exact",
+    "q_tumbling_window",
+    "q_session_window",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
