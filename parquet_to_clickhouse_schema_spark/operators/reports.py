@@ -37,8 +37,10 @@ QUERIES, ORACLES, _q = new_registry()
 )
 def q_report_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment filter -> 3-way join -> revenue per order ->
-    top 10. Customer (filtered) broadcasts; lineitem shuffles once for the
-    orderkey aggregation; the limit is TakeOrderedAndProject."""
+    top 10. Customer grows with SF, so it carries no hint — AQE broadcasts
+    it while the filtered side fits and falls back to SMJ beyond that;
+    lineitem shuffles once for the orderkey aggregation; the limit is
+    TakeOrderedAndProject."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
@@ -48,7 +50,7 @@ def q_report_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             qround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -178,10 +180,12 @@ def q_report_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: local-supplier revenue per nation in one region. The
     hardest join topology in the suite — a 6-way join where the
     customer-supplier 'same nation' condition rides the lineitem join. Only
-    lineitem x orders is a real shuffle; customer/supplier/nation/region all
-    broadcast (dims are tiny relative to the fact at every scale — at 100 TB
-    supplier is still ~GBs and under a raised broadcast threshold, else AQE
-    picks SMJ for that one edge and the plan stays valid)."""
+    lineitem x orders is a real shuffle. Nation/region carry explicit
+    broadcast hints (fixed cardinality 25/5 at every SF); customer and
+    supplier are SF-growing, so they carry NO hint — a forced broadcast is
+    never demoted by AQE and would OOM at 100 TB, whereas unhinted joins let
+    AQE broadcast them while they fit and degrade to SMJ beyond that (same
+    policy as relational.q_join_multiway)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -193,9 +197,9 @@ def q_report_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -225,16 +229,17 @@ def q_report_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_report_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: no partsupp table, so profit = discounted
     revenue): per-(supplier nation, ship year) profit on parts matching a
-    name substring. The part filter is the selectivity lever — it lands on
-    the broadcast side, so the big fact never carries rows that will be
-    dropped post-join (Catalyst pushes the LIKE to the part scan)."""
+    name substring. The part filter is the selectivity lever — Catalyst
+    pushes the LIKE to the part scan, and AQE broadcasts the shrunken
+    part/supplier sides while they fit (no forced hint: both grow with SF);
+    nation keeps its hint (25 rows always)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name", F.year("l_shipdate").cast("int").alias("yr"))
         .agg(
@@ -261,8 +266,9 @@ def q_report_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_report_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: share of revenue from PROMO parts in a quarter.
-    Conditional aggregation over one broadcast join — both sums come out of
-    a single pass (no second scan for the denominator)."""
+    Conditional aggregation over one part join (AQE-sized: part grows with
+    SF, so no forced hint) — both sums come out of a single pass (no second
+    scan for the denominator)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -270,7 +276,7 @@ def q_report_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             qround(
                 F.lit(100.0)
@@ -319,7 +325,7 @@ def q_report_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             qround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -586,8 +592,9 @@ def q_report_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier/customer joins are already restricted to the two nations and
     the residual direction predicate drops at most half.
 
-    Scale shape: lineitem x orders is the only real shuffle;
-    supplier/customer/nation broadcast (customer via AQE at size)."""
+    Scale shape: lineitem x orders is the only real shuffle; the 2-row
+    nation dims keep explicit hints; supplier and customer are unhinted
+    (SF-growing) so AQE broadcasts them while they fit."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -608,7 +615,7 @@ def q_report_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
@@ -676,7 +683,7 @@ def q_report_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
@@ -760,8 +767,8 @@ def q_report_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-side float summation-order ulps can't decide who wins the max.
 
     Scale shape: per-supplier aggregate is map-side combinable to
-    |suppliers| rows; the scalar max is a 1-row broadcast; supplier join
-    broadcasts the tiny filtered winner set."""
+    |suppliers| rows; the scalar max is a 1-row broadcast; the winner set
+    is tiny so AQE broadcasts it into the unhinted supplier join."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -800,8 +807,9 @@ def q_report_part_supp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shop derives a relationship dim from the fact.
 
     Scale shape: the distinct pair projection is the only fact shuffle
-    (16-byte keys); part broadcasts with its filters applied; the distinct
-    count rides the (brand,type,size) group — bounded output."""
+    (16-byte keys); part joins with its filters applied (AQE-sized — part
+    grows with SF); the distinct count rides the (brand,type,size) group —
+    bounded output."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -809,7 +817,7 @@ def q_report_part_supp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        ps.join(p, ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
@@ -852,8 +860,9 @@ def q_report_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike sum-based thresholds.
 
     Scale shape: the ps synthesis is one map-side-combinable aggregate on
-    (partkey, suppkey); the region filter shrinks it via broadcast dims
-    BEFORE the per-part min, and the min join shares the partkey shuffle."""
+    (partkey, suppkey); the region filter shrinks it BEFORE the per-part
+    min via hinted nation/region plus AQE-sized supplier, and the min join
+    shares the partkey shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -863,7 +872,7 @@ def q_report_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     regional = (
-        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("l_partkey", "l_suppkey", "unit_cost", "s_name", "n_name")
@@ -877,7 +886,7 @@ def q_report_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (regional.l_partkey == min_cost.mc_key)
             & (regional.unit_cost == min_cost.mc),
         )
-        .join(F.broadcast(p), regional.l_partkey == p.p_partkey)
+        .join(p, regional.l_partkey == p.p_partkey)
         .select(
             "p_partkey",
             "p_name",
@@ -922,8 +931,8 @@ def q_report_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers, distinct late suppliers, the late supplier id) — the
     n_late_supp = 1 condition makes max() over late suppliers exact, so
     the whole EXISTS/NOT-EXISTS logic collapses into a single orderkey
-    shuffle + a broadcast supplier join. The DuckDB oracle states the same
-    aggregate form."""
+    shuffle + an AQE-sized supplier join (unhinted: supplier grows with
+    SF). The DuckDB oracle states the same aggregate form."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late = (
@@ -946,7 +955,7 @@ def q_report_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     return (
         per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .join(s, F.col("late_supp") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -1051,7 +1060,7 @@ def q_report_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
     )
     ps = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
@@ -1106,8 +1115,8 @@ def q_report_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles far below 2^53) and the > test cannot flip cross-engine.
 
     Scale shape: the shipped aggregate shares its l_partkey shuffle with
-    the per-part total; part's LIKE filter broadcasts; the final IN is a
-    left-semi join onto the tiny supplier dim."""
+    the per-part total; part's LIKE filter is pushed to its scan and AQE
+    sizes that join; the final IN is a left-semi join onto supplier."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -1121,7 +1130,7 @@ def q_report_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dominant = (
         shipped.join(part_tot, shipped.l_partkey == part_tot.pk)
-        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .join(p, shipped.l_partkey == p.p_partkey)
         .filter(F.col("qty") > 0.5 * F.col("part_qty"))
         .select("l_suppkey")
         .distinct()

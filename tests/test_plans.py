@@ -74,6 +74,62 @@ def test_returned_customers_no_forced_customer_broadcast(spark):
     assert executed_plan(df).count("BroadcastHashJoin") >= 2
 
 
+# VERDICT r8 #2: only fixed-cardinality frames (nation=25, region=5, 1-row
+# scalar aggregates) may carry a forced broadcast hint; SF-growing dims
+# (customer/supplier/part) must be left to AQE so the plan degrades to SMJ
+# instead of OOMing at 100 TB. Expected hint count per report query =
+# the number of nation/region/scalar hints it legitimately keeps.
+_REPORT_HINT_BUDGET = {
+    "q_report_top_orders": 0,
+    "q_report_returned_customers": 1,  # nation
+    "q_report_regional_revenue": 2,  # nation, region
+    "q_report_nation_profit": 1,  # nation
+    "q_report_promo_share": 0,
+    "q_report_disjunctive_revenue": 0,
+    "q_report_volume_shipping": 2,  # nation x2 (2-row filtered)
+    "q_report_market_share": 3,  # nation x2, region
+    "q_report_top_supplier": 1,  # 1-row scalar max
+    "q_report_part_supp_count": 0,
+    # (nation, region) x2: the hinted `regional` subtree appears twice in
+    # the analyzed tree because the min-cost join reuses it
+    "q_report_min_cost_supplier": 4,
+    "q_report_waiting_suppliers": 0,
+    "q_report_idle_customers": 1,  # 1-row scalar threshold
+    # nation x2 (reused ps subtree) + 1-row threshold
+    "q_report_important_stock": 3,
+    "q_report_excess_supply": 1,  # nation
+    "q_top_movers": 1,  # nation
+}
+
+
+def test_report_queries_hint_only_fixed_cardinality_frames(spark):
+    """Every report query's analyzed plan carries exactly its budgeted
+    fixed-cardinality hints — no forced broadcast of an SF-growing dim —
+    while at test SF the executed plan still broadcasts the big dims via
+    AQE's runtime size estimate (graceful SMJ fallback at scale)."""
+    from parquet_to_clickhouse_schema_spark.operators import reports
+
+    for name, budget in _REPORT_HINT_BUDGET.items():
+        df = getattr(reports, name)(spark, SF_SMOKE)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == budget, (
+            f"{name}: expected {budget} hints\n{analyzed}"
+        )
+
+
+def test_regional_revenue_big_dims_broadcast_via_aqe(spark):
+    """The Q5 shape's customer/supplier joins lose their forced hints but
+    must still execute as BroadcastHashJoin at test SF — proof AQE picks
+    the same physical strategy the hint used to force."""
+    from parquet_to_clickhouse_schema_spark.operators import reports
+
+    df = reports.q_report_regional_revenue(spark, SF_SMOKE)
+    plan = executed_plan(df)
+    # nation+region (hinted) + customer+supplier (AQE) all broadcast here
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_range_join_is_nested_loop_broadcast(spark):
     df = relational.q_join_range(spark, SF_SMOKE)
     assert "BroadcastNestedLoopJoin" in executed_plan(df)
