@@ -863,8 +863,8 @@ OOV_VOCAB_K = 20  # vocab size BELOW the corpus vocabulary (31 distinct
     """,
 )
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Out-of-vocabulary rate per source against the corpus's own top-500
-    token vocabulary — the tokenizer-coverage readout run before freezing
+    """Out-of-vocabulary rate per source against the corpus's own
+    top-``OOV_VOCAB_K`` token vocabulary — the tokenizer-coverage readout run before freezing
     a vocab (a source with high OOV will fragment into bytes/UNKs).
 
     Vocabulary selection is deterministic (count desc, token asc) so the

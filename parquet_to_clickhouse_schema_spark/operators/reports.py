@@ -1046,8 +1046,8 @@ def q_report_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Portability note: the HAVING compares RAW sums on both sides of the
     inequality (not rounded) — safe here because the cross-engine ulp
-    noise is relative ~1e-15 while the threshold gap between any part and
-    0.1% of total is many orders larger; the OUTPUT value is qround'd as
+    noise is relative ~1e-15 while the gap between any part's value and
+    the 3x-average threshold is many orders larger; the OUTPUT value is qround'd as
     usual. (The same argument as q_having's integer counts, extended to
     a ratio test.)
 

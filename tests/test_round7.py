@@ -38,8 +38,10 @@ def test_freq_topk_sketch_exact_at_test_sf(spark):
         assert counts[row.token] == row.est_count
         # and the reported top-k must dominate every unreported token
         kth = min(r.est_count for r in got if r.source == row.source)
+        from parquet_to_clickhouse_schema_spark.functions.text import FREQ_SKETCH_K
+
         n_better = sum(1 for c in counts.values() if c > kth)
-        assert n_better <= 5
+        assert n_better <= FREQ_SKETCH_K
 
 
 def test_waiting_suppliers_matches_literal_exists_form(spark):
