@@ -45,6 +45,13 @@ HEADLINE = [
     "q_udf_pandas",
     "q_report_top_orders",
     "q_report_returned_customers",
+    # post-r1 surface (added r9 so BENCH deltas see the newer engine too):
+    # the most expensive representatives of the r6/r7 families
+    "q_substring_dup",
+    "q_bpe_train",
+    "q_video_frames",
+    "q_dedup_ngram",
+    "q_report_regional_revenue",
 ]
 
 
