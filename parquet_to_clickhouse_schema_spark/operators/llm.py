@@ -62,6 +62,22 @@ N_BANDS = 4  # 4 rows per band
 SHINGLE_K = 3
 
 
+def shingle_array(text_col: str = "text"):
+    """Column expression: the SHINGLE_K-word shingles of a space-split
+    text column (non-distinct; wrap in array_distinct for set semantics).
+    slice() clamps at the array end, so documents shorter than SHINGLE_K
+    tokens yield one short shingle instead of an ANSI INVALID_ARRAY_INDEX
+    (element_at past the end throws under Spark 4's default ANSI mode).
+    Shared by minhash_signatures and the exact-Jaccard verification so
+    candidates and verification always see the same shingle definition."""
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_K)),
+    )
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id + minhash: array of N_HASHES min-hashed shingle values.
 
@@ -85,16 +101,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for simhash's bit votes — was A/B-measured ~10% SLOWER here: the
     explode adds per-row overhead, so the array form stands.)
     """
-    toks = F.split(F.col(text_col), " ")
-    n_sh = F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(1))
-    # slice() clamps at the array end, so documents shorter than SHINGLE_K
-    # tokens yield one short shingle instead of an ANSI INVALID_ARRAY_INDEX
-    # (element_at past the end throws under Spark 4's default ANSI mode)
-    shingles = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_K)),
-    )
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    base = F.transform(shingle_array(text_col), lambda s: F.xxhash64(s))
     hashed = docs.select("doc_id", base.alias("hs")).repartition("doc_id")
     sig = F.array(
         *[
@@ -105,16 +112,54 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return hashed.select("doc_id", sig.alias("sig"))
 
 
-@_q("q_near_dedup_minhash")  # rows-only: MinHash banding has no portable SQL twin
+@_q(
+    "q_near_dedup_minhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t)-2, 1)+1)]) AS shset
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(shset) AS s, len(shset) AS nsh FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           floor((i * 1.0 / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0
+               AS jaccard
+    FROM inter
+    WHERE i * 1.0 / (na + nb - i) >= 0.5
+    """,
+)
 def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs via MinHash + LSH banding.
+    """Near-duplicate pairs via MinHash + LSH banding, VERIFIED by exact
+    shingle-set Jaccard — the standard industrial candidate/verify split.
 
     Candidate generation never compares all pairs: each doc emits N_BANDS
     band keys (hash of 4 consecutive signature values); docs sharing a band
     key meet in an equi-join on (band, band_hash). That join is
     hash-partitioned — at 100 TB it shuffles O(n * bands) small keys, and
-    only colliding buckets produce comparisons. The jaccard estimate is the
-    fraction of agreeing minhashes, computed JVM-side with zip_with.
+    only colliding buckets produce comparisons. Each candidate pair is then
+    verified with the EXACT Jaccard over the docs' distinct shingle sets
+    (array_intersect/size, JVM-side; the tiny candidate set joins back to
+    the shingle table, AQE broadcasts it), and only pairs with exact
+    J >= 0.5 survive. Verification makes precision exact by construction;
+    recall is the one LSH-dependent quantity, and the DuckDB oracle — the
+    full all-pairs shingle-join Jaccard at the same threshold — pins it:
+    a hash-match driver row PROVES banding missed zero qualifying pairs at
+    that SF (measured: 25/25 at sf0.01, 256/256 at sf0.1 — the corpus has
+    a clean similarity gap, pairs sit at J >= 0.8 or J < 0.3, where the
+    (1-J^4)^4 miss probability is ~2e-4; VERDICT r8 #6 promotion from
+    rows-only). Cross-engine the jaccard value is one IEEE double division
+    of identical integer counts — bit-identical — then half-up qround(6)
+    on both sides.
     """
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
@@ -122,7 +167,6 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_per_band = N_HASHES // N_BANDS
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -136,29 +180,39 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", "bk.band", "bk.bh")
+    ).select("doc_id", "bk.band", "bk.bh")
 
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
-                        lambda v: v == 1,
-                    )
-                )
-                / F.lit(float(N_HASHES))
-            ).alias("jaccard_est"),
         )
         .distinct()
     )
-    return pairs.filter(F.col("jaccard_est") >= 0.5)
+
+    shs = d.select(
+        "doc_id", F.array_distinct(shingle_array("text")).alias("shset")
+    )
+    sa = shs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
+    sb = shs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("i", inter)
+        .withColumn("u", union)
+        .filter(F.col("i") / F.col("u") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            qround(F.col("i") / F.col("u"), 6).alias("jaccard"),
+        )
+    )
 
 
 @_q("q_dedup_simhash")  # rows-only: xxhash64 bit arithmetic has no portable SQL twin
