@@ -105,10 +105,137 @@ def q_ddl_sparksql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _DDL_SCHEMA)
 
 
+_LAYOUT_BUCKETS = 4  # 2-bit value-range bucketing of l_orderkey
+
+
+def q_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-stats gate for the data-layout toolchain (VERDICT r8 #7):
+    writes lineitem through the layout functions, then answers ENTIRELY
+    from parquet footers — no data page is ever read back — and the DuckDB
+    oracle recomputes the same numbers from the raw rows, so a hash match
+    proves (a) the value-range bucketing expression partitions exactly as
+    specified, (b) the partitioned+sorted write places every row in its
+    bucket, (c) footer min/max/num_rows statistics are exact (the
+    machinery zone-map pruning rests on), and (d) compaction rewrites a
+    bucket without losing or mutating a row.
+
+    Pipeline: `_zorder_bucket_expr` buckets l_orderkey into 4 value-range
+    buckets (the same exact-integer bucketing write_zordered interleaves;
+    min/max from one 1-row aggregate) → `write_partitioned` lays the table
+    out Hive-style by bucket with rows sorted inside partitions → bucket
+    0's directory is additionally rewritten through `compact_small_files`
+    (size-aware target count + write_sorted clustering). The returned rows
+    are per-bucket (n_rows, min_key, max_key) read from FOOTER METADATA
+    ONLY — pyarrow row-group statistics, the ddl.py scan path — for the
+    partitioned layout plus a 'compacted' row for the rewritten bucket.
+    Footer stats for INT64 columns are exact, so the metadata answer must
+    equal the oracle's data answer bit-for-bit.
+
+    Scale shape: one bounded 1-row min/max collect, one partitioned write
+    (shuffle on bucket), one bucket rewrite; the readback is
+    O(files x footer), the same metadata-only cost class as
+    schema_to_clickhouse. Value-partitioned dirs + tight in-file sort mean
+    a key-range predicate touches only overlapping bucket dirs — the
+    pruning this gate certifies."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from parquet_to_clickhouse_schema_spark.sources.formats import (
+        _zorder_bucket_expr,
+        compact_small_files,
+        write_partitioned,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    row = d.agg(F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx")).collect()[0]
+    mn, mx = int(row["mn"]), int(row["mx"])
+    span = max(mx - mn, 0) + 1
+    bits = _LAYOUT_BUCKETS.bit_length() - 1
+    bucketed = d.withColumn(
+        "b", _zorder_bucket_expr("l_orderkey", mn, span, bits)
+    ).sortWithinPartitions("b", "l_orderkey")
+
+    tmp = tempfile.mkdtemp(prefix="q_layout_pruning_")
+    try:
+        part_dir = os.path.join(tmp, "partitioned")
+        comp_dir = os.path.join(tmp, "compacted_b0")
+        write_partitioned(bucketed, part_dir, ["b"])
+        compact_small_files(
+            spark,
+            os.path.join(part_dir, "b=0"),
+            comp_dir,
+            target_mb=64,
+            sort_cols=["l_orderkey"],
+        )
+
+        def footer_stats(path: str):
+            """(n_rows, min, max) of l_orderkey from row-group metadata."""
+            n_rows, mnv, mxv = 0, None, None
+            for root, _dirs, names in os.walk(path):
+                for name in sorted(names):
+                    if not name.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(root, name)).metadata
+                    idx = md.schema.names.index("l_orderkey")
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        n_rows += rg.num_rows
+                        st = rg.column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            raise ValueError(f"missing footer stats in {name}")
+                        mnv = st.min if mnv is None else min(mnv, st.min)
+                        mxv = st.max if mxv is None else max(mxv, st.max)
+            return n_rows, mnv, mxv
+
+        rows = []
+        for b in range(_LAYOUT_BUCKETS):
+            bdir = os.path.join(part_dir, f"b={b}")
+            if not os.path.isdir(bdir):
+                continue
+            n, lo, hi = footer_stats(bdir)
+            rows.append(("partitioned", b, n, lo, hi))
+        n, lo, hi = footer_stats(comp_dir)
+        rows.append(("compacted", 0, n, lo, hi))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.createDataFrame(
+        rows, "stage string, bucket int, n_rows bigint, min_key bigint, max_key bigint"
+    )
+
+
+_LAYOUT_PRUNING_ORACLE = f"""
+WITH bounds AS (
+  SELECT min(l_orderkey) AS mn, max(l_orderkey) AS mx FROM lineitem
+),
+b AS (
+  SELECT least({_LAYOUT_BUCKETS - 1},
+               ((l_orderkey - mn) * {_LAYOUT_BUCKETS}) // (mx - mn + 1)) AS bucket,
+         l_orderkey
+  FROM lineitem, bounds
+)
+SELECT 'partitioned' AS stage, CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+       CAST(max(l_orderkey) AS BIGINT) AS max_key
+FROM b GROUP BY bucket
+UNION ALL
+SELECT 'compacted', 0, CAST(count(*) AS BIGINT),
+       CAST(min(l_orderkey) AS BIGINT), CAST(max(l_orderkey) AS BIGINT)
+FROM b WHERE bucket = 0
+"""
+
+
 QUERIES = {
     "q_schema_infer": q_schema_infer,
     "q_ddl_clickhouse": q_ddl_clickhouse,
     "q_ddl_sparksql": q_ddl_sparksql,
+    "q_layout_pruning": q_layout_pruning,
 }
 
 # q_schema_infer IS oracle-checkable: DuckDB's DESCRIBE over the same
@@ -139,4 +266,7 @@ FROM raw
 """
 )
 
-ORACLES: dict[str, str] = {"q_schema_infer": _SCHEMA_INFER_ORACLE}
+ORACLES: dict[str, str] = {
+    "q_schema_infer": _SCHEMA_INFER_ORACLE,
+    "q_layout_pruning": _LAYOUT_PRUNING_ORACLE,
+}

@@ -118,7 +118,8 @@ CONTRACT_KEYS = (
 # no_oracle row — q_bpe_train wasted two slots in r7/r8) sit BELOW the
 # budget line, followed by keys with current rows as next-rotation fill.
 SWEEP_PRIORITY = (
-    # (a) never swept, oracle-gated (32) — first driver rows
+    # (a) never swept, oracle-gated — first driver rows
+    "q_layout_pruning",  # new in r9 (footer-stats layout gate)
     "q_anomaly_zscore",
     "q_benford",
     "q_bigram_pmi",

@@ -464,3 +464,26 @@ def test_export_for_clickhouse_roundtrip(spark, tmp_path):
     with _pytest.raises(ValueError, match="complex columns"):
         export_for_clickhouse(bad, str(tmp_path / "bad"), "t_bad", "id")
     assert rows["4"][1] == r"back\\slash and\nnewline\rcr"
+
+
+def test_layout_pruning_gate_footer_equals_data(spark):
+    """q_layout_pruning's footer-only answer must equal the data answer:
+    bucket counts sum to the table count, buckets tile the key range
+    disjointly, and the compacted bucket-0 row matches the partitioned
+    bucket-0 row (rewrite lost nothing)."""
+    from parquet_to_clickhouse_schema_spark.operators.core import q_layout_pruning
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {(r.stage, r.bucket): r for r in q_layout_pruning(spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    total = li.count()
+    part = [rows[k] for k in rows if k[0] == "partitioned"]
+    assert sum(r.n_rows for r in part) == total
+    # value-range buckets are ordered and disjoint
+    part.sort(key=lambda r: r.bucket)
+    for a, b in zip(part, part[1:]):
+        assert a.max_key < b.min_key
+    comp = rows[("compacted", 0)]
+    p0 = rows[("partitioned", 0)]
+    assert (comp.n_rows, comp.min_key, comp.max_key) == (p0.n_rows, p0.min_key, p0.max_key)
