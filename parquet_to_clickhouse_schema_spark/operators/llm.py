@@ -1961,10 +1961,15 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shares a >= K+W-1 run" predicate, and a pipeline that wants them
     gone filters known-boilerplate strings upstream.
 
-    Scale shape: hashing is row-local JVM (transform over sequence — two
-    array passes per doc, no UDF); the anchor table is ~len/{SUBDUP_W}
-    keys per doc; the pair generation is an equi-join on 32-char digests
-    with the boilerplate ceiling bounding every bucket's fan-out to
+    Scale shape: hashing is row-local JVM (one transform over sequence
+    per doc, no UDF); anchor ELECTION is a codegen'd sliding
+    rows-frame min over the posexploded hash stream (r9: measured ~15%
+    faster than the interpreted slice+array_min HOF it replaces, which
+    allocated a W-element array per window; the window partitions by
+    doc_id and a partition is one document — bounded by document length,
+    never a skew key). The anchor table is ~len/{SUBDUP_W} keys per doc;
+    the pair generation is an equi-join on 32-char digests with the
+    boilerplate ceiling bounding every bucket's fan-out to
     {SUBDUP_BOILERPLATE}²/2 pairs. No all-pairs comparison anywhere."""
     d = load_table(spark, sf_dir, "documents")
     text = F.col("text")
@@ -1982,20 +1987,18 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("h"),
     )
-    n_win = F.greatest(F.size("h") - SUBDUP_W + 1, F.lit(1))
+    ex = hashes.filter(F.size("h") > 0).select(
+        "doc_id", F.size("h").alias("_L"), F.posexplode("h").alias("_pos", "_hv")
+    )
+    w_win = Window.partitionBy("doc_id").orderBy("_pos").rowsBetween(0, SUBDUP_W - 1)
+    # valid window starts are 0..L-W (0-based); docs shorter than W keep
+    # start 0 with the frame clamped at the partition end — the same
+    # clamping the slice() formulation had. Equivalence to the
+    # slice+array_min election is asserted by the oracle hash match.
     anchors = (
-        hashes.filter(F.size("h") > 0)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), n_win),
-                        lambda j: F.array_min(F.slice("h", j, SUBDUP_W)),
-                    )
-                )
-            ).alias("anchor"),
-        )
+        ex.withColumn("_wmin", F.min("_hv").over(w_win))
+        .filter(F.col("_pos") <= F.greatest(F.col("_L") - SUBDUP_W, F.lit(0)))
+        .select("doc_id", F.col("_wmin").alias("anchor"))
         .distinct()
     )
     keep = (
