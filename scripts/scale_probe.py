@@ -259,6 +259,17 @@ def main() -> None:
         queries = _r7_queries()
     if "--r7b" in sys.argv:
         queries = _r7b_queries()
+    for a in sys.argv[1:]:
+        # --keys=q_a,q_b: probe a named subset (union of all known sets
+        # plus anything registered) — for re-probing changed operators
+        if a.startswith("--keys="):
+            from parquet_to_clickhouse_schema_spark import registry
+
+            pool = dict(QUERIES)
+            for f in (_llm_queries, _r6_queries, _r7_queries, _r7b_queries):
+                pool.update(f())
+            pool.update(registry.all_queries())
+            queries = {k: pool[k] for k in a[len("--keys="):].split(",")}
 
     results = {}
     for name, fn in queries.items():
