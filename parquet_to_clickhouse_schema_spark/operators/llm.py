@@ -422,6 +422,132 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+_PIPELINE_ORACLE = f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks,
+             floor(len(list_distinct(string_split(text, ' '))) / 32.0) AS szbkt
+      FROM documents
+    ),
+    near AS (
+      SELECT least(a.doc_id, b.doc_id) AS u,
+             greatest(a.doc_id, b.doc_id) AS v
+      FROM tok a JOIN tok b
+        ON a.lang = b.lang AND a.source = b.source
+       AND ((a.szbkt = b.szbkt AND a.doc_id < b.doc_id)
+            OR a.szbkt + 1 = b.szbkt)
+      WHERE floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks)))) * 10000.0 + 0.5)
+                / 10000.0 >= {_CLUSTER_THRESHOLD}
+    ),
+    ex AS (
+      SELECT doc_id, n_chars, md5(lower(trim(text))) AS dg FROM documents
+    ),
+    reps AS (
+      SELECT dg, -(max([n_chars, -doc_id])[2]) AS rep_id FROM ex GROUP BY dg
+    ),
+    exact_edges AS (
+      SELECT e.doc_id AS u, r.rep_id AS v FROM ex e JOIN reps r USING (dg)
+      WHERE e.doc_id <> r.rep_id
+    ),
+    edges AS (
+      SELECT u, v FROM near UNION SELECT v, u FROM near
+      UNION SELECT u, v FROM exact_edges UNION SELECT v, u FROM exact_edges
+    ),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.id
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS cid FROM walk GROUP BY id),
+    keep AS (
+      SELECT c.cid, -(max([e.n_chars, -e.doc_id])[2]) AS keeper_id
+      FROM comp c JOIN ex e USING (doc_id) GROUP BY c.cid
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(k.keeper_id AS BIGINT) AS keeper_id,
+           CASE WHEN c.doc_id = k.keeper_id THEN 'self'
+                WHEN e.dg = ke.dg THEN 'exact'
+                ELSE 'near' END AS reason
+    FROM comp c
+    JOIN keep k USING (cid)
+    JOIN ex e ON c.doc_id = e.doc_id
+    JOIN ex ke ON k.keeper_id = ke.doc_id
+    """
+
+
+@_q("q_dedup_pipeline", _PIPELINE_ORACLE)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup decision for the whole corpus — the composed form
+    a training-data pipeline actually ships: exact groups (normalized-text
+    digest) and near-dup pairs (blocked exact token-set Jaccard >= 0.8,
+    q_dedup_ngram's lossless blocking) union into one edge set, connected
+    components assign every document a cluster, and each cluster keeps its
+    best copy (most characters, doc_id tiebreak — q_dedup_keep_best's
+    rule). Output is a TOTAL map: one row per input document with its
+    keeper and why it was dropped ('self' kept, 'exact' byte-duplicate of
+    the keeper after normalization, 'near' near-duplicate).
+
+    Exact edges run doc -> its digest group's representative, so a
+    1M-copy group contributes 1M-1 edges to one hub, not copies² — and
+    connectivity through copies in OTHER (lang, source) blocks is
+    preserved because every document, not just group reps, carries its
+    near-dup edges.
+
+    Scale shape: the digest grouping is one map-side-combinable aggregate
+    on a 32-byte key; near pairs come from the blocked equi-join (never
+    all-pairs); pointer-jumping CC is O(log diameter) rounds over the
+    edge list; keeper election is a single max(struct) per cluster. The
+    DuckDB oracle states the same fixpoint as a recursive CTE (viable
+    because dedup clusters are small; the Spark form is the one that
+    scales)."""
+    from parquet_to_clickhouse_schema_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    docs = d.select("doc_id", "n_chars", digest.alias("dg"))
+    best = F.max(F.struct("n_chars", (-F.col("doc_id")).alias("neg_id")))
+    reps = (
+        docs.groupBy("dg")
+        .agg(best.alias("b"))
+        .select("dg", (-F.col("b.neg_id")).alias("rep_id"))
+    )
+    exact_edges = (
+        docs.join(reps, "dg")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("rep_id").alias("doc_b"))
+    )
+    near = (
+        q_dedup_ngram(spark, sf_dir)
+        .filter(F.col("jaccard") >= _CLUSTER_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(exact_edges.unionByName(near))
+    labeled = docs.join(comp, "doc_id", "left").withColumn(
+        "cid", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    keepers = (
+        labeled.groupBy("cid")
+        .agg(best.alias("b"))
+        .select("cid", (-F.col("b.neg_id")).alias("keeper_id"))
+    )
+    keeper_dg = labeled.select(
+        F.col("doc_id").alias("keeper_id"), F.col("dg").alias("keeper_dg")
+    )
+    return (
+        labeled.join(keepers, "cid")
+        .join(keeper_dg, "keeper_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("keeper_id").cast("bigint").alias("keeper_id"),
+            F.when(F.col("doc_id") == F.col("keeper_id"), F.lit("self"))
+            .when(F.col("dg") == F.col("keeper_dg"), F.lit("exact"))
+            .otherwise(F.lit("near"))
+            .alias("reason"),
+        )
+    )
+
+
 _EMB_DEDUP_ORACLE = """
     WITH ex AS (
       SELECT vec_id,

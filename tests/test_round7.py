@@ -324,3 +324,23 @@ def test_bpe_train_survives_word_collapse_under_ansi(spark):
     # first merge collapses 'ab' (the dominant word) into one symbol
     assert merges[0] == ("a", "b", 110)
     assert len(merges) >= 2  # training continued past the collapse
+
+
+def test_dedup_pipeline_total_and_consistent(spark):
+    """q_dedup_pipeline must be a TOTAL map (one row per document), every
+    keeper must keep itself ('self'), and exact-reason docs must share the
+    keeper's normalized text."""
+    rows = Q["q_dedup_pipeline"](spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert len(rows) == d.count()
+    by_id = {r.doc_id: r for r in rows}
+    norm = {r.doc_id: r.text.strip().lower() for r in d.select("doc_id", "text").collect()}
+    for r in rows:
+        k = by_id[r.keeper_id]
+        assert k.reason == "self" and k.keeper_id == k.doc_id
+        if r.reason == "exact":
+            assert norm[r.doc_id] == norm[r.keeper_id]
+        elif r.reason == "self":
+            assert r.doc_id == r.keeper_id
+        else:
+            assert norm[r.doc_id] != norm[r.keeper_id]
