@@ -231,11 +231,97 @@ FROM b WHERE bucket = 0
 """
 
 
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"  # microsecond-exact CSV/JSON round-trip
+
+
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector-fidelity gate: lineitem written to CSV and JSON (explicit
+    microsecond timestamp format), read back through `read_csv`/`read_json`
+    with the declared schema, and summarized per format alongside the
+    parquet original. The DuckDB oracle computes the same summary from the
+    raw table once per format label, so a hash match proves the text
+    round-trips are LOSSLESS — row count, integer keys, integer-valued
+    double sums, and microsecond timestamps all survive serialize+parse in
+    both directions.
+
+    Pitfall the explicit format guards: Spark's default CSV/JSON timestamp
+    pattern carries milliseconds only, silently truncating microseconds on
+    write — the declared _TS_FMT keeps 6 fractional digits on both the
+    write and the read (the same class of bug as the r4 nanos shrink).
+
+    Scale shape: one narrow projection written per format, three
+    scan-bound aggregates; temp files are removed before return (the
+    result is the collected summary, not the files)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_clickhouse_schema_spark.sources.formats import (
+        read_csv,
+        read_json,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"]
+    base = load_table(spark, sf_dir, "lineitem").select(*cols)
+    schema = base.schema
+
+    def summarize(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.min("l_orderkey").cast("bigint").alias("min_key"),
+            F.max("l_orderkey").cast("bigint").alias("max_key"),
+            F.countDistinct("l_returnflag").cast("bigint").alias("n_flags"),
+            F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias(
+                "max_ship_us"
+            ),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="q_format_roundtrip_")
+    try:
+        csv_dir = os.path.join(tmp, "csv")
+        json_dir = os.path.join(tmp, "json")
+        base.write.options(header="true", timestampFormat=_TS_FMT).csv(csv_dir)
+        base.write.options(timestampFormat=_TS_FMT).json(json_dir)
+        out = (
+            summarize(base, "parquet")
+            .unionByName(
+                summarize(read_csv(spark, csv_dir, schema, timestampFormat=_TS_FMT), "csv")
+            )
+            .unionByName(
+                summarize(read_json(spark, json_dir, schema, timestampFormat=_TS_FMT), "json")
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_FORMAT_ROUNDTRIP_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{fmt}' AS fmt,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       sum(l_quantity) AS sum_qty,
+       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+       CAST(max(l_orderkey) AS BIGINT) AS max_key,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+       CAST(epoch_us(max(l_shipdate)) AS BIGINT) AS max_ship_us
+FROM lineitem"""
+    for fmt in ("parquet", "csv", "json")
+)
+
+
 QUERIES = {
     "q_schema_infer": q_schema_infer,
     "q_ddl_clickhouse": q_ddl_clickhouse,
     "q_ddl_sparksql": q_ddl_sparksql,
     "q_layout_pruning": q_layout_pruning,
+    "q_format_roundtrip": q_format_roundtrip,
 }
 
 # q_schema_infer IS oracle-checkable: DuckDB's DESCRIBE over the same
@@ -269,4 +355,5 @@ FROM raw
 ORACLES: dict[str, str] = {
     "q_schema_infer": _SCHEMA_INFER_ORACLE,
     "q_layout_pruning": _LAYOUT_PRUNING_ORACLE,
+    "q_format_roundtrip": _FORMAT_ROUNDTRIP_ORACLE,
 }

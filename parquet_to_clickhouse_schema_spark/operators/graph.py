@@ -103,11 +103,13 @@ def connected_components(
 
 def dedup_clusters(spark, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """MinHash near-dup pairs -> transitive dedup clusters with canonical
-    representative per cluster (min doc_id)."""
+    representative per cluster (min doc_id). `jaccard` is the EXACT
+    shingle-set Jaccard since the r9 verification promotion (was the
+    minhash estimate)."""
     from parquet_to_clickhouse_schema_spark.operators.llm import q_near_dedup_minhash
 
     pairs = q_near_dedup_minhash(spark, sf_dir).filter(
-        F.col("jaccard_est") >= threshold
+        F.col("jaccard") >= threshold
     )
     return connected_components(pairs)
 

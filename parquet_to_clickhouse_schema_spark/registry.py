@@ -121,6 +121,7 @@ SWEEP_PRIORITY = (
     # (a) never swept, oracle-gated — first driver rows
     "q_layout_pruning",  # new in r9 (footer-stats layout gate)
     "q_dedup_pipeline",  # new in r9 (end-to-end dedup decision)
+    "q_format_roundtrip",  # new in r9 (CSV/JSON round-trip fidelity)
     "q_anomaly_zscore",
     "q_benford",
     "q_bigram_pmi",
