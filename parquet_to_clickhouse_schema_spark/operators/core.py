@@ -242,7 +242,8 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw table once per format label, so a hash match proves the text
     round-trips are LOSSLESS — row count, integer keys, integer-valued
     double sums, and microsecond timestamps all survive serialize+parse in
-    both directions.
+    both directions. ORC rides along as the binary-columnar cross-check
+    (exact by construction; the gate proves the reader wiring).
 
     Pitfall the explicit format guards: Spark's default CSV/JSON timestamp
     pattern carries milliseconds only, silently truncating microseconds on
@@ -263,6 +264,8 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_json,
     )
     from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    from parquet_to_clickhouse_schema_spark.sources.formats import read_orc
 
     cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"]
     base = load_table(spark, sf_dir, "lineitem").select(*cols)
@@ -285,8 +288,10 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         csv_dir = os.path.join(tmp, "csv")
         json_dir = os.path.join(tmp, "json")
+        orc_dir = os.path.join(tmp, "orc")
         base.write.options(header="true", timestampFormat=_TS_FMT).csv(csv_dir)
         base.write.options(timestampFormat=_TS_FMT).json(json_dir)
+        base.write.orc(orc_dir)  # binary columnar: exact by construction
         out = (
             summarize(base, "parquet")
             .unionByName(
@@ -295,6 +300,7 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(
                 summarize(read_json(spark, json_dir, schema, timestampFormat=_TS_FMT), "json")
             )
+            .unionByName(summarize(read_orc(spark, orc_dir), "orc"))
         )
         rows = out.collect()
     finally:
@@ -312,7 +318,7 @@ SELECT '{fmt}' AS fmt,
        CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
        CAST(epoch_us(max(l_shipdate)) AS BIGINT) AS max_ship_us
 FROM lineitem"""
-    for fmt in ("parquet", "csv", "json")
+    for fmt in ("parquet", "csv", "json", "orc")
 )
 
 
