@@ -2403,6 +2403,70 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_image_resize",
+    """
+    WITH pos AS (SELECT unnest([0, 2, 4, 6, 16, 18, 20, 22]) AS p),
+    px AS (
+      SELECT d.doc_id,
+             ascii(substr(d.text, 3 * pos.p + 1, 1)) AS r,
+             ascii(substr(d.text, 3 * pos.p + 2, 1)) AS g,
+             ascii(substr(d.text, 3 * pos.p + 3, 1)) AS b
+      FROM documents d, pos
+      WHERE length(d.text) >= 96
+    )
+    SELECT doc_id, CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+           floor(avg(CAST(r AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_r,
+           floor(avg(CAST(g AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_g,
+           floor(avg(CAST(b AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_b,
+           true AS resize_ok
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, oracle-gated end to end: the same 8x4 P6 payloads
+    as q_image_decode go through the REAL nearest-neighbor resample
+    (`resize_batches(fake=False)`: decode -> integer-index resample ->
+    re-encode as P6), and the RESIZED 4x2 payloads are then decoded again
+    for per-channel means. DuckDB predicts those means independently from
+    the ascii codes of exactly the source pixels nearest-neighbor keeps —
+    rows {0,2} x cols {0,2,4,6} of the 8x4 grid, i.e. flat positions
+    {0,2,4,6,16,18,20,22} at byte stride 3 — so a hash match proves the
+    resample picked precisely the right pixels and the re-encoded P6
+    survives a second real decode. Means over 8 uint8 values are exact
+    binary fractions, so half-up 1e-4 quantization agrees bit-for-bit
+    cross-engine.
+
+    Scale shape: two chained mapInPandas passes (resize, decode), both
+    row-local Arrow-batched; no shuffle at all."""
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        DECODE_SCHEMA,
+        decode_payload_batches,
+        resize_batches,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
+    header = F.lit(b"P6\n8 4\n255\n")
+    payload = F.concat(header, F.encode(F.substring("text", 1, 96), "utf-8"))
+    mm = d.select("doc_id", payload.alias("payload"))
+    resized = mm.mapInPandas(
+        resize_batches(4, 2, fake=False),
+        schema="doc_id long, payload binary, width int, height int, resize_ok boolean",
+    )
+    feats = resized.select(
+        "doc_id", "payload", F.lit("image").alias("modality")
+    ).mapInPandas(decode_payload_batches(fake=False), schema=DECODE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[3].alias("mean_g"),
+        F.col("feat")[4].alias("mean_b"),
+        F.col("decode_ok").alias("resize_ok"),
+    )
+
+
+@_q(
     "q_audio_decode",
     """
     WITH px AS (
