@@ -2537,6 +2537,75 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_audio_resample",
+    """
+    WITH px AS (
+      SELECT doc_id, (ascii(substr(text, i, 1)) - 128.0) / 128.0 AS mono
+      FROM documents, unnest(range(1, 97)) AS t(i)
+      WHERE length(text) >= 96 AND (i - 1) % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(4000 AS INT) AS sample_rate,
+           CAST(48 AS BIGINT) AS n_samples,
+           floor(sqrt(avg(mono * mono)) * 1000000.0 + 0.5) / 1000000.0 AS rms,
+           floor(avg(mono) * 1000000.0 + 0.5) / 1000000.0 AS mean_sample,
+           true AS resample_ok
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decimation, oracle-gated: the same 8-bit PCM WAVs as
+    q_audio_decode go through the real factor-2 resample (stdlib decode ->
+    keep every 2nd frame -> 8-bit re-encode at half the rate, a lossless
+    round-trip for 8-bit inputs), and the RESAMPLED payloads are decoded
+    again for RMS/mean. DuckDB predicts both independently from the ascii
+    codes at odd 1-based text positions — exactly the frames [::2] keeps —
+    so the hash match proves the decimation picked the right frames and
+    the re-encoded WAV survives a second stdlib parse. The 48 surviving
+    samples are multiples of 2^-7; their squares are multiples of 2^-14
+    and sum exactly in float64, so the half-up 1e-6 quantization agrees
+    bit-for-bit cross-engine.
+
+    Scale shape: two chained mapInPandas passes, row-local, shuffle-free
+    (the multimodal scaling knob stays bytes-per-partition)."""
+    import struct as _struct
+
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        DECODE_SCHEMA,
+        decode_payload_batches,
+        resample_audio_batches,
+    )
+
+    hdr = (
+        b"RIFF"
+        + _struct.pack("<I", 36 + 96)
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + _struct.pack("<I", 96)
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
+    payload = F.concat(F.lit(hdr), F.encode(F.substring("text", 1, 96), "utf-8"))
+    mm = d.select("doc_id", payload.alias("payload"))
+    resampled = mm.mapInPandas(
+        resample_audio_batches(2, fake=False),
+        schema="doc_id long, payload binary, resample_ok boolean",
+    )
+    feats = resampled.select(
+        "doc_id", "payload", F.lit("audio").alias("modality")
+    ).mapInPandas(decode_payload_batches(fake=False), schema=DECODE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        F.col("feat")[1].cast("int").alias("sample_rate"),
+        F.col("feat")[2].cast("bigint").alias("n_samples"),
+        F.col("feat")[4].alias("rms"),
+        F.col("feat")[7].alias("mean_sample"),
+        F.col("decode_ok").alias("resample_ok"),
+    )
+
+
+@_q(
     "q_video_frames",
     """
     WITH px AS (

@@ -330,6 +330,50 @@ def resize_images(
     return mm.mapInPandas(resize_batches(width, height, fake=fake), schema=RESIZE_SCHEMA)
 
 
+def resample_wav(payload: bytes, factor: int, fake: bool = False) -> bytes:
+    """Integer-factor decimation of a PCM WAV: keep every factor-th frame,
+    divide the frame rate. Real for stdlib-decodable WAVs (8/16-bit PCM;
+    re-encoded 8-bit unsigned — exact for 8-bit inputs since the
+    [-1,1] <-> u8 mapping round-trips bit-for-bit). fake=True keeps only
+    the byte-count contract for arbitrary payloads."""
+    if fake:
+        return payload[: max(1, len(payload) // factor)]
+    import numpy as np
+
+    samples, rate = decode_wav(payload)
+    kept = samples[::factor]
+    u8 = np.clip(np.round(kept * 128.0 + 128.0), 0, 255).astype("u1")
+    buf = BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(kept.shape[1])
+        wf.setsampwidth(1)
+        wf.setframerate(max(rate // factor, 1))
+        wf.writeframes(u8.tobytes())
+    return buf.getvalue()
+
+
+def resample_audio_batches(factor: int, fake: bool = True):
+    """mapInPandas iterator for bulk audio decimation: (doc_id, payload)
+    in, (doc_id, payload, resample_ok) out — payload binary through Arrow
+    both ways, same 100 TB knob as resize_batches."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, ok = [], []
+            for payload in pdf["payload"]:
+                try:
+                    out.append(resample_wav(bytes(payload), factor, fake=fake))
+                    ok.append(True)
+                except Exception:  # noqa: BLE001 — absent codec or corrupt row
+                    out.append(b"")
+                    ok.append(False)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": out, "resample_ok": ok}
+            )
+
+    return fn
+
+
 def split_ppm_stream(payload: bytes) -> list[bytes]:
     """Split a concatenated-P6-PPM stream (the exact byte format
     `ffmpeg -f image2pipe -vcodec ppm` pipes) into one bytes blob per

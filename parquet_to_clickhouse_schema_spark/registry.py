@@ -123,6 +123,7 @@ SWEEP_PRIORITY = (
     "q_dedup_pipeline",  # new in r9 (end-to-end dedup decision)
     "q_format_roundtrip",  # new in r9 (CSV/JSON round-trip fidelity)
     "q_image_resize",  # new in r9 (real resample, oracle-gated)
+    "q_audio_resample",  # new in r9 (real decimation, oracle-gated)
     "q_anomaly_zscore",
     "q_benford",
     "q_bigram_pmi",
