@@ -52,6 +52,8 @@ HEADLINE = [
     "q_video_frames",
     "q_dedup_ngram",
     "q_report_regional_revenue",
+    # r9 additions: the composed dedup decision (most expensive new key)
+    "q_dedup_pipeline",
 ]
 
 
