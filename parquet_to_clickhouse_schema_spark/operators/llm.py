@@ -2606,6 +2606,95 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_video_thumbnail",
+    """
+    WITH pos AS (SELECT unnest([0, 2, 4, 6, 16, 18, 20, 22]) AS p),
+    fr AS (SELECT unnest([0, 1]) AS f),
+    px AS (
+      SELECT d.doc_id, fr.f AS frame_idx,
+             ascii(substr(d.text, 96 * fr.f + 3 * pos.p + 1, 1)) AS r,
+             ascii(substr(d.text, 96 * fr.f + 3 * pos.p + 2, 1)) AS g,
+             ascii(substr(d.text, 96 * fr.f + 3 * pos.p + 3, 1)) AS b
+      FROM documents d, fr, pos
+      WHERE length(d.text) >= 288
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+           floor(avg(CAST(r AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_r,
+           floor(avg(CAST(g AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_g,
+           floor(avg(CAST(b AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_b,
+           true AS thumb_ok
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+)
+def q_video_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video THUMBNAIL pipeline, oracle-gated — the full composition the
+    multimodal family builds toward: split the concatenated-P6 stream
+    (real header walk), evenly sample 2 of 3 frames, nearest-neighbor
+    resize each sampled frame to 4x2 (real resample + P6 re-encode), and
+    decode the thumbnails to channel means — all FUSED in one mapInPandas
+    pass so frame bytes cross Arrow exactly once. DuckDB predicts every
+    value from ascii() codes at the composed positions: sampled frames
+    {0,1} x kept pixels rows {0,2} x cols {0,2,4,6}, i.e. text position
+    96*frame + 3*p + channel + 1. A hash match certifies the whole chain
+    (split -> sample -> resample -> re-encode -> decode) end to end.
+
+    Scale shape: row-local, shuffle-free; the knob is bytes-per-partition
+    like its siblings."""
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        decode_payload,
+        resize_payload,
+        sample_frames_payload,
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, w, h, mr, mg, mb, ok = [], [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = sample_frames_payload(bytes(payload), 2, fake=False)
+                for i, fr in enumerate(frames):
+                    thumb = resize_payload(fr, 4, 2, fake=False)
+                    feat = decode_payload(thumb, "image", fake=False)
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    w.append(int(feat[0]))
+                    h.append(int(feat[1]))
+                    mr.append(feat[2])
+                    mg.append(feat[3])
+                    mb.append(feat[4])
+                    ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(w, dtype="int32"),
+                    "height": pd.Series(h, dtype="int32"),
+                    "mean_r": pd.Series(mr, dtype="float64"),
+                    "mean_g": pd.Series(mg, dtype="float64"),
+                    "mean_b": pd.Series(mb, dtype="float64"),
+                    "thumb_ok": pd.Series(ok, dtype="bool"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 288)
+    header = F.lit(b"P6\n8 4\n255\n")
+    frame = lambda k: F.concat(  # noqa: E731
+        header, F.encode(F.substring("text", 1 + 96 * k, 96), "utf-8")
+    )
+    payload = F.concat(frame(0), frame(1), frame(2))
+    mm = d.select("doc_id", payload.alias("payload"))
+    return mm.mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, frame_idx int, width int, height int, "
+            "mean_r double, mean_g double, mean_b double, thumb_ok boolean"
+        ),
+    )
+
+
+@_q(
     "q_video_frames",
     """
     WITH px AS (

@@ -124,6 +124,7 @@ SWEEP_PRIORITY = (
     "q_format_roundtrip",  # new in r9 (CSV/JSON round-trip fidelity)
     "q_image_resize",  # new in r9 (real resample, oracle-gated)
     "q_audio_resample",  # new in r9 (real decimation, oracle-gated)
+    "q_video_thumbnail",  # new in r9 (split+sample+resize+decode chain)
     "q_anomaly_zscore",
     "q_benford",
     "q_bigram_pmi",
