@@ -1736,13 +1736,13 @@ def kmeans_fit(
     replacement for the driver-side sample training ivf_topk/pq_topk use
     (fine for codebooks, wrong when the corpus no longer fits a sample).
 
-    Per iteration, two jobs and NO vector ever crosses a shuffle:
-    1. assign: centroids broadcast; a vectorized mapInPandas computes the
-       argmax-dot label per row (BLAS tile per Arrow batch).
-    2. update: posexplode → groupBy(label, dim) partial sums — the shuffle
-       carries k × dim (label, dim, sum, count) rows, the same reduction
-       shape as q_embed_centroid. New centroids collect k × dim scalars to
-       the driver (bounded, like the IVF centroid pull).
+    Per iteration ONE job and NO vector ever crosses a shuffle: a
+    vectorized mapInPandas fuses the argmin-distance assignment (BLAS
+    tile per Arrow batch) with the per-batch partial centroid sums, so
+    each batch emits at most k × dim (label, dim, sum, count) rows and
+    the shuffle + driver collect carry only the k × dim aggregate (r9 —
+    previously assign and update were separate jobs bridged by a per-row
+    label join + posexplode of the corpus).
 
     Deterministic: init is farthest-point traversal over a bounded
     xxhash64-ordered sample (greedy k-center — separates well-spread
@@ -1797,14 +1797,41 @@ def kmeans_fit(
         return assign
 
     for _ in range(iters):
-        assigned = base.mapInPandas(
-            make_assign(cent), schema="_id long, label int"
-        )
+        # fused assign + per-batch partial sums (r9, same shape as
+        # pq_train_codebooks_distributed): no per-row label join, no
+        # posexplode of the corpus — each Arrow batch emits at most
+        # k x dim (label, i, psum, pn) rows and the shuffle + driver
+        # collect carry only the k x dim aggregate
+        bc = spark.sparkContext.broadcast(cent)
+        bcs.append(bc)
+
+        def partial_sums(batches, _bc=bc):
+            c = _bc.value
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                mat = np.stack(b["_v"].to_numpy()).astype("float64")
+                d2 = (
+                    (mat * mat).sum(1)[:, None]
+                    - 2.0 * (mat @ c.T)
+                    + (c * c).sum(1)[None, :]
+                )
+                lab = d2.argmin(1)
+                ll, ii, vv, nn = [], [], [], []
+                for lbl in np.unique(lab):
+                    pts = mat[lab == lbl]
+                    ll.extend([int(lbl)] * dim)
+                    ii.extend(range(dim))
+                    vv.extend(pts.sum(axis=0).tolist())
+                    nn.extend([len(pts)] * dim)
+                yield pd.DataFrame({"label": ll, "i": ii, "psum": vv, "pn": nn})
+
         sums = (
-            base.join(assigned, "_id")
-            .select("label", F.posexplode("_v").alias("i", "x"))
+            base.mapInPandas(
+                partial_sums, schema="label int, i int, psum double, pn long"
+            )
             .groupBy("label", "i")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("psum").alias("s"), F.sum("pn").alias("n"))
             .collect()
         )
         new = cent.copy()
