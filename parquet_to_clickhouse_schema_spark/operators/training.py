@@ -831,3 +831,75 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(temp, 6).alias("temp_share"),
         qround(temp / F.col("raw_share"), 4).alias("upsample_factor"),
     )
+
+
+@_q(
+    "q_training_mix_report",
+    """
+    WITH q AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS dr
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM q WHERE n_tokens BETWEEN 20 AND 200 AND dr > 0.2
+    ),
+    reps AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(lower(trim(text)))
+    ),
+    final AS (
+      SELECT k.doc_id, k.lang, k.n_tokens,
+             CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                  THEN 'train'
+                  WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept k JOIN reps USING (doc_id)
+    )
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM final GROUP BY split, lang
+    """,
+)
+def q_training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep ledger a training run starts from: quality filter ->
+    exact dedup -> hash split, reported as (split, lang) document and token
+    totals. Composes the gated stages with their EXACT expressions —
+    q_quality_score's keep rule (length band 20-200 + vocabulary diversity
+    > 0.2), q_dedup_exact's normalized-digest grouping (min-id rep among
+    the QUALITY-PASSING docs: filter first, then dedup, the standard
+    order), and q_data_split's content-free md5-nibble split — so the
+    oracle hash match certifies the composition end to end, not just each
+    stage in isolation.
+
+    Scale shape: one scan computes tokens+keep, the dedup rep is a
+    map-side-combinable min per 32-byte digest joined back left-semi, and
+    the report is a bounded (split x lang) aggregate. No window, no
+    all-pairs anything."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    kept = d.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"),
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("dg"),
+    ).filter(n_tokens.between(20, 200) & (dr > 0.2))
+    reps = kept.groupBy("dg").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(nibble.isin(*"0123456789ab"), "train")
+        .when(nibble.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        kept.join(reps, "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_tokens", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

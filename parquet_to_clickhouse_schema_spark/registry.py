@@ -125,6 +125,7 @@ SWEEP_PRIORITY = (
     "q_image_resize",  # new in r9 (real resample, oracle-gated)
     "q_audio_resample",  # new in r9 (real decimation, oracle-gated)
     "q_video_thumbnail",  # new in r9 (split+sample+resize+decode chain)
+    "q_training_mix_report",  # new in r9 (quality->dedup->split ledger)
     "q_anomaly_zscore",
     "q_benford",
     "q_bigram_pmi",
