@@ -215,6 +215,111 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_incremental_near_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t)-2, 1)+1)]) AS shset
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, source, unnest(shset) AS s, len(shset) AS nsh FROM sh
+    ),
+    inter AS (
+      SELECT b.doc_id AS batch_doc, h.doc_id AS history_doc, count(*) AS i,
+             any_value(b.nsh) AS nb, any_value(h.nsh) AS nh
+      FROM ex b JOIN ex h ON b.s = h.s
+      WHERE CAST(substr(b.source, 4) AS INT) >= 10
+        AND CAST(substr(h.source, 4) AS INT) < 10
+      GROUP BY b.doc_id, h.doc_id
+    )
+    SELECT batch_doc, history_doc,
+           floor((i * 1.0 / (nb + nh - i)) * 1000000.0 + 0.5) / 1000000.0
+               AS jaccard
+    FROM inter
+    WHERE i * 1.0 / (nb + nh - i) >= 0.5
+    """,
+)
+def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screening — the companion to training.py's
+    exact q_incremental_dedup: a new batch (sources src10+) is checked for
+    near-duplicates against the already-ingested history (src0..src9)
+    without ever comparing history to itself. Candidates come from the
+    SAME banded-LSH signatures as q_near_dedup_minhash, but the pair join
+    is batch x history only — at production scale the history side's band
+    table is a standing index (append-only, written once per ingest), so
+    each daily batch costs O(batch bands + collisions), not O(corpus²) or
+    even O(corpus). Candidates are verified with exact shingle-set Jaccard
+    (same shared `shingle_array` definition) and pairs with J >= 0.5
+    survive; the DuckDB oracle computes the full cross-split all-pairs
+    answer, so a hash match pins banding recall on the batch-history cut.
+
+    Scale shape: signature build is row-local JVM; the band join is an
+    equi-join with the batch side small by construction; verification
+    joins the tiny candidate set back to the shingle table (AQE
+    broadcasts it)."""
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    batch = d.filter(src_num >= 10)
+    hist = d.filter(src_num < 10)
+
+    rows_per_band = N_HASHES // N_BANDS
+
+    def band_table(docs, id_alias):
+        sigs = minhash_signatures(docs)
+        return sigs.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bh"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_alias, "bk.band", "bk.bh")
+
+    cand = (
+        band_table(batch, "batch_doc")
+        .join(band_table(hist, "history_doc"), ["band", "bh"])
+        .select("batch_doc", "history_doc")
+        .distinct()
+    )
+
+    shs = d.select(
+        "doc_id", F.array_distinct(shingle_array("text")).alias("shset")
+    )
+    sb = shs.select(F.col("doc_id").alias("batch_doc"), F.col("shset").alias("sb"))
+    sh = shs.select(F.col("doc_id").alias("history_doc"), F.col("shset").alias("sh"))
+    inter = F.size(F.array_intersect("sb", "sh"))
+    union = F.size("sb") + F.size("sh") - inter
+    return (
+        cand.join(sb, "batch_doc")
+        .join(sh, "history_doc")
+        .withColumn("i", inter)
+        .withColumn("u", union)
+        .filter(F.col("i") / F.col("u") >= 0.5)
+        .select(
+            "batch_doc",
+            "history_doc",
+            qround(F.col("i") / F.col("u"), 6).alias("jaccard"),
+        )
+    )
+
+
 @_q("q_dedup_simhash")  # rows-only: xxhash64 bit arithmetic has no portable SQL twin
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature where bit b is the sign of the sum

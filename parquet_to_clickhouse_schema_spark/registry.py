@@ -126,6 +126,7 @@ SWEEP_PRIORITY = (
     "q_audio_resample",  # new in r9 (real decimation, oracle-gated)
     "q_video_thumbnail",  # new in r9 (split+sample+resize+decode chain)
     "q_training_mix_report",  # new in r9 (quality->dedup->split ledger)
+    "q_incremental_near_dedup",  # new in r9 (batch-vs-history LSH screen)
     "q_anomaly_zscore",
     "q_benford",
     "q_bigram_pmi",
