@@ -54,6 +54,10 @@ HEADLINE = [
     "q_report_regional_revenue",
     # r9 additions: the composed dedup decision (most expensive new key)
     "q_dedup_pipeline",
+    # r10 additions (VERDICT r9 #8): the two composed r9 ops not yet
+    # tracked, so their r-over-r deltas exist from birth
+    "q_training_mix_report",
+    "q_incremental_near_dedup",
 ]
 
 

@@ -938,6 +938,57 @@ def q_freq_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_freq_topk_exact",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT source, token, count(*) AS n_count FROM toks GROUP BY source, token
+    )
+    SELECT source, CAST(rn AS INT) AS rank, token,
+           CAST(n_count AS BIGINT) AS n_count
+    FROM (
+      SELECT source, token, n_count,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_count DESC, token) AS rn
+      FROM counts
+    )
+    WHERE rn <= {FREQ_SKETCH_K}
+    """,
+)
+def q_freq_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source heavy hitters — the oracle-gated twin of
+    q_freq_topk_sketch (which stays rows-only because approx_top_k
+    estimates carry no cross-engine contract). Same question, exact
+    answer: full (source, token) counts, deterministic (count desc,
+    token) tie-break, top {FREQ_SKETCH_K} per source.
+
+    Scale shape: the groupBy(source, token) count is map-side combined,
+    so the shuffle carries the distinct (source, token) table (Heaps'-law
+    bounded — ~1M distinct tokens per source at 100 TB), not the token
+    stream; the rank window partitions by source, so no task ever sees
+    more than one source's count table. When even the distinct table is
+    too hot, the sketch variant (constant-memory merge) is the documented
+    degradation — tests/test_text.py pins sketch == exact at test SF,
+    which is exactly the contract this key makes driver-visible."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    counts = toks.groupBy("source", "token").agg(F.count("*").alias("n_count"))
+    w = Window.partitionBy("source").orderBy(F.col("n_count").desc(), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= FREQ_SKETCH_K)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("n_count").cast("bigint").alias("n_count"),
+        )
+    )
+
+
 def bpe_train(
     spark: SparkSession,
     words: DataFrame,

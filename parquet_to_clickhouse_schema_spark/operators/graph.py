@@ -369,3 +369,105 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------- pagerank ---
+# oracle twin (r10): the q_pagerank iteration count is small and fixed, so
+# the power iteration UNROLLS into chained (non-recursive) CTEs — one
+# join+aggregate per iteration, exactly the recurrence pagerank() runs.
+# Recursive CTEs can't do this (no aggregates in the recursive term), but
+# nothing stops a generated linear chain; this is what finally gives the
+# iterative-graph family a driver-visible hash-checked row.
+
+PAGERANK_ITERS = 8
+PAGERANK_DAMPING = 0.85
+
+
+def _pagerank_unrolled_oracle(iters: int = PAGERANK_ITERS) -> str:
+    """Generate the DuckDB twin of pagerank() on the bidirectional
+    customer<->supplier purchase graph: r_{t+1}(v) = (1-d)/n +
+    d * sum_{u->v} r_t(u)/deg(u). The graph is symmetric, so every node
+    has out-edges and the dangling-mass term is identically zero (the
+    same shortcut pagerank() takes via its up-front anti-join)."""
+    steps = [
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
+    ]
+    for t in range(iters):
+        steps.append(
+            f"""r{t + 1} AS (
+      SELECT nodes.id,
+             (1.0 - {PAGERANK_DAMPING}) / (SELECT n FROM nn)
+             + {PAGERANK_DAMPING} * coalesce(agg.s, 0.0) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.v AS id, sum(r.rank / d.deg) AS s
+        FROM edges e JOIN r{t} r ON e.u = r.id JOIN deg d ON e.u = d.u
+        GROUP BY e.v
+      ) agg ON nodes.id = agg.id
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH rel AS (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT c AS u, s AS v FROM rel UNION ALL SELECT s AS u, c AS v FROM rel
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY u),
+    {chain}
+    SELECT id, substr(id, 1, 1) AS node_type,
+           floor(rank * 1000000.0 + 0.5) / 1000000.0 AS pr,
+           CAST(row_number() OVER (
+             PARTITION BY substr(id, 1, 1)
+             ORDER BY floor(rank * 1000000.0 + 0.5) / 1000000.0 DESC, id
+           ) AS INT) AS pos
+    FROM r{iters}
+    """
+
+
+@_q("q_pagerank_ranks", _pagerank_unrolled_oracle())
+def q_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, oracle-gated (r10): the same power iteration as
+    q_pagerank over the same bidirectional purchase graph, verified
+    hash-for-hash against a DuckDB twin that UNROLLS the 8 iterations
+    into chained CTEs — turning the "iterative float fixpoint, no
+    portable SQL twin" family rows-only excuse into a real gate.
+
+    Why the hash holds across engines: every input to the recurrence is
+    exact (integer degrees, 1/n init), so after 8 iterations the two
+    engines' doubles differ only by summation order — O(1e-15) relative —
+    while ranks live at the 1e-3 scale and the output quantizes half-up
+    at 1e-6; the per-family rank position is computed FROM the quantized
+    value (deterministic (pr, id) order), so it inherits the agreement.
+
+    Scale shape: identical to pagerank() (vertex-hash-partitioned
+    join+agg per iteration, nothing driver-side but a 1-row count); the
+    ranking window partitions by node family here (demo-sized); a
+    real 100 TB ranking would use the two-phase range partitioning of
+    q_window_rank_scalable instead of a per-family window."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = rel.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        rel.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank(edges, damping=PAGERANK_DAMPING, iters=PAGERANK_ITERS)
+    from pyspark.sql import Window
+
+    pr_q = pr.select(
+        "id",
+        F.substring("id", 1, 1).alias("node_type"),
+        qround(F.col("rank"), 6).alias("pr"),
+    )
+    w = Window.partitionBy("node_type").orderBy(F.col("pr").desc(), "id")
+    return pr_q.withColumn("pos", F.row_number().over(w).cast("int"))

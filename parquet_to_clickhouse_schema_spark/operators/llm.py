@@ -1659,6 +1659,190 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir)
 
 
+# ---------------------------------------------------- verified ANN (r10) ---
+# The ANN family (q_ann_lsh_topk / q_ivf_topk / q_pq_topk / q_ivfpq_topk) is
+# rows-only because its hyperplanes/codebooks come from numpy RNG + trained
+# k-means — not expressible in SQL. This variant closes that gap: the
+# hyperplanes are DERIVED FROM md5, a function both engines share, so the
+# ENTIRE pipeline (signature -> band buckets -> candidate equi-join -> exact
+# re-rank) has a bit-faithful DuckDB twin and the LSH path itself gets a
+# hash-checked driver row — not just its brute-force baseline.
+
+ANN_V_DIM = 64  # embeddings.embedding width at every SF (TESTDATA.md)
+ANN_V_PLANES = 32
+ANN_V_BAND_BITS = 8  # 4 bands x 8 bits
+ANN_V_K = 3
+
+_ANN_VERIFIED_ORACLE = f"""
+    WITH planes AS (
+      SELECT p, d,
+             CASE WHEN substr(md5('h:' || p || ':' || d), 1, 1) <= '7'
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT unnest(range(0, {ANN_V_PLANES})) AS p),
+           (SELECT unnest(range(0, {ANN_V_DIM})) AS d)
+    ),
+    ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, p, sum(v * s) AS proj
+      FROM ex JOIN planes USING (d) GROUP BY vec_id, p
+    ),
+    sig AS (
+      SELECT vec_id, CAST(p // {ANN_V_BAND_BITS} AS INT) AS band,
+             string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY p) AS bucket
+      FROM proj GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    cand AS (
+      SELECT va AS vec_id, vb AS nbr_id FROM pairs
+      UNION ALL
+      SELECT vb AS vec_id, va AS nbr_id FROM pairs
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+      SELECT c.vec_id, c.nbr_id, sum(a.v * b.v) AS dot
+      FROM cand c
+      JOIN ex a ON a.vec_id = c.vec_id
+      JOIN ex b ON b.vec_id = c.nbr_id AND a.d = b.d
+      GROUP BY c.vec_id, c.nbr_id
+    )
+    SELECT vec_id, nbr_id,
+           floor(cos_sim * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM (
+      SELECT d.vec_id, d.nbr_id, d.dot / (na.nrm * nb.nrm) AS cos_sim,
+             row_number() OVER (PARTITION BY d.vec_id
+                                ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
+                                         d.nbr_id) AS rn
+      FROM dots d
+      JOIN norms na ON d.vec_id = na.vec_id
+      JOIN norms nb ON d.nbr_id = nb.vec_id
+    ) WHERE rn <= {ANN_V_K}
+"""
+
+
+@_q("q_ann_verified_topk", _ANN_VERIFIED_ORACLE)
+def q_ann_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with a FULL oracle gate (r10): signatures come
+    from md5-derived ±1 hyperplanes (s(p,d) = +1 iff the first hex nibble
+    of md5('h:p:d') <= '7') instead of numpy RNG, so DuckDB rebuilds the
+    identical planes, signatures, band buckets and candidate pairs, then
+    re-ranks them with the same exact cosine — the driver's hash check
+    covers the LSH path end-to-end, not merely a brute-force proxy.
+
+    Shape: {ANN_V_PLANES} planes in {ANN_V_PLANES // ANN_V_BAND_BITS}
+    bands of {ANN_V_BAND_BITS} bits; a random pair collides ~(1/2^8) per
+    band (~1.6% overall) while near-duplicates collide with high
+    probability — the standard recall/candidate-count dial.
+
+    Scale shape: the plane table ({ANN_V_PLANES}x{ANN_V_DIM} rows) is a
+    broadcast; projections are one map-side-combined groupBy(vec_id, p)
+    over the posexploded stream (n x dim rows in, n x planes out);
+    signatures group per (vec_id, band); candidates are a banded
+    EQUI-join (each bucket joins only its own members — never all-pairs);
+    the exact re-rank touches only candidate rows. At 100 TB the only
+    skew risk is a hot bucket (near-constant vectors); the ceiling fix is
+    the same document-frequency cap q_substring_dup applies to anchors.
+    Float caveat: cross-engine doubles differ by summation order only
+    (~1e-15 relative); the proj >= 0 bit threshold and the 1e-4 cosine
+    quantization sit ~10 orders of magnitude above that."""
+    planes = (
+        spark.range(ANN_V_PLANES)
+        .select(F.col("id").alias("p"))
+        .crossJoin(spark.range(ANN_V_DIM).select(F.col("id").alias("d")))
+        .select(
+            "p",
+            "d",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit("h"),
+                            F.col("p").cast("string"),
+                            F.col("d").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    1,
+                )
+                <= "7",
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        )
+    )
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    proj = (
+        ex.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("proj"))
+    )
+    bits = proj.select(
+        "vec_id",
+        (F.col("p") / ANN_V_BAND_BITS).cast("int").alias("band"),
+        "p",
+        F.when(F.col("proj") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+    )
+    sig = bits.groupBy("vec_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "bit"))),
+                lambda x: x["bit"],
+            ),
+            "",
+        ).alias("bucket")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    cand = pairs.select(F.col("va").alias("vec_id"), F.col("vb").alias("nbr_id")).unionAll(
+        pairs.select(F.col("vb").alias("vec_id"), F.col("va").alias("nbr_id"))
+    )
+    va = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    vb = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = cand.join(va, "vec_id").join(vb, "nbr_id").select(
+        "vec_id", "nbr_id", (dot / (F.col("na") * F.col("nb"))).alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_V_K)
+        .select("vec_id", "nbr_id", qround(F.col("cos_sim"), 4).alias("cosine"))
+    )
+
+
 _EMBED_CENTROID_ORACLE = """
     WITH ex AS (
       SELECT label,
@@ -2530,6 +2714,69 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feat")[3].alias("mean_g"),
         F.col("feat")[4].alias("mean_b"),
         F.col("n_bytes").alias("n_bytes"),
+        "decode_ok",
+    )
+
+
+@_q(
+    "q_image_decode_png",
+    """
+    WITH px AS (
+      SELECT doc_id, i, ascii(substr(text, i, 1)) AS code
+      FROM documents, unnest(range(1, 97)) AS t(i)
+      WHERE length(text) >= 96
+    )
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+           floor(avg(CASE WHEN (i - 1) % 3 = 0 THEN CAST(code AS DOUBLE) END)
+                 * 10000.0 + 0.5) / 10000.0 AS mean_r,
+           floor(avg(CASE WHEN (i - 1) % 3 = 1 THEN CAST(code AS DOUBLE) END)
+                 * 10000.0 + 0.5) / 10000.0 AS mean_g,
+           floor(avg(CASE WHEN (i - 1) % 3 = 2 THEN CAST(code AS DOUBLE) END)
+                 * 10000.0 + 0.5) / 10000.0 AS mean_b,
+           true AS decode_ok
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec decode, oracle-gated end to end (r10): the
+    same 8x4 pixel grids as q_image_decode (a doc's first 96 ASCII bytes)
+    are ENCODED as real PNGs inside a mapInPandas pass — stdlib zlib
+    deflate, crc32 chunks, and a per-row filter cycle (None/Sub/Up/
+    Average/Paeth) so all five filter paths are exercised on every image
+    — then decoded back through the real PNG decoder (chunk walk, zlib
+    inflate, per-scanline unfilter). DuckDB independently predicts the
+    channel means from ascii() codes; a hash match proves
+    deflate -> filter -> inflate -> unfilter is lossless bit-for-bit on
+    the whole corpus, closing the "PNG raises" gap in multimodal
+    coverage with zero new dependencies.
+
+    Scale shape: identical to q_image_decode — encode and decode are
+    row-local Python (Arrow-batched), no shuffle; n_bytes is omitted
+    from the output because the deflate length is content-dependent
+    (not SQL-predictable), unlike the fixed-size PPM payloads."""
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        DECODE_SCHEMA,
+        decode_payload_batches,
+        png_encode_batches,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
+    pixels = d.select(
+        "doc_id", F.encode(F.substring("text", 1, 96), "utf-8").alias("pixels")
+    )
+    encoded = pixels.mapInPandas(
+        png_encode_batches(width=8, height=4), schema="doc_id long, payload binary"
+    )
+    feats = encoded.select(
+        "doc_id", "payload", F.lit("image").alias("modality")
+    ).mapInPandas(decode_payload_batches(fake=False), schema=DECODE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        F.col("feat")[0].cast("int").alias("width"),
+        F.col("feat")[1].cast("int").alias("height"),
+        F.col("feat")[2].alias("mean_r"),
+        F.col("feat")[3].alias("mean_g"),
+        F.col("feat")[4].alias("mean_b"),
         "decode_ok",
     )
 

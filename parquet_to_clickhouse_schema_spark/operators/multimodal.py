@@ -7,14 +7,15 @@ iterators over `mapInPandas` — one Python worker per partition, one serde
 per batch, payload bytes never touch the driver.
 
 Codec support (VERDICT r5 #4 — real where the stdlib allows):
-  - image: PPM (P6) and uncompressed 24/32-bit BMP, decoded to numpy
-    arrays with no external library; resize is a real nearest-neighbor
-    resample re-encoded as P6.
+  - image: PPM (P6), uncompressed 24/32-bit BMP, and — since r10 — real
+    COMPRESSED PNG (8-bit RGB/RGBA, all five scanline filters, stdlib
+    `zlib` inflate; no PIL), decoded to numpy arrays with no external
+    library; resize is a real nearest-neighbor resample re-encoded as P6.
   - audio: WAV (PCM 8/16-bit) via stdlib `wave`.
   - video: a concatenated-P6-PPM stream (exactly what
     `ffmpeg -f image2pipe -vcodec ppm` pipes) — frame sampling splits the
     real frames.
-Formats needing absent libraries (JPEG/PNG/MP3/MP4 — PIL/ffmpeg) raise
+Formats needing absent libraries (JPEG/MP3/MP4 — PIL/ffmpeg) raise
 NotImplementedError unless `fake=True`, which substitutes a deterministic
 fake feature extractor so plumbing tests run on any bytes.
 """
@@ -60,13 +61,181 @@ def _parse_ppm_header(payload: bytes, off: int = 0, magic: bytes = b"P6"):
     return vals[0], vals[1], vals[2], pos + 1  # single whitespace after maxval
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes):
+    """Real PNG decode with nothing but the stdlib: chunk walk → IHDR
+    sanity → concatenated-IDAT `zlib` inflate → per-scanline unfiltering
+    (all five filter types: None/Sub/Up/Average/Paeth) → uint8 ndarray
+    (height, width, 3). Supports 8-bit color types 2 (RGB) and 6 (RGBA;
+    alpha dropped so every image consumer sees one shape), non-interlaced.
+
+    The unfilter loop is per-byte Python — exact and fine for the
+    thumbnail-sized images the gated queries synthesize; a production
+    decoder would vectorize Sub/Average/Paeth column-wise per pixel lane
+    (Up and None already reduce to whole-row numpy adds)."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = b""
+    w = h = nch = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit RGB/RGBA non-interlaced PNG supported "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+            nch = 3 if color == 2 else 4
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        cur = bytearray(stride)
+        for i in range(stride):
+            a = cur[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            x = row[i]
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = (x + a) & 0xFF
+            elif f == 2:
+                v = (x + b) & 0xFF
+            elif f == 3:
+                v = (x + ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                v = (x + _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+            cur[i] = v
+        out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        prev = cur
+    img = out.reshape(h, w, nch)
+    return img[:, :, :3].copy()
+
+
+def encode_png(img, row_filters=(0, 1, 2, 3, 4)) -> bytes:
+    """Real PNG encode (8-bit RGB, stdlib `zlib` deflate + crc32): each
+    scanline takes the next filter from `row_filters` cyclically, so a
+    multi-row image exercises every filter path of the decoder — the
+    round-trip test the gated query runs at corpus scale."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w, nch = arr.shape
+    if nch != 3:
+        raise ValueError("encode_png expects (h, w, 3) RGB")
+    stride = w * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = arr[y].tobytes()
+        f = row_filters[y % len(row_filters)]
+        raw.append(f)
+        for i in range(stride):
+            a = row[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            elif f == 4:
+                pred = _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+            raw.append((row[i] - pred) & 0xFF)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_encode_batches(width: int, height: int):
+    """mapInPandas iterator: (doc_id, pixels) batches in — `pixels` being
+    exactly width*height*3 raw RGB bytes — (doc_id, payload) PNG batches
+    out. Row-local, Arrow-batched; the filter cycle starts at row 0 for
+    every image, so the payload is a pure function of the pixel bytes."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for pixels in pdf["pixels"]:
+                arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+                    height, width, 3
+                )
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return fn
+
+
 def decode_image(payload: bytes):
     """Real image decode for stdlib-parsable formats → uint8 ndarray
     (height, width, 3). Supports P6 PPM, P5 PGM (grayscale, replicated to
-    3 channels so every consumer sees one shape) and uncompressed
-    24/32-bit BMP."""
+    3 channels so every consumer sees one shape), uncompressed 24/32-bit
+    BMP, and 8-bit RGB/RGBA PNG (stdlib zlib — see decode_png)."""
     import numpy as np
 
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     if payload[:2] == b"P5":
         w, h, maxval, off = _parse_ppm_header(payload, magic=b"P5")
         if maxval > 255:
@@ -106,7 +275,7 @@ def decode_image(payload: bytes):
         return img[:, :, 2::-1].copy()
     raise NotImplementedError(
         "unrecognized image format (supported without external codecs: "
-        "P6 PPM, P5 PGM, uncompressed 24/32-bit BMP)"
+        "P6 PPM, P5 PGM, uncompressed 24/32-bit BMP, 8-bit RGB/RGBA PNG)"
     )
 
 
@@ -147,7 +316,7 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
             chunk = payload[i * step : (i + 1) * step] or payload[-step:]
             feats.append(round(sum(chunk) / len(chunk), 4))
         return feats
-    if payload[:2] in (b"P6", b"P5", b"BM"):
+    if payload[:2] in (b"P6", b"P5", b"BM") or payload[:8] == PNG_SIG:
         img = decode_image(payload)
         h, w = img.shape[:2]
         flat = img.reshape(-1, 3).astype("float64")
@@ -199,8 +368,8 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
         ]
     raise NotImplementedError(
         "no stdlib codec for this payload (supported: P6 PPM, P5 PGM, uncompressed "
-        "BMP, PCM WAV; JPEG/PNG/MP3/MP4 need PIL/ffmpeg — absent here); "
-        "pass fake=True for the deterministic stub"
+        "BMP, 8-bit RGB/RGBA PNG, PCM WAV; JPEG/MP3/MP4 need PIL/ffmpeg — absent "
+        "here); pass fake=True for the deterministic stub"
     )
 
 

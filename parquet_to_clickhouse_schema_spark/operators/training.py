@@ -221,13 +221,40 @@ _META_SCHEMA = T.StructType(
 )
 
 
-@_q("q_parquet_meta")  # rows-only: oracle SQL sees registered views, not file paths
+# The correctness driver compares Spark vs DuckDB at the fixed gate SF
+# (sf0.01, TESTDATA.md), so the oracle can name the same files the Spark
+# side is handed via sf_dir — DuckDB's parquet_file_metadata() walks the
+# identical footer pyarrow reads. num_columns counts LEAF columns (a
+# parquet_schema row with no children), matching pyarrow's
+# FileMetaData.num_columns for nested schemas like embeddings.embedding.
+_GATE_SF_DIR = "/root/testdata/sf0.01"
+_PARQUET_META_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{t}' AS table_name,
+           CAST(fm.num_row_groups AS BIGINT) AS num_row_groups,
+           CAST(fm.num_rows AS BIGINT) AS num_rows,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM parquet_schema('{_GATE_SF_DIR}/{t}.parquet')
+            WHERE num_children IS NULL OR num_children = 0) AS num_columns
+    FROM parquet_file_metadata('{_GATE_SF_DIR}/{t}.parquet') fm
+    """
+    for t in TABLES
+)
+
+
+@_q("q_parquet_meta", _PARQUET_META_ORACLE)
 def q_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet footer introspection as a queryable table — the reference's
     metadata-only discipline (src/parquetutils.rs:28-30) extended from
     schema to row-group physiology: row-group count is the unit of Spark
     scan parallelism, so this is the first thing to inspect when a 100 TB
-    table scans slowly (too few row groups = too few tasks)."""
+    table scans slowly (too few row groups = too few tasks).
+
+    Oracle-gated since r10: DuckDB's parquet_file_metadata()/
+    parquet_schema() read the same footers, so rows/row-groups/leaf-column
+    counts hash-match. The oracle string pins the driver's gate SF dir
+    (the only SF the oracle side ever runs at); the Spark side stays
+    sf_dir-parameterized for bench/tests at other SFs."""
     import pyarrow.parquet as pq
 
     rows = []

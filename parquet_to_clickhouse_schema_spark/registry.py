@@ -109,92 +109,81 @@ CONTRACT_KEYS = (
     "q_udaf_grouped",
 )
 
-# Round-9 sweep priority: the driver's correctness sweep checks the FIRST
+# Round-10 sweep priority: the driver's correctness sweep checks the FIRST
 # ~50 queries() keys each round. Rotation is rebuilt each round from the
-# evidence ledger (`python scripts/sweep_ledger.py`, docs/SWEEP_LEDGER.md):
-# (a) the 32 never-swept ORACLE-GATED keys first — every slot must buy a
-# hash-checked row; (b) the 21 keys whose last driver row predates r3 (the
-# events.ts regeneration); (c) rows-only keys (can only ever return a
-# no_oracle row — q_bpe_train wasted two slots in r7/r8) sit BELOW the
-# budget line, followed by keys with current rows as next-rotation fill.
+# evidence ledger (`python scripts/sweep_ledger.py`, docs/SWEEP_LEDGER.md);
+# r9 swept its section (a)+(b) keys (50/50 green, CORRECTNESS_r09.json), so
+# r10 rotates to: (a) oracle keys NEW this round (first driver rows), (b) the
+# 11 keys whose last driver row is r1/r2 (pre events.ts regen — four are
+# CONTRACT keys), (c) r4-era keys oldest-first to fill the ~50 budget.
+# Rows-only keys (structural no_oracle rows — q_bpe_train wasted two slots
+# in r7/r8) sit BELOW the budget line, followed by current-row fill.
 SWEEP_PRIORITY = (
-    # (a) never swept, oracle-gated — first driver rows
-    "q_layout_pruning",  # new in r9 (footer-stats layout gate)
-    "q_dedup_pipeline",  # new in r9 (end-to-end dedup decision)
-    "q_format_roundtrip",  # new in r9 (CSV/JSON round-trip fidelity)
-    "q_image_resize",  # new in r9 (real resample, oracle-gated)
-    "q_audio_resample",  # new in r9 (real decimation, oracle-gated)
-    "q_video_thumbnail",  # new in r9 (split+sample+resize+decode chain)
-    "q_training_mix_report",  # new in r9 (quality->dedup->split ledger)
-    "q_incremental_near_dedup",  # new in r9 (batch-vs-history LSH screen)
-    "q_anomaly_zscore",
-    "q_benford",
-    "q_bigram_pmi",
-    "q_bpe_pairs",
-    "q_cdc_apply",
-    "q_dedup_containment",
-    "q_dq_checks",
-    "q_dup_rate_report",
-    "q_embed_outliers",
-    "q_embed_quantize",
-    "q_event_transitions",
-    "q_graph_degree",
-    "q_hourly_profile",
-    "q_interp_linear",
-    "q_length_histogram",
-    "q_limit_offset",
-    "q_mad_robust",
-    "q_mix_balanced",
-    "q_mode_agg",
-    "q_order_nulls",
-    "q_pii_scrub",
-    "q_profile_table",
-    "q_quantile_bucketize",
-    "q_report_big_orders",
-    "q_report_order_count_dist",
-    "q_report_small_qty_revenue",
-    "q_source_entropy",
-    "q_stream_stream_join",
-    "q_substring_dup",
-    "q_udf_arrow",
-    "q_unigram_nll",
-    "q_variant_json",
+    # (a) new-in-r10 oracle-gated keys — first driver rows
+    "q_parquet_meta",  # r10: promoted to oracle via DuckDB parquet_metadata()
+    "q_ann_verified_topk",  # r10: exact re-rank of LSH candidates, oracle-gated
+    "q_image_decode_png",  # r10: real stdlib-zlib PNG decode, oracle-gated
+    "q_pagerank_ranks",  # r10: rank-order projection of pagerank, oracle-gated
+    "q_freq_topk_exact",  # r10: exact top-k twin of the sketch, oracle-gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
-    "q_except_set",
-    "q_having",
-    "q_intersect_all",
-    "q_near_dedup_minhash",  # r9: promoted to bound-checked oracle
-    "q_percentile",
-    "q_pivot",
-    "q_report_late_orders",
-    "q_report_returned_customers",
-    "q_report_revenue_delta",
-    "q_report_top_orders",
     "q_stats_agg",
     "q_subquery_corr",
     "q_subquery_in",
     "q_subquery_scalar",
+    "q_unpivot",
+    "q_window_dist",
+    "q_window_value",
     "q_text_stats",
     "q_udaf_grouped",
     "q_udf_pandas",
     "q_udf_python",
-    "q_unpivot",
-    "q_window_dist",
-    "q_window_value",
+    # (c) r4-era rows, oldest-first (alphabetical within round)
+    "q_agg_collect",
+    "q_agg_distinct_twophase",
+    "q_chunk_docs",
+    "q_cosine_topk",
+    "q_data_split",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_ngram",
+    "q_doc_fingerprint",
+    "q_embed_centroid",
+    "q_explode_pos",
+    "q_funnel",
+    "q_gapfill_ffill",
+    "q_islands",
+    "q_join_full",
+    "q_lang_id",
+    "q_lateral_join",
+    "q_map_funcs",
+    "q_pii_redact",
+    "q_quality_score",
+    "q_repetition_filter",
+    "q_report_disjunctive_revenue",
+    "q_report_nation_profit",
+    "q_report_promo_share",
+    "q_report_regional_revenue",
+    "q_resample_gapfill",
+    "q_retention",
+    "q_salted_join",
+    "q_scd1_merge",
+    "q_scd2_apply",
+    "q_schema_infer",
+    "q_stratified_sample",
+    "q_string_agg",
     # ---- ~50-budget line ----
-    # (c) never swept but rows-only by design (structural no_oracle rows)
+    # remaining r4-era keys — next-rotation fill / overflow if the budget
+    # runs past 50
+    "q_tfidf_top",
+    "q_token_count",
+    "q_try_funcs",
+    "q_udtf_ngrams",
+    "q_vocab_top",
+    "q_window_distinct_running",
+    # rows-only by design (structural no_oracle rows) — never burn a slot
     "q_freq_topk_sketch",
     "q_pagerank",
-    # next-rotation fill: keys with current (r4+) rows, most load-bearing
-    # plans first so a bigger budget re-verifies them soonest
-    "q_join_multiway",
-    "q_report_regional_revenue",
-    "q_report_nation_profit",
-    "q_report_market_share",
-    "q_cosine_topk",
-    "q_dedup_exact",
-    "q_tumbling_window",
-    "q_session_window",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -30,6 +30,11 @@ _TUNED_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # sized to executor memory, NOT forced per-join hints: AQE can still
+    # demote any single join when runtime stats exceed it, which is the
+    # 100 TB-safe broadcast policy (r9 hint removal, r10 parity: apply it
+    # to externally-created sessions too, not just get_spark() builders)
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
 }
 
 

@@ -205,7 +205,13 @@ def main() -> int:
             continue
 
         try:
-            res = con.execute(oracles[name])
+            # q_parquet_meta's oracle names the driver's gate-SF files
+            # literally (the driver only ever runs oracles at sf0.01);
+            # when THIS script sweeps another SF, point it at the same
+            # files the Spark side was handed so the check stays apples
+            # to apples.
+            o_sql = oracles[name].replace("/root/testdata/sf0.01", sf_dir)
+            res = con.execute(o_sql)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001

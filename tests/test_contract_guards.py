@@ -30,10 +30,17 @@ def test_no_registered_query_emits_collection_columns(spark):
 def test_oracle_sql_never_references_file_paths():
     """The driver's DuckDB session only has the 10 registered views — an
     oracle that reads files or uses placeholders would pass locally and
-    fail in the driver."""
+    fail in the driver.
+
+    Exemption: q_parquet_meta's whole POINT is footer metadata, which no
+    view exposes — the r9 verdict (#4) directs promoting it via DuckDB's
+    parquet_file_metadata()/parquet_schema() over the gate-SF files, so
+    it alone may name them (pinned to the driver's sf0.01 gate dir; a
+    failure there shows as one err row, not a silent pass)."""
     for name, sql in registry.all_oracles().items():
         assert "read_parquet" not in sql, name
-        assert "/root/" not in sql, name
+        if name != "q_parquet_meta":
+            assert "/root/" not in sql, name
         # an unexpanded f-string placeholder opens with an identifier char
         # ({SAMPLE_QUOTA}, {W - 1}); regex quantifiers like {2,} are legal SQL
         assert not re.search(r"\{\s*[A-Za-z_]", sql), f"{name}: unexpanded placeholder"

@@ -112,3 +112,26 @@ def test_q_pagerank_runs_and_is_stable(spark):
     assert abs(sum(r.rank for r in out) - 1.0) < 1e-3  # rounded to 6 dp
     # every node id is prefixed and ranks positive
     assert all(r.id[:2] in ("c:", "s:") and r.rank > 0 for r in out)
+
+
+def test_q_pagerank_ranks_matches_q_pagerank(spark):
+    """The oracle-gated projection (r10) runs the SAME iteration as
+    q_pagerank — per-id rounded ranks must agree exactly, and per-family
+    positions must be a 1..n permutation ordered by (pr desc, id)."""
+    from parquet_to_clickhouse_schema_spark.operators.graph import (
+        q_pagerank,
+        q_pagerank_ranks,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = {r.id: r.rank for r in q_pagerank(spark, SF_SMOKE).collect()}
+    out = q_pagerank_ranks(spark, SF_SMOKE).collect()
+    assert len(out) == len(base)
+    for r in out:
+        assert r.pr == base[r.id]
+        assert r.node_type == r.id[0]
+    for fam in ("c", "s"):
+        rows = sorted(
+            (r for r in out if r.node_type == fam), key=lambda r: (-r.pr, r.id)
+        )
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1))

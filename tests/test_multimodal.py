@@ -216,3 +216,112 @@ def test_decode_pgm_grayscale_replicates_channels():
     assert img.shape == (3, 4, 3)
     assert (img[:, :, 0] == gray).all()
     assert (img[:, :, 1] == gray).all() and (img[:, :, 2] == gray).all()
+
+
+# ------------------------------------------------------------- PNG (r10) ---
+
+
+def test_png_roundtrip_every_filter():
+    """encode->decode is identity for each individual filter type and for
+    mixed cycles — the losslessness q_image_decode_png's oracle gate
+    verifies at corpus scale."""
+    import numpy as np
+
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (4, 8), (7, 5)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for filters in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)]:
+            assert (decode_png(encode_png(img, filters)) == img).all()
+
+
+def test_png_rgba_decodes_to_rgb():
+    """Color type 6 (RGBA) decodes; alpha is dropped so every image
+    consumer sees the one (h, w, 3) shape."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_image,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.RandomState(3)
+    h, w = 3, 4
+    rgba = rng.randint(0, 256, (h, w, 4), dtype=np.uint8)
+    raw = b"".join(b"\x02" + (rgba[y] - (rgba[y - 1] if y else 0)).astype(
+        np.uint8
+    ).tobytes() for y in range(h))  # Up-filtered scanlines
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_image(png) == rgba[:, :, :3]).all()
+
+
+def test_png_interlaced_refuses_honestly():
+    """Adam7 interlace is out of scope — the decoder must say so, not
+    return garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(png)
+
+
+def test_png_decode_through_pipeline(spark):
+    """q_image_decode_png and q_image_decode see the SAME pixel bytes, so
+    their channel means must be identical row-for-row — PNG deflate
+    round-trip vs plain PPM passthrough."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        q_image_decode,
+        q_image_decode_png,
+    )
+
+    ppm = {
+        r["doc_id"]: (r["mean_r"], r["mean_g"], r["mean_b"])
+        for r in q_image_decode(spark, SF_SMOKE).collect()
+    }
+    png = {
+        r["doc_id"]: (r["mean_r"], r["mean_g"], r["mean_b"])
+        for r in q_image_decode_png(spark, SF_SMOKE).collect()
+    }
+    assert png == ppm
+    assert len(png) > 0

@@ -344,3 +344,25 @@ def test_dedup_pipeline_total_and_consistent(spark):
             assert r.doc_id == r.keeper_id
         else:
             assert norm[r.doc_id] != norm[r.keeper_id]
+
+
+def test_freq_topk_exact_agrees_with_sketch(spark):
+    """q_freq_topk_exact (r10, oracle-gated) and the sketch variant answer
+    the same question; at test SF the sketch is exact, so the two must
+    report the same per-source count sequence (token identity may differ
+    only where counts tie at the k-th boundary — the engines' tie-break
+    orders are their own)."""
+    from collections import defaultdict
+
+    exact, sketch = defaultdict(list), defaultdict(list)
+    for r in Q["q_freq_topk_exact"](spark, SF_SMOKE).collect():
+        exact[r.source].append((r.rank, r.n_count, r.token))
+    for r in Q["q_freq_topk_sketch"](spark, SF_SMOKE).collect():
+        sketch[r.source].append((r.rank, r.est_count, r.token))
+    assert set(exact) == set(sketch) and len(exact) > 0
+    for src in exact:
+        e, s = sorted(exact[src]), sorted(sketch[src])
+        assert [x[:2] for x in e] == [x[:2] for x in s]
+        # where the count is strictly above the k-th, tokens must agree too
+        kth = e[-1][1]
+        assert {x[2] for x in e if x[1] > kth} == {x[2] for x in s if x[1] > kth}

@@ -386,3 +386,30 @@ def test_anomaly_zscore_flags_planted_outlier(spark, tmp_path):
     out = {r.event_id: r for r in q_anomaly_zscore(spark, str(tmp_path)).collect()}
     assert out[99].is_anomaly
     assert sum(1 for r in out.values() if r.is_anomaly) == 1
+
+
+def test_ann_verified_topk_values_are_exact(spark):
+    """q_ann_verified_topk (r10, oracle-gated) emits exact cosines for the
+    pairs it returns: wherever its (vec_id, nbr_id) overlaps the
+    brute-force top-3, the rounded cosine must be identical, and its
+    structure must hold (<= 3 rows per vec, rank-orderable, cos in
+    [-1, 1])."""
+    from collections import Counter
+
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        q_ann_verified_topk,
+    )
+
+    exact = {
+        (r.vec_id, r.nbr_id): r.cosine
+        for r in q_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    out = q_ann_verified_topk(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    per_vec = Counter(r.vec_id for r in out)
+    assert max(per_vec.values()) <= 3
+    assert all(-1.0 <= r.cosine <= 1.0 for r in out)
+    overlap = [r for r in out if (r.vec_id, r.nbr_id) in exact]
+    assert len(overlap) > 0
+    for r in overlap:
+        assert r.cosine == exact[(r.vec_id, r.nbr_id)]
