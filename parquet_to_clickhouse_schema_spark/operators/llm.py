@@ -403,6 +403,155 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("hamming") <= 3).distinct()
 
 
+# ------------------------------------------------- verified SimHash (r10) ---
+# Same promotion move as q_ann_verified_topk: q_dedup_simhash is rows-only
+# because xxhash64 has no DuckDB twin — but md5 does, and a 64-bit token
+# hash read off md5's hex nibbles is just as uniform. With that one swap
+# the whole SimHash pipeline (votes -> signature -> pigeonhole block join
+# -> Hamming verify) becomes bit-portable and driver-gated.
+
+SIMHASH_V_BITS = 64
+SIMHASH_V_BLOCK_BITS = 16
+SIMHASH_V_HAMMING = 3
+
+_SIMHASH_V_ORACLE = f"""
+    WITH ex AS (
+      SELECT doc_id, md5(tok) AS h
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents)
+    ),
+    bitsrc AS (
+      SELECT doc_id, b.b AS b,
+             (strpos('0123456789abcdef', substr(h, b.b // 4 + 1, 1)) - 1)
+               // CAST(pow(2, 3 - b.b % 4) AS INT) % 2 AS bit
+      FROM ex, (SELECT unnest(range(0, {SIMHASH_V_BITS})) AS b) b
+    ),
+    votes AS (
+      SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+      FROM bitsrc GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY b)
+               AS sig
+      FROM votes GROUP BY doc_id
+    ),
+    blocks AS (
+      SELECT doc_id, blk.k AS blk,
+             substr(sig, blk.k * {SIMHASH_V_BLOCK_BITS} + 1,
+                    {SIMHASH_V_BLOCK_BITS}) AS bucket,
+             sig
+      FROM sig,
+           (SELECT unnest(range(0, {SIMHASH_V_BITS // SIMHASH_V_BLOCK_BITS}))
+              AS k) blk
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT doc_a, doc_b,
+             CAST((SELECT count(*) FROM unnest(range(1, {SIMHASH_V_BITS + 1}))
+                     t(i)
+                   WHERE substr(sig_a, i, 1) <> substr(sig_b, i, 1))
+               AS INT) AS hamming
+      FROM cand
+    )
+    SELECT doc_a, doc_b, hamming FROM ham
+    WHERE hamming <= {SIMHASH_V_HAMMING}
+"""
+
+
+@_q("q_simhash_verified", _SIMHASH_V_ORACLE)
+def q_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup with a FULL oracle gate (r10): identical
+    pipeline to q_dedup_simhash but the 64-bit token hash is the first 16
+    hex nibbles of md5(token) — a function both engines share — so DuckDB
+    independently rebuilds the per-bit votes, the signature, the
+    pigeonhole 16-bit block join, AND the Hamming verification, and the
+    driver's hash check covers the whole path (q_dedup_simhash stays as
+    the faster xxhash64 production variant; its blocking recall is pinned
+    in tests, its arithmetic now certified through this twin).
+
+    Scale shape: votes are one groupBy(doc_id) with 64 codegen
+    conditional sums over the distinct-token stream (the nibble values
+    are common subexpressions — 16 instr() calls per token, not 64);
+    shuffle carries one 64-int row per doc; blocking is the same d+1
+    pigeonhole equi-join as the production variant; the Hamming verify
+    is a 64-term fold over the CANDIDATE pairs only."""
+    d = load_table(spark, sf_dir, "documents")
+    bits, block_bits = SIMHASH_V_BITS, SIMHASH_V_BLOCK_BITS
+
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok").cast("binary")))
+    nib = [
+        F.expr(f"instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1")
+        for j in range(bits // 4)
+    ]
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(nib[b // 4].cast("int"), 3 - b % 4).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.concat(
+        *[
+            F.when(F.col(f"v{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(bits)
+        ]
+    )
+    packed = votes.select(
+        "doc_id",
+        sig.alias("sig"),
+        *[
+            F.substring(sig, blk * block_bits + 1, block_bits).alias(f"blk{blk}")
+            for blk in range(bits // block_bits)
+        ],
+    )
+    pairs = None
+    for blk in range(bits // block_bits):
+        a, b = packed.alias("a"), packed.alias("b")
+        p = (
+            a.join(b, F.col(f"a.blk{blk}") == F.col(f"b.blk{blk}"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    ham = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.when(
+                F.col("sig_a").substr(i, F.lit(1))
+                == F.col("sig_b").substr(i, F.lit(1)),
+                0,
+            ).otherwise(1),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.distinct()
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_V_HAMMING)
+    )
+
+
 @_q(
     "q_dedup_ngram",
     """

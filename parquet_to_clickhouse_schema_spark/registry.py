@@ -125,6 +125,7 @@ SWEEP_PRIORITY = (
     "q_image_decode_png",  # r10: real stdlib-zlib PNG decode, oracle-gated
     "q_pagerank_ranks",  # r10: rank-order projection of pagerank, oracle-gated
     "q_freq_topk_exact",  # r10: exact top-k twin of the sketch, oracle-gated
+    "q_simhash_verified",  # r10: md5-hash SimHash with full DuckDB twin
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",

@@ -36,7 +36,11 @@ def test_oracle_match(name, spark, duck):
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(ORACLES[name])
+    # q_parquet_meta's oracle names the driver's gate-SF files literally
+    # (the only SF the driver runs oracles at); this suite sweeps the
+    # smoke SF, so point the oracle at the same files the Spark side got
+    # — the identical substitution scripts/check_oracle.py applies.
+    res = duck.execute(ORACLES[name].replace("/root/testdata/sf0.01", SF_SMOKE))
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
 

@@ -413,3 +413,23 @@ def test_ann_verified_topk_values_are_exact(spark):
     assert len(overlap) > 0
     for r in overlap:
         assert r.cosine == exact[(r.vec_id, r.nbr_id)]
+
+
+def test_simhash_verified_pairs_are_valid(spark):
+    """q_simhash_verified (r10, oracle-gated): ordered pairs, hamming
+    within the declared radius, deterministic across runs, and in the
+    same density ballpark as the xxhash64 production variant (both hash
+    families see the same planted near-duplicates)."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        q_dedup_simhash,
+        q_simhash_verified,
+    )
+
+    a = {(r.doc_a, r.doc_b): r.hamming for r in q_simhash_verified(spark, SF_SMOKE).collect()}
+    b = {(r.doc_a, r.doc_b): r.hamming for r in q_simhash_verified(spark, SF_SMOKE).collect()}
+    assert a == b and len(a) > 0
+    assert all(da < db and 0 <= h <= 3 for (da, db), h in a.items())
+    prod = {(r.doc_a, r.doc_b) for r in q_dedup_simhash(spark, SF_SMOKE).collect()}
+    # different 64-bit hash families, same radius: pair counts should be
+    # within ~3x of each other on the same corpus
+    assert len(a) <= 3 * max(len(prod), 1) and len(prod) <= 3 * max(len(a), 1)
