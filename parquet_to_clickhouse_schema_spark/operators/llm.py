@@ -1992,6 +1992,481 @@ def q_ann_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_unit_grid(spark: SparkSession, tag: str, n: int, dim: int) -> DataFrame:
+    """Deterministic pseudo-random grid (c, d) -> val in [-1, 1]: the value
+    is the first FOUR hex nibbles of md5(tag:c:d) scaled to [-1, 1] — md5 is
+    the one hash both engines share byte-for-byte, so a DuckDB oracle can
+    rebuild the identical matrix (same trick as q_ann_verified_topk's ±1
+    planes, extended from signs to continuous values). n x dim rows, built
+    from two driver-local ranges — always broadcast at the consumer join."""
+
+    def nib(j: int):
+        return F.expr(f"instr('0123456789abcdef', substring(h, {j}, 1)) - 1")
+
+    return (
+        spark.range(n)
+        .select(F.col("id").alias("c"))
+        .crossJoin(spark.range(dim).select(F.col("id").alias("d")))
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(tag),
+                    F.col("c").cast("string"),
+                    F.col("d").cast("string"),
+                ).cast("binary")
+            ),
+        )
+        .select(
+            "c",
+            "d",
+            (
+                (
+                    (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4))
+                    / F.lit(65535.0)
+                )
+                * 2.0
+                - 1.0
+            ).alias("val"),
+        )
+    )
+
+
+IVF_V_C = 16  # coarse centroids
+IVF_V_PROBE = 4  # lists each query probes
+IVF_V_K = 3
+
+_IVF_GRID_SQL = """
+      SELECT c, d,
+             (((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(h, 4, 1)) - 1))
+              / 65535.0) * 2.0 - 1.0 AS val
+      FROM (
+        SELECT c, d, md5('{tag}:' || c || ':' || d) AS h
+        FROM (SELECT unnest(range(0, {n})) AS c),
+             (SELECT unnest(range(0, {dim})) AS d)
+      )
+"""
+
+_IVF_VERIFIED_ORACLE = f"""
+    WITH cent AS ({_IVF_GRID_SQL.format(tag="ivf", n=IVF_V_C, dim=ANN_V_DIM)}),
+    cnorm AS (SELECT c, sqrt(sum(val * val)) AS cn FROM cent GROUP BY c),
+    ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT vec_id, c, sum(v * val) AS dot
+      FROM ex JOIN cent USING (d) GROUP BY vec_id, c
+    ),
+    ranked AS (
+      SELECT vec_id, dots.c AS c,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot / cn DESC, dots.c) AS rn
+      FROM dots JOIN cnorm ON dots.c = cnorm.c
+    ),
+    assigned AS (SELECT vec_id, c AS cid FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, c AS pc FROM ranked WHERE rn <= {IVF_V_PROBE}),
+    cand AS (
+      SELECT p.vec_id, a.vec_id AS nbr_id
+      FROM probes p JOIN assigned a ON p.pc = a.cid AND p.vec_id <> a.vec_id
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    cd AS (
+      SELECT c.vec_id, c.nbr_id, sum(a.v * b.v) AS dot
+      FROM cand c
+      JOIN ex a ON a.vec_id = c.vec_id
+      JOIN ex b ON b.vec_id = c.nbr_id AND a.d = b.d
+      GROUP BY c.vec_id, c.nbr_id
+    )
+    SELECT vec_id, nbr_id,
+           floor(cos_sim * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM (
+      SELECT cd.vec_id, cd.nbr_id, cd.dot / (na.nrm * nb.nrm) AS cos_sim,
+             row_number() OVER (PARTITION BY cd.vec_id
+                                ORDER BY cd.dot / (na.nrm * nb.nrm) DESC,
+                                         cd.nbr_id) AS rn
+      FROM cd
+      JOIN norms na ON cd.vec_id = na.vec_id
+      JOIN norms nb ON cd.nbr_id = nb.vec_id
+    ) WHERE rn <= {IVF_V_K}
+"""
+
+
+@_q("q_ivf_verified_topk", _IVF_VERIFIED_ORACLE)
+def q_ivf_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN with a FULL oracle gate (r10): the coarse quantizer is
+    an md5-derived centroid grid instead of trained k-means, so DuckDB
+    rebuilds the identical centroids, inverted-list assignment (argmax
+    cosine-to-centroid), {IVF_V_PROBE}-probe candidate generation AND the
+    exact re-rank — the driver's hash check covers the IVF mechanics
+    (assign → probe → list-join → re-rank) end-to-end, which the trained
+    production variant q_ivf_topk structurally cannot offer (numpy RNG +
+    Lloyd's are not SQL). q_ivf_topk remains the production path; its
+    recall is pinned in tests, its plumbing is certified through this twin.
+
+    Scale shape identical to production IVF: the centroid grid
+    ({IVF_V_C}x{ANN_V_DIM}) is a broadcast; scoring is one
+    map-side-combined groupBy(vec_id, c) over the posexploded stream;
+    assignment/probing is a per-vector window over {IVF_V_C} rows;
+    candidates come from the probe↔list EQUI-join on centroid id (each
+    query meets only its {IVF_V_PROBE} lists — never all-pairs); the exact
+    cosine touches candidates only. Hot-list skew at 100 TB is bounded by
+    the centroid count dial (more lists → smaller lists), same as
+    production. Float caveat: cross-engine sums differ ~1e-15 relative;
+    assignment/probe ranks compare scores of DISTINCT random centroids
+    (gaps ~1e-1), and the output cosine is quantized at 1e-4 — both ~11
+    orders of magnitude above the noise."""
+    cent = _md5_unit_grid(spark, "ivf", IVF_V_C, ANN_V_DIM)
+    cnorm = cent.groupBy("c").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("cn"))
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "c")
+        .agg(F.sum(F.col("v") * F.col("val")).alias("dot"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        (F.col("dot") / F.col("cn")).desc(), "c"
+    )
+    ranked = dots.join(F.broadcast(cnorm), "c").withColumn(
+        "rn", F.row_number().over(wc)
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("nbr_id"), F.col("c").alias("cid")
+    )
+    probes = ranked.filter(F.col("rn") <= IVF_V_PROBE).select(
+        "vec_id", F.col("c").alias("pc")
+    )
+    # each db vector lives in exactly one list and each (query, probe) is
+    # distinct, so the join emits every candidate pair at most once — no
+    # dedup shuffle needed
+    cand = probes.join(assigned, (F.col("pc") == F.col("cid"))).filter(
+        F.col("vec_id") != F.col("nbr_id")
+    ).select("vec_id", "nbr_id")
+    va = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    vb = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = cand.join(va, "vec_id").join(vb, "nbr_id").select(
+        "vec_id", "nbr_id", (dot / (F.col("na") * F.col("nb"))).alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_V_K)
+        .select("vec_id", "nbr_id", qround(F.col("cos_sim"), 4).alias("cosine"))
+    )
+
+
+PQ_V_S = 8  # subspaces (64-dim embedding -> 8 dims per subspace)
+PQ_V_W = 8  # dims per subspace
+PQ_V_CODES = 16  # codewords per subspace
+PQ_V_REFINE = 16  # ADC shortlist re-ranked exactly
+PQ_V_K = 3
+
+_PQ_VERIFIED_ORACLE = f"""
+    WITH grid AS (
+      {_IVF_GRID_SQL.format(tag="pq", n=PQ_V_S * PQ_V_CODES, dim=PQ_V_W)}
+    ),
+    cb AS (
+      SELECT c % {PQ_V_CODES} AS code, c // {PQ_V_CODES} AS s,
+             (c // {PQ_V_CODES}) * {PQ_V_W} + d AS dim, val
+      FROM grid
+    ),
+    ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    enc AS (
+      SELECT e.vec_id, cb.s, cb.code,
+             sum((e.v - cb.val) * (e.v - cb.val)) AS d2
+      FROM ex e JOIN cb ON e.d = cb.dim
+      GROUP BY e.vec_id, cb.s, cb.code
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, code) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.vec_id, x.vec_id AS nbr_id,
+             floor(sum(q.d2) * 1000000.0 + 0.5) / 1000000.0 AS adc
+      FROM codes x
+      JOIN enc q ON q.s = x.s AND q.code = x.code AND q.vec_id <> x.vec_id
+      GROUP BY q.vec_id, x.vec_id
+    ),
+    cand AS (
+      SELECT vec_id, nbr_id FROM (
+        SELECT vec_id, nbr_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY adc, nbr_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_V_REFINE}
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    cd AS (
+      SELECT c.vec_id, c.nbr_id, sum(a.v * b.v) AS dot
+      FROM cand c
+      JOIN ex a ON a.vec_id = c.vec_id
+      JOIN ex b ON b.vec_id = c.nbr_id AND a.d = b.d
+      GROUP BY c.vec_id, c.nbr_id
+    )
+    SELECT vec_id, nbr_id, cosine
+    FROM (
+      SELECT cd.vec_id, cd.nbr_id,
+             floor(cd.dot / (na.nrm * nb.nrm) * 10000.0 + 0.5) / 10000.0
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY cd.vec_id
+               ORDER BY floor(cd.dot / (na.nrm * nb.nrm) * 10000.0 + 0.5)
+                          / 10000.0 DESC,
+                        cd.nbr_id) AS rn
+      FROM cd
+      JOIN norms na ON cd.vec_id = na.vec_id
+      JOIN norms nb ON cd.nbr_id = nb.vec_id
+    ) WHERE rn <= {PQ_V_K}
+"""
+
+
+@_q("q_pq_verified_topk", _PQ_VERIFIED_ORACLE)
+def q_pq_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with a FULL oracle gate (r10): the
+    {PQ_V_S}x{PQ_V_CODES} codebooks are md5-derived instead of k-means-
+    trained, so DuckDB rebuilds encoding (per-subspace argmin), the
+    asymmetric-distance (ADC) shortlist AND the exact re-rank — with
+    q_ann_verified_topk (LSH) and q_ivf_verified_topk this completes the
+    hash-gated trio covering every ANN mechanism the production family
+    uses. q_pq_topk stays the production path (trained codebooks, Arrow
+    matmuls); its recall is pinned in tests, its mechanics certified here.
+
+    The ADC trick is shared-intermediate: for self-ANN the query lookup
+    table IS the encoding distance table (enc holds dist²(vec_sub, code)
+    for all {PQ_V_CODES} codes), so ADC(q, x) = Σ_s enc[q, s, code_x(s)]
+    — one equi-join on (subspace, code), no recomputation.
+
+    Scale shape: the codebook ({PQ_V_S * PQ_V_CODES}x{PQ_V_W}) is a
+    broadcast; encoding is one map-side-combined groupBy(vec_id, s, code);
+    the ADC join is the PQ-brute-force scan — O(n²/{PQ_V_CODES}) pairs per
+    subspace bucket, the memory-not-candidates compression PQ promises
+    (1 byte/subspace vs 32 bytes of floats). At 100 TB the candidate
+    reduction comes from composing with IVF lists (q_ivfpq_topk), exactly
+    as production does. Float caveat: argmin/rank compare distances of
+    DISTINCT random codewords (gaps ~1e-1) against ~1e-15 cross-engine
+    noise; output cosine quantized at 1e-4."""
+    grid = _md5_unit_grid(spark, "pq", PQ_V_S * PQ_V_CODES, PQ_V_W)
+    cb = grid.select(
+        F.pmod("c", F.lit(PQ_V_CODES)).alias("code"),
+        F.floor(F.col("c") / PQ_V_CODES).alias("s"),
+        (F.floor(F.col("c") / PQ_V_CODES) * PQ_V_W + F.col("d")).alias("dim"),
+        "val",
+    )
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    enc = (
+        ex.join(F.broadcast(cb), ex.d == cb.dim)
+        .groupBy("vec_id", "s", "code")
+        .agg(
+            F.sum((F.col("v") - F.col("val")) * (F.col("v") - F.col("val"))).alias(
+                "d2"
+            )
+        )
+    )
+    wc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    codes = (
+        enc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("nbr_id"), "s", "code")
+    )
+    # the corpus is clustered: many vectors share identical codes, so raw
+    # ADC ties are COMMON and 1e-16 summation-order noise would break them
+    # differently per engine right at the shortlist boundary — rank on the
+    # 1e-6-quantized ADC (values ~10, noise ~1e-15: nine orders of margin)
+    # with nbr_id as the total tiebreak, which is bit-identical cross-engine
+    adc = (
+        enc.join(codes, ["s", "code"])
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .groupBy("vec_id", "nbr_id")
+        .agg(qround(F.sum("d2"), 6).alias("adc"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy("adc", "nbr_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= PQ_V_REFINE)
+        .select("vec_id", "nbr_id")
+    )
+    va = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    vb = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # same tie discipline for the final rank: duplicate embeddings make
+    # exact cosine ties common, so order by the already-quantized cosine
+    exact = cand.join(va, "vec_id").join(vb, "nbr_id").select(
+        "vec_id",
+        "nbr_id",
+        qround(dot / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "nbr_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_V_K)
+        .select("vec_id", "nbr_id", "cosine")
+    )
+
+
+KMV_K = 8  # clusters in the verified twin
+
+_KMEANS_VERIFIED_ORACLE = f"""
+    WITH c0 AS ({_IVF_GRID_SQL.format(tag="km", n=KMV_K, dim=ANN_V_DIM)}),
+    ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    d0 AS (
+      SELECT vec_id, c AS cid, sum((v - val) * (v - val)) AS d2
+      FROM ex JOIN c0 USING (d) GROUP BY vec_id, c
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT cid, d, avg(v) AS val
+      FROM ex JOIN a1 USING (vec_id) GROUP BY cid, d
+    ),
+    d1 AS (
+      SELECT ex.vec_id, m1.cid, sum((v - val) * (v - val)) AS d2
+      FROM ex JOIN m1 USING (d) GROUP BY ex.vec_id, m1.cid
+    ),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    m2 AS (
+      SELECT cid, d, avg(v) AS m
+      FROM ex JOIN a2 USING (vec_id) GROUP BY cid, d
+    ),
+    sizes AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM a2 GROUP BY cid
+    )
+    SELECT CAST(s.cid AS INT) AS cid, s.n_vecs,
+           floor(sqrt(sum(m * m)) * 1000000.0 + 0.5) / 1000000.0
+             AS centroid_norm
+    FROM m2 JOIN sizes s USING (cid)
+    GROUP BY s.cid, s.n_vecs
+"""
+
+
+@_q("q_kmeans_verified", _KMEANS_VERIFIED_ORACLE)
+def q_kmeans_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations with a FULL oracle gate (r10): the init
+    centroids are the md5-derived grid, and the fixed two-step iteration
+    (assign → mean-update → assign → mean-update) is unrolled into chained
+    CTEs — the same unrolling that gave q_pagerank_ranks its gate — so the
+    DuckDB twin reproduces assignments, cluster sizes and the final
+    centroid norms exactly. q_kmeans_clusters stays the production path
+    (distributed Lloyd's to convergence via mapInPandas matmuls); this twin
+    hash-certifies the assign/update arithmetic the iteration is built
+    from.
+
+    Scale shape: every stage is the distributed column-sum form — distances
+    are one map-side-combined groupBy(vec_id, cid) over the posexploded
+    stream joined to a BROADCAST centroid table ({KMV_K}x{ANN_V_DIM} init
+    grid; iteration means are at most as large), assignment is a
+    per-vector window over {KMV_K} rows, and mean-update shuffles only
+    (cluster, dim) partial sums. No vector and no centroid matrix ever
+    needs driver-side materialization. Float caveat: argmin compares
+    distances to DISTINCT centroids (gaps ~1e-1 at init, ~1e-2 after one
+    update) against ~1e-15 cross-engine summation noise; the output norm
+    is quantized at 1e-6."""
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    cent = _md5_unit_grid(spark, "km", KMV_K, ANN_V_DIM).select(
+        F.col("c").alias("cid"), "d", "val"
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d2 = (
+            ex.join(F.broadcast(centroids), "d")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("v") - F.col("val")) * (F.col("v") - F.col("val"))
+                ).alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            ex.join(assigned, "vec_id")
+            .groupBy("cid", "d")
+            .agg(F.avg("v").alias("val"))
+        )
+
+    a1 = assign(cent)
+    a2 = assign(update(a1))
+    m2 = update(a2).withColumnRenamed("val", "m")
+    sizes = a2.groupBy("cid").agg(F.count("*").cast("bigint").alias("n_vecs"))
+    return (
+        m2.groupBy("cid")
+        .agg(qround(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
+        .join(sizes, "cid")
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            "n_vecs",
+            "centroid_norm",
+        )
+    )
+
+
 _EMBED_CENTROID_ORACLE = """
     WITH ex AS (
       SELECT label,

@@ -126,6 +126,9 @@ SWEEP_PRIORITY = (
     "q_pagerank_ranks",  # r10: rank-order projection of pagerank, oracle-gated
     "q_freq_topk_exact",  # r10: exact top-k twin of the sketch, oracle-gated
     "q_simhash_verified",  # r10: md5-hash SimHash with full DuckDB twin
+    "q_ivf_verified_topk",  # r10: md5-centroid IVF, full assign/probe/re-rank twin
+    "q_kmeans_verified",  # r10: two unrolled Lloyd steps, md5 init, oracle-gated
+    "q_pq_verified_topk",  # r10: md5-codebook PQ, encode/ADC/re-rank twin
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",
@@ -170,12 +173,13 @@ SWEEP_PRIORITY = (
     "q_salted_join",
     "q_scd1_merge",
     "q_scd2_apply",
+    # ---- ~50-budget line ----
+    # remaining r4-era keys — next-rotation fill / overflow if the budget
+    # runs past 50 (three moved below the line when the r10 verified twins
+    # took slots in section (a))
     "q_schema_infer",
     "q_stratified_sample",
     "q_string_agg",
-    # ---- ~50-budget line ----
-    # remaining r4-era keys — next-rotation fill / overflow if the budget
-    # runs past 50
     "q_tfidf_top",
     "q_token_count",
     "q_try_funcs",

@@ -42,8 +42,23 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+_TUNED_MARKER = "spark.parquet_to_clickhouse_schema.tuned"
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable configs needed by the engine; idempotent."""
+    """Apply runtime-settable engine defaults ONCE per session.
+
+    tune() is called from hot paths (load_table), so it must not clobber
+    confs the user set mid-session — e.g. a test forcing
+    autoBroadcastJoinThreshold=-1 to exercise a shuffle join, or an
+    operator temporarily lowering a threshold. The marker conf records
+    that this session already received the engine defaults; later calls
+    are no-ops and user overrides stick."""
+    try:
+        if spark.conf.get(_TUNED_MARKER, None) == "1":
+            return spark
+    except Exception:
+        pass
     for k, v in _TUNED_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -52,6 +67,10 @@ def tune(spark: SparkSession) -> SparkSession:
     try:
         if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * default_parallelism():
             spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass
+    try:
+        spark.conf.set(_TUNED_MARKER, "1")
     except Exception:
         pass
     return spark

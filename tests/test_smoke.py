@@ -433,3 +433,77 @@ def test_simhash_verified_pairs_are_valid(spark):
     # different 64-bit hash families, same radius: pair counts should be
     # within ~3x of each other on the same corpus
     assert len(a) <= 3 * max(len(prod), 1) and len(prod) <= 3 * max(len(a), 1)
+
+
+def test_ivf_verified_topk_values_are_exact(spark):
+    """q_ivf_verified_topk (r10, oracle-gated): exact cosines on every pair
+    that overlaps the brute-force top-3, <= 3 rows per query vector, and
+    cosines in range — the IVF candidate set is approximate but the
+    re-rank arithmetic must match the exact path bit-for-bit after the
+    shared 1e-4 quantization."""
+    from collections import Counter
+
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        q_ivf_verified_topk,
+    )
+
+    exact = {
+        (r.vec_id, r.nbr_id): r.cosine
+        for r in q_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    out = q_ivf_verified_topk(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    per_vec = Counter(r.vec_id for r in out)
+    assert max(per_vec.values()) <= 3
+    assert all(-1.0 <= r.cosine <= 1.0 for r in out)
+    overlap = [r for r in out if (r.vec_id, r.nbr_id) in exact]
+    assert len(overlap) > 0
+    for r in overlap:
+        assert r.cosine == exact[(r.vec_id, r.nbr_id)]
+
+
+def test_kmeans_verified_partitions_corpus(spark):
+    """q_kmeans_verified (r10, oracle-gated): the two unrolled Lloyd steps
+    must PARTITION the corpus — cluster sizes sum to the embedding count,
+    ids stay within the declared k, every returned cluster is non-empty
+    with a positive centroid norm, and the run is deterministic."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        KMV_K,
+        q_kmeans_verified,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    rows = q_kmeans_verified(spark, SF_SMOKE).collect()
+    again = q_kmeans_verified(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    assert sum(r.n_vecs for r in rows) == n
+    assert all(0 <= r.cid < KMV_K for r in rows)
+    assert all(r.n_vecs > 0 and r.centroid_norm > 0 for r in rows)
+
+
+def test_pq_verified_topk_values_are_exact(spark):
+    """q_pq_verified_topk (r10, oracle-gated): exact cosines on every pair
+    that overlaps the brute-force top-3, <= 3 rows per query vector, and
+    cosines in range — the ADC shortlist is approximate but the re-rank
+    arithmetic must match the exact path after the shared 1e-4
+    quantization."""
+    from collections import Counter
+
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        q_pq_verified_topk,
+    )
+
+    exact = {
+        (r.vec_id, r.nbr_id): r.cosine
+        for r in q_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    out = q_pq_verified_topk(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    per_vec = Counter(r.vec_id for r in out)
+    assert max(per_vec.values()) <= 3
+    assert all(-1.0 <= r.cosine <= 1.0 for r in out)
+    overlap = [r for r in out if (r.vec_id, r.nbr_id) in exact]
+    assert len(overlap) > 0
+    for r in overlap:
+        assert r.cosine == exact[(r.vec_id, r.nbr_id)]
