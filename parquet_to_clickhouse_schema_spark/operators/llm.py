@@ -2467,6 +2467,70 @@ def q_kmeans_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_K = 16  # projected dimensionality (64 -> 16)
+
+_RANDOM_PROJECTION_ORACLE = f"""
+    WITH grid AS (
+      {_IVF_GRID_SQL.format(tag="rp", n=RP_K, dim=ANN_V_DIM)}
+    ),
+    ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, c AS r, sum(v * val) * sqrt(0.1875) AS p
+      FROM ex JOIN grid USING (d) GROUP BY vec_id, c
+    ),
+    pn AS (SELECT vec_id, sqrt(sum(p * p)) AS proj_norm FROM proj GROUP BY vec_id),
+    nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id)
+    SELECT pn.vec_id,
+           floor(proj_norm * 1000000.0 + 0.5) / 1000000.0 AS proj_norm,
+           floor(proj_norm / nrm * 10000.0 + 0.5) / 10000.0 AS norm_ratio
+    FROM pn JOIN nrm ON pn.vec_id = nrm.vec_id
+"""
+
+
+@_q("q_random_projection", _RANDOM_PROJECTION_ORACLE)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection ({ANN_V_DIM} -> {RP_K} dims)
+    with a FULL oracle gate: the projection matrix is the md5-derived grid
+    (uniform [-1, 1] entries, variance 1/3, scaled by sqrt(3/{RP_K}) so
+    E[||Px||²] = ||x||²), and the output reports each vector's projected
+    norm plus the norm-preservation ratio — the standard sanity metric
+    before feeding a reduced index. Dim reduction is the front half of
+    every large-scale ANN/clustering pipeline (shrink 100 TB of float32
+    embeddings 4x before the index build); deterministic matrices make it
+    reproducible and cross-engine checkable.
+
+    Scale shape: the matrix ({RP_K}x{ANN_V_DIM}) is a broadcast; the
+    projection is one map-side-combined groupBy(vec_id, r) over the
+    posexploded stream (n x dim rows in, n x {RP_K} out); norms collapse
+    per vector. No shuffle carries anything wider than {RP_K} doubles per
+    vector. Float caveat: 64-term sums differ ~1e-15 cross-engine; outputs
+    quantized at 1e-6 / 1e-4."""
+    grid = _md5_unit_grid(spark, "rp", RP_K, ANN_V_DIM)
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    proj = (
+        ex.join(F.broadcast(grid), "d")
+        .groupBy("vec_id", F.col("c").alias("r"))
+        .agg((F.sum(F.col("v") * F.col("val")) * F.sqrt(F.lit(0.1875))).alias("p"))
+    )
+    pn = proj.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("p") * F.col("p"))).alias("proj_norm")
+    )
+    nrm = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    return pn.join(nrm, "vec_id").select(
+        "vec_id",
+        qround(F.col("proj_norm"), 6).alias("proj_norm"),
+        qround(F.col("proj_norm") / F.col("nrm"), 4).alias("norm_ratio"),
+    )
+
+
 _EMBED_CENTROID_ORACLE = """
     WITH ex AS (
       SELECT label,

@@ -930,3 +930,101 @@ def q_training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+SHARD_TOKENS = 4096  # token budget per output shard
+SHARD_BLOCKS = 256  # contiguous hash-prefix blocks for the two-pass cumsum
+
+
+@_q(
+    "q_shard_plan",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             md5('shard:' || doc_id) AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, lang, n_tokens, h,
+             (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS blk
+      FROM t
+    ), c AS (
+      SELECT doc_id, lang, n_tokens, blk,
+             sum(n_tokens) OVER (PARTITION BY blk ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b
+    ), tot AS (
+      SELECT blk, sum(n_tokens) AS btok FROM b GROUP BY blk
+    ), off AS (
+      SELECT blk,
+             COALESCE(sum(btok) OVER (ORDER BY blk ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND 1 PRECEDING), 0) AS boff
+      FROM tot
+    ), g AS (
+      SELECT c.doc_id, c.lang, c.n_tokens,
+             CAST(floor((off.boff + c.cum - c.n_tokens) / {SHARD_TOKENS}.0)
+                  AS BIGINT) AS shard_id
+      FROM c JOIN off ON c.blk = off.blk
+    )
+    SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM g GROUP BY shard_id
+    """,
+)
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout plan: place the corpus in deterministic
+    pseudo-random order (md5 of doc_id — the same reshuffle discipline as
+    q_epoch_shuffle), cut it into fixed-token-budget shards by running
+    token count, and report each shard's composition (docs, tokens,
+    language diversity). This is the write plan an exporter runs before
+    materializing a 100 TB corpus as training shards: byte-budgeted files
+    in reproducible order, resumable because nothing depends on rand() or
+    partition layout.
+
+    The global running sum is the scale trap (a naive cumulative window is
+    ONE task sorting the corpus); here it is two-pass: the hash's first
+    byte splits the global hash order into {SHARD_BLOCKS} CONTIGUOUS,
+    ordered blocks, each block computes its own cumulative sum in
+    parallel, and block offsets come from a {SHARD_BLOCKS}-row aggregate
+    (the only serial window, over {SHARD_BLOCKS} rows regardless of corpus
+    size — same shape as q_pack_sequences' bin offsets). At 100 TB widen
+    the prefix to 2-3 bytes (65k/16M blocks) and the pattern holds.
+    All-integer arithmetic: no cross-engine float risk anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat(F.lit("shard:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    nib = lambda j: F.expr(f"instr('0123456789abcdef', substring(h, {j}, 1)) - 1")
+    b = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn("blk", nib(1) * 16 + nib(2))
+    wc = (
+        Window.partitionBy("blk")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.withColumn("cum", F.sum("n_tokens").over(wc))
+    tot = b.groupBy("blk").agg(F.sum("n_tokens").alias("btok"))
+    woff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.withColumn("boff", F.coalesce(F.sum("btok").over(woff), F.lit(0))).drop(
+        "btok"
+    )
+    g = c.join(F.broadcast(off), "blk").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.col("boff") + F.col("cum") - F.col("n_tokens")) / float(SHARD_TOKENS)
+        )
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+    return g.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )

@@ -507,3 +507,46 @@ def test_pq_verified_topk_values_are_exact(spark):
     assert len(overlap) > 0
     for r in overlap:
         assert r.cosine == exact[(r.vec_id, r.nbr_id)]
+
+
+def test_random_projection_preserves_norms(spark):
+    """q_random_projection (r10, oracle-gated): the JL property — with a
+    variance-normalized 16x64 matrix the projected norm concentrates
+    around the original (E[ratio²]=1), so the mean ratio must sit well
+    inside [0.7, 1.3] and every ratio must be positive and finite."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        q_random_projection,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    rows = q_random_projection(spark, SF_SMOKE).collect()
+    assert len(rows) == load_table(spark, SF_SMOKE, "embeddings").count()
+    ratios = [r.norm_ratio for r in rows]
+    assert all(0.0 < x < 3.0 for x in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3
+
+
+def test_shard_plan_partitions_corpus(spark):
+    """q_shard_plan (r10, oracle-gated): shards must PARTITION the corpus —
+    token totals sum to the corpus total, shard ids are contiguous from 0,
+    every shard is non-empty, and (except the last) each shard crosses its
+    token budget only by the one document that straddles the boundary."""
+    from pyspark.sql import functions as SF
+
+    from parquet_to_clickhouse_schema_spark.operators.training import (
+        SHARD_TOKENS,
+        q_shard_plan,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    corpus_tokens = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(SF.sum(SF.size(SF.split("text", " "))).alias("t"))
+        .collect()[0]
+        .t
+    )
+    rows = sorted(q_shard_plan(spark, SF_SMOKE).collect(), key=lambda r: r.shard_id)
+    assert [r.shard_id for r in rows] == list(range(len(rows)))
+    assert sum(r.total_tokens for r in rows) == corpus_tokens
+    assert all(r.n_docs > 0 and r.n_langs > 0 for r in rows)
