@@ -2467,6 +2467,132 @@ def q_kmeans_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# On trained encoders SemDeDup runs at tau ~0.95+; this synthetic corpus's
+# embeddings are near-random (within-cluster cosine tail maxes ~0.48 at
+# sf0.01), so the demo threshold sits where the tail has mass at every SF
+SEMDEDUP_TAU = 0.4
+
+_SEMDEDUP_ORACLE = f"""
+    WITH c0 AS ({_IVF_GRID_SQL.format(tag="km", n=KMV_K, dim=ANN_V_DIM)}),
+    ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    d0 AS (
+      SELECT vec_id, c AS cid, sum((v - val) * (v - val)) AS d2
+      FROM ex JOIN c0 USING (d) GROUP BY vec_id, c
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    cand AS (
+      SELECT l.vec_id AS lo, h.vec_id AS hi, l.cid
+      FROM a1 l JOIN a1 h ON l.cid = h.cid AND l.vec_id < h.vec_id
+    ),
+    dots AS (
+      SELECT c.lo, c.hi, c.cid, sum(a.v * b.v) AS dot
+      FROM cand c
+      JOIN ex a ON a.vec_id = c.lo
+      JOIN ex b ON b.vec_id = c.hi AND a.d = b.d
+      GROUP BY c.lo, c.hi, c.cid
+    ),
+    sim AS (
+      SELECT lo, hi, cid,
+             floor(dot / (na.nrm * nb.nrm) * 10000.0 + 0.5) / 10000.0 AS cos
+      FROM dots
+      JOIN norms na ON lo = na.vec_id
+      JOIN norms nb ON hi = nb.vec_id
+    )
+    SELECT hi AS vec_id, CAST(cid AS INT) AS cid,
+           CAST(min(lo) AS BIGINT) AS keeper_id, max(cos) AS max_cos
+    FROM sim WHERE cos >= {SEMDEDUP_TAU}
+    GROUP BY hi, cid
+"""
+
+
+@_q("q_semdedup", _SEMDEDUP_ORACLE)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup with
+    the quadratic bounded BY CLUSTERING — assign every embedding to its
+    nearest md5-grid centroid (the q_kmeans_verified init assignment, so
+    the whole pipeline stays oracle-gated), compare pairs only WITHIN a
+    cluster, and drop any vector that has a lower-id in-cluster neighbor
+    with cosine >= {SEMDEDUP_TAU} (greedy keep-lowest-id, the same policy
+    as exact dedup's rep election; a dropped row's keeper may itself chain
+    to a lower keeper). Output: dropped vec_id, its cluster, its keeper,
+    and the max duplicate similarity.
+
+    This is the scale design the paper exists for: all-pairs cosine is
+    O(n²), but with k clusters the work is O(n²/k) and k GROWS with the
+    corpus (k ∝ n keeps expected cluster size — and so per-cluster pair
+    work — constant; the 100 TB dial is k, not a rewrite). The pair join
+    is a self-equi-join on cid — hash-partitioned, never a cross join;
+    the cosine is a JVM zip_with fold over candidate pairs only. Cosines
+    are quantized at 1e-4 BEFORE thresholding so the tau comparison is
+    bit-identical cross-engine."""
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    cent = _md5_unit_grid(spark, "km", KMV_K, ANN_V_DIM).select(
+        F.col("c").alias("cid"), "d", "val"
+    )
+    d0 = (
+        ex.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("v") - F.col("val")) * (F.col("v") - F.col("val"))).alias(
+                "d2"
+            )
+        )
+    )
+    wa = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    a1 = (
+        d0.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    vecs = _as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    lo = a1.join(vecs, "vec_id").select(
+        F.col("vec_id").alias("lo"),
+        "cid",
+        F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    hi = a1.join(vecs, "vec_id").select(
+        F.col("vec_id").alias("hi"),
+        F.col("cid").alias("cid_h"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = (
+        lo.join(hi, (F.col("cid") == F.col("cid_h")) & (F.col("lo") < F.col("hi")))
+        .select(
+            "lo",
+            "hi",
+            "cid",
+            qround(dot / (F.col("na") * F.col("nb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+    )
+    return sim.groupBy(F.col("hi").alias("vec_id"), F.col("cid").cast("int").alias("cid")).agg(
+        F.min("lo").cast("bigint").alias("keeper_id"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
 RP_K = 16  # projected dimensionality (64 -> 16)
 
 _RANDOM_PROJECTION_ORACLE = f"""

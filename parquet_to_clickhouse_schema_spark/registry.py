@@ -131,6 +131,7 @@ SWEEP_PRIORITY = (
     "q_pq_verified_topk",  # r10: md5-codebook PQ, encode/ADC/re-rank twin
     "q_random_projection",  # r10: JL dim-reduction, md5 matrix, oracle-gated
     "q_shard_plan",  # r10: two-pass token-budget shard layout, oracle-gated
+    "q_semdedup",  # r10: cluster-scoped semantic dedup (SemDeDup), oracle-gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",

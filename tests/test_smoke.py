@@ -550,3 +550,21 @@ def test_shard_plan_partitions_corpus(spark):
     assert [r.shard_id for r in rows] == list(range(len(rows)))
     assert sum(r.total_tokens for r in rows) == corpus_tokens
     assert all(r.n_docs > 0 and r.n_langs > 0 for r in rows)
+
+
+def test_semdedup_drops_are_valid(spark):
+    """q_semdedup (r10, oracle-gated): every dropped vector names a
+    LOWER-id keeper, duplicate similarity meets the threshold, each vector
+    is dropped at most once, and the run is deterministic."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        SEMDEDUP_TAU,
+        q_semdedup,
+    )
+
+    rows = q_semdedup(spark, SF_SMOKE).collect()
+    again = q_semdedup(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    assert len(rows) > 0
+    assert len({r.vec_id for r in rows}) == len(rows)
+    assert all(r.keeper_id < r.vec_id for r in rows)
+    assert all(r.max_cos >= SEMDEDUP_TAU for r in rows)
