@@ -543,6 +543,78 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # bigram-PMI parameters: minimum pair support and result size
+PPL_BUCKETS = 3  # CCNet's head / middle / tail
+
+
+@_q(
+    "q_perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_tot FROM toks),
+    nll AS (
+      SELECT doc_id,
+             floor(avg(-ln(c / n_tot)) * 1000000.0 + 0.5) / 1000000.0 AS nll,
+             CAST(count(*) AS BIGINT) AS n_toks
+      FROM toks JOIN freq USING (tok) CROSS JOIN n
+      GROUP BY doc_id
+    ),
+    b AS (
+      SELECT d.lang, nll.nll, nll.n_toks,
+             ntile({PPL_BUCKETS}) OVER (PARTITION BY d.lang
+                                        ORDER BY nll.nll, nll.doc_id)
+               AS bucket
+      FROM nll JOIN documents d ON nll.doc_id = d.doc_id
+    )
+    SELECT lang, CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(avg(nll) * 10000.0 + 0.5) / 10000.0 AS mean_nll,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): split each
+    language's corpus into head/middle/tail terciles by per-document
+    unigram NLL (the perplexity proxy q_unigram_nll computes) and report
+    each bucket's size, mean NLL and token mass — the standard first cut
+    before choosing which quality tier feeds training.
+
+    Determinism discipline: the tercile is ntile() over (quantized NLL,
+    doc_id) — the 1e-6 quantization makes the sort key identical across
+    engines and the doc_id tiebreak makes the order total, so bucket
+    boundaries are bit-stable. Scale shape: unigram table is
+    vocab-bounded (broadcast), one shuffle for the per-doc NLL; the
+    per-lang ntile window is the q_window_rank-class serialization —
+    at 100 TB swap in rank_low_cardinality's two-pass bucketed rank
+    (oracle-identical, see q_window_rank_scalable) and derive the
+    tercile from the position."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("n_tot"))
+    nll = (
+        toks.join(freq, "tok")
+        .crossJoin(n)
+        .groupBy("doc_id")
+        .agg(
+            qround(F.avg(-F.log(F.col("c") / F.col("n_tot"))), 6).alias("nll"),
+            F.count("*").cast("bigint").alias("n_toks"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    b = nll.join(d.select("doc_id", "lang"), "doc_id").withColumn(
+        "bucket", F.ntile(PPL_BUCKETS).over(w)
+    )
+    return b.groupBy("lang", F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        qround(F.avg("nll"), 4).alias("mean_nll"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+    )
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP = 100
 

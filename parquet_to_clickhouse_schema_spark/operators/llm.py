@@ -2593,6 +2593,100 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HN_K = 2  # hard negatives mined per anchor
+
+_HARD_NEGATIVES_ORACLE = f"""
+    WITH ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    meta AS (SELECT vec_id, label FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    cand AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neg_id, b.label AS neg_label
+      FROM meta a JOIN meta b ON a.label <> b.label
+    ),
+    dots AS (
+      SELECT c.vec_id, c.neg_id, c.neg_label, sum(ea.v * eb.v) AS dot
+      FROM cand c
+      JOIN ex ea ON ea.vec_id = c.vec_id
+      JOIN ex eb ON eb.vec_id = c.neg_id AND ea.d = eb.d
+      GROUP BY 1, 2, 3
+    ),
+    sim AS (
+      SELECT d.vec_id, d.neg_id, d.neg_label,
+             floor(d.dot / (na.nrm * nb.nrm) * 10000.0 + 0.5) / 10000.0
+               AS cosine
+      FROM dots d
+      JOIN norms na ON d.vec_id = na.vec_id
+      JOIN norms nb ON d.neg_id = nb.vec_id
+    )
+    SELECT vec_id, neg_id, CAST(neg_label AS INT) AS neg_label, cosine
+    FROM (
+      SELECT vec_id, neg_id, neg_label, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, neg_id) AS rn
+      FROM sim
+    ) WHERE rn <= {HN_K}
+"""
+
+
+@_q("q_hard_negatives", _HARD_NEGATIVES_ORACLE)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for every
+    anchor, the {HN_K} most-similar vectors with a DIFFERENT label — the
+    negatives that actually move the loss (DPR/Contriever-style training
+    samples its negatives exactly this way). Exact semantics, oracle-gated.
+
+    Plan shape: the label-inequality predicate would be a nested-loop
+    join; instead the distinct-label spine is crossed with itself
+    (|labels|² rows, a broadcast) and both sides attach by label
+    EQUI-joins — hash joins end to end, no BNLJ. This brute pass is the
+    labeled O(n²) baseline (same status as q_cosine_topk); at 100 TB mine
+    per label-pair with the ANN family (IVF lists built per target
+    label), which keeps the same output contract. Ranking follows the
+    quantize-then-rank discipline: 1e-4 cosine + neg_id tiebreak, so the
+    cross-engine order is bit-identical even among duplicate vectors."""
+    e = _as_double_vec(load_table(spark, sf_dir, "embeddings")).join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
+    )
+    labels = e.select("label").distinct()
+    lp = (
+        labels.crossJoin(
+            labels.select(F.col("label").alias("neg_label"))
+        ).filter(F.col("label") != F.col("neg_label"))
+    )
+    va = e.select("vec_id", "label", F.col("vec").alias("va"), F.col("norm").alias("na"))
+    vb = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = (
+        va.join(F.broadcast(lp), "label")
+        .join(vb, "neg_label")
+        .select(
+            "vec_id",
+            "neg_id",
+            F.col("neg_label").cast("int").alias("neg_label"),
+            qround(dot / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "neg_id")
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HN_K)
+        .select("vec_id", "neg_id", "neg_label", "cosine")
+    )
+
+
 RP_K = 16  # projected dimensionality (64 -> 16)
 
 _RANDOM_PROJECTION_ORACLE = f"""

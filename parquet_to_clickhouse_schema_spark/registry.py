@@ -132,6 +132,8 @@ SWEEP_PRIORITY = (
     "q_random_projection",  # r10: JL dim-reduction, md5 matrix, oracle-gated
     "q_shard_plan",  # r10: two-pass token-budget shard layout, oracle-gated
     "q_semdedup",  # r10: cluster-scoped semantic dedup (SemDeDup), oracle-gated
+    "q_hard_negatives",  # r10: cross-label top-k mining, equi-join plan, gated
+    "q_perplexity_buckets",  # r10: CCNet head/middle/tail NLL terciles, gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",

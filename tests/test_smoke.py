@@ -568,3 +568,54 @@ def test_semdedup_drops_are_valid(spark):
     assert len({r.vec_id for r in rows}) == len(rows)
     assert all(r.keeper_id < r.vec_id for r in rows)
     assert all(r.max_cos >= SEMDEDUP_TAU for r in rows)
+
+
+def test_hard_negatives_are_cross_label(spark):
+    """q_hard_negatives (r10, oracle-gated): every mined negative has a
+    different label than its anchor, exactly <= 2 per anchor, cosines in
+    range and rank-ordered."""
+    from collections import Counter
+
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        q_hard_negatives,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    lbl = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = q_hard_negatives(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    per_anchor = Counter(r.vec_id for r in rows)
+    assert max(per_anchor.values()) <= 2
+    for r in rows:
+        assert lbl[r.neg_id] == r.neg_label
+        assert lbl[r.vec_id] != r.neg_label
+        assert -1.0 <= r.cosine <= 1.0
+
+
+def test_perplexity_buckets_cover_corpus(spark):
+    """q_perplexity_buckets (r10, oracle-gated): per-language terciles
+    partition the corpus (doc counts sum to corpus size), buckets are
+    1..3, and mean NLL increases monotonically from head to tail within
+    every language."""
+    from collections import defaultdict
+
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        q_perplexity_buckets,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    rows = q_perplexity_buckets(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rows) == n
+    assert all(1 <= r.bucket <= 3 for r in rows)
+    by_lang = defaultdict(dict)
+    for r in rows:
+        by_lang[r.lang][r.bucket] = r.mean_nll
+    for lang, b in by_lang.items():
+        means = [b[k] for k in sorted(b)]
+        assert means == sorted(means), (lang, means)
