@@ -58,6 +58,11 @@ HEADLINE = [
     # tracked, so their r-over-r deltas exist from birth
     "q_training_mix_report",
     "q_incremental_near_dedup",
+    # r10 additions: the paper-named dedup/mining/layout ops, tracked from
+    # birth so r-over-r deltas exist
+    "q_semdedup",
+    "q_shard_plan",
+    "q_hard_negatives",
 ]
 
 
