@@ -615,6 +615,94 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 256  # hashed-unigram feature space
+DSIR_TARGET_LANG = "en"
+
+
+@_q(
+    "q_dsir_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b
+      FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      )
+    ),
+    tgt AS (
+      SELECT b, count(*) AS ct FROM toks
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+    ),
+    src AS (SELECT b, count(*) AS cs FROM toks GROUP BY b),
+    nt AS (
+      SELECT count(*) AS n FROM toks WHERE lang = '{DSIR_TARGET_LANG}'
+    ),
+    ns AS (SELECT count(*) AS n FROM toks)
+    SELECT t.doc_id, t.lang,
+           floor(avg(ln(((COALESCE(tg.ct, 0) + 1.0) / (nt.n + {DSIR_BUCKETS}.0))
+                        / ((s.cs + 1.0) / (ns.n + {DSIR_BUCKETS}.0))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dsir_weight
+    FROM toks t
+    LEFT JOIN tgt tg USING (b)
+    JOIN src s USING (b)
+    CROSS JOIN nt CROSS JOIN ns
+    GROUP BY t.doc_id, t.lang
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every document by how target-like its hashed n-gram features are —
+    the mean log-ratio of target vs source likelihood under two
+    Laplace-smoothed hashed-unigram models ({DSIR_BUCKETS} md5 buckets;
+    target = lang='{DSIR_TARGET_LANG}' here, any predicate works).
+    Sampling ∝ exp(weight) reproduces the paper's importance resampling;
+    emitting the weight keeps the op deterministic and oracle-gated.
+
+    Scale shape: the feature space is FIXED-width ({DSIR_BUCKETS} rows),
+    so both distribution tables and the two corpus totals are broadcasts
+    — the token stream joins them map-side and the only shuffle is the
+    per-doc mean. Hashed features are the paper's own trick for exactly
+    this reason: the model size is independent of vocabulary growth.
+    Float caveat: ln() of identical doubles may differ 1 ulp across
+    libm implementations; the 1e-6 output quantization sits ~9 orders
+    above (the q_unigram_nll-proven margin)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn("h", F.md5(F.col("tok").cast("binary")))
+        .withColumn(
+            "b",
+            F.expr("instr('0123456789abcdef', substring(h, 1, 1)) - 1") * 16
+            + F.expr("instr('0123456789abcdef', substring(h, 2, 1)) - 1"),
+        )
+        .drop("h", "tok")
+    )
+    tgt = (
+        toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    src = toks.groupBy("b").agg(F.count("*").alias("cs"))
+    nt = toks.filter(F.col("lang") == DSIR_TARGET_LANG).agg(
+        F.count("*").alias("n_t")
+    )
+    ns = toks.agg(F.count("*").alias("n_s"))
+    log_ratio = F.log(
+        ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("n_t") + float(DSIR_BUCKETS)))
+        / ((F.col("cs") + 1.0) / (F.col("n_s") + float(DSIR_BUCKETS)))
+    )
+    return (
+        toks.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(src), "b")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ns))
+        .groupBy("doc_id", "lang")
+        .agg(qround(F.avg(log_ratio), 6).alias("dsir_weight"))
+    )
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP = 100
 

@@ -134,6 +134,7 @@ SWEEP_PRIORITY = (
     "q_semdedup",  # r10: cluster-scoped semantic dedup (SemDeDup), oracle-gated
     "q_hard_negatives",  # r10: cross-label top-k mining, equi-join plan, gated
     "q_perplexity_buckets",  # r10: CCNet head/middle/tail NLL terciles, gated
+    "q_dsir_weights",  # r10: DSIR hashed-ngram importance weights, gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",

@@ -619,3 +619,23 @@ def test_perplexity_buckets_cover_corpus(spark):
     for lang, b in by_lang.items():
         means = [b[k] for k in sorted(b)]
         assert means == sorted(means), (lang, means)
+
+
+def test_dsir_weights_favor_target(spark):
+    """q_dsir_weights (r10, oracle-gated): importance weights must cover
+    every document once, and target-language documents must average a
+    HIGHER weight than non-target ones (the defining property of the
+    likelihood-ratio score)."""
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        DSIR_TARGET_LANG,
+        q_dsir_weights,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    rows = q_dsir_weights(spark, SF_SMOKE).collect()
+    assert len(rows) == n
+    tgt = [r.dsir_weight for r in rows if r.lang == DSIR_TARGET_LANG]
+    rest = [r.dsir_weight for r in rows if r.lang != DSIR_TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
