@@ -172,6 +172,10 @@ SWEEP_PRIORITY = (
     "q_repetition_filter",
     "q_report_disjunctive_revenue",
     "q_report_nation_profit",
+    # ---- ~50-budget line ----
+    # remaining r4-era keys — next-rotation fill / overflow if the budget
+    # runs past 50 (ten moved below the line as the r10 oracle additions
+    # took section-(a) slots; they are first in the r11 rotation)
     "q_report_promo_share",
     "q_report_regional_revenue",
     "q_resample_gapfill",
@@ -179,10 +183,6 @@ SWEEP_PRIORITY = (
     "q_salted_join",
     "q_scd1_merge",
     "q_scd2_apply",
-    # ---- ~50-budget line ----
-    # remaining r4-era keys — next-rotation fill / overflow if the budget
-    # runs past 50 (three moved below the line when the r10 verified twins
-    # took slots in section (a))
     "q_schema_infer",
     "q_stratified_sample",
     "q_string_agg",
