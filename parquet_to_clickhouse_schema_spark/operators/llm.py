@@ -2121,57 +2121,80 @@ def q_ivf_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment/probe ranks compare scores of DISTINCT random centroids
     (gaps ~1e-1), and the output cosine is quantized at 1e-4 — both ~11
     orders of magnitude above the noise."""
-    cent = _md5_unit_grid(spark, "ivf", IVF_V_C, ANN_V_DIM)
-    cnorm = cent.groupBy("c").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("cn"))
-    ex = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
-        .withColumn("v", F.col("v").cast("double"))
+    def ranked_frame() -> DataFrame:
+        # built FRESH per cogroup side: the two sides of a cogroup must not
+        # share a subplan (the analyzer's self-join dedup leaves one side
+        # with ambiguous expression ids — the _block_sides lesson); the
+        # duplicated scoring pass is one cheap map-side-combined aggregate
+        cent = _md5_unit_grid(spark, "ivf", IVF_V_C, ANN_V_DIM)
+        cnorm = cent.groupBy("c").agg(
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("cn")
+        )
+        ex = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+            .withColumn("v", F.col("v").cast("double"))
+        )
+        dots = (
+            ex.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "c")
+            .agg(F.sum(F.col("v") * F.col("val")).alias("dot"))
+        )
+        wc = Window.partitionBy("vec_id").orderBy(
+            (F.col("dot") / F.col("cn")).desc(), "c"
+        )
+        return dots.join(F.broadcast(cnorm), "c").withColumn(
+            "rn", F.row_number().over(wc)
+        )
+
+    assigned = ranked_frame().filter(F.col("rn") == 1).select(
+        "vec_id", F.col("c").alias("cid")
     )
-    dots = (
-        ex.join(F.broadcast(cent), "d")
-        .groupBy("vec_id", "c")
-        .agg(F.sum(F.col("v") * F.col("val")).alias("dot"))
-    )
-    wc = Window.partitionBy("vec_id").orderBy(
-        (F.col("dot") / F.col("cn")).desc(), "c"
-    )
-    ranked = dots.join(F.broadcast(cnorm), "c").withColumn(
-        "rn", F.row_number().over(wc)
-    )
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("nbr_id"), F.col("c").alias("cid")
-    )
-    probes = ranked.filter(F.col("rn") <= IVF_V_PROBE).select(
+    probes = ranked_frame().filter(F.col("rn") <= IVF_V_PROBE).select(
         "vec_id", F.col("c").alias("pc")
     )
-    # each db vector lives in exactly one list and each (query, probe) is
-    # distinct, so the join emits every candidate pair at most once — no
-    # dedup shuffle needed
-    cand = probes.join(assigned, (F.col("pc") == F.col("cid"))).filter(
-        F.col("vec_id") != F.col("nbr_id")
-    ).select("vec_id", "nbr_id")
-    va = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    # re-rank as ONE cogroup-on-centroid job: each (probe-queries, list)
+    # pair meets in a single BLAS matmul — the same cogroup shape as the
+    # production ivf_topk (a zip_with-fold re-rank of the candidate join
+    # measured ~5x slower at the gate SF). Two independent reads (see
+    # _block_sides: a self-cogroup trips the analyzer's self-join dedup).
+    import numpy as np
+    import pandas as pd
+
+    qside = probes.join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
     )
-    vb = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("vec").alias("vb"),
-        F.col("norm").alias("nb"),
+    iside = assigned.join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+
+    def rerank_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return _empty_pairs("cos_raw")
+        a_ids = qpdf["vec_id"].to_numpy()
+        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_ids = ipdf["vec_id"].to_numpy()
+        b_mat = np.stack(ipdf["embedding"].to_numpy()).astype("float64")
+        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        cos = (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
+        out_vec, out_nbr, out_sc = _partial_topk(a_ids, b_ids, cos, IVF_V_K)
+        if not out_vec:
+            return _empty_pairs("cos_raw")
+        return pd.DataFrame({"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_sc})
+
+    partials = (
+        qside.groupBy("pc")
+        .cogroup(iside.groupBy("cid"))
+        .applyInPandas(rerank_cogroup, schema="vec_id long, nbr_id long, cos_raw double")
     )
-    exact = cand.join(va, "vec_id").join(vb, "nbr_id").select(
-        "vec_id", "nbr_id", (dot / (F.col("na") * F.col("nb"))).alias("cos_sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "nbr_id")
     return (
-        exact.withColumn("rn", F.row_number().over(w))
+        partials.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= IVF_V_K)
-        .select("vec_id", "nbr_id", qround(F.col("cos_sim"), 4).alias("cosine"))
+        .select("vec_id", "nbr_id", qround(F.col("cos_raw"), 4).alias("cosine"))
     )
 
 
