@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_to_clickhouse_schema_spark._registry import new_registry
-from parquet_to_clickhouse_schema_spark.functions.compat import qround
+from parquet_to_clickhouse_schema_spark.functions.compat import qround, sql_qround
 from parquet_to_clickhouse_schema_spark.sources.io import load_table
 
 QUERIES, ORACLES, _q = new_registry()
@@ -1383,5 +1383,130 @@ def q_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("kept_mean_diversity"),
+        )
+    )
+
+
+BLM_BUCKETS = 256  # hashed context/token feature space (same trick as DSIR)
+BLM_LAMBDA = 0.8  # bigram weight; unigram back-off weight is BLM_MU
+BLM_MU = 0.2  # its own literal so neither engine computes 1 - lambda
+
+_BLM_BUCKET = """(instr('0123456789abcdef', substr(md5({tok}), 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5({tok}), 2, 1)) - 1)"""
+
+_BIGRAM_LM_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    bgt AS (
+      SELECT doc_id, tok AS a,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bt
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id,
+             {_BLM_BUCKET.format(tok="a")} AS ba,
+             {_BLM_BUCKET.format(tok="bt")} AS bb
+      FROM bgt WHERE bt IS NOT NULL
+    ),
+    uni AS (
+      SELECT {_BLM_BUCKET.format(tok="tok")} AS b, count(*) AS cu
+      FROM toks GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_tok FROM toks),
+    c2 AS (SELECT ba, bb, count(*) AS c2 FROM bg GROUP BY ba, bb),
+    c1 AS (SELECT ba, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY ba),
+    p AS (
+      SELECT c2.ba, c2.bb,
+             {BLM_LAMBDA} * (c2.c2 / c1.c1)
+             + {BLM_MU} * ((uni.cu + 1.0) / (n.n_tok + {BLM_BUCKETS}.0)) AS p
+      FROM c2 JOIN c1 USING (ba)
+      JOIN uni ON uni.b = c2.bb
+      CROSS JOIN n
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           {sql_qround("avg(-ln(p))", 6)} AS bigram_nll
+    FROM bg JOIN p USING (ba, bb)
+    GROUP BY doc_id
+"""
+
+
+@_q("q_bigram_lm_score", _BIGRAM_LM_ORACLE)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated hashed-bigram language-model scoring: train a
+    Jelinek-Mercer-smoothed bigram LM on the corpus itself and score every
+    document by mean negative log-likelihood over its bigrams —
+    P(w|c) = {BLM_LAMBDA}*c(c,w)/c(c,.) + {BLM_MU}*(c(w)+1)/(N+{BLM_BUCKETS}).
+    This is the CCNet/KenLM perplexity-filter shape (Wenzek et al. 2020)
+    one n-gram order up from q_unigram_nll, with DSIR's hashed-feature
+    trick (md5 -> {BLM_BUCKETS} buckets) so the model is FIXED-width no
+    matter how the vocabulary grows. Both interpolation weights are their
+    own literals so neither engine computes 1-lambda in floating point.
+
+    Scale shape: the bigram table is at most {BLM_BUCKETS}^2 rows and the
+    unigram table {BLM_BUCKETS} — both broadcast, as is the 1-row token
+    total; the token stream joins them map-side and the only fact-sized
+    shuffle is the per-doc mean. Bigrams come from a row-local JVM
+    transform(sequence(...)) over the split array (q_bigram_pmi's
+    pattern — no window, no UDF); docs shorter than 2 tokens produce no
+    bigrams and are absent from the output in both engines (corpus min
+    is 10 tokens). Float caveat: ln() may differ 1 ulp cross-libm; the
+    1e-6 quantization sits ~9 orders above (q_unigram_nll's proven
+    margin)."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def bucket(col_name: str):
+        return F.expr(
+            f"(instr('0123456789abcdef', substring(md5(cast({col_name} as binary)), 1, 1)) - 1) * 16"
+            f" + (instr('0123456789abcdef', substring(md5(cast({col_name} as binary)), 2, 1)) - 1)"
+        )
+
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    uni = toks.select(bucket("tok").alias("b")).groupBy("b").agg(
+        F.count("*").alias("cu")
+    )
+    n = toks.agg(F.count("*").alias("n_tok"))
+    bg = (
+        d.filter(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> struct(split(text, ' ')[i-1] AS a, "
+                    "split(text, ' ')[i] AS bt))"
+                )
+            ).alias("pr"),
+        )
+        .select(
+            "doc_id",
+            bucket("pr.a").alias("ba"),
+            bucket("pr.bt").alias("bb"),
+        )
+    )
+    c2 = bg.groupBy("ba", "bb").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("ba").agg(F.sum("c2").cast("bigint").alias("c1"))
+    p = (
+        c2.join(c1, "ba")
+        .join(uni.withColumnRenamed("b", "bb"), "bb")
+        .crossJoin(n)
+        .select(
+            "ba",
+            "bb",
+            (
+                F.lit(BLM_LAMBDA) * (F.col("c2") / F.col("c1"))
+                + F.lit(BLM_MU)
+                * ((F.col("cu") + 1.0) / (F.col("n_tok") + float(BLM_BUCKETS)))
+            ).alias("p"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(p), ["ba", "bb"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            qround(F.avg(-F.log("p")), 6).alias("bigram_nll"),
         )
     )

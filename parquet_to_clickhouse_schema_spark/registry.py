@@ -21,6 +21,7 @@ from parquet_to_clickhouse_schema_spark.operators import (
     merge,
     relational,
     reports,
+    retrieval,
     skew,
     sortset,
     sqlfeatures,
@@ -35,6 +36,7 @@ _MODULES = [
     core,
     relational,
     reports,
+    retrieval,
     aggregation,
     windows,
     sortset,
@@ -135,6 +137,10 @@ SWEEP_PRIORITY = (
     "q_hard_negatives",  # r10: cross-label top-k mining, equi-join plan, gated
     "q_perplexity_buckets",  # r10: CCNet head/middle/tail NLL terciles, gated
     "q_dsir_weights",  # r10: DSIR hashed-ngram importance weights, gated
+    "q_rank_fusion",  # r10: RRF hybrid lexical+dense retrieval, gated
+    "q_mmr_diversify",  # r10: unrolled greedy MMR re-rank, gated
+    "q_cluster_balanced_sample",  # r10: per-cluster cap sampling, gated
+    "q_bigram_lm_score",  # r10: interpolated hashed-bigram LM NLL, gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",
@@ -167,15 +173,15 @@ SWEEP_PRIORITY = (
     "q_lang_id",
     "q_lateral_join",
     "q_map_funcs",
+    # ---- ~50-budget line ----
+    # remaining r4-era keys — next-rotation fill / overflow if the budget
+    # runs past 50 (fourteen moved below the line as the r10 oracle
+    # additions took section-(a) slots; they are first in the r11 rotation)
     "q_pii_redact",
     "q_quality_score",
     "q_repetition_filter",
     "q_report_disjunctive_revenue",
     "q_report_nation_profit",
-    # ---- ~50-budget line ----
-    # remaining r4-era keys — next-rotation fill / overflow if the budget
-    # runs past 50 (ten moved below the line as the r10 oracle additions
-    # took section-(a) slots; they are first in the r11 rotation)
     "q_report_promo_share",
     "q_report_regional_revenue",
     "q_resample_gapfill",

