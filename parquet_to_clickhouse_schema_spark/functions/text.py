@@ -1457,17 +1457,26 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin)."""
     d = load_table(spark, sf_dir, "documents")
 
-    def bucket(col_name: str):
+    def nib(h: str):
+        # bucket from an ALREADY-computed md5 column: one hash per token,
+        # not one per nibble (the md5 is the dominant per-row cost here)
         return F.expr(
-            f"(instr('0123456789abcdef', substring(md5(cast({col_name} as binary)), 1, 1)) - 1) * 16"
-            f" + (instr('0123456789abcdef', substring(md5(cast({col_name} as binary)), 2, 1)) - 1)"
+            f"(instr('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+            f" + (instr('0123456789abcdef', substring({h}, 2, 1)) - 1)"
         )
 
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    uni = toks.select(bucket("tok").alias("b")).groupBy("b").agg(
-        F.count("*").alias("cu")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn("h", F.md5(F.col("tok").cast("binary")))
+        .select("doc_id", nib("h").alias("b"))
     )
+    uni = toks.groupBy("b").agg(F.count("*").alias("cu"))
     n = toks.agg(F.count("*").alias("n_tok"))
+    # repartition("doc_id") is the minhash_signatures parallelism barrier
+    # (llm.py): the corpus arrives as ONE file split, and without it the
+    # explode + 2 md5/bigram run single-task; with it the hash work spreads
+    # across the cluster and Catalyst reuses the exchange for both the
+    # model-count branch and the scoring branch
     bg = (
         d.filter(F.size(F.split("text", " ")) >= 2)
         .select(
@@ -1480,11 +1489,13 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pr"),
         )
+        .repartition("doc_id")
         .select(
             "doc_id",
-            bucket("pr.a").alias("ba"),
-            bucket("pr.bt").alias("bb"),
+            F.md5(F.col("pr.a").cast("binary")).alias("ha"),
+            F.md5(F.col("pr.bt").cast("binary")).alias("hb"),
         )
+        .select("doc_id", nib("ha").alias("ba"), nib("hb").alias("bb"))
     )
     c2 = bg.groupBy("ba", "bb").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("ba").agg(F.sum("c2").cast("bigint").alias("c1"))
