@@ -63,6 +63,11 @@ HEADLINE = [
     "q_semdedup",
     "q_shard_plan",
     "q_hard_negatives",
+    # r10 third batch: the retrieval quartet, tracked from birth
+    "q_rank_fusion",
+    "q_mmr_diversify",
+    "q_cluster_balanced_sample",
+    "q_bigram_lm_score",
 ]
 
 
