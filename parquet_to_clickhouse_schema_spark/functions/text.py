@@ -1521,3 +1521,131 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.avg(-F.log("p")), 6).alias("bigram_nll"),
         )
     )
+
+
+BPE_ENC_MERGES = 8  # merge rules applied by the encoder (rank order)
+BPE_ENC_PASSES = 3  # replace passes per rule: pass k merges occurrences
+#                     left unmerged by pass k-1's non-overlapping scan
+
+
+def _bpe_encode_oracle() -> str:
+    """Nested-replace oracle: the 8 corpus-learned merge rules arrive as
+    1-row CROSS JOINs and apply in rank order, 3 passes each — the same
+    unrolling the Spark side performs."""
+    e = "concat(' ', regexp_replace(tok, '(.)', '\\1 ', 'g'))"
+    joins = []
+    for i in range(1, BPE_ENC_MERGES + 1):
+        joins.append(
+            f"CROSS JOIN (SELECT a AS a{i}, b AS b{i} FROM merges WHERE r = {i}) m{i}"
+        )
+        for _ in range(BPE_ENC_PASSES):
+            e = (
+                f"replace({e}, concat(' ', a{i}, ' ', b{i}, ' '), "
+                f"concat(' ', a{i}, b{i}, ' '))"
+            )
+    return f"""
+    WITH words AS (
+      SELECT tok, count(*) AS wfreq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE len(tok) >= 2
+      GROUP BY tok
+    ),
+    pairs AS (
+      SELECT substr(tok, i, 1) AS a, substr(tok, i + 1, 1) AS b,
+             sum(wfreq) AS pair_count
+      FROM words, unnest(range(1, len(tok))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    merges AS (
+      SELECT a, b, row_number() OVER (ORDER BY pair_count DESC, a, b) AS r
+      FROM pairs
+      ORDER BY pair_count DESC, a, b LIMIT {BPE_ENC_MERGES}
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS wfreq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    )
+    SELECT tok, CAST(wfreq AS BIGINT) AS wfreq,
+           trim({e}) AS encoded,
+           CAST(len(string_split(trim({e}), ' ')) AS INT) AS n_symbols
+    FROM vocab
+    {chr(10).join(joins)}
+"""
+
+
+@_q("q_bpe_encode", _bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization of the corpus vocabulary: learn the top
+    {BPE_ENC_MERGES} merge rules from corpus-weighted character-pair
+    counts (the q_bpe_pairs ranking) and apply them to every distinct
+    word in RANK ORDER — the encode half that completes the BPE family
+    (q_bpe_pairs counts, q_bpe_train learns iteratively, this applies).
+    Output: every vocabulary word with its frequency, encoded
+    space-separated symbol sequence, and symbol count.
+
+    The encode runs on the space-joined symbol representation (' a b c ')
+    so a merged symbol can never be split by a later rule matching inside
+    it. Each rule is a LITERAL string replace (no regex at apply time)
+    run {BPE_ENC_PASSES} times: one non-overlapping left-to-right pass
+    misses every other occurrence in a run (' a b a b ' shares the
+    boundary space), and each extra pass merges the survivors — symbol
+    runs shrink geometrically, so {BPE_ENC_PASSES} passes cover any word
+    this side of pathological. Both engines unroll the identical
+    {BPE_ENC_MERGES}x{BPE_ENC_PASSES} replace chain with the rules
+    arriving as 1-row broadcast joins, so the whole tokenizer — learned
+    rules AND their application — is hash-gated.
+
+    Scale shape: the same vocab-bounded trick as the trainer — encoding
+    touches the DISTINCT word table (Heaps' law: ~1M rows at 100 TB),
+    never the raw token stream; corpus-sized work is one word-count
+    shuffle. The 24 chained replaces are row-local JVM codegen. To
+    tokenize the corpus itself, broadcast-join this output back on tok."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _word_freqs(d)
+    pairs = words.select(
+        "wfreq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1), "
+                "i -> struct(substr(tok, i, 1) AS a, substr(tok, i + 1, 1) AS b))"
+            )
+        ).alias("p"),
+    ).select("wfreq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    merges = (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("wfreq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "a", "b")
+        .limit(BPE_ENC_MERGES)
+        .select(
+            "a",
+            "b",
+            F.row_number()
+            .over(Window.orderBy(F.col("pair_count").desc(), "a", "b"))
+            .alias("r"),
+        )
+    )
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("wfreq"))
+    )
+    out = vocab
+    for i in range(1, BPE_ENC_MERGES + 1):
+        rule = merges.filter(F.col("r") == i).select(
+            F.col("a").alias(f"a{i}"), F.col("b").alias(f"b{i}")
+        )
+        out = out.crossJoin(F.broadcast(rule))
+    e = "concat(' ', regexp_replace(tok, '(.)', '$1 '))"
+    for i in range(1, BPE_ENC_MERGES + 1):
+        for _ in range(BPE_ENC_PASSES):
+            e = (
+                f"replace({e}, concat(' ', a{i}, ' ', b{i}, ' '), "
+                f"concat(' ', a{i}, b{i}, ' '))"
+            )
+    return out.select(
+        "tok",
+        "wfreq",
+        F.expr(f"trim({e})").alias("encoded"),
+        F.expr(f"size(split(trim({e}), ' '))").cast("int").alias("n_symbols"),
+    )

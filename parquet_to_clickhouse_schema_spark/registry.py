@@ -141,6 +141,7 @@ SWEEP_PRIORITY = (
     "q_mmr_diversify",  # r10: unrolled greedy MMR re-rank, gated
     "q_cluster_balanced_sample",  # r10: per-cluster cap sampling, gated
     "q_bigram_lm_score",  # r10: interpolated hashed-bigram LM NLL, gated
+    "q_bpe_encode",  # r10: rank-ordered BPE merge application, gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",
@@ -175,7 +176,7 @@ SWEEP_PRIORITY = (
     "q_map_funcs",
     # ---- ~50-budget line ----
     # remaining r4-era keys — next-rotation fill / overflow if the budget
-    # runs past 50 (fourteen moved below the line as the r10 oracle
+    # runs past 50 (fifteen moved below the line as the r10 oracle
     # additions took section-(a) slots; they are first in the r11 rotation)
     "q_pii_redact",
     "q_quality_score",

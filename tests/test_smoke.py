@@ -729,3 +729,23 @@ def test_bigram_lm_score_covers_corpus_and_is_positive(spark):
     ).collect()[0].nt
     got0 = next(r for r in rows if r.doc_id == 0)
     assert got0.n_bigrams == doc0 - 1
+
+
+def test_bpe_encode_roundtrips_and_compresses(spark):
+    """q_bpe_encode (r10, oracle-gated): stripping the spaces from every
+    encoded form reproduces the original word (merges never lose or
+    reorder characters); symbol counts never exceed character counts;
+    and at least one word actually compressed (the top merge occurs in
+    the corpus by construction)."""
+    from parquet_to_clickhouse_schema_spark.functions.text import q_bpe_encode
+
+    rows = q_bpe_encode(spark, SF_SMOKE).collect()
+    assert rows
+    compressed = 0
+    for r in rows:
+        assert r.encoded.replace(" ", "") == r.tok, r
+        assert r.n_symbols == len(r.encoded.split(" "))
+        assert r.n_symbols <= len(r.tok)
+        if r.n_symbols < len(r.tok):
+            compressed += 1
+    assert compressed > 0
