@@ -1877,31 +1877,10 @@ _ANN_VERIFIED_ORACLE = f"""
 """
 
 
-@_q("q_ann_verified_topk", _ANN_VERIFIED_ORACLE)
-def q_ann_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN with a FULL oracle gate (r10): signatures come
-    from md5-derived ±1 hyperplanes (s(p,d) = +1 iff the first hex nibble
-    of md5('h:p:d') <= '7') instead of numpy RNG, so DuckDB rebuilds the
-    identical planes, signatures, band buckets and candidate pairs, then
-    re-ranks them with the same exact cosine — the driver's hash check
-    covers the LSH path end-to-end, not merely a brute-force proxy.
-
-    Shape: {ANN_V_PLANES} planes in {ANN_V_PLANES // ANN_V_BAND_BITS}
-    bands of {ANN_V_BAND_BITS} bits; a random pair collides ~(1/2^8) per
-    band (~1.6% overall) while near-duplicates collide with high
-    probability — the standard recall/candidate-count dial.
-
-    Scale shape: the plane table ({ANN_V_PLANES}x{ANN_V_DIM} rows) is a
-    broadcast; projections are one map-side-combined groupBy(vec_id, p)
-    over the posexploded stream (n x dim rows in, n x planes out);
-    signatures group per (vec_id, band); candidates are a banded
-    EQUI-join (each bucket joins only its own members — never all-pairs);
-    the exact re-rank touches only candidate rows. At 100 TB the only
-    skew risk is a hot bucket (near-constant vectors); the ceiling fix is
-    the same document-frequency cap q_substring_dup applies to anchors.
-    Float caveat: cross-engine doubles differ by summation order only
-    (~1e-15 relative); the proj >= 0 bit threshold and the 1e-4 cosine
-    quantization sit ~10 orders of magnitude above that."""
+def _ann_v_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, bucket) LSH signatures from the md5-derived ±1
+    hyperplanes shared by q_ann_verified_topk and q_ann_recall_eval — both
+    engines rebuild the identical planes, so the banded buckets hash-match."""
     planes = (
         spark.range(ANN_V_PLANES)
         .select(F.col("id").alias("p"))
@@ -1945,7 +1924,7 @@ def q_ann_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.when(F.col("proj") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
     )
-    sig = bits.groupBy("vec_id", "band").agg(
+    return bits.groupBy("vec_id", "band").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("p", "bit"))),
@@ -1954,6 +1933,34 @@ def q_ann_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("bucket")
     )
+
+
+@_q("q_ann_verified_topk", _ANN_VERIFIED_ORACLE)
+def q_ann_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with a FULL oracle gate (r10): signatures come
+    from md5-derived ±1 hyperplanes (s(p,d) = +1 iff the first hex nibble
+    of md5('h:p:d') <= '7') instead of numpy RNG, so DuckDB rebuilds the
+    identical planes, signatures, band buckets and candidate pairs, then
+    re-ranks them with the same exact cosine — the driver's hash check
+    covers the LSH path end-to-end, not merely a brute-force proxy.
+
+    Shape: {ANN_V_PLANES} planes in {ANN_V_PLANES // ANN_V_BAND_BITS}
+    bands of {ANN_V_BAND_BITS} bits; a random pair collides ~(1/2^8) per
+    band (~1.6% overall) while near-duplicates collide with high
+    probability — the standard recall/candidate-count dial.
+
+    Scale shape: the plane table ({ANN_V_PLANES}x{ANN_V_DIM} rows) is a
+    broadcast; projections are one map-side-combined groupBy(vec_id, p)
+    over the posexploded stream (n x dim rows in, n x planes out);
+    signatures group per (vec_id, band); candidates are a banded
+    EQUI-join (each bucket joins only its own members — never all-pairs);
+    the exact re-rank touches only candidate rows. At 100 TB the only
+    skew risk is a hot bucket (near-constant vectors); the ceiling fix is
+    the same document-frequency cap q_substring_dup applies to anchors.
+    Float caveat: cross-engine doubles differ by summation order only
+    (~1e-15 relative); the proj >= 0 bit threshold and the 1e-4 cosine
+    quantization sit ~10 orders of magnitude above that."""
+    sig = _ann_v_signatures(spark, sf_dir)
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
         a.join(
@@ -1989,6 +1996,203 @@ def q_ann_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= ANN_V_K)
         .select("vec_id", "nbr_id", qround(F.col("cos_sim"), 4).alias("cosine"))
+    )
+
+
+RQ_N = 32  # evaluation query sample size (fixed — NOT a corpus fraction)
+RQ_K = 10  # recall@k cutoff
+
+_ANN_RECALL_ORACLE = f"""
+    WITH planes AS (
+      SELECT p, d,
+             CASE WHEN substr(md5('h:' || p || ':' || d), 1, 1) <= '7'
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT unnest(range(0, {ANN_V_PLANES})) AS p),
+           (SELECT unnest(range(0, {ANN_V_DIM})) AS d)
+    ),
+    ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, p, sum(v * s) AS proj
+      FROM ex JOIN planes USING (d) GROUP BY vec_id, p
+    ),
+    sig AS (
+      SELECT vec_id, CAST(p // {ANN_V_BAND_BITS} AS INT) AS band,
+             string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY p) AS bucket
+      FROM proj GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY md5('rq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {RQ_N}
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    exd AS (
+      SELECT qq.vec_id AS qid, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
+      FROM q qq
+      JOIN ex a ON a.vec_id = qq.vec_id
+      JOIN ex b ON b.d = a.d AND b.vec_id <> qq.vec_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT qid, nbr_id FROM (
+        SELECT d.qid, d.nbr_id,
+               row_number() OVER (PARTITION BY d.qid
+                                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
+                                           d.nbr_id) AS rn
+        FROM exd d
+        JOIN norms na ON d.qid = na.vec_id
+        JOIN norms nb ON d.nbr_id = nb.vec_id
+      ) WHERE rn <= {RQ_K}
+    ),
+    cand AS (
+      SELECT DISTINCT qq.vec_id AS qid, s2.vec_id AS nbr_id
+      FROM q qq
+      JOIN sig s1 ON s1.vec_id = qq.vec_id
+      JOIN sig s2 ON s2.band = s1.band AND s2.bucket = s1.bucket
+                 AND s2.vec_id <> qq.vec_id
+    ),
+    anndot AS (
+      SELECT c.qid, c.nbr_id, sum(a.v * b.v) AS dot
+      FROM cand c
+      JOIN ex a ON a.vec_id = c.qid
+      JOIN ex b ON b.vec_id = c.nbr_id AND b.d = a.d
+      GROUP BY 1, 2
+    ),
+    ann AS (
+      SELECT qid, nbr_id FROM (
+        SELECT d.qid, d.nbr_id,
+               row_number() OVER (PARTITION BY d.qid
+                                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
+                                           d.nbr_id) AS rn
+        FROM anndot d
+        JOIN norms na ON d.qid = na.vec_id
+        JOIN norms nb ON d.nbr_id = nb.vec_id
+      ) WHERE rn <= {RQ_K}
+    ),
+    hits AS (
+      SELECT e.qid, count(*) AS h
+      FROM exact e JOIN ann a ON a.qid = e.qid AND a.nbr_id = e.nbr_id
+      GROUP BY e.qid
+    ),
+    nc AS (SELECT qid, count(*) AS ncand FROM cand GROUP BY qid)
+    SELECT qq.vec_id,
+           CAST(COALESCE(nc.ncand, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(hits.h, 0) AS BIGINT) AS hits,
+           floor(COALESCE(hits.h, 0) * 1000000.0 / {RQ_K} + 0.5) / 1000000.0
+               AS recall_at_k
+    FROM q qq
+    LEFT JOIN nc ON nc.qid = qq.vec_id
+    LEFT JOIN hits ON hits.qid = qq.vec_id
+"""
+
+
+@_q("q_ann_recall_eval", _ANN_RECALL_ORACLE)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation IN the engine (r10): recall@{RQ_K} of the
+    md5-plane LSH shortlist against the exact brute-force top-{RQ_K}, per
+    query, over a FIXED {RQ_N}-query md5-ordered sample — the measurement
+    loop every ANN deployment needs (tune bands/bits by re-running the eval,
+    not by faith). Emits (query, candidate-set size, hits, recall@k); both
+    rankings and the sample itself are md5-deterministic, so the whole
+    evaluation is oracle-gated — the in-repo recall tests become a
+    driver-visible row.
+
+    Scale shape: the query sample is CONSTANT-size ({RQ_N}), so the exact
+    side is O({RQ_N}·n) via a broadcast of the 32 query vectors — never the
+    O(n²) all-pairs the brute-force baseline pays; the ANN side reuses
+    q_ann_verified_topk's banded equi-join signatures (shared helper). At
+    100 TB the eval cost is one corpus scan plus the signature build, and
+    sample size scales the precision of the estimate, not the data touched.
+    Ranking ties: raw-double order with nbr_id tiebreak, the proven
+    q_ann_verified_topk discipline (~1e-15 cross-engine relative error vs
+    ~1e-7 typical cosine gaps); hits compare only ids, never floats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.select("vec_id")
+        .orderBy(
+            F.md5(
+                F.concat(F.lit("rq:"), F.col("vec_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            "vec_id",
+        )
+        .limit(RQ_N)
+    )
+    v = _as_double_vec(emb)
+    qv = (
+        qs.join(v, "vec_id")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qn"),
+        )
+    )
+    allv = v.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = (dot / (F.col("qn") * F.col("nn"))).alias("cos")
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nbr_id")
+    exact = (
+        allv.crossJoin(F.broadcast(qv))
+        .filter(F.col("nbr_id") != F.col("qid"))
+        .select("qid", "nbr_id", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RQ_K)
+        .select("qid", "nbr_id")
+    )
+    sig = _ann_v_signatures(spark, sf_dir)
+    sq = sig.join(
+        F.broadcast(qs.withColumnRenamed("vec_id", "qid")),
+        F.col("vec_id") == F.col("qid"),
+    ).select("qid", "band", "bucket")
+    cand = (
+        sq.join(sig, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nbr_id"))
+        .distinct()
+    )
+    ann = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(allv, "nbr_id")
+        .select("qid", "nbr_id", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RQ_K)
+        .select("qid", "nbr_id")
+    )
+    hits = exact.join(ann, ["qid", "nbr_id"]).groupBy("qid").agg(
+        F.count("*").alias("h")
+    )
+    nc = cand.groupBy("qid").agg(F.count("*").alias("ncand"))
+    return (
+        qs.select(F.col("vec_id"))
+        .join(nc.withColumnRenamed("qid", "vec_id"), "vec_id", "left")
+        .join(hits.withColumnRenamed("qid", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("ncand"), F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("hits"),
+            (
+                F.floor(
+                    F.coalesce(F.col("h"), F.lit(0)) * 1000000.0 / RQ_K
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("recall_at_k"),
+        )
     )
 
 

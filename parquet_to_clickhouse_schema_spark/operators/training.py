@@ -1028,3 +1028,105 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
     )
+
+
+MLM_SELECT_P = 0.15  # BERT masking rate
+MLM_MASK_P = 0.8  # of selected: replace with [MASK]
+MLM_RAND_P = 0.9  # of selected: 0.8-0.9 → random token; ≥0.9 → keep
+MLM_SEED = "#mlm1"
+
+
+@_q(
+    "q_mask_plan",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST('0x' || substr(hv, 1, 15) AS BIGINT) / {HEX15} AS u1,
+             CAST('0x' || substr(hv, 16, 15) AS BIGINT) / {HEX15} AS u2
+      FROM (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+                   || '{MLM_SEED}') AS hv
+        FROM toks
+      )
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN u1 < {MLM_SELECT_P} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN u1 < {MLM_SELECT_P} AND u2 < {MLM_MASK_P}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mask,
+           CAST(sum(CASE WHEN u1 < {MLM_SELECT_P} AND u2 >= {MLM_MASK_P}
+                          AND u2 < {MLM_RAND_P}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_random,
+           CAST(sum(CASE WHEN u1 < {MLM_SELECT_P} AND u2 >= {MLM_RAND_P}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_sel,
+           floor(sum(CASE WHEN u1 < {MLM_SELECT_P} THEN 1.0 ELSE 0.0 END)
+                 * 1000000.0 / count(*) + 0.5) / 1000000.0 AS sel_rate
+    FROM f GROUP BY doc_id
+    """,
+)
+def q_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style MLM masking plan (Devlin et al. 2018): select 15% of token
+    positions per document, and split the selected set 80/10/10 into
+    mask / random-replacement / keep-as-is — emitted as a per-document plan
+    summary (counts + realized selection rate) rather than mutated text, so
+    the plan itself is deterministic, auditable, and oracle-gated.
+
+    Both coin flips come from ONE md5 of (doc_id, position, seed): chars
+    1-15 give the 60-bit selection uniform, chars 16-30 the action uniform —
+    the q_sample_weighted trick, extended to two independent draws per row
+    without a second hash. Identical hex parsing and double division on both
+    engines means the threshold comparisons are bit-identical, no
+    quantize-before-compare needed; only the output rate is 1e-6 quantized.
+
+    Scale shape: posexplode + per-row hash + one groupBy(doc_id) — a single
+    fact-sized shuffle whose key is the natural partitioning of every
+    downstream per-doc op. No vocab table, no window, no driver state; at
+    100 TB this is scan-bound and embarrassingly parallel. Changing the
+    seed re-draws every epoch's plan independently (pair with
+    q_epoch_shuffle's seed discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    )
+    h = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            (F.col("pos0") + 1).cast("string"),
+            F.lit(MLM_SEED),
+        ).cast("binary")
+    )
+    u1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") / F.lit(HEX15)
+    u2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("bigint") / F.lit(HEX15)
+    f = toks.select("doc_id", u1.alias("u1"), u2.alias("u2"))
+    sel = F.col("u1") < MLM_SELECT_P
+    return f.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(sel.cast("int")).cast("bigint").alias("n_selected"),
+        F.sum((sel & (F.col("u2") < MLM_MASK_P)).cast("int"))
+        .cast("bigint")
+        .alias("n_mask"),
+        F.sum(
+            (sel & (F.col("u2") >= MLM_MASK_P) & (F.col("u2") < MLM_RAND_P)).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("n_random"),
+        F.sum((sel & (F.col("u2") >= MLM_RAND_P)).cast("int"))
+        .cast("bigint")
+        .alias("n_keep_sel"),
+        (
+            F.floor(
+                F.sum(sel.cast("double")) * 1000000.0 / F.count("*") + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("sel_rate"),
+    )

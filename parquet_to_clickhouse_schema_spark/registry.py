@@ -142,6 +142,8 @@ SWEEP_PRIORITY = (
     "q_cluster_balanced_sample",  # r10: per-cluster cap sampling, gated
     "q_bigram_lm_score",  # r10: interpolated hashed-bigram LM NLL, gated
     "q_bpe_encode",  # r10: rank-ordered BPE merge application, gated
+    "q_mask_plan",  # r10: BERT-style MLM masking plan, two md5 draws, gated
+    "q_ann_recall_eval",  # r10: recall@k eval of the LSH shortlist, gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",
@@ -172,12 +174,12 @@ SWEEP_PRIORITY = (
     "q_islands",
     "q_join_full",
     "q_lang_id",
-    "q_lateral_join",
-    "q_map_funcs",
     # ---- ~50-budget line ----
     # remaining r4-era keys — next-rotation fill / overflow if the budget
-    # runs past 50 (fifteen moved below the line as the r10 oracle
+    # runs past 50 (seventeen moved below the line as the r10 oracle
     # additions took section-(a) slots; they are first in the r11 rotation)
+    "q_lateral_join",
+    "q_map_funcs",
     "q_pii_redact",
     "q_quality_score",
     "q_repetition_filter",

@@ -749,3 +749,48 @@ def test_bpe_encode_roundtrips_and_compresses(spark):
         if r.n_symbols < len(r.tok):
             compressed += 1
     assert compressed > 0
+
+
+def test_mask_plan_partitions_and_hits_rate(spark):
+    """q_mask_plan (r10, oracle-gated): every document gets exactly one plan
+    row; the action counts PARTITION the selected set; token counts match
+    the corpus; and the realized global selection rate sits near the 15%
+    target (law of large numbers over ~60k draws at smoke SF)."""
+    from parquet_to_clickhouse_schema_spark.operators.training import (
+        MLM_SELECT_P,
+        q_mask_plan,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_docs = d.count()
+    rows = q_mask_plan(spark, SF_SMOKE).collect()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.n_mask + r.n_random + r.n_keep_sel == r.n_selected
+        assert 0 <= r.n_selected <= r.n_tokens
+    tot = sum(r.n_tokens for r in rows)
+    sel = sum(r.n_selected for r in rows)
+    assert abs(sel / tot - MLM_SELECT_P) < 0.01
+    # 80/10/10 action split within the selected set, ±5 points
+    assert abs(sum(r.n_mask for r in rows) / sel - 0.8) < 0.05
+    assert abs(sum(r.n_random for r in rows) / sel - 0.1) < 0.05
+
+
+def test_ann_recall_eval_is_bounded_and_consistent(spark):
+    """q_ann_recall_eval (r10, oracle-gated): exactly RQ_N query rows; hits
+    can never exceed either the candidate count or the cutoff; recall is
+    hits/RQ_K; and a query with zero LSH candidates scores exactly zero."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        RQ_K,
+        RQ_N,
+        q_ann_recall_eval,
+    )
+
+    rows = q_ann_recall_eval(spark, SF_SMOKE).collect()
+    assert len(rows) == RQ_N
+    for r in rows:
+        assert 0 <= r.hits <= min(RQ_K, r.n_candidates)
+        assert abs(r.recall_at_k - r.hits / RQ_K) < 1e-9
+        if r.n_candidates == 0:
+            assert r.hits == 0 and r.recall_at_k == 0.0
