@@ -10,7 +10,7 @@ summation-order differences (SURVEY.md §7 risk list).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_to_clickhouse_schema_spark._registry import new_registry
@@ -659,3 +659,277 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_replicas"),
     )
     return point.crossJoin(F.broadcast(ci))
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    cols = _CORR_COLS
+    means = ", ".join(f"avg({c}) AS m{i}" for i, c in enumerate(cols))
+    cents = []
+    pairs = []
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i <= j:
+                cents.append(f"sum(({a} - m{i}) * ({b} - m{j})) AS s{i}{j}")
+            if i < j:
+                pairs.append(
+                    f"SELECT '{a}' AS col_x, '{b}' AS col_y, n, "
+                    f"s{i}{j} / sqrt(s{i}{i} * s{j}{j}) AS r FROM s"
+                )
+    return f"""
+    WITH m AS (SELECT {means} FROM lineitem),
+    s AS (
+      SELECT count(*) AS n, {", ".join(cents)}
+      FROM lineitem, m
+    )
+    SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+           floor(r * 1000000.0 + 0.5) / 1000000.0 AS pearson_r
+    FROM ({" UNION ALL ".join(pairs)})
+    """
+
+
+@_q("q_corr_matrix", _corr_oracle())
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures — the
+    feature-screening pass before any modeling step (drop near-collinear
+    features, sanity-check synthetic data generators).
+
+    Numerics discipline: computed TWO-PASS (means first, then centered
+    co-moments) rather than the one-pass n·Σxy − Σx·Σy identity — at 100 TB
+    the raw-moment subtraction cancels catastrophically (two ~1e17 terms
+    whose difference carries the signal), while centered products keep full
+    precision and make the cross-engine difference pure summation order
+    (~1e-15 relative, 9 orders under the 1e-6 gate). Centered sums are also
+    second-order insensitive to the engines' ~1-ulp mean disagreement.
+
+    Scale shape: two scans, each one map-side-combined global aggregate
+    (k² co-moments in ONE agg row, not k² scans); the means row is a 1-row
+    broadcast crossJoin. The final 6-row matrix is a projection of that
+    single aggregate row — nothing driver-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    m = li.agg(*[F.avg(c).alias(f"m{i}") for i, c in enumerate(cols)])
+    cent = li.crossJoin(F.broadcast(m))
+    aggs = [F.count("*").alias("n")]
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i <= j:
+                aggs.append(
+                    F.sum(
+                        (F.col(a) - F.col(f"m{i}")) * (F.col(b) - F.col(f"m{j}"))
+                    ).alias(f"s{i}{j}")
+                )
+    s = cent.agg(*aggs)
+    rows = []
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i < j:
+                rows.append(
+                    F.struct(
+                        F.lit(a).alias("col_x"),
+                        F.lit(b).alias("col_y"),
+                        F.col("n").cast("bigint").alias("n"),
+                        qround(
+                            F.col(f"s{i}{j}")
+                            / F.sqrt(F.col(f"s{i}{i}") * F.col(f"s{j}{j}")),
+                            6,
+                        ).alias("pearson_r"),
+                    )
+                )
+    return s.select(F.explode(F.array(*rows)).alias("x")).select("x.*")
+
+
+@_q(
+    "q_regression_ols",
+    """
+    WITH m AS (
+      SELECT l_returnflag, count(*) AS n,
+             avg(l_quantity) AS mx, avg(l_extendedprice) AS my
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    s AS (
+      SELECT l.l_returnflag, m.n, m.mx, m.my,
+             sum((l_quantity - mx) * (l_extendedprice - my)) AS sxy,
+             sum((l_quantity - mx) * (l_quantity - mx)) AS sxx,
+             sum((l_extendedprice - my) * (l_extendedprice - my)) AS syy
+      FROM lineitem l JOIN m USING (l_returnflag)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           floor(sxy / sxx * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           floor((my - sxy / sxx * mx) * 10000.0 + 0.5) / 10000.0 AS intercept,
+           floor(sxy * sxy / (sxx * syy) * 1000000.0 + 0.5) / 1000000.0 AS r2
+    FROM s
+    """,
+)
+def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (price ~ quantity within each return flag):
+    slope, intercept and R² from two-pass centered moments — the in-engine
+    replacement for collecting samples into a driver-side regression.
+
+    Same numerics discipline as q_corr_matrix (centered co-moments, never
+    the raw-moment identity); per-group means join back as an AQE broadcast
+    (7 return flags). Two scans, two map-side-combined aggregations, zero
+    driver state — at 100 TB this is exactly two shuffle-free passes plus
+    a 7-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.avg("l_quantity").alias("mx"),
+        F.avg("l_extendedprice").alias("my"),
+    )
+    s = (
+        li.join(F.broadcast(m), "l_returnflag")
+        .groupBy("l_returnflag", "n", "mx", "my")
+        .agg(
+            F.sum(
+                (F.col("l_quantity") - F.col("mx"))
+                * (F.col("l_extendedprice") - F.col("my"))
+            ).alias("sxy"),
+            F.sum(
+                (F.col("l_quantity") - F.col("mx"))
+                * (F.col("l_quantity") - F.col("mx"))
+            ).alias("sxx"),
+            F.sum(
+                (F.col("l_extendedprice") - F.col("my"))
+                * (F.col("l_extendedprice") - F.col("my"))
+            ).alias("syy"),
+        )
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        qround(slope, 6).alias("slope"),
+        qround(F.col("my") - slope * F.col("mx"), 4).alias("intercept"),
+        qround(
+            F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy")), 6
+        ).alias("r2"),
+    )
+
+
+@_q(
+    "q_gini",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT n.n_name, r.rev,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY r.rev, r.o_custkey) AS i
+      FROM rev r
+      JOIN customer c ON r.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+           floor((2.0 * sum(i * rev) - (count(*) + 1.0) * sum(rev))
+                 / (count(*) * sum(rev)) * 1000000.0 + 0.5) / 1000000.0
+               AS gini
+    FROM ranked GROUP BY n_name
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient per nation (0 = perfectly
+    equal customer revenue, →1 = one whale) via the rank formula
+    G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over ascending-sorted revenue —
+    the inequality audit behind mix-balancing decisions (same family as
+    q_source_entropy for corpora).
+
+    Determinism: per-customer revenue is quantized to cents BEFORE ranking
+    (quantize-then-rank — sums of 2-dp prices sit mid-interval, never on a
+    floor boundary) with custkey tiebreak, so ranks are bit-stable. Scale
+    shape: one groupBy(custkey), two broadcast dimension joins, and a
+    per-nation window whose partitions are customer-count bounded; the
+    rank could swap to the two-pass bucketed form (q_window_rank_scalable)
+    if one nation ever outgrew a task."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = o.groupBy("o_custkey").agg(
+        qround(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = Window.partitionBy("n_name").orderBy("rev", "o_custkey")
+    ranked = (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "rev", "o_custkey")
+        .withColumn("i", F.row_number().over(w))
+    )
+    cnt = F.count("*")
+    return ranked.groupBy("n_name").agg(
+        cnt.cast("bigint").alias("n_customers"),
+        qround(
+            (
+                2.0 * F.sum(F.col("i") * F.col("rev"))
+                - (cnt + 1.0) * F.sum("rev")
+            )
+            / (cnt * F.sum("rev")),
+            6,
+        ).alias("gini"),
+    )
+
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@_q(
+    "q_winsorize",
+    f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, {WINSOR_LO}) AS p_lo,
+             quantile_cont(l_extendedprice, {WINSOR_HI}) AS p_hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           floor(b.p_lo * 10000.0 + 0.5) / 10000.0 AS p_lo,
+           floor(b.p_hi * 10000.0 + 0.5) / 10000.0 AS p_hi,
+           floor(avg(l.l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS mean_raw,
+           floor(avg(least(greatest(l.l_extendedprice, b.p_lo), b.p_hi))
+                 * 10000.0 + 0.5) / 10000.0 AS mean_winsorized
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY 1, 3, 4
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per return flag: clip each price into its
+    group's [p01, p99] band, then compare the clipped mean to the raw one —
+    the standard outlier-robust aggregation when deletion (q_mad_robust's
+    filter) would bias the total.
+
+    Cross-engine: Spark exact `percentile` and DuckDB `quantile_cont` share
+    the same (n−1)·q linear interpolation (the q_dq_checks-proven pair);
+    the 3-row bounds table joins back as a broadcast. Two scans of the
+    fact, both map-side-combined — the winsorized mean never materializes
+    the clipped column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(WINSOR_LO)).alias("p_lo"),
+        F.percentile("l_extendedprice", F.lit(WINSOR_HI)).alias("p_hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p_lo")), F.col("p_hi")
+    )
+    return (
+        li.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag", "p_lo", "p_hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            qround(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+            qround(F.avg(clipped), 4).alias("mean_winsorized"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            qround(F.col("p_lo"), 4).alias("p_lo"),
+            qround(F.col("p_hi"), 4).alias("p_hi"),
+            "mean_raw",
+            "mean_winsorized",
+        )
+    )

