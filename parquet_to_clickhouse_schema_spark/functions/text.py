@@ -1649,3 +1649,133 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"trim({e})").alias("encoded"),
         F.expr(f"size(split(trim({e}), ' '))").cast("int").alias("n_symbols"),
     )
+
+
+NB_BUCKETS = 256  # hashed-unigram feature space (shared shape with DSIR)
+
+
+@_q(
+    "q_nb_classifier",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b
+      FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      )
+    ),
+    classes AS (
+      SELECT lang AS cl, count(DISTINCT doc_id) AS n_docs FROM toks GROUP BY lang
+    ),
+    total AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+    cond AS (
+      SELECT c.cl, t.b, count(*) AS ct
+      FROM toks t JOIN classes c ON t.lang = c.cl
+      GROUP BY c.cl, t.b
+    ),
+    cltot AS (SELECT cl, sum(ct) AS nt FROM cond GROUP BY cl),
+    scores AS (
+      SELECT t.doc_id, t.lang, c.cl,
+             floor((ln(cls.n_docs * 1.0 / total.n)
+                    + sum(ln((COALESCE(cond.ct, 0) + 1.0)
+                             / (c.nt + {NB_BUCKETS}.0))))
+                   * 1000000.0 + 0.5) / 1000000.0 AS score
+      FROM toks t
+      CROSS JOIN cltot c
+      LEFT JOIN cond ON cond.cl = c.cl AND cond.b = t.b
+      JOIN classes cls ON cls.cl = c.cl
+      CROSS JOIN total
+      GROUP BY t.doc_id, t.lang, c.cl, cls.n_docs, total.n
+    ),
+    pred AS (
+      SELECT doc_id, lang, cl AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cl) AS rn
+      FROM scores
+    )
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY lang, pred_lang
+    """,
+)
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained Naive Bayes language classifier over hashed-unigram features
+    (the fastText-free analog of CCNet/GPT-3-style learned filters, one
+    step past q_lang_id's fixed marker heuristic): Laplace-smoothed
+    P(bucket|class) over {NB_BUCKETS} md5 buckets + log prior, argmax per
+    document, reported as the confusion matrix (true lang × predicted lang
+    × docs) — the artifact a filtering decision is actually made from.
+
+    Determinism: per-(doc, class) log-likelihoods are 1e-6-quantized BEFORE
+    the argmax and ties break on class name (quantize-then-rank) — scores
+    are O(−10²) sums of ~10² log terms, so the ~1e-13 cross-engine
+    summation noise sits 7 orders under the quantum.
+
+    Scale shape: the model is FIXED-size (classes × {NB_BUCKETS} + priors),
+    trained in one map-side-combined pass and broadcast back; scoring
+    expands each token by |classes| (×5 here — the honest cost of dense NB
+    scoring) and reduces per (doc, class). No vocab table, no driver
+    state: at 100 TB both passes are scan-bound, and the confusion output
+    is classes², independent of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn("h", F.md5(F.col("tok").cast("binary")))
+        .withColumn(
+            "b",
+            F.expr("instr('0123456789abcdef', substring(h, 1, 1)) - 1") * 16
+            + F.expr("instr('0123456789abcdef', substring(h, 2, 1)) - 1"),
+        )
+        .drop("h", "tok")
+    )
+    classes = toks.groupBy(F.col("lang").alias("cl")).agg(
+        F.countDistinct("doc_id").alias("n_docs_cl")
+    )
+    total = toks.agg(F.countDistinct("doc_id").alias("n_tot"))
+    cond = (
+        toks.join(F.broadcast(classes), toks.lang == classes.cl)
+        .groupBy("cl", "b")
+        .agg(F.count("*").alias("ct"))
+    )
+    cltot = cond.groupBy("cl").agg(F.sum("ct").alias("nt"))
+    model = (
+        cltot.join(classes, "cl")
+        .crossJoin(F.broadcast(total))
+        .select("cl", "nt", "n_docs_cl", "n_tot")
+    )
+    scored = (
+        toks.crossJoin(F.broadcast(model))
+        .join(
+            F.broadcast(cond.withColumnRenamed("cl", "ccl")),
+            (F.col("ccl") == F.col("cl")) & (cond.b == toks.b),
+            "left",
+        )
+        .groupBy("doc_id", "lang", "cl", "n_docs_cl", "n_tot", "nt")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + float(NB_BUCKETS))
+                )
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "cl",
+            qround(
+                F.log(F.col("n_docs_cl") * 1.0 / F.col("n_tot")) + F.col("ll"), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cl")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("cl").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )

@@ -148,6 +148,7 @@ SWEEP_PRIORITY = (
     "q_regression_ols",  # r10: per-group closed-form OLS, gated
     "q_gini",  # r10: revenue-concentration Gini per nation, gated
     "q_winsorize",  # r10: per-group p01/p99 winsorized mean, gated
+    "q_nb_classifier",  # r10: trained NB language classifier + confusion, gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",
@@ -173,11 +174,11 @@ SWEEP_PRIORITY = (
     "q_doc_fingerprint",
     "q_embed_centroid",
     "q_explode_pos",
-    "q_funnel",
     # ---- ~50-budget line ----
     # remaining r4-era keys — next-rotation fill / overflow if the budget
-    # runs past 50 (twenty-one moved below the line as the r10 oracle
+    # runs past 50 (twenty-two moved below the line as the r10 oracle
     # additions took section-(a) slots; they are first in the r11 rotation)
+    "q_funnel",
     "q_gapfill_ffill",
     "q_islands",
     "q_join_full",

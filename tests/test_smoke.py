@@ -876,3 +876,19 @@ def test_winsorize_bounds_and_shrinks(spark):
         assert r.p_lo <= r.p_hi
         assert r.p_lo - 1e-4 <= r.mean_winsorized <= r.p_hi + 1e-4
         assert abs(r.mean_raw - r.mean_winsorized) <= (r.p_hi - r.p_lo)
+
+
+def test_nb_classifier_learns_language(spark):
+    """q_nb_classifier (r10, oracle-gated): the confusion matrix covers
+    every document once, and the trained model must beat 5-class chance
+    (20%) by a clear margin — the synthetic languages share most of their
+    word-soup vocabulary, so the learnable signal is the marker-token
+    skew, not full separability (measured ~39% at smoke SF)."""
+    from parquet_to_clickhouse_schema_spark.functions.text import q_nb_classifier
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    rows = q_nb_classifier(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rows) == n
+    correct = sum(r.n_docs for r in rows if r.lang == r.pred_lang)
+    assert correct / n > 0.3
