@@ -495,3 +495,99 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("keep_rank"),
         )
     )
+
+
+MS_TW = 8  # late-interaction token width (64-dim embedding -> 8 tokens)
+MS_QT = ANN_V_DIM // MS_TW  # query tokens
+MS_TOP = 20
+
+_MAXSIM_ORACLE = f"""
+    WITH q AS ({_IVF_GRID_SQL.format(tag="ms", n=MS_QT, dim=MS_TW)}),
+    qn AS (SELECT c, sqrt(sum(val * val)) AS qnrm FROM q GROUP BY c),
+    ex AS (
+      SELECT vec_id, CAST(d // {MS_TW} AS INT) AS dt,
+             CAST(d % {MS_TW} AS INT) AS j, v
+      FROM (
+        SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+      )
+    ),
+    dn AS (SELECT vec_id, dt, sqrt(sum(v * v)) AS dnrm FROM ex GROUP BY 1, 2),
+    dots AS (
+      SELECT e.vec_id, e.dt, q.c AS qt, sum(e.v * q.val) AS dot
+      FROM ex e JOIN q ON q.d = e.j
+      GROUP BY 1, 2, 3
+    ),
+    ms AS (
+      SELECT d.vec_id, d.qt, max(d.dot / (dn.dnrm * qn.qnrm)) AS msim
+      FROM dots d
+      JOIN dn ON dn.vec_id = d.vec_id AND dn.dt = d.dt
+      JOIN qn ON qn.c = d.qt
+      GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           floor(sum(msim) * 1000000.0 + 0.5) / 1000000.0 AS maxsim
+    FROM ms GROUP BY vec_id
+    ORDER BY maxsim DESC, vec_id LIMIT {MS_TOP}
+"""
+
+
+@_q("q_maxsim_colbert", _MAXSIM_ORACLE)
+def q_maxsim_colbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020):
+    score(doc) = Σ over query tokens of max over doc tokens of cosine —
+    here each 64-dim embedding is read as {MS_QT} token vectors of
+    {MS_TW} dims and the {MS_QT}-token query comes from the shared
+    md5 unit grid, so the whole MaxSim pipeline (token split, per-token
+    norms, {MS_QT}×{MS_QT} token interactions, max, sum) is rebuilt
+    identically by DuckDB and hash-gated.
+
+    Determinism: max() picks per-token winners on raw doubles (identical
+    inputs both engines — products of identical grid values and casts);
+    the summed score is 1e-6-quantized BEFORE the top-{MS_TOP} order with
+    vec_id tiebreak (quantize-then-rank).
+
+    Scale shape: the query grid and its norms are constant-size
+    broadcasts; per-doc work is {MS_QT}×{MS_QT} small dot products
+    (map-side-combined groupBys keyed by vec_id — never a corpus×corpus
+    join), and the final top-{MS_TOP} is a TakeOrdered. At 100 TB this is
+    the honest MaxSim cost: a constant ~{MS_QT}× expansion of the scan,
+    no pairwise blowup; the candidate-generation front-end (q_ann_*) cuts
+    the scored set when even one scan is too much."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _md5_unit_grid(spark, "ms", MS_QT, MS_TW).select(
+        F.col("c").alias("qt"), F.col("d").alias("j"), "val"
+    )
+    qn = q.groupBy("qt").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("qnrm")
+    )
+    ex = (
+        emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .select(
+            "vec_id",
+            (F.col("d") / MS_TW).cast("int").alias("dt"),
+            (F.col("d") % MS_TW).cast("int").alias("j"),
+            F.col("v").cast("double").alias("v"),
+        )
+    )
+    dn = ex.groupBy("vec_id", "dt").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("dnrm")
+    )
+    dots = (
+        ex.join(F.broadcast(q), "j")
+        .groupBy("vec_id", "dt", "qt")
+        .agg(F.sum(F.col("v") * F.col("val")).alias("dot"))
+    )
+    ms = (
+        dots.join(dn, ["vec_id", "dt"])
+        .join(F.broadcast(qn), "qt")
+        .groupBy("vec_id", "qt")
+        .agg(F.max(F.col("dot") / (F.col("dnrm") * F.col("qnrm"))).alias("msim"))
+    )
+    return (
+        ms.groupBy("vec_id")
+        .agg(qround(F.sum("msim"), 6).alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), "vec_id")
+        .limit(MS_TOP)
+    )

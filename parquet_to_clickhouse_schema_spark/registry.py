@@ -149,6 +149,8 @@ SWEEP_PRIORITY = (
     "q_gini",  # r10: revenue-concentration Gini per nation, gated
     "q_winsorize",  # r10: per-group p01/p99 winsorized mean, gated
     "q_nb_classifier",  # r10: trained NB language classifier + confusion, gated
+    "q_attribution",  # r10: last-touch attribution carry-forward window, gated
+    "q_maxsim_colbert",  # r10: ColBERT late-interaction MaxSim, gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",
@@ -172,12 +174,12 @@ SWEEP_PRIORITY = (
     "q_dedup_embedding",
     "q_dedup_ngram",
     "q_doc_fingerprint",
-    "q_embed_centroid",
-    "q_explode_pos",
     # ---- ~50-budget line ----
     # remaining r4-era keys — next-rotation fill / overflow if the budget
-    # runs past 50 (twenty-two moved below the line as the r10 oracle
+    # runs past 50 (twenty-four moved below the line as the r10 oracle
     # additions took section-(a) slots; they are first in the r11 rotation)
+    "q_embed_centroid",
+    "q_explode_pos",
     "q_funnel",
     "q_gapfill_ffill",
     "q_islands",

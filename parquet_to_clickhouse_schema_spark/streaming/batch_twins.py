@@ -861,3 +861,61 @@ def q_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return spend_alerts_batch(spark, sf_dir, step=100.0)
+
+
+ATTR_TOUCHES = ("click", "view", "signup")  # attributable touch channels
+
+
+@_q(
+    "q_attribution",
+    f"""
+    WITH seq AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN {ATTR_TOUCHES!r}
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, 'none') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """.replace("(", "(", 1),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: credit each purchase to the most
+    recent PRECEDING touch event (click/view/signup) in the same user's
+    stream — the standard revenue-attribution report, built on the same
+    carry-forward window as q_interp_linear (last_value IGNORE NULLS over
+    an unbounded-preceding frame, excluding the current row).
+
+    Purchases with no prior touch land in the 'none' bucket, so the output
+    partitions all purchases. (ts, event_id) ordering makes the sequence
+    total under timestamp ties.
+
+    Scale shape: one window partitioned by user_id (millions of small
+    partitions — the scalable window case) and one |channels|-row
+    aggregate. Streaming twin: the carry-forward state is exactly one
+    value per user, an applyInPandasWithState map at 100 TB/day."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin(*ATTR_TOUCHES), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            qround(F.sum("value"), 4).alias("attributed_value"),
+        )
+    )

