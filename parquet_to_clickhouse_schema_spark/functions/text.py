@@ -1779,3 +1779,97 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", "pred_lang").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+MI_TOP = 20
+
+
+@_q(
+    "q_feature_mi",
+    f"""
+    WITH toks AS (
+      SELECT lang,
+             (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b
+      FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+      )
+    ),
+    joint AS (SELECT lang, b, count(*) AS c_lb FROM toks GROUP BY lang, b),
+    ml AS (SELECT lang, sum(c_lb) AS c_l FROM joint GROUP BY lang),
+    mb AS (SELECT b, sum(c_lb) AS c_b FROM joint GROUP BY b),
+    nt AS (SELECT sum(c_lb) AS n FROM joint),
+    contrib AS (
+      SELECT j.b, CAST(mb.c_b AS BIGINT) AS n_tokens,
+             floor(sum((j.c_lb / nt.n)
+                       * ln((j.c_lb * nt.n) / (ml.c_l * mb.c_b)))
+                   * 100000000.0 + 0.5) / 100000000.0 AS mi_contrib
+      FROM joint j
+      JOIN ml USING (lang)
+      JOIN mb USING (b)
+      CROSS JOIN nt
+      GROUP BY j.b, mb.c_b
+    )
+    SELECT b AS bucket, n_tokens, mi_contrib FROM contrib
+    ORDER BY mi_contrib DESC, bucket LIMIT {MI_TOP}
+    """,
+)
+def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature mutual-information contribution I_b = Σ_lang p(l,b)
+    ln(p(l,b)/(p(l)p(b))) over the hashed-unigram buckets — the
+    feature-selection companion to q_nb_classifier: the top-{MI_TOP}
+    buckets are exactly the features that carry the language signal the
+    classifier learns (plug-in MI over observed cells; absent (l,b) cells
+    contribute 0 by the x·ln x → 0 limit, so summing existing rows is the
+    estimator, not an approximation).
+
+    Determinism: contributions are tiny sums (≤ |langs| terms) of exact
+    count ratios — 1e-8 quantization before the top-{MI_TOP} order with
+    bucket tiebreak (quantize-then-rank).
+
+    Scale shape: the joint table is FIXED-size (langs × {NB_BUCKETS}), so
+    everything after the one map-side-combined token count is a
+    broadcast-sized computation; the fact is scanned once. At 100 TB the
+    model stays 1280 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn("h", F.md5(F.col("tok").cast("binary")))
+        .withColumn(
+            "b",
+            F.expr("instr('0123456789abcdef', substring(h, 1, 1)) - 1") * 16
+            + F.expr("instr('0123456789abcdef', substring(h, 2, 1)) - 1"),
+        )
+        .drop("h", "tok")
+    )
+    joint = toks.groupBy("lang", "b").agg(F.count("*").alias("c_lb"))
+    ml = joint.groupBy("lang").agg(F.sum("c_lb").alias("c_l"))
+    mb = joint.groupBy("b").agg(F.sum("c_lb").alias("c_b"))
+    nt = joint.agg(F.sum("c_lb").alias("n"))
+    contrib = (
+        joint.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(nt))
+        .groupBy("b", "c_b")
+        .agg(
+            qround(
+                F.sum(
+                    (F.col("c_lb") / F.col("n"))
+                    * F.log(
+                        (F.col("c_lb") * F.col("n"))
+                        / (F.col("c_l") * F.col("c_b"))
+                    )
+                ),
+                8,
+            ).alias("mi_contrib")
+        )
+    )
+    return (
+        contrib.select(
+            F.col("b").alias("bucket"),
+            F.col("c_b").cast("bigint").alias("n_tokens"),
+            "mi_contrib",
+        )
+        .orderBy(F.col("mi_contrib").desc(), "bucket")
+        .limit(MI_TOP)
+    )

@@ -4330,3 +4330,135 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_r double, mean_g double, mean_b double, sample_ok boolean"
     )
     return mm.mapInPandas(fn, schema=schema)
+
+
+KNN_Q = 32  # evaluation query sample (kq seed — disjoint from RQ's rq seed)
+KNN_K = 5  # voting neighbors
+
+
+_KNN_EVAL_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id, label FROM embeddings
+      ORDER BY md5('kq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {KNN_Q}
+    ),
+    ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+      SELECT qq.vec_id AS qid, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
+      FROM q qq
+      JOIN ex a ON a.vec_id = qq.vec_id
+      JOIN ex b ON b.d = a.d AND b.vec_id <> qq.vec_id
+      GROUP BY 1, 2
+    ),
+    knn AS (
+      SELECT qid, nbr_id FROM (
+        SELECT d.qid, d.nbr_id,
+               row_number() OVER (PARTITION BY d.qid
+                                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
+                                           d.nbr_id) AS rn
+        FROM dots d
+        JOIN norms na ON d.qid = na.vec_id
+        JOIN norms nb ON d.nbr_id = nb.vec_id
+      ) WHERE rn <= {KNN_K}
+    ),
+    votes AS (
+      SELECT k.qid, e.label, count(*) AS nv
+      FROM knn k JOIN embeddings e ON e.vec_id = k.nbr_id
+      GROUP BY k.qid, e.label
+    ),
+    pred AS (
+      SELECT qid, label AS pred_label, nv,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY nv DESC, label) AS rn
+      FROM votes
+    )
+    SELECT q.vec_id, CAST(q.label AS INT) AS label,
+           CAST(p.pred_label AS INT) AS pred_label,
+           CAST(p.nv AS BIGINT) AS n_votes,
+           q.label = p.pred_label AS correct
+    FROM q JOIN pred p ON p.qid = q.vec_id AND p.rn = 1
+"""
+
+
+@_q("q_knn_eval", _KNN_EVAL_ORACLE)
+def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification evaluation in the engine: exact cosine
+    {KNN_K}-nearest-neighbor majority vote on the label column over a
+    FIXED {KNN_Q}-query md5 sample, emitting per-query prediction, vote
+    count and correctness — the standard embedding-quality probe (if k-NN
+    can't recover labels, the embedding space is noise; compare
+    q_ann_recall_eval, which probes the INDEX, not the space).
+
+    Determinism: neighbor ranking uses the proven raw-double-with-id-
+    tiebreak discipline; the vote argmax orders by (count DESC, label) —
+    pure integers, bit-stable.
+
+    Scale shape: O({KNN_Q}·n) via a broadcast of the query vectors (the
+    q_ann_recall_eval shape — never all-pairs); votes and argmax touch
+    {KNN_Q}×{KNN_K} rows. Sample size scales estimate precision, not data
+    touched; the production path at 100 TB swaps the exact neighbor scan
+    for the ANN family and keeps the vote/argmax tail unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.select("vec_id", "label")
+        .orderBy(
+            F.md5(
+                F.concat(F.lit("kq:"), F.col("vec_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            "vec_id",
+        )
+        .limit(KNN_Q)
+    )
+    v = _as_double_vec(emb)
+    qv = qs.join(v, "vec_id").select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qn"),
+    )
+    allv = v.join(emb.select("vec_id", "label"), "vec_id").select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nlabel"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nbr_id")
+    knn = (
+        allv.crossJoin(F.broadcast(qv))
+        .filter(F.col("nbr_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "nbr_id",
+            "nlabel",
+            (dot / (F.col("qn") * F.col("nn"))).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+    )
+    votes = knn.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count("*").alias("nv")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("nv").desc(), "nlabel")
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlabel").cast("int").alias("label"),
+            F.col("nlabel").cast("int").alias("pred_label"),
+            F.col("nv").cast("bigint").alias("n_votes"),
+            (F.col("qlabel") == F.col("nlabel")).alias("correct"),
+        )
+    )

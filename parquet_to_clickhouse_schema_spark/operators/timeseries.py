@@ -365,3 +365,116 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(r, 6).alias("corr_24h"),
         n.cast("bigint").alias("wnd"),
     )
+
+
+PSI_BUCKETS = 10  # reference-decile buckets
+
+
+@_q(
+    "q_drift_psi",
+    f"""
+    WITH v AS (
+      SELECT epoch_us(ts) AS us,
+             floor(value * 10000.0 + 0.5) / 10000.0 AS val
+      FROM events
+    ),
+    mid AS (SELECT floor((min(us) + max(us)) / 2.0) AS m FROM v),
+    ref AS (SELECT val FROM v, mid WHERE us <= m),
+    cur AS (SELECT val FROM v, mid WHERE us > m),
+    b AS (
+      SELECT quantile_cont(val, [x / {PSI_BUCKETS}.0
+                                 for x in range(1, {PSI_BUCKETS})]) AS bnds
+      FROM ref
+    ),
+    rc AS (
+      SELECT CAST(len(list_filter(bnds, x -> val > x)) AS INT) AS bucket,
+             count(*) AS n
+      FROM ref CROSS JOIN b GROUP BY 1
+    ),
+    cc AS (
+      SELECT CAST(len(list_filter(bnds, x -> val > x)) AS INT) AS bucket,
+             count(*) AS n
+      FROM cur CROSS JOIN b GROUP BY 1
+    ),
+    nt AS (
+      SELECT (SELECT count(*) FROM ref) AS nr, (SELECT count(*) FROM cur) AS nc
+    ),
+    spine AS (SELECT CAST(unnest(range(0, {PSI_BUCKETS})) AS INT) AS bucket)
+    SELECT s.bucket,
+           CAST(COALESCE(rc.n, 0) AS BIGINT) AS n_ref,
+           CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_cur,
+           floor(((COALESCE(cc.n, 0) + 0.5) / (nt.nc + {PSI_BUCKETS} * 0.5)
+                  - (COALESCE(rc.n, 0) + 0.5) / (nt.nr + {PSI_BUCKETS} * 0.5))
+                 * ln(((COALESCE(cc.n, 0) + 0.5) / (nt.nc + {PSI_BUCKETS} * 0.5))
+                      / ((COALESCE(rc.n, 0) + 0.5) / (nt.nr + {PSI_BUCKETS} * 0.5)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS psi_contrib
+    FROM spine s
+    LEFT JOIN rc ON rc.bucket = s.bucket
+    LEFT JOIN cc ON cc.bucket = s.bucket
+    CROSS JOIN nt
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    event stream's time range — THE standard distribution-drift monitor
+    for a long-running ingestion pipeline (PSI < 0.1 stable, > 0.25 act).
+    Buckets are the REFERENCE period's deciles (q_quantile_bucketize's
+    exact-interpolation boundary discipline over 1e-4-pre-rounded values),
+    counts are Laplace-smoothed (+0.5) so an empty bucket yields a finite
+    contribution instead of ln(0), and a {PSI_BUCKETS}-row spine guarantees
+    every bucket reports even when empty in both halves.
+
+    Determinism: the split point is integer-microsecond arithmetic
+    (floor((min+max)/2) — exact doubles below 2^53); boundary comparisons
+    run on pre-rounded values (engine-stable); only the final contribution
+    is 1e-6-quantized.
+
+    Scale shape: two scans (boundaries over ref, then bucket-assign all
+    rows against the broadcast 1-row boundary array) and a {PSI_BUCKETS}-row
+    join spine — no sort, no window, no driver state. At 100 TB swap exact
+    percentile for percentile_approx in the same plan (the documented
+    q_quantile_bucketize swap)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        qround(F.col("value"), 4).alias("val"),
+    )
+    mid = v.agg(
+        F.floor((F.min("us") + F.max("us")) / 2.0).alias("m")
+    )
+    vv = v.crossJoin(F.broadcast(mid))
+    ref = vv.filter(F.col("us") <= F.col("m")).select("val")
+    cur = vv.filter(F.col("us") > F.col("m")).select("val")
+    fracs = [i / PSI_BUCKETS for i in range(1, PSI_BUCKETS)]
+    bnds = ref.agg(F.percentile("val", F.lit(fracs)).alias("bnds"))
+    bucket = F.size(F.filter("bnds", lambda x: F.col("val") > x)).cast("int")
+    rc = (
+        ref.crossJoin(F.broadcast(bnds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_r"))
+    )
+    cc = (
+        cur.crossJoin(F.broadcast(bnds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_c"))
+    )
+    nt = ref.agg(F.count("*").alias("nr")).crossJoin(
+        cur.agg(F.count("*").alias("nc"))
+    )
+    spine = spark.range(PSI_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    sm = float(PSI_BUCKETS) * 0.5
+    p_ref = (F.coalesce(F.col("n_r"), F.lit(0)) + 0.5) / (F.col("nr") + sm)
+    p_cur = (F.coalesce(F.col("n_c"), F.lit(0)) + 0.5) / (F.col("nc") + sm)
+    return (
+        spine.join(rc, "bucket", "left")
+        .join(cc, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_r"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("n_c"), F.lit(0)).cast("bigint").alias("n_cur"),
+            qround((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_contrib"
+            ),
+        )
+    )

@@ -151,6 +151,9 @@ SWEEP_PRIORITY = (
     "q_nb_classifier",  # r10: trained NB language classifier + confusion, gated
     "q_attribution",  # r10: last-touch attribution carry-forward window, gated
     "q_maxsim_colbert",  # r10: ColBERT late-interaction MaxSim, gated
+    "q_drift_psi",  # r10: PSI distribution-drift monitor, gated
+    "q_feature_mi",  # r10: per-feature mutual information, gated
+    "q_knn_eval",  # r10: exact kNN label-vote evaluation, gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",
@@ -171,13 +174,13 @@ SWEEP_PRIORITY = (
     "q_data_split",
     "q_decontaminate",
     "q_dedup_clusters",
+    # ---- ~50-budget line ----
+    # remaining r4-era keys — next-rotation fill / overflow if the budget
+    # runs past 50 (twenty-seven moved below the line as the r10 oracle
+    # additions took section-(a) slots; they are first in the r11 rotation)
     "q_dedup_embedding",
     "q_dedup_ngram",
     "q_doc_fingerprint",
-    # ---- ~50-budget line ----
-    # remaining r4-era keys — next-rotation fill / overflow if the budget
-    # runs past 50 (twenty-four moved below the line as the r10 oracle
-    # additions took section-(a) slots; they are first in the r11 rotation)
     "q_embed_centroid",
     "q_explode_pos",
     "q_funnel",

@@ -941,3 +941,63 @@ def test_maxsim_is_bounded_and_ordered(spark):
     scores = [r.maxsim for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(-MS_QT <= s <= MS_QT for s in scores)
+
+
+def test_drift_psi_covers_all_buckets_and_rows(spark):
+    """q_drift_psi (r10, oracle-gated): exactly PSI_BUCKETS spine rows,
+    bucket counts partition the event stream, and reference deciles are
+    near-uniform on the reference half by construction."""
+    from parquet_to_clickhouse_schema_spark.operators.timeseries import (
+        PSI_BUCKETS,
+        q_drift_psi,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    rows = sorted(q_drift_psi(spark, SF_SMOKE).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(PSI_BUCKETS))
+    n_total = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_ref + r.n_cur for r in rows) == n_total
+    n_ref = sum(r.n_ref for r in rows)
+    for r in rows:  # deciles of the reference are ~10% each
+        assert abs(r.n_ref / n_ref - 1 / PSI_BUCKETS) < 0.02
+
+
+def test_feature_mi_top_buckets_are_marker_heavy(spark):
+    """q_feature_mi (r10, oracle-gated): MI contributions are non-negative
+    up to quantization, sorted non-increasing, and the top-20 must surface
+    language-marker buckets (the planted signal — measured at ranks 7-9
+    behind a handful of lang-skewed vocabulary words)."""
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        _LANG_MARKERS,
+        q_feature_mi,
+    )
+    import hashlib
+
+    rows = q_feature_mi(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    vals = [r.mi_contrib for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v >= -1e-8 for v in vals)
+    marker_buckets = {
+        int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
+        for ws in _LANG_MARKERS.values()
+        for w in ws
+    }
+    top = {r.bucket for r in rows}
+    assert top & marker_buckets, (sorted(top), sorted(marker_buckets))
+
+
+def test_knn_eval_votes_are_consistent(spark):
+    """q_knn_eval (r10, oracle-gated): one row per query, the winning vote
+    count is between 1 and KNN_K, and `correct` equals label equality."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        KNN_K,
+        KNN_Q,
+        q_knn_eval,
+    )
+
+    rows = q_knn_eval(spark, SF_SMOKE).collect()
+    assert len(rows) == KNN_Q
+    for r in rows:
+        assert 1 <= r.n_votes <= KNN_K
+        assert r.correct == (r.label == r.pred_label)
