@@ -68,6 +68,11 @@ HEADLINE = [
     "q_mmr_diversify",
     "q_cluster_balanced_sample",
     "q_bigram_lm_score",
+    # r10 fourth batch: the eval/measurement family, tracked from birth
+    "q_nb_classifier",
+    "q_ann_recall_eval",
+    "q_drift_psi",
+    "q_maxsim_colbert",
 ]
 
 

@@ -1873,3 +1873,141 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mi_contrib").desc(), "bucket")
         .limit(MI_TOP)
     )
+
+
+@_q(
+    "q_vocab_overlap",
+    """
+    WITH v AS (
+      SELECT DISTINCT lang, tok FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+      )
+    ),
+    sz AS (SELECT lang, count(*) AS n FROM v GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_inter
+      FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+           CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           floor(COALESCE(i.n_inter, 0) * 1000000.0
+                 / (sa.n + sb.n - COALESCE(i.n_inter, 0)) + 0.5)
+               / 1000000.0 AS jaccard
+    FROM sz sa
+    JOIN sz sb ON sa.lang < sb.lang
+    LEFT JOIN inter i ON i.lang_a = sa.lang AND i.lang_b = sb.lang
+    """,
+)
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual vocabulary overlap matrix: Jaccard of the distinct
+    token sets for every unordered language pair — the corpus diagnostic
+    behind shared-tokenizer sizing (high overlap → one vocab suffices) and
+    contamination checks between supposedly-disjoint corpus slices.
+
+    Exact integer arithmetic end to end (set sizes and intersections);
+    only the Jaccard ratio is quantized. The pair spine comes from the
+    |langs|² size table so zero-overlap pairs still report.
+
+    Scale shape: vocab is Heaps'-law bounded, so the distinct pass is the
+    only fact-sized work; the tok-keyed self-join runs on the deduped
+    vocab table (vocab × langs rows, not tokens), and everything after is
+    |langs|²-sized. At 100 TB this is one scan + small-table joins."""
+    d = load_table(spark, sf_dir, "documents")
+    v = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    sz = v.groupBy("lang").agg(F.count("*").alias("n"))
+    a = v.select(F.col("lang").alias("lang_a"), "tok")
+    b = v.select(F.col("lang").alias("lang_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sz.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    spine = F.broadcast(sa).join(
+        F.broadcast(sb), F.col("lang_a") < F.col("lang_b")
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    return (
+        spine.join(inter, ["lang_a", "lang_b"], "left")
+        .select(
+            "lang_a",
+            "lang_b",
+            ni.cast("bigint").alias("n_inter"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            qround(ni / (F.col("n_a") + F.col("n_b") - ni), 6).alias("jaccard"),
+        )
+    )
+
+
+BURST_TOP = 20
+
+
+@_q(
+    "q_token_burstiness",
+    f"""
+    WITH cnt AS (
+      SELECT tok, doc_id, count(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY tok, doc_id
+    ),
+    nd AS (SELECT count(*) AS n FROM documents),
+    agg AS (
+      SELECT tok, sum(c) AS s, sum(c * c) AS ss, count(*) AS df
+      FROM cnt GROUP BY tok
+    )
+    SELECT tok, CAST(s AS BIGINT) AS total_count,
+           CAST(df AS BIGINT) AS doc_freq,
+           floor(((ss * 1.0 / nd.n - (s * 1.0 / nd.n) * (s * 1.0 / nd.n))
+                  / (s * 1.0 / nd.n)) * 1000000.0 + 0.5) / 1000000.0
+               AS burstiness
+    FROM agg CROSS JOIN nd
+    ORDER BY s DESC, tok LIMIT {BURST_TOP}
+    """,
+)
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (variance-to-mean ratio of per-document counts,
+    zeros included) for the top-{BURST_TOP} corpus tokens — the classic
+    content-vs-function-word separator (function words spread evenly,
+    VMR ≈ 1 Poisson; topical words clump, VMR >> 1) and a boilerplate
+    detector (templated strings are maximally bursty).
+
+    The zeros-included moments come for free: E[x] = s/N and E[x²] = ss/N
+    with N the CORPUS doc count — absent docs contribute 0 to both sums,
+    so only (tok, doc) pairs that exist are ever materialized. Integer
+    sums throughout; one 1e-6 quantization at the end; the top-{BURST_TOP}
+    ranks on integer (count, tok).
+
+    Scale shape: one map-side-combined (tok, doc) count, one vocab-bounded
+    reduce, a 1-row doc-count broadcast, and a TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    nd = d.agg(F.count("*").alias("n"))
+    agg = cnt.groupBy("tok").agg(
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count("*").alias("df"),
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    ex2 = F.col("ss") * 1.0 / F.col("n")
+    return (
+        agg.crossJoin(F.broadcast(nd))
+        .select(
+            "tok",
+            F.col("s").cast("bigint").alias("total_count"),
+            F.col("df").cast("bigint").alias("doc_freq"),
+            qround((ex2 - mean * mean) / mean, 6).alias("burstiness"),
+        )
+        .orderBy(F.col("total_count").desc(), "tok")
+        .limit(BURST_TOP)
+    )

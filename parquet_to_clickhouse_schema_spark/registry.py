@@ -154,6 +154,8 @@ SWEEP_PRIORITY = (
     "q_drift_psi",  # r10: PSI distribution-drift monitor, gated
     "q_feature_mi",  # r10: per-feature mutual information, gated
     "q_knn_eval",  # r10: exact kNN label-vote evaluation, gated
+    "q_vocab_overlap",  # r10: cross-lingual vocabulary Jaccard matrix, gated
+    "q_token_burstiness",  # r10: VMR burstiness of top tokens, gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",
@@ -172,12 +174,12 @@ SWEEP_PRIORITY = (
     "q_chunk_docs",
     "q_cosine_topk",
     "q_data_split",
-    "q_decontaminate",
-    "q_dedup_clusters",
     # ---- ~50-budget line ----
     # remaining r4-era keys — next-rotation fill / overflow if the budget
-    # runs past 50 (twenty-seven moved below the line as the r10 oracle
+    # runs past 50 (twenty-nine moved below the line as the r10 oracle
     # additions took section-(a) slots; they are first in the r11 rotation)
+    "q_decontaminate",
+    "q_dedup_clusters",
     "q_dedup_embedding",
     "q_dedup_ngram",
     "q_doc_fingerprint",

@@ -1001,3 +1001,41 @@ def test_knn_eval_votes_are_consistent(spark):
     for r in rows:
         assert 1 <= r.n_votes <= KNN_K
         assert r.correct == (r.label == r.pred_label)
+
+
+def test_vocab_overlap_matrix_is_complete_and_bounded(spark):
+    """q_vocab_overlap (r10, oracle-gated): all C(langs,2) unordered pairs
+    present, jaccard in [0,1], intersection never exceeds either side."""
+    from parquet_to_clickhouse_schema_spark.functions.text import q_vocab_overlap
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    langs = {
+        r.lang
+        for r in load_table(spark, SF_SMOKE, "documents").select("lang").distinct().collect()
+    }
+    rows = q_vocab_overlap(spark, SF_SMOKE).collect()
+    assert len(rows) == len(langs) * (len(langs) - 1) // 2
+    for r in rows:
+        assert r.lang_a < r.lang_b
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_inter <= min(r.n_a, r.n_b)
+
+
+def test_token_burstiness_markers_spread_less_than_content(spark):
+    """q_token_burstiness (r10, oracle-gated): top tokens emitted in count
+    order with non-negative VMR; doc_freq never exceeds the corpus size;
+    the count-ordering ties broken by token."""
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        BURST_TOP,
+        q_token_burstiness,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    rows = q_token_burstiness(spark, SF_SMOKE).collect()
+    assert len(rows) == BURST_TOP
+    counts = [r.total_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.burstiness >= 0.0
+        assert 1 <= r.doc_freq <= n
