@@ -2011,3 +2011,81 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_count").desc(), "tok")
         .limit(BURST_TOP)
     )
+
+
+NOVELTY_N = 3  # shingle width
+
+
+@_q(
+    "q_ngram_novelty",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+{NOVELTY_N}-1], ' ')
+                       for i in range(1, len(toks) - {NOVELTY_N} + 2)])
+                   AS shingle
+        FROM (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        )
+        WHERE len(toks) >= {NOVELTY_N}
+      )
+    ),
+    first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           floor(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1.0 ELSE 0.0 END)
+                 * 1000000.0 / count(*) + 0.5) / 1000000.0 AS novelty
+    FROM sh JOIN first f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score: the fraction of a document's distinct
+    {NOVELTY_N}-gram shingles that FIRST appear in that document (by
+    doc_id order) — the memorization/redundancy lens used to order
+    curricula (novel-content-first) and to spot boilerplate-dominated
+    docs (novelty → 0 as everything was already seen).
+
+    Exact integer logic end to end: first-occurrence is min(doc_id) per
+    shingle, novelty the ratio of two counts; only the final fraction is
+    quantized. Docs shorter than {NOVELTY_N} tokens have no shingles and
+    emit no row (they carry no n-gram evidence either way).
+
+    Scale shape: two shingle-keyed shuffles (distinct + min) and one
+    doc-keyed reduce — the q_dedup_ngram cost class. The shingle stream
+    is row-local (JVM transform over the split array, no window); at
+    100 TB the min-reduce is map-side combinable and the join's build
+    side is the shingle-first table, bucketable by the same key."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {NOVELTY_N} + 1, 0)), "
+                    f"i -> array_join(slice(split(text, ' '), i, {NOVELTY_N}), ' '))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            (
+                F.floor(
+                    F.sum(novel.cast("double")) * 1000000.0 / F.count("*")
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("novelty"),
+        )
+    )

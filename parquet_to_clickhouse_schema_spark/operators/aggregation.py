@@ -933,3 +933,55 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_winsorized",
         )
     )
+
+
+HILL_K = 100  # tail order statistics
+
+
+@_q(
+    "q_hill_tail_index",
+    f"""
+    WITH top AS (
+      SELECT o_totalprice AS x FROM orders
+      ORDER BY o_totalprice DESC LIMIT {HILL_K} + 1
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(ln(x)) AS slnx, min(x) AS xmin FROM top
+    )
+    SELECT CAST({HILL_K} AS BIGINT) AS k,
+           floor(xmin * 100.0 + 0.5) / 100.0 AS threshold,
+           floor((slnx - n * ln(xmin)) / {HILL_K}.0 * 1000000.0 + 0.5)
+               / 1000000.0 AS hill_h,
+           floor({HILL_K}.0 / (slnx - n * ln(xmin)) * 1000000.0 + 0.5)
+               / 1000000.0 AS tail_alpha
+    FROM s
+    """,
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail exponent over the top-{HILL_K}
+    order totals: H = (1/k)·Σ ln(x_i/x_(k+1)), α = 1/H — the
+    quantitative companion to q_benford/q_zipf_slope (is the revenue tail
+    Pareto, and how fat?). Everything above the threshold order statistic
+    is captured by Σln and min over the top-(k+1) set, so ties at the
+    boundary cannot change the answer (only VALUES enter, never ranks).
+
+    Scale shape: a TakeOrdered top-(k+1) (per-partition heaps + driver
+    merge of k+1 rows — never a global sort) followed by a 1-row
+    aggregate. At 100 TB this is one scan; k scales the estimator's
+    variance, not the data touched."""
+    o = load_table(spark, sf_dir, "orders")
+    top = o.select(F.col("o_totalprice").alias("x")).orderBy(
+        F.col("x").desc()
+    ).limit(HILL_K + 1)
+    s = top.agg(
+        F.count("*").alias("n"),
+        F.sum(F.log("x")).alias("slnx"),
+        F.min("x").alias("xmin"),
+    )
+    h = (F.col("slnx") - F.col("n") * F.log("xmin")) / float(HILL_K)
+    return s.select(
+        F.lit(HILL_K).cast("bigint").alias("k"),
+        qround(F.col("xmin"), 2).alias("threshold"),
+        qround(h, 6).alias("hill_h"),
+        qround(1.0 / h, 6).alias("tail_alpha"),
+    )

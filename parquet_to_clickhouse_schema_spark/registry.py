@@ -156,6 +156,9 @@ SWEEP_PRIORITY = (
     "q_knn_eval",  # r10: exact kNN label-vote evaluation, gated
     "q_vocab_overlap",  # r10: cross-lingual vocabulary Jaccard matrix, gated
     "q_token_burstiness",  # r10: VMR burstiness of top tokens, gated
+    "q_hill_tail_index",  # r10: Hill heavy-tail exponent estimator, gated
+    "q_rfm_segments",  # r10: RFM quintile segmentation, gated
+    "q_ngram_novelty",  # r10: first-occurrence n-gram novelty, gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",
@@ -171,13 +174,13 @@ SWEEP_PRIORITY = (
     # (c) r4-era rows, oldest-first (alphabetical within round)
     "q_agg_collect",
     "q_agg_distinct_twophase",
+    # ---- ~50-budget line ----
+    # remaining r4-era keys — next-rotation fill / overflow if the budget
+    # runs past 50 (thirty-two moved below the line as the r10 oracle
+    # additions took section-(a) slots; they are first in the r11 rotation)
     "q_chunk_docs",
     "q_cosine_topk",
     "q_data_split",
-    # ---- ~50-budget line ----
-    # remaining r4-era keys — next-rotation fill / overflow if the budget
-    # runs past 50 (twenty-nine moved below the line as the r10 oracle
-    # additions took section-(a) slots; they are first in the r11 rotation)
     "q_decontaminate",
     "q_dedup_clusters",
     "q_dedup_embedding",

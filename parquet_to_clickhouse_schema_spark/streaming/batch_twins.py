@@ -919,3 +919,77 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.sum("value"), 4).alias("attributed_value"),
         )
     )
+
+
+RFM_Q = 5  # quintile scores per dimension
+
+
+@_q(
+    "q_rfm_segments",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS r_us,
+             count(*) AS f,
+             floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS m
+      FROM events GROUP BY user_id
+    ),
+    sc AS (
+      SELECT user_id,
+             ntile({RFM_Q}) OVER (ORDER BY r_us, user_id) AS r_score,
+             ntile({RFM_Q}) OVER (ORDER BY f, user_id) AS f_score,
+             ntile({RFM_Q}) OVER (ORDER BY m, user_id) AS m_score,
+             f, m
+      FROM u
+    )
+    SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(f) AS BIGINT) AS total_events,
+           floor(sum(m) * 10000.0 + 0.5) / 10000.0 AS total_value
+    FROM sc GROUP BY 1
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles, the
+    classic behavioral-cohort cut): score every user 1-5 on each axis via
+    ntile over a total order, compose the 3-digit segment code, and report
+    segment sizes and mass — the audience table every retention or
+    mix-balancing decision reads.
+
+    Determinism: each ntile orders by (metric, user_id) — recency is exact
+    integer microseconds, frequency an integer, monetary pre-quantized to
+    1e-4 — so boundaries are bit-stable (the q_perplexity_buckets
+    discipline). Higher score = more recent / more active / more spend.
+
+    Scale shape: the fact collapses to one row per user first (map-side
+    combinable); the three ntiles serialize a |users| table through one
+    task each — the documented q_window_rank trade-off; at 100 TB swap in
+    the two-pass bucketed rank (q_window_rank_scalable) per axis, same
+    output. Segment aggregation is ≤{RFM_Q}³ rows."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("r_us"),
+        F.count("*").alias("f"),
+        qround(F.sum("value"), 4).alias("m"),
+    )
+    sc = u.select(
+        F.ntile(RFM_Q).over(Window.orderBy("r_us", "user_id")).alias("r_score"),
+        F.ntile(RFM_Q).over(Window.orderBy("f", "user_id")).alias("f_score"),
+        F.ntile(RFM_Q).over(Window.orderBy("m", "user_id")).alias("m_score"),
+        "f",
+        "m",
+    )
+    return (
+        sc.groupBy(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            )
+            .cast("int")
+            .alias("segment")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("f").cast("bigint").alias("total_events"),
+            qround(F.sum("m"), 4).alias("total_value"),
+        )
+    )

@@ -1039,3 +1039,56 @@ def test_token_burstiness_markers_spread_less_than_content(spark):
     for r in rows:
         assert r.burstiness >= 0.0
         assert 1 <= r.doc_freq <= n
+
+
+def test_hill_tail_index_is_positive_and_consistent(spark):
+    """q_hill_tail_index (r10, oracle-gated): H > 0, alpha = 1/H, and the
+    threshold is at most the corpus maximum."""
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+        q_hill_tail_index,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    r = q_hill_tail_index(spark, SF_SMOKE).collect()[0]
+    assert r.hill_h > 0
+    # both fields are independently 1e-6-quantized from the raw h, so the
+    # reciprocal identity holds only to ~quantum/h² here
+    assert abs(r.tail_alpha - 1.0 / r.hill_h) < 1e-2
+    mx = load_table(spark, SF_SMOKE, "orders").agg(
+        F.max("o_totalprice")
+    ).collect()[0][0]
+    assert r.threshold <= mx
+
+
+def test_rfm_segments_cover_users_with_valid_codes(spark):
+    """q_rfm_segments (r10, oracle-gated): segment sizes sum to the user
+    count and every code is three digits of 1..RFM_Q."""
+    from parquet_to_clickhouse_schema_spark.streaming.batch_twins import (
+        RFM_Q,
+        q_rfm_segments,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    n_users = (
+        load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    rows = q_rfm_segments(spark, SF_SMOKE).collect()
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        d3, d2, d1 = r.segment // 100, (r.segment // 10) % 10, r.segment % 10
+        assert all(1 <= d <= RFM_Q for d in (d3, d2, d1)), r.segment
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    """q_ngram_novelty (r10, oracle-gated): novelty in [0,1]; the LOWEST
+    doc_id with shingles is 100% novel by construction (nothing earlier
+    exists); counts are consistent."""
+    from parquet_to_clickhouse_schema_spark.functions.text import q_ngram_novelty
+
+    rows = q_ngram_novelty(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert 0.0 <= r.novelty <= 1.0
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0 and first.n_novel == first.n_shingles
