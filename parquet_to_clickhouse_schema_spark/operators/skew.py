@@ -99,3 +99,64 @@ def top_key_skew_ratio(df: DataFrame, key: str) -> float:
         (F.max("count") / F.sum("count")).cast("double").alias("ratio")
     ).first()
     return float(row.ratio)
+
+
+@_q(
+    "q_skew_stats",
+    """
+    WITH fo AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+    so AS (
+      SELECT 'orders.o_custkey' AS join_key,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             floor((max(c) * 1.0 / sum(c)) * 1000000.0 + 0.5) / 1000000.0
+                 AS top1_share,
+             floor(quantile_cont(c, 0.99) / (sum(c) * 1.0 / count(*))
+                   * 1000000.0 + 0.5) / 1000000.0 AS p99_to_mean
+      FROM fo
+    ),
+    fl AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+    sl AS (
+      SELECT 'lineitem.l_partkey' AS join_key,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             floor((max(c) * 1.0 / sum(c)) * 1000000.0 + 0.5) / 1000000.0
+                 AS top1_share,
+             floor(quantile_cont(c, 0.99) / (sum(c) * 1.0 / count(*))
+                   * 1000000.0 + 0.5) / 1000000.0 AS p99_to_mean
+      FROM fl
+    )
+    SELECT * FROM so UNION ALL SELECT * FROM sl
+    """,
+)
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostics for the two fact-side join keys: key
+    cardinality, the hottest key's row share, and the p99-frequency-to-mean
+    ratio — the numbers that decide BEFORE a 100 TB join whether plain
+    sort-merge is safe, AQE skew-split suffices, or salting
+    (salted_equi_join above) is required. top1_share × n_rows is the
+    hottest task's row count under naive hash partitioning.
+
+    One map-side-combined count per key column, then 1-row statistics over
+    the (key, count) table — the diagnostic costs one scan per audited key
+    and is itself skew-immune (the reduce key IS the audited key).
+    Exact percentile over integer counts; ratios quantized at 1e-6."""
+    def stats(df: DataFrame, key: str, label: str) -> DataFrame:
+        f = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+        return f.agg(
+            F.lit(label).alias("join_key"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            qround(F.max("c") * 1.0 / F.sum("c"), 6).alias("top1_share"),
+            qround(
+                F.percentile("c", F.lit(0.99))
+                / (F.sum("c") * 1.0 / F.count("*")),
+                6,
+            ).alias("p99_to_mean"),
+        ).select("join_key", "n_rows", "n_keys", "top1_share", "p99_to_mean")
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats(o, "o_custkey", "orders.o_custkey").unionAll(
+        stats(li, "l_partkey", "lineitem.l_partkey")
+    )

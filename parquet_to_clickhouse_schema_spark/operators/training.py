@@ -1130,3 +1130,93 @@ def q_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("sel_rate"),
     )
+
+
+@_q(
+    "q_ht_estimate",
+    f"""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             least(1.0, n_chars / {WEIGHT_CHARS}) AS w,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{SAMPLE_SEED}'),
+                                 1, 15) AS BIGINT) / {HEX15} AS u
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS n_sampled,
+             sum(1.0 / w) AS est_docs,
+             sum(n_chars / w) AS est_chars
+      FROM w WHERE u < w
+    ),
+    t AS (
+      SELECT count(*) AS true_docs, sum(n_chars) AS true_chars FROM documents
+    )
+    SELECT CAST(s.n_sampled AS BIGINT) AS n_sampled,
+           floor(s.est_docs * 100.0 + 0.5) / 100.0 AS est_docs,
+           CAST(t.true_docs AS BIGINT) AS true_docs,
+           floor(s.est_chars * 100.0 + 0.5) / 100.0 AS est_chars,
+           CAST(t.true_chars AS BIGINT) AS true_chars,
+           floor(abs(s.est_chars - t.true_chars) / t.true_chars
+                 * 1000000.0 + 0.5) / 1000000.0 AS rel_err_chars
+    FROM s CROSS JOIN t
+    """,
+)
+def q_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation over q_sample_weighted's deterministic
+    sample: re-weight each kept document by 1/π (its md5-coin inclusion
+    probability) to estimate the FULL corpus document count and character
+    mass, reported against the truth with relative error — the accounting
+    half of weighted sampling (a downsampled corpus is only honest if you
+    can still estimate what the full one contained).
+
+    Same md5 draw, weights and threshold as q_sample_weighted (shared
+    constants), so the two keys are one pipeline: sample there, audit
+    here. Sums of 1/π are pure arithmetic on exact inputs; estimates are
+    quantized to 1e-2, the error ratio to 1e-6.
+
+    Scale shape: one scan, two map-side-combined global aggregates, a
+    1-row cross join. The estimator's variance shrinks as the sample
+    grows; the plan cost does not change."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / WEIGHT_CHARS)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(SAMPLE_SEED)
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(HEX15)
+    )
+    s = (
+        d.select(F.col("n_chars"), w.alias("w"), u.alias("u"))
+        .filter(F.col("u") < F.col("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum(1.0 / F.col("w")).alias("est_docs_raw"),
+            F.sum(F.col("n_chars") / F.col("w")).alias("est_chars_raw"),
+        )
+    )
+    t = d.agg(
+        F.count("*").cast("bigint").alias("true_docs"),
+        F.sum("n_chars").cast("bigint").alias("true_chars"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "n_sampled",
+        qround(F.col("est_docs_raw"), 2).alias("est_docs"),
+        "true_docs",
+        qround(F.col("est_chars_raw"), 2).alias("est_chars"),
+        "true_chars",
+        qround(
+            F.abs(F.col("est_chars_raw") - F.col("true_chars"))
+            / F.col("true_chars"),
+            6,
+        ).alias("rel_err_chars"),
+    )

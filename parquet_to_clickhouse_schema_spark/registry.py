@@ -159,6 +159,8 @@ SWEEP_PRIORITY = (
     "q_hill_tail_index",  # r10: Hill heavy-tail exponent estimator, gated
     "q_rfm_segments",  # r10: RFM quintile segmentation, gated
     "q_ngram_novelty",  # r10: first-occurrence n-gram novelty, gated
+    "q_skew_stats",  # r10: pre-join hot-key diagnostics, gated
+    "q_ht_estimate",  # r10: Horvitz-Thompson sample audit, gated
     # (b) last driver row r1/r2 — stale, predating the events.ts regen
     "q_stats_agg",
     "q_subquery_corr",
@@ -172,12 +174,12 @@ SWEEP_PRIORITY = (
     "q_udf_pandas",
     "q_udf_python",
     # (c) r4-era rows, oldest-first (alphabetical within round)
-    "q_agg_collect",
-    "q_agg_distinct_twophase",
     # ---- ~50-budget line ----
     # remaining r4-era keys — next-rotation fill / overflow if the budget
-    # runs past 50 (thirty-two moved below the line as the r10 oracle
+    # runs past 50 (thirty-four moved below the line as the r10 oracle
     # additions took section-(a) slots; they are first in the r11 rotation)
+    "q_agg_collect",
+    "q_agg_distinct_twophase",
     "q_chunk_docs",
     "q_cosine_topk",
     "q_data_split",

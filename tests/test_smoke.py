@@ -1092,3 +1092,30 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark):
         assert 0.0 <= r.novelty <= 1.0
     first = min(rows, key=lambda r: r.doc_id)
     assert first.novelty == 1.0 and first.n_novel == first.n_shingles
+
+
+def test_skew_stats_are_internally_consistent(spark):
+    """q_skew_stats (r10, oracle-gated): both audited keys report, the
+    hottest key's share bounds 1/n_keys from below, and p99/mean >= ~1."""
+    from parquet_to_clickhouse_schema_spark.operators.skew import q_skew_stats
+
+    rows = {r.join_key: r for r in q_skew_stats(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"orders.o_custkey", "lineitem.l_partkey"}
+    for r in rows.values():
+        assert r.n_keys <= r.n_rows
+        assert r.top1_share >= 1.0 / r.n_keys - 1e-9
+        assert r.top1_share <= 1.0
+        assert r.p99_to_mean >= 0.99  # p99 of counts can't sit below ~mean
+
+
+def test_ht_estimate_recovers_totals(spark):
+    """q_ht_estimate (r10, oracle-gated): the Horvitz-Thompson estimates
+    must land within 10% of the true document count and character mass
+    (the md5 coin is fair; ~60% of docs are sampled at these weights)."""
+    from parquet_to_clickhouse_schema_spark.operators.training import q_ht_estimate
+
+    r = q_ht_estimate(spark, SF_SMOKE).collect()[0]
+    assert 0 < r.n_sampled <= r.true_docs
+    assert abs(r.est_docs - r.true_docs) / r.true_docs < 0.1
+    assert abs(r.est_chars - r.true_chars) / r.true_chars < 0.1
+    assert r.rel_err_chars < 0.1
