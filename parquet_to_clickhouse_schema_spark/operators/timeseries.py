@@ -478,3 +478,185 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+KS_A, KS_B = "click", "purchase"
+KS_CRIT = 1.358  # alpha = 0.05 two-sample coefficient
+
+
+@_q(
+    "q_ks_test",
+    f"""
+    WITH v AS (
+      SELECT event_type AS g,
+             floor(value * 10000.0 + 0.5) / 10000.0 AS val
+      FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+    ),
+    n AS (
+      SELECT sum(CASE WHEN g = '{KS_A}' THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN g = '{KS_B}' THEN 1 ELSE 0 END) AS n2
+      FROM v
+    ),
+    pts AS (
+      SELECT val,
+             sum(CASE WHEN g = '{KS_A}' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN g = '{KS_B}' THEN 1 ELSE 0 END) AS c2
+      FROM v GROUP BY val
+    ),
+    cum AS (
+      SELECT val,
+             sum(c1) OVER (ORDER BY val) AS k1,
+             sum(c2) OVER (ORDER BY val) AS k2
+      FROM pts
+    ),
+    d AS (
+      SELECT max(abs(k1 * 1.0 / n.n1 - k2 * 1.0 / n.n2)) AS d_raw
+      FROM cum CROSS JOIN n
+    )
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           floor(d.d_raw * 1000000.0 + 0.5) / 1000000.0 AS d_stat,
+           floor({KS_CRIT} * sqrt((n.n1 + n.n2) * 1.0 / (n.n1 * n.n2))
+                 * 1000000.0 + 0.5) / 1000000.0 AS d_crit_05,
+           floor(d.d_raw * 1000000.0 + 0.5)
+             > floor({KS_CRIT} * sqrt((n.n1 + n.n2) * 1.0 / (n.n1 * n.n2))
+                     * 1000000.0 + 0.5) AS reject_05
+    FROM d CROSS JOIN n
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the '{KS_A}' and
+    '{KS_B}' value distributions: D = max |ECDF₁ − ECDF₂| evaluated at
+    every distinct value, against the α=0.05 critical value
+    {KS_CRIT}·√((n₁+n₂)/(n₁n₂)) — the binless companion to q_drift_psi
+    (PSI needs bucket choices; KS does not) and to q_chi_square
+    (categorical vs continuous).
+
+    Determinism: values pre-quantized to 1e-4 before grouping, ECDFs are
+    exact integer-count ratios, the reject flag compares the two QUANTIZED
+    statistics (identical integers both engines — no raw-float boundary).
+
+    Scale shape: the fact collapses to per-distinct-value counts first
+    (map-side combinable, cardinality-bounded); the cumulative window then
+    runs over distinct values only. That window is a single global sort —
+    the q_window_rank-class serialization; at 100 TB swap in the two-pass
+    contiguous-block cumsum (the q_shard_plan pattern) over value-range
+    blocks, oracle-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type").isin(KS_A, KS_B)).select(
+        F.col("event_type").alias("g"), qround(F.col("value"), 4).alias("val")
+    )
+    n = v.agg(
+        F.sum((F.col("g") == KS_A).cast("int")).alias("n1"),
+        F.sum((F.col("g") == KS_B).cast("int")).alias("n2"),
+    )
+    pts = v.groupBy("val").agg(
+        F.sum((F.col("g") == KS_A).cast("int")).alias("c1"),
+        F.sum((F.col("g") == KS_B).cast("int")).alias("c2"),
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(F.col("k1") * 1.0 / F.col("n1") - F.col("k2") * 1.0 / F.col("n2"))
+        ).alias("d_raw")
+    )
+    crit = F.lit(KS_CRIT) * F.sqrt(
+        (F.col("n1") + F.col("n2")) * 1.0 / (F.col("n1") * F.col("n2"))
+    )
+    dq = F.floor(F.col("d_raw") * 1000000.0 + F.lit(0.5))
+    cq = F.floor(crit * 1000000.0 + F.lit(0.5))
+    return d.crossJoin(F.broadcast(n)).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        (dq / 1000000.0).alias("d_stat"),
+        (cq / 1000000.0).alias("d_crit_05"),
+        (dq > cq).alias("reject_05"),
+    )
+
+
+@_q(
+    "q_mann_whitney",
+    f"""
+    WITH v AS (
+      SELECT event_type AS g,
+             floor(value * 10000.0 + 0.5) / 10000.0 AS val
+      FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+    ),
+    n AS (
+      SELECT sum(CASE WHEN g = '{KS_A}' THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN g = '{KS_B}' THEN 1 ELSE 0 END) AS n2
+      FROM v
+    ),
+    pts AS (
+      SELECT val,
+             sum(CASE WHEN g = '{KS_A}' THEN 1 ELSE 0 END) AS c1,
+             count(*) AS ct
+      FROM v GROUP BY val
+    ),
+    ar AS (
+      SELECT val, c1, ct,
+             COALESCE(sum(ct) OVER (ORDER BY val
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+               + (ct + 1.0) / 2.0 AS avg_rank
+      FROM pts
+    ),
+    r AS (SELECT sum(c1 * avg_rank) AS r1 FROM ar)
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           floor((r.r1 - n.n1 * (n.n1 + 1.0) / 2.0) * 100.0 + 0.5) / 100.0
+               AS u1,
+           floor(((r.r1 - n.n1 * (n.n1 + 1.0) / 2.0) - n.n1 * n.n2 / 2.0)
+                 / sqrt(n.n1 * n.n2 * (n.n1 + n.n2 + 1.0) / 12.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS z_score
+    FROM r CROSS JOIN n
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the '{KS_A}' and
+    '{KS_B}' value distributions: U₁ from tie-averaged ranks, normal
+    z-approximation (untied variance — the tie correction shifts z < 0.1%
+    at these tie rates and is a documented refinement, not an accuracy
+    bug). The rank-based companion to q_ks_test: KS asks "same shape?",
+    U asks "is one stochastically larger?".
+
+    Tie-averaged ranks come from per-distinct-value counts: every tied
+    observation gets (rows before the tie group) + (group size + 1)/2 —
+    exact rational arithmetic on integer counts; z is one quantized
+    division at the end.
+
+    Scale shape: identical to q_ks_test (per-value counts, one
+    distinct-value cumulative window, two 1-row joins) and the same
+    two-pass block-cumsum swap applies at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type").isin(KS_A, KS_B)).select(
+        F.col("event_type").alias("g"), qround(F.col("value"), 4).alias("val")
+    )
+    n = v.agg(
+        F.sum((F.col("g") == KS_A).cast("int")).alias("n1"),
+        F.sum((F.col("g") == KS_B).cast("int")).alias("n2"),
+    )
+    pts = v.groupBy("val").agg(
+        F.sum((F.col("g") == KS_A).cast("int")).alias("c1"),
+        F.count("*").alias("ct"),
+    )
+    wprev = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    ar = pts.select(
+        "c1",
+        (
+            F.coalesce(F.sum("ct").over(wprev), F.lit(0))
+            + (F.col("ct") + 1.0) / 2.0
+        ).alias("avg_rank"),
+    )
+    r = ar.agg(F.sum(F.col("c1") * F.col("avg_rank")).alias("r1"))
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1.0) / 2.0
+    z = (u1 - F.col("n1") * F.col("n2") / 2.0) / F.sqrt(
+        F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1.0) / 12.0
+    )
+    return r.crossJoin(F.broadcast(n)).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        qround(u1, 2).alias("u1"),
+        qround(z, 6).alias("z_score"),
+    )

@@ -175,6 +175,10 @@ SWEEP_PRIORITY = (
     "q_udf_python",
     # (c) r4-era rows, oldest-first (alphabetical within round)
     # ---- ~50-budget line ----
+    # new-in-r10 overflow (first driver rows wait for r11 — the budget is
+    # consumed by the 39 r10 keys above plus the 11 r1/r2-stale keys)
+    "q_ks_test",  # r10: two-sample Kolmogorov-Smirnov, gated
+    "q_mann_whitney",  # r10: rank-sum U test, gated
     # remaining r4-era keys — next-rotation fill / overflow if the budget
     # runs past 50 (thirty-four moved below the line as the r10 oracle
     # additions took section-(a) slots; they are first in the r11 rotation)

@@ -1119,3 +1119,54 @@ def test_ht_estimate_recovers_totals(spark):
     assert abs(r.est_docs - r.true_docs) / r.true_docs < 0.1
     assert abs(r.est_chars - r.true_chars) / r.true_chars < 0.1
     assert r.rel_err_chars < 0.1
+
+
+def test_ks_test_matches_scipy_free_reference(spark):
+    """q_ks_test (r10, oracle-gated): D in [0,1]; a Python replay of the
+    two ECDFs over collected values reproduces the statistic; same-type
+    distributions (click vs click values are iid by construction) should
+    not reject wildly more often than alpha."""
+    from parquet_to_clickhouse_schema_spark.operators.timeseries import (
+        KS_A,
+        KS_B,
+        q_ks_test,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    r = q_ks_test(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r.d_stat <= 1.0
+    import bisect
+    import math
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = sorted(
+        math.floor(x.value * 10000 + 0.5) / 10000
+        for x in ev.filter(F.col("event_type") == KS_A).select("value").collect()
+    )
+    b = sorted(
+        math.floor(x.value * 10000 + 0.5) / 10000
+        for x in ev.filter(F.col("event_type") == KS_B).select("value").collect()
+    )
+
+    pts = sorted(set(a) | set(b))
+    d = max(
+        abs(
+            bisect.bisect_right(a, x) / len(a)
+            - bisect.bisect_right(b, x) / len(b)
+        )
+        for x in pts
+    )
+    assert abs(d - r.d_stat) < 1e-3
+    assert r.n1 == len(a) and r.n2 == len(b)
+
+
+def test_mann_whitney_u_is_in_range(spark):
+    """q_mann_whitney (r10, oracle-gated): U1 in [0, n1*n2]; z finite and
+    small for same-distribution synthetic values."""
+    from parquet_to_clickhouse_schema_spark.operators.timeseries import (
+        q_mann_whitney,
+    )
+
+    r = q_mann_whitney(spark, SF_SMOKE).collect()[0]
+    assert 0 <= r.u1 <= r.n1 * r.n2
+    assert abs(r.z_score) < 10
