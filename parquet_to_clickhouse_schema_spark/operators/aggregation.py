@@ -985,3 +985,72 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(h, 6).alias("hill_h"),
         qround(1.0 / h, 6).alias("tail_alpha"),
     )
+
+
+ZORDER_BITS = 4  # 16x16 grid -> 256 z-cells
+
+
+@_q(
+    "q_zorder_preview",
+    f"""
+    WITH r AS (
+      SELECT l_partkey AS a, l_suppkey AS b,
+             ntile({2**ZORDER_BITS}) OVER (ORDER BY l_partkey, l_orderkey,
+                                           l_linenumber) - 1 AS ra,
+             ntile({2**ZORDER_BITS}) OVER (ORDER BY l_suppkey, l_orderkey,
+                                           l_linenumber) - 1 AS rb
+      FROM lineitem
+    ),
+    z AS (
+      SELECT a, b,
+             {" + ".join(f"(((ra >> {j}) & 1) * {2 * 4**j} + ((rb >> {j}) & 1) * {4**j})" for j in range(ZORDER_BITS))}
+               AS z_cell
+      FROM r
+    )
+    SELECT CAST(z_cell AS INT) AS z_cell,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(a) AS BIGINT) AS a_min, CAST(max(a) AS BIGINT) AS a_max,
+           CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
+    FROM z GROUP BY z_cell
+    """,
+)
+def q_zorder_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout preview for a 2-key clustering of
+    lineitem on (partkey, suppkey): quantile-rank each key to
+    {ZORDER_BITS} bits, interleave the bits into a z-cell, and report each
+    cell's row count and per-dimension min/max envelope — the table a
+    layout decision reads BEFORE rewriting 100 TB: tight envelopes on BOTH
+    dims mean range predicates on EITHER key prune most cells (the
+    multi-dimensional win single-key sorting can't give; cf.
+    q_layout_pruning for the single-key discipline).
+
+    Exact integer pipeline: ntile over a totally-ordered key (unique
+    (key, orderkey, linenumber) tiebreak), bit interleave by shift/mask
+    arithmetic, integer envelopes — nothing to quantize.
+
+    Scale shape: the two global ntiles are the q_window_rank-class
+    serialization — at 100 TB swap in the two-pass bucketed rank
+    (q_window_rank_scalable), oracle-identical; cell aggregation is
+    map-side combinable into ≤{4**ZORDER_BITS} groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wa = Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    wb = Window.orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    r = li.select(
+        F.col("l_partkey").alias("a"),
+        F.col("l_suppkey").alias("b"),
+        (F.ntile(2**ZORDER_BITS).over(wa) - 1).alias("ra"),
+        (F.ntile(2**ZORDER_BITS).over(wb) - 1).alias("rb"),
+    )
+    z_cell = None
+    for j in range(ZORDER_BITS):
+        term = F.shiftright(F.col("ra"), j).bitwiseAND(F.lit(1)) * (
+            2 * 4**j
+        ) + F.shiftright(F.col("rb"), j).bitwiseAND(F.lit(1)) * (4**j)
+        z_cell = term if z_cell is None else z_cell + term
+    return r.groupBy(z_cell.cast("int").alias("z_cell")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("a").cast("bigint").alias("a_min"),
+        F.max("a").cast("bigint").alias("a_max"),
+        F.min("b").cast("bigint").alias("b_min"),
+        F.max("b").cast("bigint").alias("b_max"),
+    )

