@@ -416,3 +416,69 @@ def asof_join(
         for c in right_cols
     ]
     return carried.select(*out_cols, *matched)
+
+
+@_q(
+    "q_join_pit",
+    """
+    WITH hist AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM orders
+    ),
+    probe AS (
+      SELECT l.l_shipdate AS p_ts, o.o_custkey AS custkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT h.o_orderpriority AS priority_at_ship,
+           CAST(count(*) AS BIGINT) AS n_shipments
+    FROM probe p
+    JOIN hist h
+      ON h.o_custkey = p.custkey
+     AND h.valid_from <= p.p_ts
+     AND (h.valid_to IS NULL OR p.p_ts < h.valid_to)
+    GROUP BY 1
+    """,
+)
+def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (validity-interval) dimension join — the temporal
+    lookup q_join_asof's nearest-key form can't express: each customer's
+    order stream becomes an SCD2-style version history (valid_from =
+    orderdate, valid_to = next orderdate via lead; same-date versions get
+    empty intervals and correctly never match), and every shipment probes
+    the version CURRENT at its ship date. Reported as shipments per
+    at-ship-time order priority — "what did the dimension say when the
+    fact happened", the question every ML feature-backfill and financial
+    restatement asks (training-set leakage prevention: never join
+    tomorrow's dimension onto today's fact).
+
+    Scale shape: the interval join is an EQUI-join on custkey with the
+    range as a residual filter — each probe row meets only its own
+    customer's versions (bounded per-key history), never a BNLJ; the
+    version build is one per-customer lead window (millions of small
+    partitions). Exact date arithmetic; counts only — nothing to
+    quantize."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    probe = li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey).select(
+        F.col("l_shipdate").alias("p_ts"), F.col("o_custkey").alias("custkey")
+    )
+    j = probe.join(
+        hist,
+        (hist.o_custkey == probe.custkey)
+        & (hist.valid_from <= probe.p_ts)
+        & (hist.valid_to.isNull() | (probe.p_ts < hist.valid_to)),
+    )
+    return j.groupBy(
+        F.col("o_orderpriority").alias("priority_at_ship")
+    ).agg(F.count("*").cast("bigint").alias("n_shipments"))

