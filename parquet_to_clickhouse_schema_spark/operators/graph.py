@@ -471,3 +471,92 @@ def q_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("node_type").orderBy(F.col("pr").desc(), "id")
     return pr_q.withColumn("pos", F.row_number().over(w).cast("int"))
+
+
+@_q(
+    "q_graph_triangles",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT id, count(*) AS d FROM (
+        SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
+      ) GROUP BY id
+    ),
+    tri AS (
+      SELECT count(*) AS t
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wed AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           CAST(wed.w AS BIGINT) AS n_wedges,
+           floor(3.0 * tri.t / wed.w * 1000000.0 + 0.5) / 1000000.0
+               AS clustering_coeff
+    FROM tri CROSS JOIN wed
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the co-purchase
+    graph (parts linked when one order contains both, the
+    q_copurchase_pairs edge set): T from the ID-ordered closed-wedge join
+    (a<b<c, so each triangle counts exactly once), W = Σ d(d−1)/2, and
+    C = 3T/W — the density diagnostic behind community detection and
+    recommendation quality (C ≈ 0 means baskets don't cluster).
+
+    Exact integer counting; only the coefficient is quantized. Scale
+    shape: the wedge join e1(a,b)⋈e2(b,c) is an equi-join on the shared
+    endpoint and the closure check an equi-join on (a,c) — at 100 TB the
+    standard refinement is degree-ordered orientation (each edge directed
+    from the lower-(degree, id) endpoint) which bounds wedge fan-out by
+    arboricity instead of max degree; ID order keeps the oracle twin
+    byte-identical here and is the same join topology."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("t"))
+    )
+    wed = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+    ne = e.agg(F.count("*").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(wed))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("t").cast("bigint").alias("n_triangles"),
+            F.col("w").cast("bigint").alias("n_wedges"),
+            qround(3.0 * F.col("t") / F.col("w"), 6).alias("clustering_coeff"),
+        )
+    )

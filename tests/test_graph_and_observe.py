@@ -135,3 +135,24 @@ def test_q_pagerank_ranks_matches_q_pagerank(spark):
             (r for r in out if r.node_type == fam), key=lambda r: (-r.pr, r.id)
         )
         assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_graph_triangles_on_planted_graph(spark, tmp_path):
+    """q_graph_triangles (r10, oracle-gated): a planted K3 plus a dangling
+    edge yields exactly 1 triangle, 5 wedges, C = 3/5."""
+    rows = []
+    # order 1 buys parts 1,2,3 (a K3); order 2 buys parts 3,4 (one edge)
+    for ok, pk in [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4)]:
+        rows.append((ok, pk))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    from parquet_to_clickhouse_schema_spark.operators.graph import (
+        q_graph_triangles,
+    )
+
+    r = q_graph_triangles(spark, str(tmp_path)).collect()[0]
+    assert r.n_edges == 4
+    assert r.n_triangles == 1
+    assert r.n_wedges == 5
+    assert abs(r.clustering_coeff - 0.6) < 1e-6
