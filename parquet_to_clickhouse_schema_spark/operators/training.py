@@ -1220,3 +1220,75 @@ def q_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err_chars"),
     )
+
+
+ES_K = 50
+ES_SEED = "#es1"
+
+
+@_q(
+    "q_wsample_es",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             least(1.0, n_chars / {WEIGHT_CHARS}) AS w,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{ES_SEED}'),
+                                 1, 15) AS BIGINT) / {HEX15} AS u
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           floor(w * 1000000.0 + 0.5) / 1000000.0 AS weight,
+           floor(ln(u) / w * 1000000.0 + 0.5) / 1000000.0 AS es_key
+    FROM w
+    ORDER BY ln(u) / w DESC, doc_id LIMIT {ES_K}
+    """,
+)
+def q_wsample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+    every document draws key u^(1/w) (ranked as ln(u)/w) from its md5
+    uniform, and the global top-{ES_K} keys ARE an exact weighted
+    without-replacement sample — the distributed answer to "give me k
+    docs, quality-weighted, no duplicates" that per-row coin flips
+    (q_sample_weighted) can't provide because they fix the rate, not the
+    count. Deterministic: same seed → same sample across re-runs, engines
+    and partitionings.
+
+    Float note: the ranking uses raw ln(u)/w (libm ln may differ 1 ulp
+    cross-engine — the q_dsir_weights-documented margin; distinct docs'
+    keys differ by ≫1e-9 so order is stable); emitted keys are 1e-6
+    quantized after selection.
+
+    Scale shape: one scan + a TakeOrdered top-{ES_K} (per-partition heaps,
+    k-row driver merge) — no shuffle, no window; k scales the sample, not
+    the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / WEIGHT_CHARS)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(ES_SEED)).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(HEX15)
+    )
+    keyed = d.select(
+        "doc_id", "lang", w.alias("w"), (F.log(u) / w).alias("es_raw")
+    )
+    return (
+        keyed.orderBy(F.col("es_raw").desc(), "doc_id")
+        .limit(ES_K)
+        .select(
+            "doc_id",
+            "lang",
+            qround(F.col("w"), 6).alias("weight"),
+            qround(F.col("es_raw"), 6).alias("es_key"),
+        )
+    )

@@ -1207,3 +1207,29 @@ def test_join_pit_matches_per_row_replay(spark):
     n_li = load_table(spark, SF_SMOKE, "lineitem").count()
     assert 0 < sum(r.n_shipments for r in rows) <= n_li
     assert len({r.priority_at_ship for r in rows}) == len(rows)
+
+
+def test_wsample_es_favors_heavy_docs_and_is_deterministic(spark):
+    """q_wsample_es (r10, oracle-gated): exactly ES_K rows, no duplicates,
+    identical across re-runs, and the sample's mean weight exceeds the
+    corpus mean (heavier docs are more likely to be drawn)."""
+    from parquet_to_clickhouse_schema_spark.operators.training import (
+        ES_K,
+        WEIGHT_CHARS,
+        q_wsample_es,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    rows = q_wsample_es(spark, SF_SMOKE).collect()
+    again = q_wsample_es(spark, SF_SMOKE).collect()
+    assert len(rows) == ES_K
+    assert len({r.doc_id for r in rows}) == ES_K
+    assert {r.doc_id for r in rows} == {r.doc_id for r in again}
+    corpus_mean = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F.least(F.lit(1.0), F.col("n_chars") / WEIGHT_CHARS).alias("w"))
+        .agg(F.avg("w"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.weight for r in rows) / ES_K
+    assert sample_mean > corpus_mean
