@@ -993,13 +993,20 @@ ZORDER_BITS = 4  # 16x16 grid -> 256 z-cells
 @_q(
     "q_zorder_preview",
     f"""
-    WITH r AS (
-      SELECT l_partkey AS a, l_suppkey AS b,
-             ntile({2**ZORDER_BITS}) OVER (ORDER BY l_partkey, l_orderkey,
-                                           l_linenumber) - 1 AS ra,
-             ntile({2**ZORDER_BITS}) OVER (ORDER BY l_suppkey, l_orderkey,
-                                           l_linenumber) - 1 AS rb
+    WITH bnd AS (
+      SELECT quantile_cont(l_partkey, [x / {2**ZORDER_BITS}.0
+                                       for x in range(1, {2**ZORDER_BITS})])
+               AS ba,
+             quantile_cont(l_suppkey, [x / {2**ZORDER_BITS}.0
+                                       for x in range(1, {2**ZORDER_BITS})])
+               AS bb
       FROM lineitem
+    ),
+    r AS (
+      SELECT l_partkey AS a, l_suppkey AS b,
+             len(list_filter(ba, x -> l_partkey > x)) AS ra,
+             len(list_filter(bb, x -> l_suppkey > x)) AS rb
+      FROM lineitem CROSS JOIN bnd
     ),
     z AS (
       SELECT a, b,
@@ -1016,30 +1023,36 @@ ZORDER_BITS = 4  # 16x16 grid -> 256 z-cells
 )
 def q_zorder_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton curve) layout preview for a 2-key clustering of
-    lineitem on (partkey, suppkey): quantile-rank each key to
-    {ZORDER_BITS} bits, interleave the bits into a z-cell, and report each
-    cell's row count and per-dimension min/max envelope — the table a
-    layout decision reads BEFORE rewriting 100 TB: tight envelopes on BOTH
-    dims mean range predicates on EITHER key prune most cells (the
-    multi-dimensional win single-key sorting can't give; cf.
-    q_layout_pruning for the single-key discipline).
+    lineitem on (partkey, suppkey): quantile-BOUNDARY-bucket each key to
+    {ZORDER_BITS} bits (count-of-boundaries-below against a broadcast
+    1-row boundary array — the q_quantile_bucketize discipline), interleave
+    the bits into a z-cell, and report each cell's row count and
+    per-dimension min/max envelope — the table a layout decision reads
+    BEFORE rewriting 100 TB: tight envelopes on BOTH dims mean range
+    predicates on EITHER key prune most cells (the multi-dimensional win
+    single-key sorting can't give; cf. q_layout_pruning).
 
-    Exact integer pipeline: ntile over a totally-ordered key (unique
-    (key, orderkey, linenumber) tiebreak), bit interleave by shift/mask
-    arithmetic, integer envelopes — nothing to quantize.
-
-    Scale shape: the two global ntiles are the q_window_rank-class
-    serialization — at 100 TB swap in the two-pass bucketed rank
-    (q_window_rank_scalable), oracle-identical; cell aggregation is
-    map-side combinable into ≤{4**ZORDER_BITS} groups."""
+    Plan: two exact 1-row percentile aggregates, a broadcast cross join,
+    row-local shift/mask bit interleave, one ≤{4**ZORDER_BITS}-group
+    map-side-combined aggregate — NO window anywhere. The first cut of
+    this op ranked via global ntile and measured 10.9x time at 10x data
+    (the single-task window serialization, docs/SCALE.md); this
+    boundary-bucket form is the fix, and the same swap (exact percentile →
+    percentile_approx) carries it to 100 TB. Exact-integer envelopes;
+    identical interpolated boundaries on both engines
+    (the q_dq_checks-proven percentile/quantile_cont pair)."""
     li = load_table(spark, sf_dir, "lineitem")
-    wa = Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
-    wb = Window.orderBy("l_suppkey", "l_orderkey", "l_linenumber")
-    r = li.select(
-        F.col("l_partkey").alias("a"),
-        F.col("l_suppkey").alias("b"),
-        (F.ntile(2**ZORDER_BITS).over(wa) - 1).alias("ra"),
-        (F.ntile(2**ZORDER_BITS).over(wb) - 1).alias("rb"),
+    fracs = [i / 2**ZORDER_BITS for i in range(1, 2**ZORDER_BITS)]
+    bnd = li.agg(
+        F.percentile("l_partkey", F.lit(fracs)).alias("ba"),
+        F.percentile("l_suppkey", F.lit(fracs)).alias("bb"),
+    )
+    ra = F.size(F.filter("ba", lambda x: F.col("a") > x))
+    rb = F.size(F.filter("bb", lambda x: F.col("b") > x))
+    r = (
+        li.select(F.col("l_partkey").alias("a"), F.col("l_suppkey").alias("b"))
+        .crossJoin(F.broadcast(bnd))
+        .select("a", "b", ra.alias("ra"), rb.alias("rb"))
     )
     z_cell = None
     for j in range(ZORDER_BITS):
