@@ -426,3 +426,102 @@ def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bal").isNull().alias("was_imputed"),
         )
     )
+
+
+DP_EPS = 1.0  # Laplace scale b = sensitivity/eps = 1/eps for counting
+DP_SEED = "#dp1"
+
+
+@_q(
+    "q_dp_histogram",
+    f"""
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    u AS (
+      SELECT lang, n,
+             CAST('0x' || substr(md5(lang || '{DP_SEED}'), 1, 15) AS BIGINT)
+               / {16.0**15} AS u
+      FROM c
+    )
+    SELECT lang, CAST(n AS BIGINT) AS true_count,
+           floor((n - (1.0 / {DP_EPS})
+                  * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                  * ln(1.0 - 2.0 * abs(u - 0.5)))
+                 * 10000.0 + 0.5) / 10000.0 AS dp_count
+    FROM u
+    """,
+)
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release SHAPE for a histogram: per-language
+    counts plus inverse-CDF Laplace noise at scale 1/ε (sensitivity 1 for
+    a count) — the ε-DP counting-query mechanism as a plan. The noise
+    draw here is an md5 uniform so the release is REPRODUCIBLE and
+    oracle-gated (a deterministic draw is NOT private — a production
+    release swaps in one secret RNG draw per group, same plan, same
+    noise distribution; this key certifies the mechanism's arithmetic,
+    not its secrecy).
+
+    Scale shape: one map-side-combined count into |langs| groups, then
+    row-local noise arithmetic — the mechanism costs nothing beyond the
+    aggregate at any scale. True counts are emitted alongside so the
+    noise magnitude is auditable (drop that column in a real release)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("lang"), F.lit(DP_SEED)).cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(16.0**15)
+    )
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = (1.0 / DP_EPS) * sign * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    return c.select(
+        "lang",
+        F.col("n").cast("bigint").alias("true_count"),
+        qround(F.col("n") - noise, 4).alias("dp_count"),
+    )
+
+
+KANON_K = 5  # minimum safe quasi-identifier group size
+
+
+@_q(
+    "q_kanon_audit",
+    f"""
+    WITH g AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, len_bucket, CAST(n AS BIGINT) AS group_size
+    FROM g WHERE n < {KANON_K}
+    ORDER BY lang, source, len_bucket
+    """,
+)
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, 100-char length bucket): every combination shared by
+    fewer than {KANON_K} documents is a re-identification risk — the
+    release-gating check that runs BESIDE q_pii_scrub (PII removal
+    doesn't help if the metadata fingerprint is unique). Emits the
+    violating groups; an empty result certifies the release.
+
+    Exact integer bucketing (floor division — DuckDB `//` matches Spark's
+    floor()) and counting; one map-side-combined aggregate, group count
+    bounded by the quasi-identifier domain, scan-bound at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+    ).agg(F.count("*").alias("n"))
+    return g.filter(F.col("n") < KANON_K).select(
+        "lang", "source", "len_bucket", F.col("n").cast("bigint").alias("group_size")
+    )

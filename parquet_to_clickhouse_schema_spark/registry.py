@@ -183,6 +183,8 @@ SWEEP_PRIORITY = (
     "q_join_pit",  # r10: point-in-time validity-interval join, gated
     "q_graph_triangles",  # r10: triangle count + clustering coefficient, gated
     "q_wsample_es",  # r10: Efraimidis-Spirakis weighted sampling, gated
+    "q_dp_histogram",  # r10: eps-DP Laplace counting mechanism, gated
+    "q_kanon_audit",  # r10: k-anonymity quasi-identifier audit, gated
     # remaining r4-era keys — next-rotation fill / overflow if the budget
     # runs past 50 (thirty-four moved below the line as the r10 oracle
     # additions took section-(a) slots; they are first in the r11 rotation)

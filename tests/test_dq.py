@@ -72,3 +72,56 @@ def test_check_reconcile_flags_drifted_totals(spark):
     # pk=1 matches; pk=2 drifts; pk=4 has no detail rows (computed 0 != 3)
     assert out["violations"] == 2
     assert out["constraint"] == "orders_vs_lines"
+
+
+def test_dp_histogram_noise_is_laplace_scaled(spark):
+    """q_dp_histogram (r10, oracle-gated): every language reports; noise
+    |dp - true| stays within ~12/eps (P(|Lap| > 12b) ~ 6e-6); and at least
+    one group is actually perturbed."""
+    from parquet_to_clickhouse_schema_spark.operators.dq import (
+        DP_EPS,
+        q_dp_histogram,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    truth = {
+        r.lang: r.n
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    rows = q_dp_histogram(spark, SF_SMOKE).collect()
+    assert {r.lang for r in rows} == set(truth)
+    for r in rows:
+        assert r.true_count == truth[r.lang]
+        assert abs(r.dp_count - r.true_count) <= 12.0 / DP_EPS
+    assert any(abs(r.dp_count - r.true_count) > 1e-9 for r in rows)
+
+
+def test_kanon_audit_flags_exactly_the_small_groups(spark):
+    """q_kanon_audit (r10, oracle-gated): flagged groups are precisely the
+    quasi-identifier combinations under K, re-derived independently."""
+    from parquet_to_clickhouse_schema_spark.operators.dq import (
+        KANON_K,
+        q_kanon_audit,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+    from collections import Counter
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "lang", "source", F.floor(F.col("n_chars") / 100).alias("b")
+    ).collect()
+    want = {
+        k for k, c in Counter((r.lang, r.source, r.b) for r in docs).items()
+        if c < KANON_K
+    }
+    got = {
+        (r.lang, r.source, r.len_bucket)
+        for r in q_kanon_audit(spark, SF_SMOKE).collect()
+    }
+    assert got == want
