@@ -73,6 +73,11 @@ HEADLINE = [
     "q_ann_recall_eval",
     "q_drift_psi",
     "q_maxsim_colbert",
+    # r10 fifth batch: the most expensive new analytics/graph/layout ops
+    "q_graph_triangles",
+    "q_join_pit",
+    "q_ngram_novelty",
+    "q_zorder_preview",
 ]
 
 
