@@ -548,46 +548,58 @@ def q_maxsim_colbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the summed score is 1e-6-quantized BEFORE the top-{MS_TOP} order with
     vec_id tiebreak (quantize-then-rank).
 
-    Scale shape: the query grid and its norms are constant-size
-    broadcasts; per-doc work is {MS_QT}×{MS_QT} small dot products
-    (map-side-combined groupBys keyed by vec_id — never a corpus×corpus
-    join), and the final top-{MS_TOP} is a TakeOrdered. At 100 TB this is
-    the honest MaxSim cost: a constant ~{MS_QT}× expansion of the scan,
-    no pairwise blowup; the candidate-generation front-end (q_ann_*) cuts
-    the scored set when even one scan is too much."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = _md5_unit_grid(spark, "ms", MS_QT, MS_TW).select(
-        F.col("c").alias("qt"), F.col("d").alias("j"), "val"
+    Scale shape: the whole interaction tensor is ONE mapInPandas BLAS
+    kernel per batch — (batch × {MS_QT} tokens × {MS_QT} tokens) einsum,
+    row-local, no shuffle at all before the final top-{MS_TOP}
+    TakeOrdered. The first cut expressed the interactions as exploded
+    groupBys and measured 12.3 s at 10× data (linear but
+    constant-heavy — docs/SCALE.md keeps the counterexample); the kernel
+    is the same numbers in vectorized form. At 100 TB this is the honest
+    MaxSim cost: one scan; the candidate-generation front-end (q_ann_*)
+    cuts the scored set when even one scan is too much. Cross-engine
+    float: numpy dots differ from DuckDB's sequential sums by ~1e-15
+    relative; the 1e-6 quantize-before-rank absorbs it (the q_semdedup
+    kernel precedent)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    qmat = np.array(
+        [
+            [
+                (
+                    int(hashlib.md5(f"ms:{c}:{d}".encode()).hexdigest()[:4], 16)
+                    / 65535.0
+                )
+                * 2.0
+                - 1.0
+                for d in range(MS_TW)
+            ]
+            for c in range(MS_QT)
+        ]
     )
-    qn = q.groupBy("qt").agg(
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("qnrm")
-    )
-    ex = (
-        emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
-        .select(
-            "vec_id",
-            (F.col("d") / MS_TW).cast("int").alias("dt"),
-            (F.col("d") % MS_TW).cast("int").alias("j"),
-            F.col("v").cast("double").alias("v"),
-        )
-    )
-    dn = ex.groupBy("vec_id", "dt").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("dnrm")
-    )
-    dots = (
-        ex.join(F.broadcast(q), "j")
-        .groupBy("vec_id", "dt", "qt")
-        .agg(F.sum(F.col("v") * F.col("val")).alias("dot"))
-    )
-    ms = (
-        dots.join(dn, ["vec_id", "dt"])
-        .join(F.broadcast(qn), "qt")
-        .groupBy("vec_id", "qt")
-        .agg(F.max(F.col("dot") / (F.col("dnrm") * F.col("qnrm"))).alias("msim"))
-    )
+    qnrm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def score_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            d3 = mat.reshape(len(pdf), MS_QT, MS_TW)
+            dnrm = np.sqrt((d3 * d3).sum(axis=2))
+            sims = np.einsum("btd,qd->btq", d3, qmat) / (
+                dnrm[:, :, None] * qnrm[None, None, :]
+            )
+            yield pd.DataFrame(
+                {"vec_id": ids, "raw": sims.max(axis=1).sum(axis=1)}
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scored = emb.mapInPandas(score_batches, schema="vec_id long, raw double")
     return (
-        ms.groupBy("vec_id")
-        .agg(qround(F.sum("msim"), 6).alias("maxsim"))
+        scored.select("vec_id", qround(F.col("raw"), 6).alias("maxsim"))
         .orderBy(F.col("maxsim").desc(), "vec_id")
         .limit(MS_TOP)
     )
