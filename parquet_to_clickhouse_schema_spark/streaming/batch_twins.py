@@ -993,3 +993,112 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.sum("m"), 4).alias("total_value"),
         )
     )
+
+
+LATE_BLOCKS = 256  # contiguous arrival-order blocks for the two-pass prefix max
+LATE_TIERS_US = (0, 60_000_000, 300_000_000)  # out-of-order, >1 min, >5 min
+
+
+@_q(
+    "q_late_data_report",
+    f"""
+    WITH v AS (
+      SELECT event_id, epoch_us(ts) AS us,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win
+      FROM events
+    ),
+    mx AS (SELECT max(event_id) AS mid FROM v),
+    b AS (
+      SELECT v.*, CAST(v.event_id // ((mx.mid + {LATE_BLOCKS}) // {LATE_BLOCKS})
+                       AS BIGINT) AS blk
+      FROM v CROSS JOIN mx
+    ),
+    blkmax AS (SELECT blk, max(us) AS bmax FROM b GROUP BY blk),
+    off AS (
+      SELECT blk, max(bmax) OVER (ORDER BY blk
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_max
+      FROM blkmax
+    ),
+    wm AS (
+      SELECT b.win, b.us,
+             greatest(
+               COALESCE(o.prev_max, -1),
+               COALESCE(max(b.us) OVER (PARTITION BY b.blk
+                                        ORDER BY b.event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), -1)
+             ) AS w
+      FROM b JOIN off o USING (blk)
+    )
+    SELECT win,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN w > us THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_out_of_order,
+           CAST(sum(CASE WHEN w - us > {LATE_TIERS_US[1]} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_1m,
+           CAST(sum(CASE WHEN w - us > {LATE_TIERS_US[2]} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_5m
+    FROM wm GROUP BY win
+    """,
+)
+def q_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting for watermark sizing: replay the event stream
+    in arrival order (event_id — the reproducible arrival proxy) and mark
+    every event whose timestamp trails the running max-event-time
+    "watermark" at its arrival, tiered at any-out-of-order / >1 min /
+    >5 min, per tumbling hour — the table that answers "what
+    withWatermark() delay keeps 99.9% of events" BEFORE a streaming job
+    drops data silently.
+
+    The global running max uses the q_shard_plan two-pass discipline:
+    {LATE_BLOCKS} contiguous arrival blocks → per-block max → prefix max
+    over the {LATE_BLOCKS}-row block table → within-block running max
+    (bounded partitions) — never a one-task global window. Exact integer
+    microseconds throughout; counts only.
+
+    Streaming twin: this is precisely the accounting Structured
+    Streaming's watermark performs; the batch form makes it auditable and
+    oracle-gated."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.date_trunc("hour", F.col("ts")).alias("win"),
+    )
+    mx = v.agg(F.max("event_id").alias("mid"))
+    b = v.crossJoin(F.broadcast(mx)).withColumn(
+        "blk",
+        F.floor(
+            F.col("event_id")
+            / F.floor((F.col("mid") + LATE_BLOCKS) / LATE_BLOCKS)
+        ).cast("bigint"),
+    )
+    blkmax = b.groupBy("blk").agg(F.max("us").alias("bmax"))
+    woff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    off = blkmax.select("blk", F.max("bmax").over(woff).alias("prev_max"))
+    win_run = (
+        Window.partitionBy("blk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = b.join(off, "blk").select(
+        "win",
+        "us",
+        F.greatest(
+            F.coalesce(F.col("prev_max"), F.lit(-1)),
+            F.coalesce(F.max("us").over(win_run), F.lit(-1)),
+        ).alias("w"),
+    )
+    return wm.groupBy("win").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum((F.col("w") > F.col("us")).cast("int"))
+        .cast("bigint")
+        .alias("n_out_of_order"),
+        F.sum(((F.col("w") - F.col("us")) > LATE_TIERS_US[1]).cast("int"))
+        .cast("bigint")
+        .alias("n_late_1m"),
+        F.sum(((F.col("w") - F.col("us")) > LATE_TIERS_US[2]).cast("int"))
+        .cast("bigint")
+        .alias("n_late_5m"),
+    )

@@ -256,3 +256,46 @@ def test_watermark_finalizes_windows_and_drops_late_rows(spark, tmp_path):
     # late event_id=5 was behind the watermark); hour-2 window: never
     # finalized (nothing advanced the watermark past it) so absent
     assert got == {(h0, 3)}, got
+
+
+def test_late_data_report_matches_sequential_replay(spark):
+    """q_late_data_report (r10, oracle-gated): the blocked two-pass
+    watermark must equal a sequential Python replay of the arrival stream
+    (prefix max over event_id order), window by window."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_clickhouse_schema_spark.streaming.batch_twins import (
+        q_late_data_report,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = sorted(
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.date_trunc("hour", F.col("ts")).alias("win"),
+        )
+        .collect(),
+        key=lambda r: r.event_id,
+    )
+    wm = -1
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for r in ev:
+        w = want[r.win]
+        w[0] += 1
+        if wm > r.us:
+            w[1] += 1
+        if wm - r.us > 60_000_000:
+            w[2] += 1
+        if wm - r.us > 300_000_000:
+            w[3] += 1
+        wm = max(wm, r.us)
+    got = {
+        r.win: [r.n_events, r.n_out_of_order, r.n_late_1m, r.n_late_5m]
+        for r in q_late_data_report(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)
