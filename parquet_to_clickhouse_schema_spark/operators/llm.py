@@ -4462,3 +4462,261 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qlabel") == F.col("nlabel")).alias("correct"),
         )
     )
+
+
+LSH_SWEEP_CFGS = ((2, 16), (4, 8), (8, 4))  # (bands, bits) — 32 planes shared
+
+
+def _lsh_sweep_cfg_sql(bands: int, bits: int) -> str:
+    return f"""
+      SELECT {bands} AS bands, {bits} AS bits,
+             (
+               SELECT count(*) FROM (
+                 SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                 FROM (
+                   SELECT vec_id, CAST(p // {bits} AS INT) AS band,
+                          string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0'
+                                     END, '' ORDER BY p) AS bucket
+                   FROM proj GROUP BY 1, 2
+                 ) a
+                 JOIN (
+                   SELECT vec_id, CAST(p // {bits} AS INT) AS band,
+                          string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0'
+                                     END, '' ORDER BY p) AS bucket
+                   FROM proj GROUP BY 1, 2
+                 ) b
+                 ON a.band = b.band AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id
+               )
+             ) AS n_candidate_pairs,
+             (
+               SELECT count(*) FROM exact e
+               WHERE EXISTS (
+                 SELECT 1 FROM (
+                   SELECT vec_id, CAST(p // {bits} AS INT) AS band,
+                          string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0'
+                                     END, '' ORDER BY p) AS bucket
+                   FROM proj GROUP BY 1, 2
+                 ) sa
+                 JOIN (
+                   SELECT vec_id, CAST(p // {bits} AS INT) AS band,
+                          string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0'
+                                     END, '' ORDER BY p) AS bucket
+                   FROM proj GROUP BY 1, 2
+                 ) sb
+                 ON sa.band = sb.band AND sa.bucket = sb.bucket
+                WHERE sa.vec_id = e.qid AND sb.vec_id = e.nbr_id
+               )
+             ) AS n_hits
+    """
+
+
+_LSH_SWEEP_ORACLE = f"""
+    WITH planes AS (
+      SELECT p, d,
+             CASE WHEN substr(md5('h:' || p || ':' || d), 1, 1) <= '7'
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT unnest(range(0, {ANN_V_PLANES})) AS p),
+           (SELECT unnest(range(0, {ANN_V_DIM})) AS d)
+    ),
+    ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, p, sum(v * s) AS proj
+      FROM ex JOIN planes USING (d) GROUP BY vec_id, p
+    ),
+    q AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY md5('rq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {RQ_N}
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    exd AS (
+      SELECT qq.vec_id AS qid, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
+      FROM q qq
+      JOIN ex a ON a.vec_id = qq.vec_id
+      JOIN ex b ON b.d = a.d AND b.vec_id <> qq.vec_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT qid, nbr_id FROM (
+        SELECT d.qid, d.nbr_id,
+               row_number() OVER (PARTITION BY d.qid
+                                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
+                                           d.nbr_id) AS rn
+        FROM exd d
+        JOIN norms na ON d.qid = na.vec_id
+        JOIN norms nb ON d.nbr_id = nb.vec_id
+      ) WHERE rn <= {RQ_K}
+    )
+    SELECT CAST(bands AS INT) AS bands, CAST(bits AS INT) AS bits,
+           CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           floor(n_hits * 1000000.0 / {RQ_N * RQ_K} + 0.5) / 1000000.0
+               AS macro_recall
+    FROM ({" UNION ALL ".join(_lsh_sweep_cfg_sql(b, w) for b, w in LSH_SWEEP_CFGS)})
+"""
+
+
+@_q("q_lsh_param_sweep", _LSH_SWEEP_ORACLE)
+def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH design-point sweep: from ONE shared {ANN_V_PLANES}-plane
+    projection, evaluate three band layouts (2×16 / 4×8 / 8×4 bits) on
+    the two numbers that decide an ANN deployment — total candidate-pair
+    volume (cost) and candidate recall of the exact top-{RQ_K} over the
+    fixed {RQ_N}-query sample (quality). More, narrower bands ⇒ more
+    collisions ⇒ higher recall AND higher cost; this emits the measured
+    frontier instead of folklore (the q_filter_sweep pattern applied to
+    index tuning).
+
+    Recall here scores the CANDIDATE SET (did the filter surface the true
+    neighbor at all) — the re-rank stage is exact, so candidate recall IS
+    end recall. All counts exact integers; one quantized ratio.
+
+    Scale shape: one projection pass feeds all three layouts (banding is
+    a regrouping, not a recompute); each layout's pair count is a banded
+    equi-join + distinct — the widest (8×4) is the deliberate cost probe
+    and its volume is the answer, not an accident. Query-side recall
+    joins touch {RQ_N}×{RQ_K} rows."""
+    # one projection, three bandings
+    planes = (
+        spark.range(ANN_V_PLANES)
+        .select(F.col("id").alias("p"))
+        .crossJoin(spark.range(ANN_V_DIM).select(F.col("id").alias("d")))
+        .select(
+            "p",
+            "d",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit("h"),
+                            F.col("p").cast("string"),
+                            F.col("d").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    1,
+                )
+                <= "7",
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    proj = (
+        ex.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("proj"))
+        .localCheckpoint()
+    )
+    qs = (
+        emb.select("vec_id")
+        .orderBy(
+            F.md5(F.concat(F.lit("rq:"), F.col("vec_id").cast("string")).cast("binary")),
+            "vec_id",
+        )
+        .limit(RQ_N)
+    )
+    v = _as_double_vec(emb)
+    qv = qs.join(v, "vec_id").select(
+        F.col("vec_id").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qn"),
+    )
+    allv = v.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        (dot / (F.col("qn") * F.col("nn"))).desc(), "nbr_id"
+    )
+    exact = (
+        allv.crossJoin(F.broadcast(qv))
+        .filter(F.col("nbr_id") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RQ_K)
+        .select("qid", "nbr_id")
+        .localCheckpoint()
+    )
+    outs = []
+    for bands, bits in LSH_SWEEP_CFGS:
+        sig = (
+            proj.select(
+                "vec_id",
+                (F.col("p") / bits).cast("int").alias("band"),
+                "p",
+                F.when(F.col("proj") >= 0, F.lit("1")).otherwise(F.lit("0")).alias(
+                    "bit"
+                ),
+            )
+            .groupBy("vec_id", "band")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "bit"))),
+                        lambda x: x["bit"],
+                    ),
+                    "",
+                ).alias("bucket")
+            )
+        )
+        a, b = sig.alias("a"), sig.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+            .distinct()
+            .agg(F.count("*").alias("n_candidate_pairs"))
+        )
+        cand = (
+            sig.withColumnRenamed("vec_id", "qid")
+            .join(
+                sig.select(
+                    F.col("vec_id").alias("nbr_id"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .filter(F.col("qid") != F.col("nbr_id"))
+            .select("qid", "nbr_id")
+            .distinct()
+        )
+        hits = exact.join(cand, ["qid", "nbr_id"]).agg(
+            F.count("*").alias("n_hits")
+        )
+        outs.append(
+            pairs.crossJoin(hits).select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(bits).cast("int").alias("bits"),
+                F.col("n_candidate_pairs").cast("bigint"),
+                F.col("n_hits").cast("bigint"),
+                (
+                    F.floor(
+                        F.col("n_hits") * 1000000.0 / (RQ_N * RQ_K) + F.lit(0.5)
+                    )
+                    / 1000000.0
+                ).alias("macro_recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -1234,3 +1234,24 @@ def test_wsample_es_favors_heavy_docs_and_is_deterministic(spark):
     )
     sample_mean = sum(r.weight for r in rows) / ES_K
     assert sample_mean > corpus_mean
+
+
+def test_lsh_param_sweep_shows_the_tradeoff(spark):
+    """q_lsh_param_sweep (r10, oracle-gated): one row per layout; more,
+    narrower bands must yield monotonically MORE candidate pairs (the
+    cost axis) and at least as much recall as the narrowest layout."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        LSH_SWEEP_CFGS,
+        q_lsh_param_sweep,
+    )
+
+    rows = {
+        (r.bands, r.bits): r for r in q_lsh_param_sweep(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == set(LSH_SWEEP_CFGS)
+    by_bands = [rows[c] for c in sorted(LSH_SWEEP_CFGS)]  # 2x16, 4x8, 8x4
+    pairs = [r.n_candidate_pairs for r in by_bands]
+    assert pairs == sorted(pairs), pairs  # cost grows with band count
+    assert by_bands[-1].macro_recall >= by_bands[0].macro_recall
+    for r in rows.values():
+        assert 0.0 <= r.macro_recall <= 1.0
