@@ -4720,3 +4720,168 @@ def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+MAT_DIMS = (8, 16, 32)  # truncation levels vs the full 64
+
+
+def _mat_cfg_sql(dim: int) -> str:
+    return f"""
+      SELECT {dim} AS dim, t.qid, CAST(count(*) AS BIGINT) AS hits
+      FROM (
+        SELECT qid, nbr_id FROM (
+          SELECT d.qid, d.nbr_id,
+                 row_number() OVER (PARTITION BY d.qid
+                                    ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
+                                             d.nbr_id) AS rn
+          FROM (
+            SELECT qq.vec_id AS qid, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
+            FROM q qq
+            JOIN ext a ON a.vec_id = qq.vec_id AND a.d < {dim}
+            JOIN ext b ON b.d = a.d AND b.vec_id <> qq.vec_id
+            GROUP BY 1, 2
+          ) d
+          JOIN (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ext
+                WHERE d < {dim} GROUP BY vec_id) na ON d.qid = na.vec_id
+          JOIN (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ext
+                WHERE d < {dim} GROUP BY vec_id) nb ON d.nbr_id = nb.vec_id
+        ) WHERE rn <= {RQ_K}
+      ) t JOIN exact e ON e.qid = t.qid AND e.nbr_id = t.nbr_id
+      GROUP BY t.qid
+    """
+
+
+_MATRYOSHKA_ORACLE = f"""
+    WITH ext AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY md5('rq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {RQ_N}
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ext GROUP BY vec_id),
+    exd AS (
+      SELECT qq.vec_id AS qid, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
+      FROM q qq
+      JOIN ext a ON a.vec_id = qq.vec_id
+      JOIN ext b ON b.d = a.d AND b.vec_id <> qq.vec_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT qid, nbr_id FROM (
+        SELECT d.qid, d.nbr_id,
+               row_number() OVER (PARTITION BY d.qid
+                                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
+                                           d.nbr_id) AS rn
+        FROM exd d
+        JOIN norms na ON d.qid = na.vec_id
+        JOIN norms nb ON d.nbr_id = nb.vec_id
+      ) WHERE rn <= {RQ_K}
+    ),
+    hits AS ({" UNION ALL ".join(_mat_cfg_sql(m) for m in MAT_DIMS)})
+    SELECT CAST(dims.dim AS INT) AS dim,
+           CAST(count(h.qid) AS BIGINT) AS n_queries_hit,
+           CAST(COALESCE(sum(h.hits), 0) AS BIGINT) AS total_hits,
+           floor(COALESCE(sum(h.hits), 0) * 1000000.0 / {RQ_N * RQ_K} + 0.5)
+               / 1000000.0 AS macro_recall
+    FROM (SELECT unnest({list(MAT_DIMS)}) AS dim) dims
+    LEFT JOIN hits h ON h.dim = dims.dim
+    GROUP BY dims.dim
+"""
+
+
+@_q("q_matryoshka_eval", _MATRYOSHKA_ORACLE)
+def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022,
+    arXiv:2205.13147): recall of the exact top-{RQ_K} when cosine runs on
+    only the first 8/16/32 of 64 dimensions — the measurement behind
+    embedding-compression decisions (store 4× less, rerank the shortlist
+    with full vectors; how much does the shortlist miss?). Emitted as one
+    row per truncation level: queries with any hit, total hits, macro
+    recall over the fixed {RQ_N}-query sample.
+
+    Scale shape: the q_ann_recall_eval broadcast-sample pattern — the
+    full-dim exact top-{RQ_K} and each truncated top-{RQ_K} are O({RQ_N}·n)
+    via broadcast query vectors (F.slice keeps the truncation row-local);
+    the comparison joins touch {RQ_N}×{RQ_K} rows per level. Same
+    raw-double ranking discipline as the verified ANN twins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.select("vec_id")
+        .orderBy(
+            F.md5(F.concat(F.lit("rq:"), F.col("vec_id").cast("string")).cast("binary")),
+            "vec_id",
+        )
+        .limit(RQ_N)
+    )
+
+    def topk(dim: int | None) -> DataFrame:
+        vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        if dim is not None:
+            vec = F.slice(vec, 1, dim)
+        base = emb.select(
+            "vec_id",
+            vec.alias("vec"),
+            F.sqrt(
+                F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("norm"),
+        ).repartition("vec_id")
+        qv = qs.join(base, "vec_id").select(
+            F.col("vec_id").alias("qid"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qn"),
+        )
+        allv = base.select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("vec").alias("nvec"),
+            F.col("norm").alias("nn"),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("qid").orderBy(
+            (dot / (F.col("qn") * F.col("nn"))).desc(), "nbr_id"
+        )
+        return (
+            allv.crossJoin(F.broadcast(qv))
+            .filter(F.col("nbr_id") != F.col("qid"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= RQ_K)
+            .select("qid", "nbr_id")
+        )
+
+    exact = topk(None).localCheckpoint()
+    outs = []
+    for m in MAT_DIMS:
+        hits = (
+            topk(m)
+            .join(exact, ["qid", "nbr_id"])
+            .groupBy("qid")
+            .agg(F.count("*").alias("hits"))
+        )
+        outs.append(
+            hits.agg(
+                F.lit(m).cast("int").alias("dim"),
+                F.count("*").cast("bigint").alias("n_queries_hit"),
+                F.coalesce(F.sum("hits"), F.lit(0))
+                .cast("bigint")
+                .alias("total_hits"),
+                (
+                    F.floor(
+                        F.coalesce(F.sum("hits"), F.lit(0))
+                        * 1000000.0
+                        / (RQ_N * RQ_K)
+                        + F.lit(0.5)
+                    )
+                    / 1000000.0
+                ).alias("macro_recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

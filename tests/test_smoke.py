@@ -1255,3 +1255,19 @@ def test_lsh_param_sweep_shows_the_tradeoff(spark):
     assert by_bands[-1].macro_recall >= by_bands[0].macro_recall
     for r in rows.values():
         assert 0.0 <= r.macro_recall <= 1.0
+
+
+def test_matryoshka_recall_grows_with_dims(spark):
+    """q_matryoshka_eval (r10, oracle-gated): one row per truncation
+    level; recall must be monotone non-decreasing in the kept dimension
+    count, and each recall in [0, 1]."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        MAT_DIMS,
+        q_matryoshka_eval,
+    )
+
+    rows = {r.dim: r for r in q_matryoshka_eval(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(MAT_DIMS)
+    recalls = [rows[m].macro_recall for m in sorted(MAT_DIMS)]
+    assert recalls == sorted(recalls), recalls
+    assert all(0.0 <= r <= 1.0 for r in recalls)
