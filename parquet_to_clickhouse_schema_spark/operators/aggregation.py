@@ -1067,3 +1067,83 @@ def q_zorder_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("b").cast("bigint").alias("b_min"),
         F.max("b").cast("bigint").alias("b_max"),
     )
+
+
+PARETO_SHARE = 0.8
+
+
+@_q(
+    "q_pareto_8020",
+    f"""
+    WITH rev AS (
+      SELECT n.n_name, r.o_custkey,
+             floor(r.rev * 100.0 + 0.5) / 100.0 AS rev
+      FROM (SELECT o_custkey, sum(o_totalprice) AS rev
+            FROM orders GROUP BY o_custkey) r
+      JOIN customer c ON r.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    ranked AS (
+      SELECT n_name, rev,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY rev DESC, o_custkey) AS i,
+             sum(rev) OVER (PARTITION BY n_name
+                            ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             sum(rev) OVER (PARTITION BY n_name) AS tot,
+             count(*) OVER (PARTITION BY n_name) AS n
+      FROM rev
+    )
+    SELECT n_name,
+           CAST(min(n) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN cum >= {PARETO_SHARE} * tot THEN i END)
+                AS BIGINT) AS n_top_customers,
+           floor(min(CASE WHEN cum >= {PARETO_SHARE} * tot THEN i END)
+                 * 1000000.0 / min(n) + 0.5) / 1000000.0
+               AS top_customer_share
+    FROM ranked GROUP BY n_name
+    """,
+)
+def q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration report: per nation, the smallest number of
+    customers whose (descending) revenue covers {PARETO_SHARE:.0%} of the
+    nation's total — the "how top-heavy is this market" readout that
+    complements q_gini's single-number inequality index with an
+    actionable head-count.
+
+    Determinism: revenue pre-quantized to cents BEFORE the descending
+    rank/cumsum (quantize-then-rank with custkey tiebreak); the
+    crossing-point test compares sums of identical quantized doubles.
+    Scale shape: one groupBy(custkey), broadcast dims, per-nation windows
+    (customer-count bounded partitions, same class as q_gini), and a
+    |nations|-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(qround(F.sum("o_totalprice"), 2).alias("rev"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "o_custkey", "rev")
+    )
+    wo = Window.partitionBy("n_name").orderBy(F.col("rev").desc(), "o_custkey")
+    wall = Window.partitionBy("n_name")
+    ranked = rev.select(
+        "n_name",
+        F.row_number().over(wo).alias("i"),
+        F.sum("rev").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev").over(wall).alias("tot"),
+        F.count("*").over(wall).alias("n"),
+    )
+    crossing = F.min(
+        F.when(F.col("cum") >= PARETO_SHARE * F.col("tot"), F.col("i"))
+    )
+    return ranked.groupBy("n_name").agg(
+        F.min("n").cast("bigint").alias("n_customers"),
+        crossing.cast("bigint").alias("n_top_customers"),
+        (
+            F.floor(crossing * 1000000.0 / F.min("n") + F.lit(0.5)) / 1000000.0
+        ).alias("top_customer_share"),
+    )

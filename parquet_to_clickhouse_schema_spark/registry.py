@@ -188,6 +188,7 @@ SWEEP_PRIORITY = (
     "q_late_data_report",  # r10: watermark-sizing lateness accounting, gated
     "q_lsh_param_sweep",  # r10: LSH band-layout cost/recall frontier, gated
     "q_matryoshka_eval",  # r10: truncated-embedding recall frontier, gated
+    "q_pareto_8020",  # r10: smallest head covering 80% revenue, gated
     # remaining r4-era keys — next-rotation fill / overflow if the budget
     # runs past 50 (thirty-four moved below the line as the r10 oracle
     # additions took section-(a) slots; they are first in the r11 rotation)

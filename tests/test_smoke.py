@@ -1271,3 +1271,21 @@ def test_matryoshka_recall_grows_with_dims(spark):
     recalls = [rows[m].macro_recall for m in sorted(MAT_DIMS)]
     assert recalls == sorted(recalls), recalls
     assert all(0.0 <= r <= 1.0 for r in recalls)
+
+
+def test_pareto_8020_crossing_is_consistent(spark):
+    """q_pareto_8020 (r10, oracle-gated): per nation the crossing head
+    count is in [1, n_customers], its share in (0, 1], and a uniform-ish
+    synthetic order book should need well over 20% of customers for 80%
+    of revenue."""
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+        q_pareto_8020,
+    )
+
+    rows = q_pareto_8020(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_top_customers <= r.n_customers
+        assert 0.0 < r.top_customer_share <= 1.0
+    mean_share = sum(r.top_customer_share for r in rows) / len(rows)
+    assert mean_share > 0.2  # synthetic revenue is not Pareto-extreme
