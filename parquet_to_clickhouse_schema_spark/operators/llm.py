@@ -4885,3 +4885,117 @@ def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+PCA_ITERS = 4
+
+
+def _pca_power_oracle(iters: int = PCA_ITERS) -> str:
+    """DuckDB twin of the power iteration: w_{t+1} = normalize(C w_t) with
+    C the centered covariance, applied as two matvecs (X w, then X^T s / n)
+    so the 64x64 covariance never materializes — the same chained-CTE
+    unroll trick as q_pagerank_ranks, applied to linear algebra."""
+    grid = f"""
+      SELECT d,
+             (((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(h, 4, 1)) - 1))
+              / 65535.0) * 2.0 - 1.0 AS w
+      FROM (
+        SELECT d, md5('pc:0:' || d) AS h
+        FROM (SELECT unnest(range(0, {ANN_V_DIM})) AS d)
+      )
+    """
+    steps = [f"w0 AS ({grid})"]
+    for t in range(iters):
+        steps.append(
+            f"""s{t} AS (
+      SELECT xc.vec_id, sum(xc.x * w{t}.w) AS s
+      FROM xc JOIN w{t} ON xc.d = w{t}.d GROUP BY xc.vec_id
+    ),
+    u{t} AS (
+      SELECT xc.d, sum(xc.x * s{t}.s) / (SELECT n FROM nv) AS u
+      FROM xc JOIN s{t} ON xc.vec_id = s{t}.vec_id GROUP BY xc.d
+    ),
+    n{t} AS (SELECT sqrt(sum(u * u)) AS nrm FROM u{t}),
+    w{t + 1} AS (
+      SELECT d, u / (SELECT nrm FROM n{t}) AS w FROM u{t}
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH ext AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    mu AS (SELECT d, avg(v) AS m FROM ext GROUP BY d),
+    xc AS (SELECT vec_id, ext.d, v - m AS x FROM ext JOIN mu USING (d)),
+    nv AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM ext),
+    {chain}
+    SELECT CAST(w{iters}.d AS INT) AS d,
+           floor(w{iters}.w * 1000000.0 + 0.5) / 1000000.0 AS loading,
+           floor((SELECT nrm FROM n{iters - 1}) * 1000000.0 + 0.5)
+               / 1000000.0 AS eigenvalue
+    FROM w{iters}
+    """
+
+
+@_q("q_pca_power", _pca_power_oracle())
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA top component by {PCA_ITERS} unrolled power
+    iterations over the centered embedding matrix: each step is two
+    matvecs — s = X_c·w (one groupBy(vec_id)) and u = X_cᵀ·s / n (one
+    groupBy(d)) — so the covariance NEVER materializes and the only state
+    between steps is a {ANN_V_DIM}-row broadcast vector. md5-grid init +
+    fixed iteration count make the whole computation (loadings AND the
+    ‖C·w‖ eigenvalue estimate) oracle-gated, the q_pagerank_ranks
+    discipline applied to linear algebra; the convergent production loop
+    is the same plan with a tolerance test.
+
+    Scale shape: per iteration one fact-sized shuffle keyed by vec_id and
+    one keyed by d ({ANN_V_DIM} groups, map-side combined); w is
+    localCheckpoint'ed per step so the lazy plan doesn't double. At
+    100 TB this is the standard matvec-style PCA — cost is
+    2·iters scans, memory O(dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ext = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    mu = ext.groupBy("d").agg(F.avg("v").alias("m"))
+    xc = (
+        ext.join(F.broadcast(mu), "d")
+        .select("vec_id", "d", (F.col("v") - F.col("m")).alias("x"))
+        .localCheckpoint()
+    )
+    n = float(emb.count())
+    w = (
+        _md5_unit_grid(spark, "pc", 1, ANN_V_DIM)
+        .select("d", F.col("val").alias("w"))
+        .localCheckpoint()
+    )
+    eig = None
+    for _t in range(PCA_ITERS):
+        s = (
+            xc.join(F.broadcast(w), "d")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+        )
+        u = (
+            xc.join(s, "vec_id")
+            .groupBy("d")
+            .agg((F.sum(F.col("x") * F.col("s")) / n).alias("u"))
+        )
+        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        w = (
+            u.crossJoin(F.broadcast(nrm))
+            .select("d", (F.col("u") / F.col("nrm")).alias("w"))
+            .localCheckpoint()
+        )
+        eig = nrm.localCheckpoint()
+    return w.crossJoin(F.broadcast(eig)).select(
+        F.col("d").cast("int").alias("d"),
+        qround(F.col("w"), 6).alias("loading"),
+        qround(F.col("nrm"), 6).alias("eigenvalue"),
+    )

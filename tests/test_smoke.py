@@ -1289,3 +1289,45 @@ def test_pareto_8020_crossing_is_consistent(spark):
         assert 0.0 < r.top_customer_share <= 1.0
     mean_share = sum(r.top_customer_share for r in rows) / len(rows)
     assert mean_share > 0.2  # synthetic revenue is not Pareto-extreme
+
+
+def test_pca_power_finds_a_unit_direction_that_beats_random(spark):
+    """q_pca_power (r10, oracle-gated): the loading vector is unit-norm;
+    the eigenvalue estimate is positive; and projecting onto the learned
+    direction explains MORE variance than projecting onto the md5 init
+    direction (power iteration made progress)."""
+    import math
+
+    from parquet_to_clickhouse_schema_spark.operators.llm import q_pca_power
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    rows = sorted(q_pca_power(spark, SF_SMOKE).collect(), key=lambda r: r.d)
+    assert len(rows) == 64
+    nrm = math.sqrt(sum(r.loading**2 for r in rows))
+    assert abs(nrm - 1.0) < 1e-3
+    assert rows[0].eigenvalue > 0
+    # variance along w vs along the init direction
+    import hashlib
+
+    import numpy as np
+
+    emb = np.stack(
+        [
+            np.array(r.embedding, dtype="float64")
+            for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+        ]
+    )
+    xc = emb - emb.mean(axis=0)
+    w = np.array([r.loading for r in rows])
+    w0 = np.array(
+        [
+            (int(hashlib.md5(f"pc:0:{d}".encode()).hexdigest()[:4], 16) / 65535.0)
+            * 2.0
+            - 1.0
+            for d in range(64)
+        ]
+    )
+    w0 /= np.linalg.norm(w0)
+    var_w = ((xc @ w) ** 2).mean()
+    var_0 = ((xc @ w0) ** 2).mean()
+    assert var_w > var_0
