@@ -4999,3 +4999,62 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("w"), 6).alias("loading"),
         qround(F.col("nrm"), 6).alias("eigenvalue"),
     )
+
+
+@_q(
+    "q_embed_standardize",
+    """
+    WITH ext AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    m AS (SELECT d, avg(v) AS mu, count(*) AS n FROM ext GROUP BY d),
+    s AS (
+      SELECT ext.d, sqrt(sum((v - mu) * (v - mu)) / m.n) AS sigma
+      FROM ext JOIN m USING (d) GROUP BY ext.d, m.n
+    )
+    SELECT CAST(m.d AS INT) AS d,
+           floor(m.mu * 1000000.0 + 0.5) / 1000000.0 AS mean,
+           floor(s.sigma * 1000000.0 + 0.5) / 1000000.0 AS std,
+           CAST(m.n AS BIGINT) AS n
+    FROM m JOIN s ON m.d = s.d
+    """,
+)
+def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization statistics for the embedding matrix
+    (mean, population std, count per dim) — the preprocessing table every
+    downstream consumer of the space reads first: LSH planes assume
+    roughly centered inputs, k-means is scale-sensitive, and a dimension
+    with σ≈0 is dead weight q_random_projection should drop. Two-pass
+    centered moments (the q_corr_matrix discipline — no E[x²]−E[x]²
+    cancellation).
+
+    Scale shape: two map-side-combined reduces keyed by dimension (64
+    groups) over the posexploded stream; the output is dim-bounded.
+    Applying the standardization is then a row-local zip_with against
+    the broadcast 64-row table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ext = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    m = ext.groupBy("d").agg(F.avg("v").alias("mu"), F.count("*").alias("n"))
+    s = (
+        ext.join(F.broadcast(m), "d")
+        .groupBy("d", "n")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu")))
+                / F.col("n")
+            ).alias("sigma")
+        )
+    )
+    return (
+        m.join(s.select("d", "sigma"), "d")
+        .select(
+            F.col("d").cast("int").alias("d"),
+            qround(F.col("mu"), 6).alias("mean"),
+            qround(F.col("sigma"), 6).alias("std"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

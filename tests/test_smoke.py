@@ -1331,3 +1331,27 @@ def test_pca_power_finds_a_unit_direction_that_beats_random(spark):
     var_w = ((xc @ w) ** 2).mean()
     var_0 = ((xc @ w0) ** 2).mean()
     assert var_w > var_0
+
+
+def test_embed_standardize_matches_numpy(spark):
+    """q_embed_standardize (r10, oracle-gated): per-dim mean/std must match
+    a numpy replay to quantization precision."""
+    import numpy as np
+
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        q_embed_standardize,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    emb = np.stack(
+        [
+            np.array(r.embedding, dtype="float64")
+            for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+        ]
+    )
+    rows = sorted(q_embed_standardize(spark, SF_SMOKE).collect(), key=lambda r: r.d)
+    assert len(rows) == emb.shape[1]
+    for r in rows:
+        assert abs(r.mean - emb[:, r.d].mean()) < 1e-5
+        assert abs(r.std - emb[:, r.d].std()) < 1e-5
+        assert r.n == emb.shape[0]
