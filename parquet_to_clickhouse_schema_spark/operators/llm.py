@@ -5058,3 +5058,131 @@ def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n"),
         )
     )
+
+
+PROBE_STEPS = 4
+PROBE_LR = 0.1
+
+
+def _linear_probe_oracle(steps: int = PROBE_STEPS) -> str:
+    """DuckDB twin of the gradient-descent linear probe: w starts at 0 and
+    each step applies w -= lr * X_cᵀ(X_c·w − y_c)/n — two matvecs, the
+    q_pca_power unroll."""
+    ctes = ["w0 AS (SELECT d, 0.0 AS w FROM dims)"]
+    for t in range(steps):
+        ctes.append(
+            f"""p{t} AS (
+      SELECT xc.vec_id, sum(xc.x * w{t}.w) AS pred
+      FROM xc JOIN w{t} ON xc.d = w{t}.d GROUP BY xc.vec_id
+    ),
+    r{t} AS (
+      SELECT p{t}.vec_id, p{t}.pred - yc.y AS res
+      FROM p{t} JOIN yc ON p{t}.vec_id = yc.vec_id
+    ),
+    mse{t} AS (SELECT sum(res * res) / (SELECT n FROM nv) AS mse FROM r{t}),
+    g{t} AS (
+      SELECT xc.d, sum(xc.x * r{t}.res) / (SELECT n FROM nv) AS g
+      FROM xc JOIN r{t} ON xc.vec_id = r{t}.vec_id GROUP BY xc.d
+    ),
+    w{t + 1} AS (
+      SELECT w{t}.d, w{t}.w - {PROBE_LR} * g{t}.g AS w
+      FROM w{t} JOIN g{t} ON w{t}.d = g{t}.d
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    mses = " UNION ALL ".join(
+        f"SELECT {t} AS step, (SELECT mse FROM mse{t}) AS mse"
+        for t in range(steps)
+    )
+    return f"""
+    WITH ext AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    dims AS (SELECT DISTINCT d FROM ext),
+    mu AS (SELECT d, avg(v) AS m FROM ext GROUP BY d),
+    xc AS (SELECT vec_id, ext.d, v - m AS x FROM ext JOIN mu USING (d)),
+    ym AS (SELECT avg(CAST(label AS DOUBLE)) AS my FROM embeddings),
+    yc AS (
+      SELECT vec_id, CAST(label AS DOUBLE) - (SELECT my FROM ym) AS y
+      FROM embeddings
+    ),
+    nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    {chain}
+    SELECT CAST(step AS INT) AS step,
+           floor(mse * 1000000.0 + 0.5) / 1000000.0 AS mse
+    FROM ({mses})
+    """
+
+
+@_q("q_linear_probe", _linear_probe_oracle())
+def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-probe trainability of the embedding space: fit label ~
+    centered embedding by {PROBE_STEPS} unrolled gradient-descent steps
+    (lr={PROBE_LR}, w₀=0) and emit the training MSE at every step — the
+    standard representation-quality probe ("can a linear head learn
+    anything from this space?"), here fully oracle-gated because each
+    step is two matvecs with O(dim) state (the q_pca_power discipline)
+    and the step count is fixed. A flat MSE curve indicts the embedding,
+    not the probe.
+
+    Scale shape: per step one vec_id-keyed reduce (predictions/residuals)
+    and one dim-keyed reduce (gradient, {ANN_V_DIM} groups) — 2·steps
+    scans of the centered matrix, weights broadcast, nothing driver-side
+    beyond the {ANN_V_DIM}-row vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ext = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    mu = ext.groupBy("d").agg(F.avg("v").alias("m"))
+    xc = (
+        ext.join(F.broadcast(mu), "d")
+        .select("vec_id", "d", (F.col("v") - F.col("m")).alias("x"))
+        .localCheckpoint()
+    )
+    my = emb.agg(F.avg(F.col("label").cast("double"))).collect()[0][0]
+    yc = emb.select(
+        "vec_id", (F.col("label").cast("double") - F.lit(my)).alias("y")
+    ).localCheckpoint()
+    n = float(emb.count())
+    w = (
+        spark.range(ANN_V_DIM)
+        .select(F.col("id").alias("d"), F.lit(0.0).alias("w"))
+        .localCheckpoint()
+    )
+    mse_rows = []
+    for t in range(PROBE_STEPS):
+        pred = (
+            xc.join(F.broadcast(w), "d")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("pred"))
+        )
+        res = pred.join(yc, "vec_id").select(
+            "vec_id", (F.col("pred") - F.col("y")).alias("res")
+        ).localCheckpoint()
+        mse = res.agg(
+            F.lit(t).cast("int").alias("step"),
+            (
+                F.floor(
+                    F.sum(F.col("res") * F.col("res")) / n * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("mse"),
+        )
+        mse_rows.append(mse)
+        g = (
+            xc.join(res, "vec_id")
+            .groupBy("d")
+            .agg((F.sum(F.col("x") * F.col("res")) / n).alias("g"))
+        )
+        w = (
+            w.join(g, "d")
+            .select("d", (F.col("w") - PROBE_LR * F.col("g")).alias("w"))
+            .localCheckpoint()
+        )
+    out = mse_rows[0]
+    for m in mse_rows[1:]:
+        out = out.unionAll(m)
+    return out

@@ -1355,3 +1355,24 @@ def test_embed_standardize_matches_numpy(spark):
         assert abs(r.mean - emb[:, r.d].mean()) < 1e-5
         assert abs(r.std - emb[:, r.d].std()) < 1e-5
         assert r.n == emb.shape[0]
+
+
+def test_linear_probe_mse_is_non_increasing(spark):
+    """q_linear_probe (r10, oracle-gated): one MSE per step; gradient
+    descent at this lr must never increase the training MSE, and step 0's
+    MSE equals the label variance (w=0 predicts the mean)."""
+    import numpy as np
+
+    from parquet_to_clickhouse_schema_spark.operators.llm import q_linear_probe
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    rows = sorted(q_linear_probe(spark, SF_SMOKE).collect(), key=lambda r: r.step)
+    mses = [r.mse for r in rows]
+    assert mses == sorted(mses, reverse=True) or all(
+        a >= b - 1e-9 for a, b in zip(mses, mses[1:])
+    )
+    y = np.array(
+        [r.label for r in load_table(spark, SF_SMOKE, "embeddings").collect()],
+        dtype="float64",
+    )
+    assert abs(mses[0] - y.var()) < 1e-4
