@@ -525,3 +525,88 @@ def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(F.col("n") < KANON_K).select(
         "lang", "source", "len_bucket", F.col("n").cast("bigint").alias("group_size")
     )
+
+
+DEL_N = 32  # forget-request batch size
+DEL_SEED = "del:"
+
+
+@_q(
+    "q_delete_propagation",
+    f"""
+    WITH subj AS (
+      SELECT c_custkey FROM customer
+      ORDER BY md5('{DEL_SEED}' || CAST(c_custkey AS VARCHAR)), c_custkey
+      LIMIT {DEL_N}
+    ),
+    o AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      JOIN subj ON o_custkey = c_custkey
+    ),
+    l AS (
+      SELECT l.l_orderkey FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM subj) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM subj) AS BIGINT) AS n_subjects
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM o) AS BIGINT),
+           CAST((SELECT count(DISTINCT o_custkey) FROM o) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM l) AS BIGINT),
+           CAST((SELECT count(DISTINCT o.o_custkey) FROM l
+                 JOIN o ON l.l_orderkey = o.o_orderkey) AS BIGINT)
+    """,
+)
+def q_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact plan: given a {DEL_N}-subject deletion
+    batch (md5-ordered sample standing in for the request queue), walk the
+    foreign-key graph (customer → orders → lineitem) and report rows and
+    distinct subjects affected per table — the plan a GDPR deletion job
+    reviews BEFORE rewriting 100 TB of immutable parquet (it prices the
+    rewrite and proves the cascade is closed). Completes the privacy trio
+    with q_pii_scrub (content) and q_kanon_audit (metadata).
+
+    Scale shape: the subject batch is a TakeOrdered broadcast; each hop is
+    a broadcast semi-join down the FK chain (orders keys then feed the
+    lineitem join — at 100 TB the order-key set may outgrow a broadcast
+    and becomes a shuffle semi-join, same topology). Counts only."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    subj = (
+        c.select("c_custkey")
+        .orderBy(
+            F.md5(
+                F.concat(F.lit(DEL_SEED), F.col("c_custkey").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            "c_custkey",
+        )
+        .limit(DEL_N)
+    )
+    oo = o.join(F.broadcast(subj), o.o_custkey == subj.c_custkey).select(
+        "o_orderkey", "o_custkey"
+    )
+    ll = li.join(oo, li.l_orderkey == oo.o_orderkey).select(
+        "l_orderkey", "o_custkey"
+    )
+    rc = subj.agg(
+        F.lit("customer").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_subjects"),
+    )
+    ro = oo.agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_subjects"),
+    )
+    rl = ll.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_subjects"),
+    )
+    return rc.unionAll(ro).unionAll(rl)

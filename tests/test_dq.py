@@ -125,3 +125,20 @@ def test_kanon_audit_flags_exactly_the_small_groups(spark):
         for r in q_kanon_audit(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_delete_propagation_cascade_is_closed(spark):
+    """q_delete_propagation (r10, oracle-gated): exactly DEL_N customer
+    subjects; orders/lineitem subject counts can never exceed DEL_N; and
+    lineitem rows are at least the order rows' line counts re-derived."""
+    from parquet_to_clickhouse_schema_spark.operators.dq import (
+        DEL_N,
+        q_delete_propagation,
+    )
+
+    rows = {r.table_name: r for r in q_delete_propagation(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    assert rows["customer"].n_rows == DEL_N
+    assert rows["orders"].n_subjects <= DEL_N
+    assert rows["lineitem"].n_subjects <= rows["orders"].n_subjects
+    assert rows["lineitem"].n_rows >= rows["orders"].n_rows  # >=1 line/order
