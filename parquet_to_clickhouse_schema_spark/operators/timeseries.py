@@ -660,3 +660,85 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(u1, 2).alias("u1"),
         qround(z, 6).alias("z_score"),
     )
+
+
+FC_SEASON = 24  # hours
+
+
+@_q(
+    "q_forecast_baseline",
+    f"""
+    WITH series AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.y,
+             b.y AS y_seasonal,
+             c.y AS y_naive
+      FROM series a
+      JOIN series b ON b.event_type = a.event_type
+                   AND b.h = a.h - {FC_SEASON}
+      JOIN series c ON c.event_type = a.event_type AND c.h = a.h - 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           floor(avg(abs(y - y_seasonal)) * 10000.0 + 0.5) / 10000.0
+               AS mae_seasonal,
+           floor(avg(abs(y - y_naive)) * 10000.0 + 0.5) / 10000.0 AS mae_naive,
+           floor(avg(abs(y - y_seasonal)) / avg(abs(y - y_naive))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mase
+    FROM j GROUP BY event_type
+    """,
+)
+def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-baseline scorecard per event type: MAE of the
+    seasonal-naive forecast (ŷ_h = y_{{h−{FC_SEASON}}}) against the naive
+    forecast (ŷ_h = y_{{h−1}}), and their ratio (MASE-style) — the sanity
+    bar every fancy forecaster must beat, and a seasonality detector in
+    its own right (MASE < 1 ⇒ last-day structure beats last-hour, i.e.
+    the diurnal cycle q_hourly_profile/q_acf suggest is real enough to
+    forecast with).
+
+    Exact-integer hour keys (epoch//3600) make the lag joins equi-joins
+    with no interval arithmetic; only hours with BOTH lags present score
+    (the honest eval window). Scale shape: the fact collapses to
+    |types|×|hours| rows first; everything after runs on the bounded
+    series — the q_acf aggregate-first discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+        ).alias("h"),
+    ).agg(F.count("*").cast("double").alias("y"))
+    a = series.alias("a")
+    b = series.select(
+        F.col("event_type").alias("bt"), F.col("h").alias("bh"), F.col("y").alias("y_seasonal")
+    )
+    c = series.select(
+        F.col("event_type").alias("ct"), F.col("h").alias("ch"), F.col("y").alias("y_naive")
+    )
+    j = (
+        a.join(
+            F.broadcast(b),
+            (F.col("bt") == F.col("a.event_type"))
+            & (F.col("bh") == F.col("a.h") - FC_SEASON),
+        )
+        .join(
+            F.broadcast(c),
+            (F.col("ct") == F.col("a.event_type"))
+            & (F.col("ch") == F.col("a.h") - 1),
+        )
+        .select("a.event_type", "a.y", "y_seasonal", "y_naive")
+    )
+    mae_s = F.avg(F.abs(F.col("y") - F.col("y_seasonal")))
+    mae_n = F.avg(F.abs(F.col("y") - F.col("y_naive")))
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        qround(mae_s, 4).alias("mae_seasonal"),
+        qround(mae_n, 4).alias("mae_naive"),
+        qround(mae_s / mae_n, 6).alias("mase"),
+    )

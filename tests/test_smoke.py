@@ -1376,3 +1376,26 @@ def test_linear_probe_mse_is_non_increasing(spark):
         dtype="float64",
     )
     assert abs(mses[0] - y.var()) < 1e-4
+
+
+def test_forecast_baseline_reports_all_types_with_positive_maes(spark):
+    """q_forecast_baseline (r10, oracle-gated): every event type scores,
+    MAEs are positive, and mase equals their ratio to quantization."""
+    from parquet_to_clickhouse_schema_spark.operators.timeseries import (
+        q_forecast_baseline,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    types = {
+        r.event_type
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    rows = q_forecast_baseline(spark, SF_SMOKE).collect()
+    assert {r.event_type for r in rows} == types
+    for r in rows:
+        assert r.n_hours > 0
+        assert r.mae_seasonal > 0 and r.mae_naive > 0
+        assert abs(r.mase - r.mae_seasonal / r.mae_naive) < 1e-3
