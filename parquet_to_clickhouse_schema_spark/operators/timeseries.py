@@ -688,8 +688,9 @@ FC_SEASON = 24  # hours
            floor(avg(abs(y - y_seasonal)) * 10000.0 + 0.5) / 10000.0
                AS mae_seasonal,
            floor(avg(abs(y - y_naive)) * 10000.0 + 0.5) / 10000.0 AS mae_naive,
-           floor(avg(abs(y - y_seasonal)) / avg(abs(y - y_naive))
-                 * 1000000.0 + 0.5) / 1000000.0 AS mase
+           CASE WHEN avg(abs(y - y_naive)) = 0 THEN NULL
+                ELSE floor(avg(abs(y - y_seasonal)) / avg(abs(y - y_naive))
+                           * 1000000.0 + 0.5) / 1000000.0 END AS mase
     FROM j GROUP BY event_type
     """,
 )
@@ -740,5 +741,7 @@ def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_hours"),
         qround(mae_s, 4).alias("mae_seasonal"),
         qround(mae_n, 4).alias("mae_naive"),
-        qround(mae_s / mae_n, 6).alias("mase"),
+        F.when(mae_n == 0, F.lit(None).cast("double"))
+        .otherwise(qround(mae_s / mae_n, 6))
+        .alias("mase"),
     )
