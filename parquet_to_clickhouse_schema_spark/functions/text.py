@@ -2089,3 +2089,82 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@_q(
+    "q_auc_marker",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(lang = 'en' AS INT) AS pos,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'and', 'of'))) AS score
+      FROM documents
+    ),
+    n AS (
+      SELECT sum(pos) AS n1, sum(1 - pos) AS n0 FROM scored
+    ),
+    pts AS (
+      SELECT score, sum(pos) AS c1, count(*) AS ct
+      FROM scored GROUP BY score
+    ),
+    ar AS (
+      SELECT score, c1, ct,
+             COALESCE(sum(ct) OVER (ORDER BY score
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+               + (ct + 1.0) / 2.0 AS avg_rank
+      FROM pts
+    ),
+    r AS (SELECT sum(c1 * avg_rank) AS r1 FROM ar)
+    SELECT CAST(n.n1 AS BIGINT) AS n_pos, CAST(n.n0 AS BIGINT) AS n_neg,
+           floor((r.r1 - n.n1 * (n.n1 + 1.0) / 2.0) / (n.n1 * n.n0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS auc
+    FROM r CROSS JOIN n
+    """,
+)
+def q_auc_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC of the English marker-token count as a detector of
+    lang='en', via the rank-sum identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀)
+    with tie-averaged ranks — the threshold-free quality number for any
+    scoring filter (here scoring q_lang_id's own heuristic; the same
+    template scores q_quality_score or q_dsir_weights against any binary
+    truth). Ranks come from per-distinct-score counts (the q_mann_whitney
+    machinery), so the cumulative pass is score-cardinality bounded and
+    the arithmetic is exact rationals until one final quantize.
+
+    Scale shape: one scan to (score, label) counts, a tiny cumsum, two
+    1-row joins."""
+    d = load_table(spark, sf_dir, "documents")
+    score = F.size(
+        F.filter(
+            F.split("text", " "),
+            lambda t: t.isin(*_LANG_MARKERS["en"]),
+        )
+    )
+    scored = d.select(
+        (F.col("lang") == "en").cast("int").alias("pos"), score.alias("score")
+    )
+    n = scored.agg(
+        F.sum("pos").alias("n1"), F.sum(1 - F.col("pos")).alias("n0")
+    )
+    pts = scored.groupBy("score").agg(
+        F.sum("pos").alias("c1"), F.count("*").alias("ct")
+    )
+    wprev = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ar = pts.select(
+        "c1",
+        (
+            F.coalesce(F.sum("ct").over(wprev), F.lit(0))
+            + (F.col("ct") + 1.0) / 2.0
+        ).alias("avg_rank"),
+    )
+    r = ar.agg(F.sum(F.col("c1") * F.col("avg_rank")).alias("r1"))
+    auc = (F.col("r1") - F.col("n1") * (F.col("n1") + 1.0) / 2.0) / (
+        F.col("n1") * F.col("n0")
+    )
+    return r.crossJoin(F.broadcast(n)).select(
+        F.col("n1").cast("bigint").alias("n_pos"),
+        F.col("n0").cast("bigint").alias("n_neg"),
+        qround(auc, 6).alias("auc"),
+    )

@@ -1401,3 +1401,28 @@ def test_forecast_baseline_reports_all_types_with_positive_maes(spark):
         assert r.mae_seasonal >= 0 and r.mae_naive >= 0
         if r.mae_naive > 0:
             assert abs(r.mase - r.mae_seasonal / r.mae_naive) < 1e-3
+
+
+def test_auc_marker_beats_chance_and_matches_replay(spark):
+    """q_auc_marker (r10, oracle-gated): AUC in [0,1], above 0.5 (markers
+    DO signal English), and equal to a sklearn-free pairwise replay."""
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        _LANG_MARKERS,
+        q_auc_marker,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    r = q_auc_marker(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r.auc <= 1.0
+    assert r.auc > 0.5
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    marks = set(_LANG_MARKERS["en"])
+    pos, neg = [], []
+    for d in docs:
+        s = sum(1 for t in d.text.split(" ") if t in marks)
+        (pos if d.lang == "en" else neg).append(s)
+    assert r.n_pos == len(pos) and r.n_neg == len(neg)
+    wins = sum(
+        1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg
+    )
+    assert abs(r.auc - wins / (len(pos) * len(neg))) < 1e-5
