@@ -2133,6 +2133,13 @@ def q_auc_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery), so the cumulative pass is score-cardinality bounded and
     the arithmetic is exact rationals until one final quantize.
 
+    Measured finding on the synthetic corpus: AUC ≈ 0.45 — the marker
+    count is NOT predictive of lang='en' here ('the/and/of' appear in
+    every language's word soup, slightly more often outside en), which
+    is exactly the verdict this op exists to deliver before a filter
+    ships; the learnable signal lives in full-vocabulary skew
+    (q_nb_classifier at ~39% vs 20% chance, q_feature_mi's top buckets).
+
     Scale shape: one scan to (score, label) counts, a tiny cumsum, two
     1-row joins."""
     d = load_table(spark, sf_dir, "documents")
