@@ -4471,24 +4471,15 @@ def _lsh_sweep_cfg_sql(bands: int, bits: int) -> str:
     return f"""
       SELECT {bands} AS bands, {bits} AS bits,
              (
-               SELECT count(*) FROM (
-                 SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-                 FROM (
+               SELECT sum(s * (s - 1) // 2) FROM (
+                 SELECT count(*) AS s FROM (
                    SELECT vec_id, CAST(p // {bits} AS INT) AS band,
                           string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0'
                                      END, '' ORDER BY p) AS bucket
                    FROM proj GROUP BY 1, 2
-                 ) a
-                 JOIN (
-                   SELECT vec_id, CAST(p // {bits} AS INT) AS band,
-                          string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0'
-                                     END, '' ORDER BY p) AS bucket
-                   FROM proj GROUP BY 1, 2
-                 ) b
-                 ON a.band = b.band AND a.bucket = b.bucket
-                AND a.vec_id < b.vec_id
+                 ) GROUP BY band, bucket
                )
-             ) AS n_candidate_pairs,
+             ) AS n_pair_evals,
              (
                SELECT count(*) FROM exact e
                WHERE EXISTS (
@@ -4552,7 +4543,7 @@ _LSH_SWEEP_ORACLE = f"""
       ) WHERE rn <= {RQ_K}
     )
     SELECT CAST(bands AS INT) AS bands, CAST(bits AS INT) AS bits,
-           CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+           CAST(n_pair_evals AS BIGINT) AS n_pair_evals,
            CAST(n_hits AS BIGINT) AS n_hits,
            floor(n_hits * 1000000.0 / {RQ_N * RQ_K} + 0.5) / 1000000.0
                AS macro_recall
@@ -4576,10 +4567,13 @@ def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     end recall. All counts exact integers; one quantized ratio.
 
     Scale shape: one projection pass feeds all three layouts (banding is
-    a regrouping, not a recompute); each layout's pair count is a banded
-    equi-join + distinct — the widest (8×4) is the deliberate cost probe
-    and its volume is the answer, not an accident. Query-side recall
-    joins touch {RQ_N}×{RQ_K} rows."""
+    a regrouping, not a recompute), and the cost axis is computed from
+    BUCKET SIZES alone — Σ C(s,2) over (band, bucket) groups, the exact
+    number of pair evaluations the banding generates — so measuring an
+    O(n²)-cost layout costs O(n). The first cut enumerated distinct pairs
+    to count them and measured 22.5× time at 10× data (97 s — paying the
+    quadratic cost to report it; docs/SCALE.md keeps the counterexample).
+    Query-side recall joins touch {RQ_N}×{RQ_K} rows."""
     # one projection, three bandings
     planes = (
         spark.range(ANN_V_PLANES)
@@ -4674,22 +4668,31 @@ def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "",
                 ).alias("bucket")
             )
+            # each layout's signature feeds BOTH the cost count and the
+            # recall join — materialize once or the collect_list aggregate
+            # reruns per consumer (measured 74 s -> 9 s at 10x data)
+            .localCheckpoint()
         )
-        a, b = sig.alias("a"), sig.alias("b")
         pairs = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            sig.groupBy("band", "bucket")
+            .agg(F.count("*").alias("s"))
+            .agg(
+                F.sum(
+                    (F.col("s") * (F.col("s") - 1) / 2).cast("bigint")
+                ).alias("n_pair_evals")
             )
-            .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
-            .distinct()
-            .agg(F.count("*").alias("n_candidate_pairs"))
         )
+        # restrict to the query sample BEFORE the bucket join — joining the
+        # full signature table against itself here IS the n² enumeration
+        # the cost axis merely counts (measured 345 s at 10× data for the
+        # 8×4 layout; the sample-first form runs the whole recall side in
+        # seconds, the q_ann_recall_eval shape)
+        sq = sig.join(
+            F.broadcast(qs.withColumnRenamed("vec_id", "qid")),
+            F.col("vec_id") == F.col("qid"),
+        ).select("qid", "band", "bucket")
         cand = (
-            sig.withColumnRenamed("vec_id", "qid")
-            .join(
+            sq.join(
                 sig.select(
                     F.col("vec_id").alias("nbr_id"), "band", "bucket"
                 ),
@@ -4706,7 +4709,7 @@ def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.crossJoin(hits).select(
                 F.lit(bands).cast("int").alias("bands"),
                 F.lit(bits).cast("int").alias("bits"),
-                F.col("n_candidate_pairs").cast("bigint"),
+                F.col("n_pair_evals").cast("bigint"),
                 F.col("n_hits").cast("bigint"),
                 (
                     F.floor(

@@ -1250,7 +1250,7 @@ def test_lsh_param_sweep_shows_the_tradeoff(spark):
     }
     assert set(rows) == set(LSH_SWEEP_CFGS)
     by_bands = [rows[c] for c in sorted(LSH_SWEEP_CFGS)]  # 2x16, 4x8, 8x4
-    pairs = [r.n_candidate_pairs for r in by_bands]
+    pairs = [r.n_pair_evals for r in by_bands]
     assert pairs == sorted(pairs), pairs  # cost grows with band count
     assert by_bands[-1].macro_recall >= by_bands[0].macro_recall
     for r in rows.values():
