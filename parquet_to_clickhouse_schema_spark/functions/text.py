@@ -2274,3 +2274,167 @@ def q_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("clen").cast("bigint").alias("min_len"),
         F.max("clen").cast("bigint").alias("max_len"),
     )
+
+
+CONF_BINS = 4
+
+
+@_q(
+    "q_confidence_bins",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b
+      FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      )
+    ),
+    classes AS (
+      SELECT lang AS cl, count(DISTINCT doc_id) AS n_docs FROM toks GROUP BY lang
+    ),
+    total AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+    cond AS (
+      SELECT c.cl, t.b, count(*) AS ct
+      FROM toks t JOIN classes c ON t.lang = c.cl
+      GROUP BY c.cl, t.b
+    ),
+    cltot AS (SELECT cl, sum(ct) AS nt FROM cond GROUP BY cl),
+    scores AS (
+      SELECT t.doc_id, t.lang, c.cl,
+             floor((ln(cls.n_docs * 1.0 / total.n)
+                    + sum(ln((COALESCE(cond.ct, 0) + 1.0)
+                             / (c.nt + {NB_BUCKETS}.0))))
+                   * 1000000.0 + 0.5) / 1000000.0 AS score
+      FROM toks t
+      CROSS JOIN cltot c
+      LEFT JOIN cond ON cond.cl = c.cl AND cond.b = t.b
+      JOIN classes cls ON cls.cl = c.cl
+      CROSS JOIN total
+      GROUP BY t.doc_id, t.lang, c.cl, cls.n_docs, total.n
+    ),
+    ranked AS (
+      SELECT doc_id, lang, cl, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cl) AS rn
+      FROM scores
+    ),
+    margins AS (
+      SELECT a.doc_id, a.lang, a.cl AS pred,
+             floor((a.score - b.score) * 1000000.0 + 0.5) / 1000000.0
+               AS margin
+      FROM ranked a JOIN ranked b
+        ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
+    ),
+    binned AS (
+      SELECT lang, pred,
+             ntile({CONF_BINS}) OVER (ORDER BY margin, doc_id) AS conf_bin
+      FROM margins
+    )
+    SELECT CAST(conf_bin AS INT) AS conf_bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           floor(sum(CASE WHEN lang = pred THEN 1.0 ELSE 0.0 END)
+                 * 1000000.0 / count(*) + 0.5) / 1000000.0 AS accuracy
+    FROM binned GROUP BY conf_bin
+    """,
+)
+def q_confidence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-margin reliability diagram for q_nb_classifier: per document
+    the CONFIDENCE is the margin between the top-1 and top-2 class
+    log-likelihoods (rank-gap — no softmax float risk), quartile-binned
+    (ntile over quantized margin + doc_id), and each bin reports its
+    accuracy — the calibration readout that decides whether the
+    classifier's score can gate a filter threshold (accuracy should rise
+    with margin; a flat curve means the score is noise even if top-1
+    accuracy beats chance).
+
+    Scale shape: the NB scoring pass (fixed-size model broadcast, ×|class|
+    expansion) plus a doc-bounded margin table; the single ntile runs on
+    one row per document — the q_rfm_segments serialization class with
+    the same two-pass bucketed-rank swap at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn("h", F.md5(F.col("tok").cast("binary")))
+        .withColumn(
+            "b",
+            F.expr("instr('0123456789abcdef', substring(h, 1, 1)) - 1") * 16
+            + F.expr("instr('0123456789abcdef', substring(h, 2, 1)) - 1"),
+        )
+        .drop("h", "tok")
+    )
+    classes = toks.groupBy(F.col("lang").alias("cl")).agg(
+        F.countDistinct("doc_id").alias("n_docs_cl")
+    )
+    total = toks.agg(F.countDistinct("doc_id").alias("n_tot"))
+    cond = (
+        toks.join(F.broadcast(classes), toks.lang == classes.cl)
+        .groupBy("cl", "b")
+        .agg(F.count("*").alias("ct"))
+    )
+    cltot = cond.groupBy("cl").agg(F.sum("ct").alias("nt"))
+    model = (
+        cltot.join(classes, "cl")
+        .crossJoin(F.broadcast(total))
+        .select("cl", "nt", "n_docs_cl", "n_tot")
+    )
+    scored = (
+        toks.crossJoin(F.broadcast(model))
+        .join(
+            F.broadcast(cond.withColumnRenamed("cl", "ccl")),
+            (F.col("ccl") == F.col("cl")) & (cond.b == toks.b),
+            "left",
+        )
+        .groupBy("doc_id", "lang", "cl", "n_docs_cl", "n_tot", "nt")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + float(NB_BUCKETS))
+                )
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "cl",
+            qround(
+                F.log(F.col("n_docs_cl") * 1.0 / F.col("n_tot")) + F.col("ll"), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cl")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    top1 = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "lang", F.col("cl").alias("pred"), F.col("score").alias("s1")
+    )
+    top2 = ranked.filter(F.col("rn") == 2).select(
+        F.col("doc_id").alias("d2"), F.col("score").alias("s2")
+    )
+    margins = top1.join(top2, top1.doc_id == top2.d2).select(
+        "doc_id",
+        "lang",
+        "pred",
+        qround(F.col("s1") - F.col("s2"), 6).alias("margin"),
+    )
+    binned = margins.withColumn(
+        "conf_bin", F.ntile(CONF_BINS).over(Window.orderBy("margin", "doc_id"))
+    )
+    return binned.groupBy(F.col("conf_bin").cast("int").alias("conf_bin")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("lang") == F.col("pred")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+        (
+            F.floor(
+                F.sum((F.col("lang") == F.col("pred")).cast("double"))
+                * 1000000.0
+                / F.count("*")
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("accuracy"),
+    )

@@ -1465,3 +1465,20 @@ def test_content_chunks_cover_the_corpus_and_realign(spark):
     edited = toks[:3] + ["INSERTED"] + toks[3:]
     a, b = cuts(toks), cuts(edited)
     assert a[2:] == b[2:] or a[-3:] == b[-3:]  # tail boundaries realign
+
+
+def test_confidence_bins_cover_docs_and_top_bin_beats_bottom(spark):
+    """q_confidence_bins (r10, oracle-gated): bins partition the corpus;
+    the most-confident quartile must be more accurate than the least
+    (the calibration property that makes score-gated filters safe)."""
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        CONF_BINS,
+        q_confidence_bins,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    rows = {r.conf_bin: r for r in q_confidence_bins(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(1, CONF_BINS + 1))
+    assert sum(r.n_docs for r in rows.values()) == n
+    assert rows[CONF_BINS].accuracy > rows[1].accuracy
