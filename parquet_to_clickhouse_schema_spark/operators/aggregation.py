@@ -1147,3 +1147,41 @@ def q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(crossing * 1000000.0 / F.min("n") + F.lit(0.5)) / 1000000.0
         ).alias("top_customer_share"),
     )
+
+
+@_q(
+    "q_bitmap_distinct",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting through Spark 4's BITMAP aggregate family:
+    user ids are split into (bucket, bit-position) pairs,
+    bitmap_construct_agg ORs each bucket's bitmap, and bitmap_count sums
+    the set bits — the roaring-bitmap-style distinct-count architecture
+    whose per-bucket bitmaps are MERGEABLE artifacts (persist them per
+    partition/day, OR them later for any rollup without rescanning — the
+    exact-count sibling of q_hll_sketch's approximate sketches). The
+    DuckDB oracle computes plain COUNT(DISTINCT): a hash match proves the
+    bitmap path is exactly lossless, not approximately.
+
+    Scale shape: the shuffle carries (type, bucket) bitmaps — fixed 4 KiB
+    per bucket regardless of how many ids set bits in it — instead of raw
+    ids; the Expand-free two-level reduce is the whole point at 100 TB
+    (count-distinct without a distinct shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.selectExpr(
+            "event_type",
+            "bitmap_bucket_number(user_id) AS bk",
+            "bitmap_bit_position(user_id) AS bp",
+        )
+        .groupBy("event_type", "bk")
+        .agg(F.expr("bitmap_construct_agg(bp)").alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_users")
+    )

@@ -1482,3 +1482,22 @@ def test_confidence_bins_cover_docs_and_top_bin_beats_bottom(spark):
     assert set(rows) == set(range(1, CONF_BINS + 1))
     assert sum(r.n_docs for r in rows.values()) == n
     assert rows[CONF_BINS].accuracy > rows[1].accuracy
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """q_bitmap_distinct (r10, oracle-gated): the bitmap path must equal
+    plain countDistinct per group — exactly lossless."""
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+        q_bitmap_distinct,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    got = {r.event_type: r.n_users for r in q_bitmap_distinct(spark, SF_SMOKE).collect()}
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
