@@ -745,3 +745,62 @@ def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(qround(mae_s / mae_n, 6))
         .alias("mase"),
     )
+
+
+@_q(
+    "q_twap",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             epoch_us(ts) AS us, value, event_id
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, day, value,
+             lead(us) OVER (PARTITION BY event_type, day
+                            ORDER BY us, event_id) - us AS dur
+      FROM v
+    )
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           floor(sum(value * dur) / sum(dur) * 1000000.0 + 0.5) / 1000000.0
+               AS twap,
+           floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS plain_avg
+    FROM w WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY event_type, day
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of the event value per type and day:
+    each sample is weighted by how long it REMAINED the latest observation
+    (lead-timestamp gap) — the correct mean for irregularly-sampled
+    metrics, where the plain average over-weights bursts (both are
+    emitted so the bias is visible). The financial-market TWAP and the
+    metrics-system rollup are this same operator.
+
+    Exact integer microsecond durations; zero-duration ties drop (they
+    carried the value for no time); the last observation of each day has
+    no duration and is excluded (the honest open-interval convention).
+
+    Scale shape: one lead window per (type, day) partition — calendar ×
+    type bounded, never a one-task global sort — then a
+    map-side-combined aggregate to |types|×|days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    d = v.withColumn("dur", F.lead("us").over(w) - F.col("us")).filter(
+        F.col("dur").isNotNull() & (F.col("dur") > 0)
+    )
+    return d.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        qround(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 6).alias(
+            "twap"
+        ),
+        qround(F.avg("value"), 6).alias("plain_avg"),
+    )

@@ -198,6 +198,7 @@ SWEEP_PRIORITY = (
     "q_content_chunks",  # r10: FastCDC-style content-defined chunking, gated
     "q_confidence_bins",  # r10: NB score-margin reliability diagram, gated
     "q_bitmap_distinct",  # r10: mergeable-bitmap exact distinct counting, gated
+    "q_twap",  # r10: time-weighted average over irregular samples, gated
     # remaining r4-era keys — next-rotation fill / overflow if the budget
     # runs past 50 (thirty-four moved below the line as the r10 oracle
     # additions took section-(a) slots; they are first in the r11 rotation)

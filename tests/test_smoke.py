@@ -1501,3 +1501,38 @@ def test_bitmap_distinct_equals_count_distinct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_twap_matches_sequential_replay(spark):
+    """q_twap (r10, oracle-gated): a Python replay of one (type, day)
+    partition reproduces the duration-weighted mean exactly."""
+    from collections import defaultdict
+
+    from parquet_to_clickhouse_schema_spark.operators.timeseries import q_twap
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    got = {
+        (r.event_type, str(r.day)): (r.twap, r.n_samples)
+        for r in q_twap(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+        "event_id",
+    ).collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[(r.event_type, str(r.day))].append(r)
+    key = sorted(got)[0]
+    rows = sorted(groups[key], key=lambda r: (r.us, r.event_id))
+    num = den = n = 0
+    for a, b in zip(rows, rows[1:]):
+        dur = b.us - a.us
+        if dur > 0:
+            num += a.value * dur
+            den += dur
+            n += 1
+    assert got[key][1] == n
+    assert abs(got[key][0] - num / den) < 1e-4
