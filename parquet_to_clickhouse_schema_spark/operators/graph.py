@@ -560,3 +560,92 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(3.0 * F.col("t") / F.col("w"), 6).alias("clustering_coeff"),
         )
     )
+
+
+LIFT_TOP = 20
+
+
+@_q(
+    "q_lift_confidence",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    freq AS (SELECT l_partkey, count(*) AS n_p FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           floor(n_ab * 1000000.0 / n.n_orders + 0.5) / 1000000.0 AS support,
+           floor(n_ab * 1000000.0 / fa.n_p + 0.5) / 1000000.0
+               AS confidence_a_to_b,
+           floor(n_ab * 1.0 * n.n_orders / (fa.n_p * fb.n_p)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY n_ab DESC, part_a, part_b LIMIT {LIFT_TOP}
+    """,
+)
+def q_lift_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics for the top-{LIFT_TOP} co-purchase pairs:
+    support, confidence(a→b) and lift (observed co-rate over the
+    independence expectation) — the numbers that turn q_copurchase_pairs'
+    raw counts into a recommendation decision (lift ≈ 1 means the pair
+    co-occurs by chance no matter how large its count; confidence prices
+    the cross-sell).
+
+    Exact integer counts with three quantized ratios; the basket
+    self-join is the q_copurchase_pairs equi-join on the shared order,
+    item frequencies broadcast back. TakeOrdered top-{LIFT_TOP} by raw
+    integer count with id tiebreaks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_b"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            (
+                F.floor(F.col("n_ab") * 1000000.0 / F.col("n_orders") + F.lit(0.5))
+                / 1000000.0
+            ).alias("support"),
+            (
+                F.floor(F.col("n_ab") * 1000000.0 / F.col("n_a") + F.lit(0.5))
+                / 1000000.0
+            ).alias("confidence_a_to_b"),
+            qround(
+                F.col("n_ab") * 1.0 * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+        .limit(LIFT_TOP)
+    )

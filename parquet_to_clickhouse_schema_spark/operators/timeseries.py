@@ -804,3 +804,131 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         qround(F.avg("value"), 6).alias("plain_avg"),
     )
+
+
+KM_HORIZONS = (7, 30, 90)  # days
+
+
+@_q(
+    "q_km_survival",
+    f"""
+    WITH mx AS (SELECT max(o_orderdate) AS mend FROM orders),
+    firsts AS (
+      SELECT o_custkey, min(o_orderdate) AS t1 FROM orders GROUP BY 1
+    ),
+    seconds AS (
+      SELECT o.o_custkey, min(o.o_orderdate) AS t2
+      FROM orders o JOIN firsts f
+        ON o.o_custkey = f.o_custkey AND o.o_orderdate > f.t1
+      GROUP BY 1
+    ),
+    obs AS (
+      SELECT f.o_custkey,
+             CASE WHEN s.t2 IS NOT NULL
+                  THEN date_diff('day', CAST(f.t1 AS DATE), CAST(s.t2 AS DATE))
+                  ELSE date_diff('day', CAST(f.t1 AS DATE),
+                                 CAST(mx.mend AS DATE)) END AS t,
+             CASE WHEN s.t2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM firsts f LEFT JOIN seconds s USING (o_custkey) CROSS JOIN mx
+    ),
+    n AS (SELECT count(*) AS n0 FROM obs),
+    times AS (SELECT t, sum(ev) AS d, count(*) AS c FROM obs GROUP BY t),
+    risk AS (
+      SELECT t, d,
+             n.n0 - COALESCE(sum(c) OVER (ORDER BY t
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS at_risk
+      FROM times CROSS JOIN n
+    ),
+    evs AS (
+      SELECT t, ln(greatest(1e-300, 1.0 - d * 1.0 / at_risk)) AS lf
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(h.h AS INT) AS horizon_days,
+           floor(exp(COALESCE(sum(CASE WHEN evs.t <= h.h THEN evs.lf END),
+                              0.0)) * 1000000.0 + 0.5) / 1000000.0
+               AS km_survival
+    FROM (SELECT unnest({list(KM_HORIZONS)}) AS h) h
+    LEFT JOIN evs ON evs.t <= h.h
+    GROUP BY h.h
+    """,
+)
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of "time to second order" per customer, with
+    RIGHT-CENSORING done properly: one-order customers are censored at the
+    corpus end date instead of dropped (dropping them is the classic
+    retention-overestimate bug), and S(h) = Π over event days ≤ h of
+    (1 − d_t/n_t) is evaluated at {KM_HORIZONS}-day horizons — the
+    churn/repeat-purchase curve behind every retention decision.
+
+    The product is computed as exp(Σ ln factors) — the cumulative-product
+    trick with one quantize at the end (a terminal day where everyone
+    still at risk converts gives factor 0; it is clamped to 1e-300 so
+    both engines produce an exact quantized 0 instead of a ln(0) error); at-risk counts come from a
+    prefix sum over the (distinct-day, counts) table, so the serial
+    window touches only distinct durations, never customers.
+
+    Scale shape: two per-customer MIN frontiers, one duration-bounded
+    cumsum, a 3-row horizon join. Exact integer day arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    mend = o.agg(F.max("o_orderdate").alias("mend"))
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("t1"))
+    seconds = (
+        o.join(firsts, "o_custkey")
+        .filter(F.col("o_orderdate") > F.col("t1"))
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("t2"))
+    )
+    obs = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(mend))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.datediff(F.col("t2").cast("date"), F.col("t1").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("mend").cast("date"), F.col("t1").cast("date"))
+            )
+            .alias("t"),
+            F.when(F.col("t2").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "ev"
+            ),
+        )
+    )
+    n = obs.agg(F.count("*").alias("n0"))
+    times = obs.groupBy("t").agg(F.sum("ev").alias("d"), F.count("*").alias("c"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = times.crossJoin(F.broadcast(n)).select(
+        "t",
+        "d",
+        (
+            F.col("n0") - F.coalesce(F.sum("c").over(wprev), F.lit(0))
+        ).alias("at_risk"),
+    )
+    evs = risk.filter(F.col("d") > 0).select(
+        "t",
+        F.log(
+            F.greatest(F.lit(1e-300), 1.0 - F.col("d") * 1.0 / F.col("at_risk"))
+        ).alias("lf"),
+    )
+    horizons = spark.createDataFrame([(h,) for h in KM_HORIZONS], "h INT")
+    return (
+        horizons.join(evs, evs.t <= horizons.h, "left")
+        .groupBy(F.col("h").cast("int").alias("horizon_days"))
+        .agg(
+            (
+                F.floor(
+                    F.exp(
+                        F.coalesce(
+                            F.sum(F.when(F.col("t") <= F.col("h"), F.col("lf"))),
+                            F.lit(0.0),
+                        )
+                    )
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("km_survival")
+        )
+    )

@@ -1536,3 +1536,34 @@ def test_twap_matches_sequential_replay(spark):
             n += 1
     assert got[key][1] == n
     assert abs(got[key][0] - num / den) < 1e-4
+
+
+def test_km_survival_is_monotone_and_bounded(spark):
+    """q_km_survival (r10, oracle-gated): S(h) in [0,1] and non-increasing
+    in the horizon (survival curves only go down)."""
+    from parquet_to_clickhouse_schema_spark.operators.timeseries import (
+        KM_HORIZONS,
+        q_km_survival,
+    )
+
+    rows = {r.horizon_days: r.km_survival for r in q_km_survival(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(KM_HORIZONS)
+    vals = [rows[h] for h in sorted(KM_HORIZONS)]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_lift_confidence_metrics_are_consistent(spark):
+    """q_lift_confidence (r10, oracle-gated): confidence >= support for
+    every rule, lift positive, counts positive, exactly LIFT_TOP rows."""
+    from parquet_to_clickhouse_schema_spark.operators.graph import (
+        LIFT_TOP,
+        q_lift_confidence,
+    )
+
+    rows = q_lift_confidence(spark, SF_SMOKE).collect()
+    assert len(rows) == LIFT_TOP
+    for r in rows:
+        assert r.n_ab >= 1
+        assert r.confidence_a_to_b >= r.support - 1e-9
+        assert r.lift > 0
