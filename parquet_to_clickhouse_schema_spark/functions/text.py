@@ -2438,3 +2438,111 @@ def q_confidence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("accuracy"),
     )
+
+
+@_q(
+    "q_chunk_dedup_ratio",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN (
+               (instr('0123456789abcdef', substr(md5(tok), 31, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(md5(tok), 32, 1)) - 1)
+             ) % {CDC_MASK + 1} = 0 THEN 1 ELSE 0 END AS cut
+      FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      )
+    ),
+    marked AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS chunk_idx
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS digest,
+             count(*) AS clen
+      FROM marked GROUP BY doc_id, chunk_idx
+    )
+    SELECT CAST(floor(ln(clen) / ln(2)) AS INT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
+           floor((1.0 - count(DISTINCT digest) * 1.0 / count(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio
+    FROM chunks GROUP BY 1
+    """,
+)
+def q_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level storage-dedup measurement: cut every document at
+    q_content_chunks' content-defined boundaries (running sum of cut
+    flags assigns each token its chunk), digest each chunk's text, and
+    report total vs unique chunks per log2 length bucket — the number a
+    dedup store actually saves (1 − unique/total), measured at the
+    granularity where edits don't destroy sharing. Near-duplicate docs
+    share every untouched chunk; exact duplicates share all of them.
+
+    Digest-side discipline: chunk text reassembles with an ORDER BY pos
+    inside the aggregate in both engines, then hashes with md5 — the
+    digest, not the text, flows into the distinct (the q_dedup_exact
+    shuffle rule). Scale shape: one per-doc running-sum window (bounded
+    by doc length), one (doc, chunk)-keyed reassembly, one bucket-keyed
+    distinct — all fact-sized, no pairwise anything."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    h = F.md5(F.col("tok").cast("binary"))
+    b = F.expr("instr('0123456789abcdef', substring(h, 31, 1)) - 1") * 16 + F.expr(
+        "instr('0123456789abcdef', substring(h, 32, 1)) - 1"
+    )
+    marked = (
+        toks.withColumn("h", h)
+        .withColumn("cut", ((b % (CDC_MASK + 1)) == 0).cast("int"))
+        .withColumn(
+            "chunk_idx",
+            F.coalesce(
+                F.sum("cut").over(
+                    Window.partitionBy("doc_id")
+                    .orderBy("pos")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    chunks = (
+        marked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("digest"),
+            F.count("*").alias("clen"),
+        )
+    )
+    return chunks.groupBy(
+        F.floor(F.log(F.col("clen").cast("double")) / F.log(F.lit(2.0)))
+        .cast("int")
+        .alias("len_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.countDistinct("digest").cast("bigint").alias("n_unique"),
+        (
+            F.floor(
+                (1.0 - F.countDistinct("digest") * 1.0 / F.count("*"))
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("dup_ratio"),
+    )

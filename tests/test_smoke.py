@@ -1567,3 +1567,22 @@ def test_lift_confidence_metrics_are_consistent(spark):
         assert r.n_ab >= 1
         assert r.confidence_a_to_b >= r.support - 1e-9
         assert r.lift > 0
+
+
+def test_chunk_dedup_ratio_detects_planted_duplicate(spark, tmp_path):
+    """q_chunk_dedup_ratio (r10, oracle-gated): two identical docs share
+    every chunk digest, so the unique count is half the total in every
+    populated bucket."""
+    text = " ".join(f"tok{i}" for i in range(300))
+    spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        q_chunk_dedup_ratio,
+    )
+
+    rows = q_chunk_dedup_ratio(spark, str(tmp_path)).collect()
+    assert rows
+    for r in rows:
+        assert r.n_chunks == 2 * r.n_unique
+        assert abs(r.dup_ratio - 0.5) < 1e-6
