@@ -1102,3 +1102,56 @@ def q_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_late_5m"),
     )
+
+
+@_q(
+    "q_entropy_rate",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    pairs AS (
+      SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL
+      GROUP BY src, dst
+    ),
+    tot AS (SELECT src, sum(n) AS n_src FROM pairs GROUP BY src),
+    alln AS (SELECT sum(n) AS nn FROM pairs)
+    SELECT CAST(alln.nn AS BIGINT) AS n_transitions,
+           floor(sum((p.n * 1.0 / alln.nn)
+                     * -(ln(p.n * 1.0 / t.n_src) / ln(2.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS entropy_rate_bits
+    FROM pairs p JOIN tot t USING (src) CROSS JOIN alln
+    GROUP BY alln.nn
+    """,
+)
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event stream: H(next | current) =
+    −Σ p(s,d)·log₂ p(d|s) over the empirical first-order transitions
+    (q_event_transitions' matrix collapsed to one predictability number):
+    log₂|types| bits means behavior is uniform noise, → 0 means the next
+    event is determined by the current one — the scalar that tells you
+    whether sequence-aware models (session features, Markov simulators)
+    have anything to learn.
+
+    Exact integer counts into one quantized entropy; the lead window is
+    per-user (the scalable partitioning) and everything after is
+    |types|²-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    alln = pairs.agg(F.sum("n").alias("nn"))
+    joint = pairs.join(F.broadcast(tot), "src").crossJoin(F.broadcast(alln))
+    term = (F.col("n") * 1.0 / F.col("nn")) * -(
+        F.log(F.col("n") * 1.0 / F.col("n_src")) / F.log(F.lit(2.0))
+    )
+    return joint.groupBy("nn").agg(qround(F.sum(term), 6).alias("entropy_rate_bits")).select(
+        F.col("nn").cast("bigint").alias("n_transitions"), "entropy_rate_bits"
+    )

@@ -1586,3 +1586,24 @@ def test_chunk_dedup_ratio_detects_planted_duplicate(spark, tmp_path):
     for r in rows:
         assert r.n_chunks == 2 * r.n_unique
         assert abs(r.dup_ratio - 0.5) < 1e-6
+
+
+def test_entropy_rate_is_bounded_by_log_types(spark):
+    """q_entropy_rate (r10, oracle-gated): 0 <= H <= log2(|types|), and on
+    the synthetic near-uniform stream it should sit near the maximum."""
+    import math
+
+    from parquet_to_clickhouse_schema_spark.streaming.batch_twins import (
+        q_entropy_rate,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    k = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    r = q_entropy_rate(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r.entropy_rate_bits <= math.log2(k) + 1e-9
+    assert r.entropy_rate_bits > 0.8 * math.log2(k)
