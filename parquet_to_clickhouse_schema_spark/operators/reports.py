@@ -1376,3 +1376,79 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("abs_delta").desc(), "n_name", "m")
         .limit(10)
     )
+
+
+@_q(
+    "q_price_index",
+    """
+    WITH b AS (
+      SELECT floor((min(epoch_us(l_shipdate))
+                    + max(epoch_us(l_shipdate))) / 2.0) AS mid
+      FROM lineitem
+    ),
+    p0 AS (
+      SELECT l_partkey,
+             sum(l_extendedprice) / sum(l_quantity) AS p,
+             sum(l_quantity) AS q
+      FROM lineitem, b WHERE epoch_us(l_shipdate) < b.mid
+      GROUP BY l_partkey
+    ),
+    p1 AS (
+      SELECT l_partkey,
+             sum(l_extendedprice) / sum(l_quantity) AS p
+      FROM lineitem, b WHERE epoch_us(l_shipdate) >= b.mid
+      GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           floor(sum(p1.p * p0.q) / sum(p0.p * p0.q) * 1000000.0 + 0.5)
+               / 1000000.0 AS laspeyres_index
+    FROM p0 JOIN p1 USING (l_partkey)
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres fixed-basket price index between the first and second
+    half of the shipping timeline: Σp₁q₀ / Σp₀q₀ over parts traded in
+    BOTH periods, with the base period's quantities as the basket — the
+    inflation-measurement shape (CPI) applied to the order book; >1 means
+    unit prices rose holding the mix constant (a plain revenue ratio
+    confounds price with volume).
+
+    The split point is exact integer-microsecond arithmetic (the
+    q_drift_psi midpoint); unit prices are quantity-weighted averages
+    per part-period. One quantized ratio at the end.
+
+    Scale shape: two part-keyed map-side-combined aggregates and one
+    part-keyed join — no window, no driver state; the basket join is
+    AQE-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mid = li.agg(
+        F.floor(
+            (
+                F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+                + F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+            )
+            / 2.0
+        ).alias("mid")
+    )
+    us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    w = li.crossJoin(F.broadcast(mid)).withColumn("us", us)
+    p0 = (
+        w.filter(F.col("us") < F.col("mid"))
+        .groupBy("l_partkey")
+        .agg(
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p0"),
+            F.sum("l_quantity").alias("q0"),
+        )
+    )
+    p1 = (
+        w.filter(F.col("us") >= F.col("mid"))
+        .groupBy("l_partkey")
+        .agg((F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p1"))
+    )
+    return p0.join(p1, "l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        qround(
+            F.sum(F.col("p1") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0")),
+            6,
+        ).alias("laspeyres_index"),
+    )

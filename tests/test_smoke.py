@@ -1607,3 +1607,16 @@ def test_entropy_rate_is_bounded_by_log_types(spark):
     r = q_entropy_rate(spark, SF_SMOKE).collect()[0]
     assert 0.0 <= r.entropy_rate_bits <= math.log2(k) + 1e-9
     assert r.entropy_rate_bits > 0.8 * math.log2(k)
+
+
+def test_price_index_is_near_one_on_stationary_prices(spark):
+    """q_price_index (r10, oracle-gated): synthetic unit prices don't
+    drift between halves, so the fixed-basket index sits near 1; the
+    basket covers a meaningful part population."""
+    from parquet_to_clickhouse_schema_spark.operators.reports import (
+        q_price_index,
+    )
+
+    r = q_price_index(spark, SF_SMOKE).collect()[0]
+    assert r.n_parts > 100
+    assert 0.8 < r.laspeyres_index < 1.2
