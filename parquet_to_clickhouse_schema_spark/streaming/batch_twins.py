@@ -1155,3 +1155,150 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joint.groupBy("nn").agg(qround(F.sum(term), 6).alias("entropy_rate_bits")).select(
         F.col("nn").cast("bigint").alias("n_transitions"), "entropy_rate_bits"
     )
+
+
+@_q(
+    "q_cuped",
+    """
+    WITH mid AS (
+      SELECT floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0) AS m
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+             floor(sum(CASE WHEN epoch_us(ts) < mid.m THEN value
+                            ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS pre,
+             floor(sum(CASE WHEN epoch_us(ts) >= mid.m THEN value
+                            ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS post
+      FROM events CROSS JOIN mid GROUP BY user_id
+    ),
+    m AS (SELECT avg(pre) AS mx, avg(post) AS my, count(*) AS n FROM u),
+    s AS (
+      SELECT sum((pre - mx) * (post - my)) AS sxy,
+             sum((pre - mx) * (pre - mx)) AS sxx,
+             sum((post - my) * (post - my)) AS syy
+      FROM u, m
+    ),
+    adj AS (
+      SELECT grp, post, post - (s.sxy / s.sxx) * (pre - m.mx) AS ystar
+      FROM u, s, m
+    ),
+    g AS (
+      SELECT grp, count(*) AS n, avg(post) AS mpost, avg(ystar) AS madj
+      FROM adj GROUP BY grp
+    ),
+    va AS (
+      SELECT sum((ystar - (SELECT avg(ystar) FROM adj))
+                 * (ystar - (SELECT avg(ystar) FROM adj))) AS sadj
+      FROM adj
+    )
+    SELECT
+      CAST(max(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n_a,
+      CAST(max(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n_b,
+      floor((max(CASE WHEN grp = 1 THEN mpost END)
+             - max(CASE WHEN grp = 0 THEN mpost END)) * 1000000.0 + 0.5)
+          / 1000000.0 AS diff_raw,
+      floor((max(CASE WHEN grp = 1 THEN madj END)
+             - max(CASE WHEN grp = 0 THEN madj END)) * 1000000.0 + 0.5)
+          / 1000000.0 AS diff_cuped,
+      floor((1.0 - (SELECT sadj FROM va) / (SELECT syy FROM s))
+            * 1000000.0 + 0.5) / 1000000.0 AS var_reduction
+    FROM g
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013): per user,
+    pre-period and post-period value totals (integer-µs midpoint split,
+    cents-quantized so both engines center identical doubles), θ =
+    cov(post, pre)/var(pre) fitted on ALL users, y* = post − θ·(pre −
+    mean) — the industry-standard trick that shrinks experiment variance
+    by the pre-period R² without biasing the treatment difference.
+    Emits raw vs adjusted group difference and the realized variance
+    reduction (on user_id%2 assignment, q_abtest_lift's convention —
+    an A/A here, so both diffs should hover near zero while the
+    variance visibly drops).
+
+    Two-pass centered moments throughout (the q_corr_matrix discipline).
+    Scale shape: one user-keyed reduce, two 1-row moment aggregates
+    broadcast back, one |groups|-row readout."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.floor(
+            (
+                F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+                + F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            )
+            / 2.0
+        ).alias("m")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = (
+        ev.crossJoin(F.broadcast(mid))
+        .withColumn("us", us)
+        .groupBy("user_id")
+        .agg(
+            qround(
+                F.sum(F.when(F.col("us") < F.col("m"), F.col("value")).otherwise(0.0)),
+                4,
+            ).alias("pre"),
+            qround(
+                F.sum(
+                    F.when(F.col("us") >= F.col("m"), F.col("value")).otherwise(0.0)
+                ),
+                4,
+            ).alias("post"),
+        )
+        .withColumn("grp", (F.col("user_id") % 2).cast("int"))
+    )
+    m = u.agg(
+        F.avg("pre").alias("mx"), F.avg("post").alias("my"), F.count("*").alias("n")
+    )
+    um = u.crossJoin(F.broadcast(m))
+    s = um.agg(
+        F.sum((F.col("pre") - F.col("mx")) * (F.col("post") - F.col("my"))).alias(
+            "sxy"
+        ),
+        F.sum((F.col("pre") - F.col("mx")) * (F.col("pre") - F.col("mx"))).alias(
+            "sxx"
+        ),
+        F.sum((F.col("post") - F.col("my")) * (F.col("post") - F.col("my"))).alias(
+            "syy"
+        ),
+    )
+    adj = um.crossJoin(F.broadcast(s)).select(
+        "grp",
+        "post",
+        (
+            F.col("post") - (F.col("sxy") / F.col("sxx")) * (F.col("pre") - F.col("mx"))
+        ).alias("ystar"),
+    )
+    madj_all = adj.agg(F.avg("ystar").alias("ma"))
+    va = adj.crossJoin(F.broadcast(madj_all)).agg(
+        F.sum((F.col("ystar") - F.col("ma")) * (F.col("ystar") - F.col("ma"))).alias(
+            "sadj"
+        )
+    )
+    g = adj.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.avg("post").alias("mpost"),
+        F.avg("ystar").alias("madj"),
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).cast("bigint").alias("n_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).cast("bigint").alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("mpost"))).alias("mp_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("mpost"))).alias("mp_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("madj"))).alias("ma_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("madj"))).alias("ma_a"),
+    )
+    return (
+        wide.crossJoin(F.broadcast(va))
+        .crossJoin(F.broadcast(s.select("syy")))
+        .select(
+            "n_a",
+            "n_b",
+            qround(F.col("mp_b") - F.col("mp_a"), 6).alias("diff_raw"),
+            qround(F.col("ma_b") - F.col("ma_a"), 6).alias("diff_cuped"),
+            qround(1.0 - F.col("sadj") / F.col("syy"), 6).alias("var_reduction"),
+        )
+    )

@@ -1620,3 +1620,20 @@ def test_price_index_is_near_one_on_stationary_prices(spark):
     r = q_price_index(spark, SF_SMOKE).collect()[0]
     assert r.n_parts > 100
     assert 0.8 < r.laspeyres_index < 1.2
+
+
+def test_cuped_reduces_variance_without_bias(spark):
+    """q_cuped (r10, oracle-gated): on the A/A split both diffs are small;
+    variance reduction is in [0, 1) and strictly positive — tiny here
+    (~0.7%: synthetic per-event values are iid, so pre/post totals
+    correlate only weakly through activity counts; CUPED's R² is the
+    corpus's truth, the identity var_reduction = cov²/(var·var) ≥ 0
+    is the operator's)."""
+    from parquet_to_clickhouse_schema_spark.streaming.batch_twins import q_cuped
+
+    r = q_cuped(spark, SF_SMOKE).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0.0 <= r.var_reduction < 1.0
+    assert r.var_reduction > 0.0
+    scale = abs(r.diff_raw) + 1e-9
+    assert abs(r.diff_cuped) < 10 * scale + 1.0  # no wild bias introduced
