@@ -2546,3 +2546,139 @@ def q_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("dup_ratio"),
     )
+
+
+MHU_K = 64  # minhash slots
+MHU_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+@_q(
+    "q_minhash_union",
+    f"""
+    WITH v AS (
+      SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE source IN {MHU_SOURCES!r}
+      )
+    ),
+    mh AS (
+      SELECT source, slot,
+             min(CAST('0x' || substr(md5(CAST(slot AS VARCHAR) || ':' || tok),
+                                     1, 15) AS BIGINT)) AS mn
+      FROM v CROSS JOIN (SELECT unnest(range(0, {MHU_K})) AS slot)
+      GROUP BY source, slot
+    ),
+    sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) * 1.0 / {MHU_K}
+               AS j_est
+      FROM mh a JOIN mh b ON a.slot = b.slot AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    tru AS (
+      SELECT a.src_a, a.src_b, count(DISTINCT v.tok) AS true_union
+      FROM (SELECT DISTINCT src_a, src_b FROM pairs) a
+      JOIN v ON v.source = a.src_a OR v.source = a.src_b
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b,
+           floor(p.j_est * 1000000.0 + 0.5) / 1000000.0 AS jaccard_est,
+           CAST(floor((sa.n + sb.n) / (1.0 + p.j_est) + 0.5) AS BIGINT)
+               AS union_est,
+           CAST(t.true_union AS BIGINT) AS true_union,
+           floor(abs((sa.n + sb.n) / (1.0 + p.j_est) - t.true_union)
+                 / t.true_union * 1000000.0 + 0.5) / 1000000.0 AS rel_err
+    FROM pairs p
+    JOIN sz sa ON sa.source = p.src_a
+    JOIN sz sb ON sb.source = p.src_b
+    JOIN tru t ON t.src_a = p.src_a AND t.src_b = p.src_b
+    """,
+)
+def q_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash set-union estimation with its accuracy ON the row: per
+    source pair, the k-mins Jaccard estimate (k={MHU_K} md5-derived hash
+    slots — deterministic, so the SKETCH itself is oracle-gated, the
+    q_ann_verified_topk move applied to set sketches), the derived
+    |A∪B| ≈ (|A|+|B|)/(1+Ĵ) estimate, the exact union, and the relative
+    error — the evidence table for replacing exact distinct-union joins
+    with mergeable sketches at 100 TB (q_hll_sketch's cross-set sibling).
+
+    Scale shape: vocab is Heaps'-bounded and the sketch is k values per
+    set regardless of set size; the pair comparison joins k-row
+    signatures, never token sets — only the TRUTH column touches the
+    full vocabulary (drop it in production; it exists here to measure).
+    Exact integer mins and counts; two quantized ratios."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(*MHU_SOURCES)
+    )
+    v = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    slots = spark.range(MHU_K).select(F.col("id").alias("slot"))
+    mh = (
+        v.crossJoin(F.broadcast(slots))
+        .select(
+            "source",
+            "slot",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("slot").cast("string"),
+                            F.lit(":"),
+                            F.col("tok"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("hv"),
+        )
+        .groupBy("source", "slot")
+        .agg(F.min("hv").alias("mn"))
+    )
+    sz = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = mh.select(F.col("source").alias("src_a"), "slot", F.col("mn").alias("ma"))
+    b = mh.select(F.col("source").alias("src_b"), "slot", F.col("mn").alias("mb"))
+    pairs = (
+        a.join(b, "slot")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            (
+                F.sum((F.col("ma") == F.col("mb")).cast("int")) * 1.0 / MHU_K
+            ).alias("j_est")
+        )
+    )
+    tru = (
+        pairs.select("src_a", "src_b")
+        .join(
+            v,
+            (v.source == F.col("src_a")) | (v.source == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.countDistinct("tok").alias("true_union"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    est = (F.col("n_a") + F.col("n_b")) / (1.0 + F.col("j_est"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .join(tru, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            qround(F.col("j_est"), 6).alias("jaccard_est"),
+            F.floor(est + F.lit(0.5)).cast("bigint").alias("union_est"),
+            F.col("true_union").cast("bigint").alias("true_union"),
+            qround(F.abs(est - F.col("true_union")) / F.col("true_union"), 6).alias(
+                "rel_err"
+            ),
+        )
+    )

@@ -1637,3 +1637,21 @@ def test_cuped_reduces_variance_without_bias(spark):
     assert r.var_reduction > 0.0
     scale = abs(r.diff_raw) + 1e-9
     assert abs(r.diff_cuped) < 10 * scale + 1.0  # no wild bias introduced
+
+
+def test_minhash_union_estimates_are_tight(spark):
+    """q_minhash_union (r10, oracle-gated): all C(5,2) pairs present; the
+    64-slot estimate must land within ~3/sqrt(64) of the truth (generous
+    3-sigma MinHash envelope) and the union bounds hold."""
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        MHU_SOURCES,
+        q_minhash_union,
+    )
+
+    rows = q_minhash_union(spark, SF_SMOKE).collect()
+    k = len(MHU_SOURCES)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert 0.0 <= r.jaccard_est <= 1.0
+        assert r.rel_err < 0.4  # 3/sqrt(64) on J, amplified through 1/(1+J)
+        assert r.union_est > 0 and r.true_union > 0
