@@ -5189,3 +5189,125 @@ def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in mse_rows[1:]:
         out = out.unionAll(m)
     return out
+
+
+NDCG_K = 10
+
+
+_NDCG_ORACLE = f"""
+    WITH ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY md5('rq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {RQ_N}
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    exd AS (
+      SELECT qq.vec_id AS qid, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
+      FROM q qq
+      JOIN ex a ON a.vec_id = qq.vec_id
+      JOIN ex b ON b.d = a.d AND b.vec_id <> qq.vec_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid, nbr_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dot / (na.nrm * nb.nrm) DESC,
+                                         nbr_id) AS pos
+      FROM exd d
+      JOIN norms na ON d.qid = na.vec_id
+      JOIN norms nb ON d.nbr_id = nb.vec_id
+      QUALIFY pos <= {NDCG_K}
+    ),
+    dcg AS (
+      SELECT r.qid,
+             sum(e.label / (ln(r.pos + 1.0) / ln(2.0))) AS dcg
+      FROM ranked r JOIN embeddings e ON e.vec_id = r.nbr_id
+      GROUP BY r.qid
+    ),
+    ideal AS (
+      SELECT sum(label / (ln(pos + 1.0) / ln(2.0))) AS idcg
+      FROM (
+        SELECT CAST(label AS DOUBLE) AS label,
+               row_number() OVER (ORDER BY label DESC, vec_id) AS pos
+        FROM embeddings
+      ) WHERE pos <= {NDCG_K}
+    )
+    SELECT d.qid AS vec_id,
+           floor(d.dcg * 1000000.0 + 0.5) / 1000000.0 AS dcg,
+           floor(d.dcg / i.idcg * 1000000.0 + 0.5) / 1000000.0 AS ndcg
+    FROM dcg d CROSS JOIN ideal i
+"""
+
+
+@_q("q_ndcg", _NDCG_ORACLE)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{NDCG_K} of cosine retrieval against label relevance: for
+    every query in the fixed {RQ_N}-sample, DCG of the labels found at
+    each rank (grade/log₂(pos+1)) normalized by the corpus-ideal DCG —
+    the graded ranking metric that completes the eval suite (recall:
+    q_ann_recall_eval; classification: q_knn_eval; threshold-free:
+    q_auc_marker; calibration: q_confidence_bins). Low NDCG with decent
+    recall means the index finds neighbors but similarity ≠ relevance —
+    exactly the gap a reranker is hired to close.
+
+    Determinism: positions use the proven raw-double/id-tiebreak order;
+    grades are integers; one quantized division per row. Scale shape:
+    the q_ann_recall_eval broadcast-sample pattern — O({RQ_N}·n) exact
+    ranking, one 1-row ideal, {RQ_N}×{NDCG_K} grade joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.select("vec_id")
+        .orderBy(
+            F.md5(F.concat(F.lit("rq:"), F.col("vec_id").cast("string")).cast("binary")),
+            "vec_id",
+        )
+        .limit(RQ_N)
+    )
+    v = _as_double_vec(emb)
+    qv = qs.join(v, "vec_id").select(
+        F.col("vec_id").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qn"),
+    )
+    allv = v.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        (dot / (F.col("qn") * F.col("nn"))).desc(), "nbr_id"
+    )
+    ranked = (
+        allv.crossJoin(F.broadcast(qv))
+        .filter(F.col("nbr_id") != F.col("qid"))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= NDCG_K)
+        .select("qid", "nbr_id", "pos")
+    )
+    gain = F.col("label") / (F.log(F.col("pos") + 1.0) / F.log(F.lit(2.0)))
+    dcg = (
+        ranked.join(emb.select("vec_id", "label"), ranked.nbr_id == emb.vec_id)
+        .groupBy("qid")
+        .agg(F.sum(gain).alias("dcg"))
+    )
+    wi = Window.orderBy(F.col("label").desc(), "vec_id")
+    ideal = (
+        emb.select(F.col("label").cast("double").alias("label"), "vec_id")
+        .withColumn("pos", F.row_number().over(wi))
+        .filter(F.col("pos") <= NDCG_K)
+        .agg(F.sum(gain).alias("idcg"))
+    )
+    return dcg.crossJoin(F.broadcast(ideal)).select(
+        F.col("qid").alias("vec_id"),
+        qround(F.col("dcg"), 6).alias("dcg"),
+        qround(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )

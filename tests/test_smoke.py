@@ -1655,3 +1655,15 @@ def test_minhash_union_estimates_are_tight(spark):
         assert 0.0 <= r.jaccard_est <= 1.0
         assert r.rel_err < 0.4  # 3/sqrt(64) on J, amplified through 1/(1+J)
         assert r.union_est > 0 and r.true_union > 0
+
+
+def test_ndcg_is_bounded_and_ideal_is_respected(spark):
+    """q_ndcg (r10, oracle-gated): one row per query, ndcg in [0, 1]
+    (corpus-ideal normalization upper-bounds every query), dcg > 0."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import RQ_N, q_ndcg
+
+    rows = q_ndcg(spark, SF_SMOKE).collect()
+    assert len(rows) == RQ_N
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0
+        assert r.dcg >= 0.0
