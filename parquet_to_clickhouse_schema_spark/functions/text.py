@@ -2682,3 +2682,46 @@ def q_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q(
+    "q_quantile_normalize",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rk
+      FROM documents
+    )
+    SELECT CAST(rk AS INT) AS rank,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS ref_value,
+           CAST(min(n_chars) AS BIGINT) AS min_raw,
+           CAST(max(n_chars) AS BIGINT) AS max_raw
+    FROM ranked GROUP BY rk
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization reference distribution across sources (the
+    Bolstad/bioinformatics QN, here over doc lengths): rank every doc
+    within its source, then average the values found at each rank across
+    sources — replacing each source's i-th smallest by ref_value[i] gives
+    every source the IDENTICAL marginal distribution while preserving
+    within-source order, the strongest batch-effect remover there is
+    (q_drift_psi detects distribution shift; this op removes it). The
+    min/max spread at each rank shows how far sources disagreed before
+    normalization. Uniform per-source sizes in this corpus make ranks
+    align exactly; unequal sizes interpolate (the documented extension).
+
+    Exact integers until one quantized mean; per-source rank windows are
+    stratum-bounded (the q_stratified_sample shape); the rank-keyed
+    average is map-side combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select("source", "n_chars", F.row_number().over(w).alias("rk"))
+    return ranked.groupBy(F.col("rk").cast("int").alias("rank")).agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        qround(F.avg("n_chars"), 4).alias("ref_value"),
+        F.min("n_chars").cast("bigint").alias("min_raw"),
+        F.max("n_chars").cast("bigint").alias("max_raw"),
+    )

@@ -1667,3 +1667,23 @@ def test_ndcg_is_bounded_and_ideal_is_respected(spark):
     for r in rows:
         assert 0.0 <= r.ndcg <= 1.0
         assert r.dcg >= 0.0
+
+
+def test_quantile_normalize_reference_is_monotone(spark):
+    """q_quantile_normalize (r10, oracle-gated): the reference distribution
+    is non-decreasing in rank, every rank covered by every source, and
+    min <= ref <= max at each rank."""
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        q_quantile_normalize,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    n_sources = (
+        load_table(spark, SF_SMOKE, "documents").select("source").distinct().count()
+    )
+    rows = sorted(q_quantile_normalize(spark, SF_SMOKE).collect(), key=lambda r: r.rank)
+    vals = [r.ref_value for r in rows]
+    assert vals == sorted(vals)
+    for r in rows:
+        assert r.n_sources == n_sources
+        assert r.min_raw <= r.ref_value <= r.max_raw
