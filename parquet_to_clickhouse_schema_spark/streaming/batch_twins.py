@@ -1302,3 +1302,98 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(1.0 - F.col("sadj") / F.col("syy"), 6).alias("var_reduction"),
         )
     )
+
+
+MH_STRATA = 3  # activity terciles
+
+
+@_q(
+    "q_mh_odds",
+    f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+             count(*) AS n_events,
+             max(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT grp, conv,
+             ntile({MH_STRATA}) OVER (ORDER BY n_events, user_id) AS stratum
+      FROM u
+    ),
+    cells AS (
+      SELECT stratum,
+             sum(CASE WHEN grp = 1 AND conv = 1 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN grp = 1 AND conv = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN grp = 0 AND conv = 1 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN grp = 0 AND conv = 0 THEN 1 ELSE 0 END) AS d,
+             count(*) AS n
+      FROM s GROUP BY stratum
+    ),
+    tot AS (
+      SELECT sum(a) AS a, sum(b) AS b, sum(c) AS c, sum(d) AS d FROM cells
+    )
+    SELECT CAST({MH_STRATA} AS INT) AS n_strata,
+           floor((tot.a * tot.d * 1.0) / (tot.b * tot.c)
+                 * 1000000.0 + 0.5) / 1000000.0 AS or_crude,
+           floor((SELECT sum(a * d * 1.0 / n) FROM cells)
+                 / (SELECT sum(b * c * 1.0 / n) FROM cells)
+                 * 1000000.0 + 0.5) / 1000000.0 AS or_mh
+    FROM tot
+    """,
+)
+def q_mh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across activity strata: the
+    crude treatment/control conversion odds ratio beside the MH estimate
+    Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) computed within activity terciles — the
+    classical confounding adjustment (Simpson's-paradox insurance: if
+    assignment correlates with activity and activity drives conversion,
+    the crude OR lies; the MH OR doesn't). Strata via ntile over
+    (event count, user_id) — the quantize-then-rank discipline on exact
+    integers.
+
+    Scale shape: one user-keyed reduce, one |users|-row ntile (two-pass
+    bucketed-rank swap at 100 TB), {MH_STRATA}×4 integer cells, two
+    exact-rational sums. Same assignment/outcome conventions as
+    q_abtest_lift so the two keys read as one experiment report."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 90)).cast(
+                "int"
+            )
+        ).alias("conv"),
+    ).withColumn("grp", (F.col("user_id") % 2).cast("int"))
+    s = u.select(
+        "grp",
+        "conv",
+        F.ntile(MH_STRATA).over(Window.orderBy("n_events", "user_id")).alias(
+            "stratum"
+        ),
+    )
+    cells = s.groupBy("stratum").agg(
+        F.sum(((F.col("grp") == 1) & (F.col("conv") == 1)).cast("int")).alias("a"),
+        F.sum(((F.col("grp") == 1) & (F.col("conv") == 0)).cast("int")).alias("b"),
+        F.sum(((F.col("grp") == 0) & (F.col("conv") == 1)).cast("int")).alias("c"),
+        F.sum(((F.col("grp") == 0) & (F.col("conv") == 0)).cast("int")).alias("d"),
+        F.count("*").alias("n"),
+    )
+    tot = cells.agg(
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.sum("c").alias("tc"),
+        F.sum("d").alias("td"),
+    )
+    mh = cells.agg(
+        F.sum(F.col("a") * F.col("d") * 1.0 / F.col("n")).alias("num"),
+        F.sum(F.col("b") * F.col("c") * 1.0 / F.col("n")).alias("den"),
+    )
+    return tot.crossJoin(F.broadcast(mh)).select(
+        F.lit(MH_STRATA).cast("int").alias("n_strata"),
+        qround(
+            (F.col("ta") * F.col("td") * 1.0) / (F.col("tb") * F.col("tc")), 6
+        ).alias("or_crude"),
+        qround(F.col("num") / F.col("den"), 6).alias("or_mh"),
+    )

@@ -1687,3 +1687,14 @@ def test_quantile_normalize_reference_is_monotone(spark):
     for r in rows:
         assert r.n_sources == n_sources
         assert r.min_raw <= r.ref_value <= r.max_raw
+
+
+def test_mh_odds_is_positive_and_near_crude_on_aa(spark):
+    """q_mh_odds (r10, oracle-gated): both odds ratios positive; on the
+    A/A user_id%2 split (assignment independent of activity) the MH and
+    crude estimates agree within a factor of 2."""
+    from parquet_to_clickhouse_schema_spark.streaming.batch_twins import q_mh_odds
+
+    r = q_mh_odds(spark, SF_SMOKE).collect()[0]
+    assert r.or_crude > 0 and r.or_mh > 0
+    assert 0.5 < r.or_mh / r.or_crude < 2.0
