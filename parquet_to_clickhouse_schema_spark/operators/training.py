@@ -1292,3 +1292,46 @@ def q_wsample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.col("es_raw"), 6).alias("es_key"),
         )
     )
+
+
+@_q(
+    "q_effective_sample_size",
+    f"""
+    WITH w AS (
+      SELECT lang, least(1.0, n_chars / {WEIGHT_CHARS}) AS w FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(sum(w) * sum(w) / sum(w * w) * 10000.0 + 0.5) / 10000.0
+               AS ess,
+           floor(sum(w) * sum(w) / sum(w * w) / count(*) * 1000000.0 + 0.5)
+               / 1000000.0 AS ess_ratio
+    FROM w GROUP BY lang
+    """,
+)
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of the quality-weight design per
+    language: ESS = (Σw)²/Σw² — how many EQUAL-weight documents the
+    weighted corpus is statistically worth (ess_ratio → 1 means weights
+    are nearly uniform and reweighting costs nothing; → 0 means a few
+    heavy docs dominate and every weighted estimate rides on them). The
+    standing diagnostic for q_sample_weighted / q_ht_estimate /
+    q_dsir_weights-style importance schemes: run it BEFORE trusting a
+    weighted metric.
+
+    Shares q_sample_weighted's weight definition (least(1, chars/400));
+    exact arithmetic into two quantized ratios; one map-side-combined
+    group aggregate, scan-bound at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / WEIGHT_CHARS)
+    g = d.select("lang", w.alias("w")).groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    ess = F.col("sw") * F.col("sw") / F.col("sww")
+    return g.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        qround(ess, 4).alias("ess"),
+        qround(ess / F.col("n"), 6).alias("ess_ratio"),
+    )

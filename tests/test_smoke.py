@@ -1700,3 +1700,17 @@ def test_mh_odds_is_positive_and_near_crude_on_aa(spark):
     assert r.or_crude >= 0 and r.or_mh >= 0
     if r.or_crude > 0 and r.or_mh > 0:
         assert 0.1 < r.or_mh / r.or_crude < 10.0
+
+
+def test_effective_sample_size_bounds(spark):
+    """q_effective_sample_size (r10, oracle-gated): 1 <= ESS <= n per lang
+    (Kish bounds) and the ratio matches ess/n."""
+    from parquet_to_clickhouse_schema_spark.operators.training import (
+        q_effective_sample_size,
+    )
+
+    rows = q_effective_sample_size(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 <= r.ess <= r.n_docs + 1e-6
+        assert abs(r.ess_ratio - r.ess / r.n_docs) < 1e-3
