@@ -1397,3 +1397,51 @@ def q_mh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("or_crude"),
         qround(F.col("num") / F.col("den"), 6).alias("or_mh"),
     )
+
+
+@_q(
+    "q_gap_distribution",
+    """
+    WITH g AS (
+      SELECT epoch_us(ts)
+             - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT CAST(floor(ln(gap_us / 1000000.0) / ln(2.0)) AS INT)
+               AS log2_gap_sec,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           floor(min(gap_us) / 1000000.0 * 100.0 + 0.5) / 100.0 AS min_sec,
+           floor(max(gap_us) / 1000000.0 * 100.0 + 0.5) / 100.0 AS max_sec
+    FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY 1
+    """,
+)
+def q_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user in log2-second buckets — the
+    evidence behind a sessionization timeout: a bimodal gap histogram
+    (within-session seconds vs between-session hours) tells you WHERE to
+    cut; q_sessionize's 30-minute constant is a guess until this table
+    says the valley is there. Zero gaps (same-timestamp events) are
+    excluded — they are ordering ties, not dwell time.
+
+    Exact integer microsecond gaps from a per-user lag window (the
+    scalable partitioning); the log bucketing is row-local and the
+    histogram is ~40 buckets at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.select((us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull() & (F.col("gap_us") > 0)
+    )
+    return g.groupBy(
+        F.floor(
+            F.log(F.col("gap_us") / 1000000.0) / F.log(F.lit(2.0))
+        )
+        .cast("int")
+        .alias("log2_gap_sec")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        qround(F.min("gap_us") / 1000000.0, 2).alias("min_sec"),
+        qround(F.max("gap_us") / 1000000.0, 2).alias("max_sec"),
+    )

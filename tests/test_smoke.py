@@ -1714,3 +1714,28 @@ def test_effective_sample_size_bounds(spark):
     for r in rows:
         assert 1.0 <= r.ess <= r.n_docs + 1e-6
         assert abs(r.ess_ratio - r.ess / r.n_docs) < 1e-3
+
+
+def test_gap_distribution_counts_all_positive_gaps(spark):
+    """q_gap_distribution (r10, oracle-gated): bucket counts sum to the
+    corpus's positive per-user gap count; per-bucket min/max respect the
+    log2 bucket edges."""
+    from parquet_to_clickhouse_schema_spark.streaming.batch_twins import (
+        q_gap_distribution,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        ev.select((us - F.lag(us).over(w)).alias("g"))
+        .filter(F.col("g").isNotNull() & (F.col("g") > 0))
+        .count()
+    )
+    rows = q_gap_distribution(spark, SF_SMOKE).collect()
+    assert sum(r.n_gaps for r in rows) == want
+    for r in rows:
+        assert r.min_sec <= r.max_sec
+        assert 2 ** r.log2_gap_sec <= r.max_sec * 1.01 + 1e-9
