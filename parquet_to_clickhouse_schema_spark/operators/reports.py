@@ -1452,3 +1452,60 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("laspeyres_index"),
     )
+
+
+@_q(
+    "q_catalog_coverage",
+    """
+    WITH sold AS (
+      SELECT l_partkey, count(*) AS n_lines FROM lineitem GROUP BY l_partkey
+    ),
+    j AS (
+      SELECT p.p_partkey, COALESCE(s.n_lines, 0) AS n_lines
+      FROM part p LEFT JOIN sold s ON p.p_partkey = s.l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_never_sold,
+           floor(sum(CASE WHEN n_lines = 0 THEN 1.0 ELSE 0.0 END)
+                 * 1000000.0 / count(*) + 0.5) / 1000000.0 AS dead_stock_frac,
+           CAST(max(n_lines) AS BIGINT) AS max_lines,
+           floor(avg(n_lines) * 10000.0 + 0.5) / 10000.0 AS mean_lines
+    FROM j
+    """,
+)
+def q_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-coverage readout: how much of the part catalog the order
+    book actually touches — never-sold count and fraction (dead stock),
+    plus the demand ceiling and mean — the assortment health check whose
+    training-data twin is vocabulary coverage (q_oov_rate): both ask
+    "does the observed stream exercise the full universe?". The LEFT
+    join from the dimension keeps zero-demand parts in the denominator —
+    an inner join silently overstates coverage (the q_km_survival
+    censoring lesson applied to catalogs).
+
+    One fact-side count, one dimension left join (AQE-sized), one global
+    aggregate; integer counts with two quantized summaries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    sold = li.groupBy("l_partkey").agg(F.count("*").alias("n_lines"))
+    j = p.join(sold, p.p_partkey == sold.l_partkey, "left").select(
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines")
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum((F.col("n_lines") == 0).cast("int")).cast("bigint").alias(
+            "n_never_sold"
+        ),
+        (
+            F.floor(
+                F.sum((F.col("n_lines") == 0).cast("double"))
+                * 1000000.0
+                / F.count("*")
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("dead_stock_frac"),
+        F.max("n_lines").cast("bigint").alias("max_lines"),
+        qround(F.avg("n_lines"), 4).alias("mean_lines"),
+    )

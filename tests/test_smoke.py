@@ -1739,3 +1739,25 @@ def test_gap_distribution_counts_all_positive_gaps(spark):
     for r in rows:
         assert r.min_sec <= r.max_sec
         assert 2 ** r.log2_gap_sec <= r.max_sec * 1.01 + 1e-9
+
+
+def test_catalog_coverage_matches_anti_join(spark):
+    """q_catalog_coverage (r10, oracle-gated): never-sold equals an
+    independent anti-join count; fractions and bounds consistent."""
+    from parquet_to_clickhouse_schema_spark.operators.reports import (
+        q_catalog_coverage,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    r = q_catalog_coverage(spark, SF_SMOKE).collect()[0]
+    p = load_table(spark, SF_SMOKE, "part")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    never = p.join(
+        li.select("l_partkey").distinct(),
+        p.p_partkey == F.col("l_partkey"),
+        "left_anti",
+    ).count()
+    assert r.n_never_sold == never
+    assert r.n_parts == p.count()
+    assert 0.0 <= r.dead_stock_frac <= 1.0
+    assert r.mean_lines <= r.max_lines
