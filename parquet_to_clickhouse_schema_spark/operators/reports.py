@@ -9,7 +9,7 @@ can't. All oracle-gated.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_to_clickhouse_schema_spark._registry import new_registry
@@ -1508,4 +1508,74 @@ def q_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dead_stock_frac"),
         F.max("n_lines").cast("bigint").alias("max_lines"),
         qround(F.avg("n_lines"), 4).alias("mean_lines"),
+    )
+
+
+@_q(
+    "q_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             sum(rev) OVER () AS tot
+      FROM rev
+    ),
+    cls AS (
+      SELECT rev,
+             CASE WHEN cum <= 0.80 * tot THEN 'A'
+                  WHEN cum <= 0.95 * tot THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM c
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           floor(sum(rev) * 100.0 + 0.5) / 100.0 AS revenue,
+           floor(sum(rev) / max(t.tot) * 1000000.0 + 0.5) / 1000000.0
+               AS revenue_share
+    FROM cls CROSS JOIN (SELECT sum(rev) AS tot FROM rev) t
+    GROUP BY abc
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classification of the part catalog by revenue: parts sorted by
+    descending (cents-quantized) revenue, class A while the running share
+    stays ≤80%, B to 95%, C after — the operational cut that q_pareto_8020
+    summarizes as a head-count and q_gini as an index; this one assigns
+    every part its service tier.
+
+    Quantize-then-rank on exact sums; the cumulative window runs over the
+    part-level table (catalog-bounded — and the q_shard_plan two-pass
+    block cumsum is the swap if a catalog ever outgrew a task). 3-row
+    output with exact counts and quantized shares."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        qround(F.sum("l_extendedprice"), 2).alias("rev")
+    )
+    wc = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    c = rev.select(
+        "rev",
+        F.sum("rev").over(wc).alias("cum"),
+        F.sum("rev").over(wall).alias("tot"),
+    )
+    abc = (
+        F.when(F.col("cum") <= 0.80 * F.col("tot"), F.lit("A"))
+        .when(F.col("cum") <= 0.95 * F.col("tot"), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return c.select("rev", "tot", abc.alias("abc")).groupBy("abc").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        qround(F.sum("rev"), 2).alias("revenue"),
+        (
+            F.floor(F.sum("rev") / F.max("tot") * 1000000.0 + F.lit(0.5))
+            / 1000000.0
+        ).alias("revenue_share"),
     )

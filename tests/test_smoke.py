@@ -1761,3 +1761,24 @@ def test_catalog_coverage_matches_anti_join(spark):
     assert r.n_parts == p.count()
     assert 0.0 <= r.dead_stock_frac <= 1.0
     assert r.mean_lines <= r.max_lines
+
+
+def test_abc_classification_partitions_catalog(spark):
+    """q_abc_classification (r10, oracle-gated): classes partition sold
+    parts; shares sum to ~1; A's share dominates per construction of the
+    80/95 cut (its share is >= any other class's)."""
+    from parquet_to_clickhouse_schema_spark.operators.reports import (
+        q_abc_classification,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    rows = {r.abc: r for r in q_abc_classification(spark, SF_SMOKE).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    n_sold = (
+        load_table(spark, SF_SMOKE, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_sold
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-3
+    assert rows["A"].revenue_share >= max(
+        r.revenue_share for r in rows.values()
+    ) - 1e-9
