@@ -213,6 +213,7 @@ SWEEP_PRIORITY = (
     "q_gap_distribution",  # r10: inter-event gap histogram for session cuts, gated
     "q_catalog_coverage",  # r10: dead-stock / assortment coverage readout, gated
     "q_abc_classification",  # r10: 80/95 ABC revenue tiers, gated
+    "q_markov_stationary",  # r10: unrolled stationary distribution, gated
     # remaining r4-era keys — next-rotation fill / overflow if the budget
     # runs past 50 (thirty-four moved below the line as the r10 oracle
     # additions took section-(a) slots; they are first in the r11 rotation)

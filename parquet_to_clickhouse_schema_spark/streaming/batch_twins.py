@@ -1445,3 +1445,101 @@ def q_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.min("gap_us") / 1000000.0, 2).alias("min_sec"),
         qround(F.max("gap_us") / 1000000.0, 2).alias("max_sec"),
     )
+
+
+MSTAT_ITERS = 6
+
+
+def _markov_stationary_oracle(iters: int = MSTAT_ITERS) -> str:
+    steps = [
+        """p0 AS (
+      SELECT src AS state, 1.0 / (SELECT count(*) FROM states) AS pr
+      FROM states
+    )"""
+    ]
+    for t in range(iters):
+        steps.append(
+            f"""p{t + 1} AS (
+      SELECT tm.dst AS state, sum(p{t}.pr * tm.p) AS pr
+      FROM p{t} JOIN tm ON tm.src = p{t}.state
+      GROUP BY tm.dst
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    pairs AS (
+      SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL
+      GROUP BY src, dst
+    ),
+    tot AS (SELECT src, sum(n) AS n_src FROM pairs GROUP BY src),
+    tm AS (
+      SELECT p.src, p.dst, p.n * 1.0 / t.n_src AS p
+      FROM pairs p JOIN tot t USING (src)
+    ),
+    states AS (SELECT DISTINCT src FROM pairs),
+    emp AS (
+      SELECT src AS state, sum(n) * 1.0 / (SELECT sum(n) FROM pairs) AS f
+      FROM pairs GROUP BY src
+    ),
+    {chain}
+    SELECT p{iters}.state,
+           floor(p{iters}.pr * 1000000.0 + 0.5) / 1000000.0 AS stationary_p,
+           floor(emp.f * 1000000.0 + 0.5) / 1000000.0 AS empirical_p
+    FROM p{iters} JOIN emp ON emp.state = p{iters}.state
+    """
+
+
+@_q("q_markov_stationary", _markov_stationary_oracle())
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain:
+    {MSTAT_ITERS} unrolled power-iteration steps π ← πP from the uniform
+    start, emitted beside the empirical state frequencies — agreement
+    certifies the chain is already mixed (the long-run behavioral mix IS
+    today's mix); divergence predicts drift. The q_pagerank_ranks /
+    q_pca_power unroll discipline on a |types|² matrix, so every join in
+    the loop is broadcast-tiny no matter the event volume.
+
+    Scale shape: one fact-sized lead window (per-user partitions) to
+    count transitions; the iteration then runs entirely on |types|-row
+    tables."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count("*").alias("n")).localCheckpoint()
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    tm = pairs.join(tot, "src").select(
+        "src", "dst", (F.col("n") * 1.0 / F.col("n_src")).alias("p")
+    ).localCheckpoint()
+    n_states = tm.select("src").distinct().count()
+    p = tm.select("src").distinct().select(
+        F.col("src").alias("state"), F.lit(1.0 / n_states).alias("pr")
+    )
+    for _t in range(MSTAT_ITERS):
+        p = (
+            tm.join(p, tm.src == p.state)
+            .groupBy(F.col("dst").alias("state2"))
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("pr"))
+            .withColumnRenamed("state2", "state")
+            .localCheckpoint()
+        )
+    total = pairs.agg(F.sum("n").alias("nn"))
+    emp = (
+        pairs.groupBy(F.col("src").alias("state"))
+        .agg(F.sum("n").alias("ns"))
+        .crossJoin(F.broadcast(total))
+        .select("state", (F.col("ns") * 1.0 / F.col("nn")).alias("f"))
+    )
+    return p.join(emp, "state").select(
+        "state",
+        qround(F.col("pr"), 6).alias("stationary_p"),
+        qround(F.col("f"), 6).alias("empirical_p"),
+    )

@@ -1782,3 +1782,18 @@ def test_abc_classification_partitions_catalog(spark):
     assert rows["A"].revenue_share >= max(
         r.revenue_share for r in rows.values()
     ) - 1e-9
+
+
+def test_markov_stationary_is_a_distribution_near_empirical(spark):
+    """q_markov_stationary (r10, oracle-gated): stationary probabilities
+    form a distribution (sum 1) and, on a well-mixed synthetic chain, sit
+    close to the empirical frequencies."""
+    from parquet_to_clickhouse_schema_spark.streaming.batch_twins import (
+        q_markov_stationary,
+    )
+
+    rows = q_markov_stationary(spark, SF_SMOKE).collect()
+    assert abs(sum(r.stationary_p for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 0.0 <= r.stationary_p <= 1.0
+        assert abs(r.stationary_p - r.empirical_p) < 0.1
