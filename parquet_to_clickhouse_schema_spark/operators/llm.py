@@ -5311,3 +5311,123 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("dcg"), 6).alias("dcg"),
         qround(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )
+
+
+_MRR_ORACLE = f"""
+    WITH ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label FROM embeddings
+      ORDER BY md5('rq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {RQ_N}
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    exd AS (
+      SELECT qq.vec_id AS qid, qq.label AS qlabel,
+             b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
+      FROM q qq
+      JOIN ex a ON a.vec_id = qq.vec_id
+      JOIN ex b ON b.d = a.d AND b.vec_id <> qq.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT qid, qlabel, nbr_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dot / (na.nrm * nb.nrm) DESC,
+                                         nbr_id) AS pos
+      FROM exd d
+      JOIN norms na ON d.qid = na.vec_id
+      JOIN norms nb ON d.nbr_id = nb.vec_id
+      QUALIFY pos <= {RQ_K}
+    ),
+    firsts AS (
+      SELECT r.qid, min(r.pos) AS first_rel
+      FROM ranked r JOIN embeddings e ON e.vec_id = r.nbr_id
+      WHERE e.label = r.qlabel
+      GROUP BY r.qid
+    )
+    SELECT q.vec_id,
+           CAST(COALESCE(f.first_rel, 0) AS INT) AS first_rel_rank,
+           floor(CASE WHEN f.first_rel IS NULL THEN 0.0
+                      ELSE 1.0 / f.first_rel END * 1000000.0 + 0.5)
+               / 1000000.0 AS rr
+    FROM q LEFT JOIN firsts f ON f.qid = q.vec_id
+"""
+
+
+@_q("q_mrr", _MRR_ORACLE)
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first same-label neighbor within the cosine
+    top-{RQ_K}, per query (0 when none surfaces) — MRR is THE
+    first-relevant-result metric for search UX, completing the eval set:
+    recall@k (is it anywhere in the list), NDCG (is the whole list
+    ordered well), MRR (how fast does the first hit arrive). Queries
+    with no top-{RQ_K} hit stay in the output at rr=0 — dropping them is
+    the classic MRR inflation bug.
+
+    Same broadcast-sample O({RQ_N}·n) shape and raw-double/id-tiebreak
+    ranking as the rest of the eval family; rank and label logic are
+    pure integers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.select("vec_id", F.col("label").alias("qlabel"))
+        .orderBy(
+            F.md5(F.concat(F.lit("rq:"), F.col("vec_id").cast("string")).cast("binary")),
+            "vec_id",
+        )
+        .limit(RQ_N)
+    )
+    v = _as_double_vec(emb)
+    qv = qs.join(v, "vec_id").select(
+        F.col("vec_id").alias("qid"),
+        "qlabel",
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qn"),
+    )
+    allv = v.join(emb.select("vec_id", "label"), "vec_id").select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nlabel"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        (dot / (F.col("qn") * F.col("nn"))).desc(), "nbr_id"
+    )
+    ranked = (
+        allv.crossJoin(F.broadcast(qv))
+        .filter(F.col("nbr_id") != F.col("qid"))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= RQ_K)
+    )
+    firsts = (
+        ranked.filter(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.min("pos").alias("first_rel"))
+    )
+    return (
+        qs.select(F.col("vec_id"))
+        .join(firsts.withColumnRenamed("qid", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("first_rel"), F.lit(0)).cast("int").alias(
+                "first_rel_rank"
+            ),
+            (
+                F.floor(
+                    F.when(
+                        F.col("first_rel").isNull(), F.lit(0.0)
+                    ).otherwise(1.0 / F.col("first_rel"))
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("rr"),
+        )
+    )

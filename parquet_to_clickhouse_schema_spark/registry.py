@@ -214,6 +214,7 @@ SWEEP_PRIORITY = (
     "q_catalog_coverage",  # r10: dead-stock / assortment coverage readout, gated
     "q_abc_classification",  # r10: 80/95 ABC revenue tiers, gated
     "q_markov_stationary",  # r10: unrolled stationary distribution, gated
+    "q_mrr",  # r10: reciprocal rank of first same-label hit, gated
     # remaining r4-era keys — next-rotation fill / overflow if the budget
     # runs past 50 (thirty-four moved below the line as the r10 oracle
     # additions took section-(a) slots; they are first in the r11 rotation)

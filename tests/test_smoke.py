@@ -1797,3 +1797,18 @@ def test_markov_stationary_is_a_distribution_near_empirical(spark):
     for r in rows:
         assert 0.0 <= r.stationary_p <= 1.0
         assert abs(r.stationary_p - r.empirical_p) < 0.1
+
+
+def test_mrr_ranks_and_reciprocals_are_consistent(spark):
+    """q_mrr (r10, oracle-gated): every query present; rr = 1/rank when a
+    same-label hit exists and exactly 0 when none does."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import RQ_K, RQ_N, q_mrr
+
+    rows = q_mrr(spark, SF_SMOKE).collect()
+    assert len(rows) == RQ_N
+    for r in rows:
+        assert 0 <= r.first_rel_rank <= RQ_K
+        if r.first_rel_rank == 0:
+            assert r.rr == 0.0
+        else:
+            assert abs(r.rr - 1.0 / r.first_rel_rank) < 1e-6
