@@ -489,11 +489,20 @@ def q_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
       ) GROUP BY id
     ),
+    eo AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM e
+      JOIN deg du ON du.id = e.u
+      JOIN deg dv ON dv.id = e.v
+    ),
     tri AS (
       SELECT count(*) AS t
-      FROM e e1
-      JOIN e e2 ON e2.u = e1.v
-      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      FROM eo e1
+      JOIN eo e2 ON e2.src = e1.dst
+      JOIN eo e3 ON e3.src = e1.src AND e3.dst = e2.dst
     ),
     wed AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg)
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
@@ -507,18 +516,24 @@ def q_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the co-purchase
     graph (parts linked when one order contains both, the
-    q_copurchase_pairs edge set): T from the ID-ordered closed-wedge join
-    (a<b<c, so each triangle counts exactly once), W = Σ d(d−1)/2, and
-    C = 3T/W — the density diagnostic behind community detection and
-    recommendation quality (C ≈ 0 means baskets don't cluster).
+    q_copurchase_pairs edge set): T from the degree-ordered closed-wedge
+    join, W = Σ d(d−1)/2, and C = 3T/W — the density diagnostic behind
+    community detection and recommendation quality (C ≈ 0 means baskets
+    don't cluster).
 
     Exact integer counting; only the coefficient is quantized. Scale
-    shape: the wedge join e1(a,b)⋈e2(b,c) is an equi-join on the shared
-    endpoint and the closure check an equi-join on (a,c) — at 100 TB the
-    standard refinement is degree-ordered orientation (each edge directed
-    from the lower-(degree, id) endpoint) which bounds wedge fan-out by
-    arboricity instead of max degree; ID order keeps the oracle twin
-    byte-identical here and is the same join topology."""
+    shape: edges are oriented from the lower-(degree, id) endpoint before
+    wedging (the standard compact-forward / arboricity refinement, cf.
+    Chiba-Nishizeki and Suri-Vassilvitskii "Counting triangles and the
+    curse of the last reducer", WWW'11), so per-node wedge fan-out is
+    bounded by out-degree ≤ O(√m) instead of max degree — hub nodes stop
+    dominating a single reducer. The orientation is a DAG: a triangle's
+    (deg,id)-smallest vertex a sees a→b, a→c, b→c, so the e1(a,b)⋈e2(b,c)
+    wedge join plus the (a,c) closure equi-join counts each triangle
+    exactly once. The DuckDB twin applies the identical orientation, so
+    the output stays byte-identical to the ID-ordered form. The degree
+    table is |V|-sized (node-, not edge-cardinality); AQE broadcasts it at
+    test scale and it stays a linear shuffle join beyond."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
@@ -539,12 +554,26 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id")
         .agg(F.count("*").alias("d"))
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    eo = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1, e2, e3 = eo.alias("e1"), eo.alias("e2"), eo.alias("e3")
     tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
         .join(
             e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .agg(F.count("*").alias("t"))
     )
