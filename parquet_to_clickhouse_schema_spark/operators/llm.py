@@ -2573,6 +2573,212 @@ def q_pq_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_V_REFINE = 16  # ADC shortlist re-ranked exactly
+IVFPQ_V_K = 3
+
+_IVFPQ_VERIFIED_ORACLE = f"""
+    WITH cent AS ({_IVF_GRID_SQL.format(tag="ivf", n=IVF_V_C, dim=ANN_V_DIM)}),
+    cnorm AS (SELECT c, sqrt(sum(val * val)) AS cn FROM cent GROUP BY c),
+    ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT vec_id, c, sum(v * val) AS dot
+      FROM ex JOIN cent USING (d) GROUP BY vec_id, c
+    ),
+    ranked AS (
+      SELECT vec_id, dots.c AS c,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot / cn DESC, dots.c) AS rn
+      FROM dots JOIN cnorm ON dots.c = cnorm.c
+    ),
+    assigned AS (SELECT vec_id, c AS cid FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, c AS pc FROM ranked WHERE rn <= {IVF_V_PROBE}),
+    ivfcand AS (
+      SELECT p.vec_id, a.vec_id AS nbr_id
+      FROM probes p JOIN assigned a ON p.pc = a.cid AND p.vec_id <> a.vec_id
+    ),
+    grid AS (
+      {_IVF_GRID_SQL.format(tag="pq", n=PQ_V_S * PQ_V_CODES, dim=PQ_V_W)}
+    ),
+    cb AS (
+      SELECT c % {PQ_V_CODES} AS code, c // {PQ_V_CODES} AS s,
+             (c // {PQ_V_CODES}) * {PQ_V_W} + d AS dim, val
+      FROM grid
+    ),
+    enc AS (
+      SELECT e.vec_id, cb.s, cb.code,
+             sum((e.v - cb.val) * (e.v - cb.val)) AS d2
+      FROM ex e JOIN cb ON e.d = cb.dim
+      GROUP BY e.vec_id, cb.s, cb.code
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, code) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT c.vec_id, c.nbr_id,
+             floor(sum(q.d2) * 1000000.0 + 0.5) / 1000000.0 AS adc
+      FROM ivfcand c
+      JOIN codes x ON x.vec_id = c.nbr_id
+      JOIN enc q ON q.vec_id = c.vec_id AND q.s = x.s AND q.code = x.code
+      GROUP BY c.vec_id, c.nbr_id
+    ),
+    shortlist AS (
+      SELECT vec_id, nbr_id FROM (
+        SELECT vec_id, nbr_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY adc, nbr_id) AS rn
+        FROM adc
+      ) WHERE rn <= {IVFPQ_V_REFINE}
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    cd AS (
+      SELECT c.vec_id, c.nbr_id, sum(a.v * b.v) AS dot
+      FROM shortlist c
+      JOIN ex a ON a.vec_id = c.vec_id
+      JOIN ex b ON b.vec_id = c.nbr_id AND a.d = b.d
+      GROUP BY c.vec_id, c.nbr_id
+    )
+    SELECT vec_id, nbr_id, cosine
+    FROM (
+      SELECT cd.vec_id, cd.nbr_id,
+             floor(cd.dot / (na.nrm * nb.nrm) * 10000.0 + 0.5) / 10000.0
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY cd.vec_id
+               ORDER BY floor(cd.dot / (na.nrm * nb.nrm) * 10000.0 + 0.5)
+                          / 10000.0 DESC,
+                        cd.nbr_id) AS rn
+      FROM cd
+      JOIN norms na ON cd.vec_id = na.vec_id
+      JOIN norms nb ON cd.nbr_id = nb.vec_id
+    ) WHERE rn <= {IVFPQ_V_K}
+"""
+
+
+@_q("q_ivfpq_verified_topk", _IVFPQ_VERIFIED_ORACLE)
+def q_ivfpq_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with a FULL oracle gate (r11): the composition of the
+    md5-grid coarse quantizer (q_ivf_verified_topk's "ivf" centroids —
+    assignment + {IVF_V_PROBE}-probe candidate generation) with the
+    md5-codebook ADC scorer (q_pq_verified_topk's "pq" codebooks), so
+    DuckDB rebuilds the identical two-level index end-to-end: coarse
+    assign → probe → list-restricted ADC shortlist → exact re-rank. This
+    closes the last ANN mechanism without a hash-gated twin — the
+    production q_ivfpq_topk (trained k-means + Arrow matmul ADC,
+    rows-only since r3) keeps its recall pinned in tests while its
+    composition mechanics are certified here.
+
+    The composition IS the 100 TB story: PQ alone compresses memory but
+    still scans all n codes per query (q_pq_verified's honest O(n²/codes)
+    shape); IVF alone re-ranks raw floats. IVF-PQ probes
+    {IVF_V_PROBE}/{IVF_V_C} of the lists and scores only those candidates
+    with 1-byte-per-subspace codes — candidates × {PQ_V_S} join rows, not
+    vectors. Every step is an equi-join or a map-side-combined aggregate:
+    the ADC is ivfcand ⋈ codes(nbr) ⋈ enc(query LUT) on (vec_id, s,
+    code) summed per pair (the shared-intermediate trick: for self-ANN
+    the query's encoding-distance table IS its ADC lookup table). Tie
+    discipline as q_pq_verified: ranks compare 1e-6-quantized ADC and
+    1e-4-quantized cosine with nbr_id total tiebreaks, both bit-identical
+    cross-engine."""
+    cent = _md5_unit_grid(spark, "ivf", IVF_V_C, ANN_V_DIM)
+    cnorm = cent.groupBy("c").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("cn")
+    )
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "c")
+        .agg(F.sum(F.col("v") * F.col("val")).alias("dot"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        (F.col("dot") / F.col("cn")).desc(), "c"
+    )
+    ranked = dots.join(F.broadcast(cnorm), "c").withColumn(
+        "rn", F.row_number().over(wc)
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("nbr_id"), F.col("c").alias("cid")
+    )
+    probes = ranked.filter(F.col("rn") <= IVF_V_PROBE).select(
+        "vec_id", F.col("c").alias("pc")
+    )
+    ivfcand = (
+        probes.join(assigned, F.col("pc") == F.col("cid"))
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select("vec_id", "nbr_id")
+    )
+    grid = _md5_unit_grid(spark, "pq", PQ_V_S * PQ_V_CODES, PQ_V_W)
+    cb = grid.select(
+        F.pmod("c", F.lit(PQ_V_CODES)).alias("code"),
+        F.floor(F.col("c") / PQ_V_CODES).alias("s"),
+        (F.floor(F.col("c") / PQ_V_CODES) * PQ_V_W + F.col("d")).alias("dim"),
+        "val",
+    )
+    enc = (
+        ex.join(F.broadcast(cb), ex.d == cb.dim)
+        .groupBy("vec_id", "s", "code")
+        .agg(
+            F.sum((F.col("v") - F.col("val")) * (F.col("v") - F.col("val"))).alias(
+                "d2"
+            )
+        )
+    )
+    wcode = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    codes = (
+        enc.withColumn("rn", F.row_number().over(wcode))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("nbr_id"), "s", "code")
+    )
+    adc = (
+        ivfcand.join(codes, "nbr_id")
+        .join(enc, ["vec_id", "s", "code"])
+        .groupBy("vec_id", "nbr_id")
+        .agg(qround(F.sum("d2"), 6).alias("adc"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy("adc", "nbr_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= IVFPQ_V_REFINE)
+        .select("vec_id", "nbr_id")
+    )
+    va = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    vb = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = shortlist.join(va, "vec_id").join(vb, "nbr_id").select(
+        "vec_id",
+        "nbr_id",
+        qround(dot / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "nbr_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVFPQ_V_K)
+        .select("vec_id", "nbr_id", "cosine")
+    )
+
+
 KMV_K = 8  # clusters in the verified twin
 
 _KMEANS_VERIFIED_ORACLE = f"""

@@ -165,7 +165,7 @@ SWEEP_PRIORITY = (
     "q_freq_topk_sketch",
     "q_pagerank",
     # (b) new-in-r11 oracle-gated keys — first driver rows
-    # (appended as r11 operators land)
+    "q_ivfpq_verified_topk",  # r11: IVF probe + PQ ADC composition, gated
     # ---- ~50-budget line ----
     # (c) r4-era fill, oldest-first (alphabetical within round)
     "q_agg_collect",

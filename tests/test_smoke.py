@@ -509,6 +509,36 @@ def test_pq_verified_topk_values_are_exact(spark):
         assert r.cosine == exact[(r.vec_id, r.nbr_id)]
 
 
+def test_ivfpq_verified_topk_values_are_exact(spark):
+    """q_ivfpq_verified_topk (r11, oracle-gated): the IVF-probe + PQ-ADC
+    composition — exact cosines on every pair that overlaps the
+    brute-force top-3, <= 3 rows per query vector, cosines in range, and
+    deterministic across runs. The two-level candidate set is approximate
+    but the re-rank arithmetic must match the exact path after the shared
+    1e-4 quantization."""
+    from collections import Counter
+
+    from parquet_to_clickhouse_schema_spark.operators.llm import (
+        q_ivfpq_verified_topk,
+    )
+
+    exact = {
+        (r.vec_id, r.nbr_id): r.cosine
+        for r in q_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    out = q_ivfpq_verified_topk(spark, SF_SMOKE).collect()
+    again = q_ivfpq_verified_topk(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    assert len(out) > 0
+    per_vec = Counter(r.vec_id for r in out)
+    assert max(per_vec.values()) <= 3
+    assert all(-1.0 <= r.cosine <= 1.0 for r in out)
+    overlap = [r for r in out if (r.vec_id, r.nbr_id) in exact]
+    assert len(overlap) > 0
+    for r in overlap:
+        assert r.cosine == exact[(r.vec_id, r.nbr_id)]
+
+
 def test_random_projection_preserves_norms(spark):
     """q_random_projection (r10, oracle-gated): the JL property — with a
     variance-normalized 16x64 matrix the projected norm concentrates
