@@ -1185,3 +1185,180 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_users")
     )
+
+
+WQ_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+WQ_BUCKETS = 256
+
+
+@_q(
+    "q_weighted_quantile",
+    f"""
+    WITH pp AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             sum(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_returnflag, sum(w) AS tw FROM pp GROUP BY 1),
+    cum AS (
+      SELECT l_returnflag, price,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw
+      FROM pp
+    ),
+    qs AS (SELECT unnest(CAST([{", ".join(str(q) for q in WQ_QUANTILES)}]
+                          AS DOUBLE[])) AS quantile)
+    SELECT cum.l_returnflag, qs.quantile, min(price) AS wq_price
+    FROM cum
+    JOIN tot ON cum.l_returnflag = tot.l_returnflag
+    CROSS JOIN qs
+    WHERE cw >= qs.quantile * tw
+    GROUP BY 1, 2
+    """,
+)
+def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quantiles (quantity-weighted price percentiles per
+    return flag): the smallest price whose cumulative weight reaches
+    q x total — the selection statistic behind revenue-weighted medians,
+    fair-price baselines and weighted-sampling thresholds, which plain
+    percentile_approx cannot express (it weights rows, not quantities).
+
+    Scale shape — the window never sees a whole group: (1) weights
+    collapse onto distinct (flag, price) points by a map-side-combined
+    aggregate; (2) points land in {WQ_BUCKETS} fixed price buckets whose
+    per-bucket totals form a flags x {WQ_BUCKETS} table, cumulated with a
+    tiny window and broadcast back as per-bucket offsets; (3) the
+    in-bucket cumsum windows over ONE bucket's points at a time, so the
+    largest sort partition is bounded by the bucket width dial, the
+    q_shard_plan / q_window_rank_scalable two-pass discipline. All
+    comparisons are exact: weights are integral doubles (sums exact below
+    2^53 in any order) and q x total multiplies the same two doubles on
+    both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = (
+        li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    rng = pp.groupBy("l_returnflag").agg(
+        F.min("price").alias("lo"), F.max("price").alias("hi"),
+        F.sum("w").alias("tw"),
+    )
+    b = pp.join(F.broadcast(rng), "l_returnflag").withColumn(
+        "bk",
+        F.least(
+            F.lit(WQ_BUCKETS - 1),
+            F.floor(
+                (F.col("price") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / WQ_BUCKETS)
+            ),
+        ).cast("int"),
+    )
+    per_bucket = b.groupBy("l_returnflag", "bk").agg(F.sum("w").alias("bw"))
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per_bucket.select(
+        "l_returnflag",
+        "bk",
+        F.coalesce(F.sum("bw").over(w_off), F.lit(0.0)).alias("off"),
+    )
+    w_in = (
+        Window.partitionBy("l_returnflag", "bk")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        b.join(F.broadcast(off), ["l_returnflag", "bk"])
+        .withColumn("cw", F.col("off") + F.sum("w").over(w_in))
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in WQ_QUANTILES], "quantile double"
+    )
+    return (
+        cum.join(F.broadcast(qs), F.col("cw") >= F.col("quantile") * F.col("tw"))
+        .groupBy("l_returnflag", "quantile")
+        .agg(F.min("price").alias("wq_price"))
+    )
+
+
+CTR_PRIOR_MIN = 1e-6
+
+
+@_q(
+    "q_ctr_smoothing",
+    f"""
+    WITH uc AS (
+      SELECT user_id,
+             count(*) AS n_trials,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks
+      FROM events
+      WHERE event_type IN ('view', 'click')
+      GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, n_trials, n_clicks,
+             n_clicks * 1.0 / n_trials AS raw
+      FROM uc
+    ),
+    mom AS (SELECT avg(raw) AS m, var_pop(raw) AS v FROM r),
+    pri AS (
+      SELECT m, greatest(m * (1 - m) / v - 1, {CTR_PRIOR_MIN}) AS c
+      FROM mom
+    )
+    SELECT user_id,
+           CAST(n_trials AS BIGINT) AS n_trials,
+           CAST(n_clicks AS BIGINT) AS n_clicks,
+           floor(raw * 1000000.0 + 0.5) / 1000000.0 AS raw_ctr,
+           floor((n_clicks + m * c) / (n_trials + c) * 1000000.0 + 0.5)
+             / 1000000.0 AS smoothed_ctr
+    FROM r CROSS JOIN pri
+    """,
+)
+def q_ctr_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes click-through-rate shrinkage: each user's
+    clicks-per-impression rate (trials = view+click events, success =
+    click, so k <= n by construction) smoothed toward the population rate
+    with a beta-binomial prior fit by method of moments (concentration
+    c = m(1-m)/Var - 1, clamped positive; posterior mean
+    (k + m*c)/(n + c)) — the standard fix for high-cardinality rate
+    features where low-traffic keys otherwise swing between 0 and 1 and
+    poison a training set (label/target encoding uses the same identity).
+
+    Scale shape: one map-side-combined groupBy(user_id) builds the count
+    table; the two prior scalars come from a 1-row aggregate broadcast
+    back (the 1-row crossJoin scalar-attach pattern) — no second fact
+    scan, no window. Float caveat: avg/var_pop accumulate in engine-
+    specific order (~1e-15 relative noise) so both output rates are
+    1e-6-quantized, the q_bootstrap_ci discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    uc = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_trials"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("n_clicks"),
+        )
+    )
+    r = uc.withColumn("raw", F.col("n_clicks") * 1.0 / F.col("n_trials"))
+    pri = r.agg(F.avg("raw").alias("m"), F.var_pop("raw").alias("v")).select(
+        "m",
+        F.greatest(
+            F.col("m") * (1 - F.col("m")) / F.col("v") - 1,
+            F.lit(CTR_PRIOR_MIN),
+        ).alias("c"),
+    )
+    return r.crossJoin(F.broadcast(pri)).select(
+        "user_id",
+        F.col("n_trials").cast("bigint").alias("n_trials"),
+        F.col("n_clicks").cast("bigint").alias("n_clicks"),
+        qround(F.col("raw"), 6).alias("raw_ctr"),
+        qround(
+            (F.col("n_clicks") + F.col("m") * F.col("c"))
+            / (F.col("n_trials") + F.col("c")),
+            6,
+        ).alias("smoothed_ctr"),
+    )

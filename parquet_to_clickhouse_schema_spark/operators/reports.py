@@ -1579,3 +1579,98 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("revenue_share"),
     )
+
+
+FUNNEL_WINDOW_HOURS = 2
+
+
+@_q(
+    "q_window_funnel",
+    f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e
+      JOIN c ON e.user_id = c.user_id
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= v.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS INT)
+               AS funnel_level
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed event funnel — the windowFunnel aggregate ClickHouse
+    users run for conversion analysis (the reference's target engine;
+    public semantics: the longest ordered prefix of view → click →
+    purchase completed inside a sliding window). This is the
+    deterministic anchored variant: the window opens at the user's FIRST
+    view (t1 = min view ts) and every later stage must land in
+    (prev_stage_ts, t1 + {FUNNEL_WINDOW_HOURS}h] — unlike q_funnel, a
+    click next week no longer counts, which is the difference between
+    measuring a conversion FUNNEL and measuring eventual conversion.
+    Anchoring at the first view keeps the op a chain of per-user MIN
+    aggregates (exactly oracle-expressible); ClickHouse's restartable
+    scan can assign a higher level when a later view opens a better
+    window — documented, not replicated, because it needs a per-user
+    sequential pass.
+
+    Scale shape identical to q_funnel: each stage is a type-pruned event
+    scan joined to the previous stage's one-row-per-user frontier, so
+    shuffles carry user-frontier rows, never raw event lists; no window
+    function, no per-user sort. Timestamp arithmetic is exact integer
+    microseconds on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    deadline = F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1c"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (
+                F.col("ts")
+                <= F.col("t1c") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.select("user_id")
+        .join(c.select("user_id", F.lit(1).alias("hc")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("hp")), "user_id", "left")
+        .select(
+            "user_id",
+            (1 + F.coalesce("hc", F.lit(0)) + F.coalesce("hp", F.lit(0)))
+            .cast("int")
+            .alias("funnel_level"),
+        )
+    )

@@ -1335,3 +1335,58 @@ def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(ess, 4).alias("ess"),
         qround(ess / F.col("n"), 6).alias("ess_ratio"),
     )
+
+
+@_q(
+    "q_group_split",
+    """
+    WITH s AS (
+      SELECT source,
+             CASE WHEN substr(md5(source), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                  THEN 'train'
+                  WHEN substr(md5(source), 1, 1) IN ('c','d') THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT s.source, s.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+    FROM documents d JOIN s ON d.source = s.source
+    GROUP BY 1, 2
+    """,
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free grouped split (GroupKFold semantics): the split is
+    hashed from the SOURCE, not the document, so every document of a
+    source lands in the same split — the discipline that keeps
+    near-duplicate documents from one crawl/site/book from straddling
+    train and test and inflating eval scores (q_data_split's per-doc hash
+    cannot guarantee this; q_decontaminate then has to catch the
+    stragglers). Same md5-nibble 12/2/2 rule as q_data_split, applied one
+    level up, with per-source doc/char totals as the audit readout (group
+    atomicity is by construction: source is the grouping key, so one
+    split per source).
+
+    Scale shape: the split rule is a pure projection on a distinct-source
+    dimension (Heaps'-bounded, broadcast back onto the corpus scan) and
+    one map-side-combined groupBy — no fact-sized shuffle beyond the
+    aggregate itself. md5 keeps the assignment oracle-verifiable and
+    stable under re-runs and appends."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("source").cast("binary")), 1, 1)
+    s = d.select("source").distinct().select(
+        "source",
+        F.when(nibble.isin(*"0123456789ab"), "train")
+        .when(nibble.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        d.join(F.broadcast(s), "source")
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )

@@ -166,6 +166,10 @@ SWEEP_PRIORITY = (
     "q_pagerank",
     # (b) new-in-r11 oracle-gated keys — first driver rows
     "q_ivfpq_verified_topk",  # r11: IVF probe + PQ ADC composition, gated
+    "q_window_funnel",  # r11: time-boxed windowFunnel conversion levels, gated
+    "q_weighted_quantile",  # r11: two-pass bucketed weighted percentiles, gated
+    "q_ctr_smoothing",  # r11: empirical-Bayes beta-binomial CTR shrinkage, gated
+    "q_group_split",  # r11: leakage-free source-grouped split audit, gated
     # ---- ~50-budget line ----
     # (c) r4-era fill, oldest-first (alphabetical within round)
     "q_agg_collect",

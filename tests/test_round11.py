@@ -1,0 +1,108 @@
+"""Round-11 operator tests: properties the DuckDB oracle gate can't state
+(dominance relations between funnel variants, shrinkage direction of the
+EB posterior, weighted-median equivalence to the brute-force definition,
+group atomicity of the source split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark import registry
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+Q = registry.all_queries()
+
+
+def test_window_funnel_dominated_by_unboxed_funnel(spark):
+    """The time-boxed funnel can only LOSE conversions relative to
+    q_funnel (same stages, no deadline): per user, funnel_level <=
+    funnel_stage, both start at 1, and at least one user must differ at
+    smoke SF (otherwise the window constraint is vacuous and the op
+    degenerates into q_funnel)."""
+    boxed = {r.user_id: r.funnel_level for r in Q["q_window_funnel"](spark, SF_SMOKE).collect()}
+    free = {r.user_id: r.funnel_stage for r in Q["q_funnel"](spark, SF_SMOKE).collect()}
+    assert set(boxed) == set(free)
+    assert all(1 <= boxed[u] <= free[u] <= 3 for u in boxed)
+    assert any(boxed[u] < free[u] for u in boxed)
+
+
+def test_weighted_quantile_matches_bruteforce_definition(spark):
+    """Each (flag, q) row must equal the textbook definition computed
+    driver-side: the smallest price whose cumulative quantity reaches
+    q x total quantity; quantiles must be monotone within a flag."""
+    from collections import defaultdict
+
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+        WQ_QUANTILES,
+    )
+
+    rows = Q["q_weighted_quantile"](spark, SF_SMOKE).collect()
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum("l_quantity").alias("w"))
+        .collect()
+    )
+    by_flag = defaultdict(list)
+    for r in li:
+        by_flag[r.l_returnflag].append((r.l_extendedprice, r.w))
+    want = {}
+    for flag, pts in by_flag.items():
+        pts.sort()
+        tot = sum(w for _, w in pts)
+        for q in WQ_QUANTILES:
+            cum = 0.0
+            for price, w in pts:
+                cum += w
+                if cum >= q * tot:
+                    want[(flag, q)] = price
+                    break
+    got = {(r.l_returnflag, r.quantile): r.wq_price for r in rows}
+    assert got == want
+    for flag in by_flag:
+        seq = [got[(flag, q)] for q in sorted(WQ_QUANTILES)]
+        assert seq == sorted(seq)
+
+
+def test_ctr_smoothing_shrinks_toward_prior_mean(spark):
+    """The posterior mean (k + mc)/(n + c) is a convex combination of the
+    raw rate and the prior mean m, so every smoothed rate must lie between
+    its raw rate and m (inclusive up to the 1e-6 quantization), and users
+    with more views must move less."""
+    rows = Q["q_ctr_smoothing"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(0 <= r.n_clicks <= r.n_trials for r in rows)
+    m = sum(r.raw_ctr for r in rows) / len(rows)  # ~prior mean (quantized)
+    eps = 2e-6
+    for r in rows:
+        lo, hi = sorted((r.raw_ctr, m))
+        assert lo - eps <= r.smoothed_ctr <= hi + eps
+        assert 0.0 <= r.smoothed_ctr <= 1.0
+    # shrinkage magnitude decreases with evidence: compare the mean
+    # absolute move of low-traffic vs high-traffic halves
+    moves = sorted((r.n_trials, abs(r.smoothed_ctr - r.raw_ctr)) for r in rows)
+    half = len(moves) // 2
+    low = sum(mv for _, mv in moves[:half]) / half
+    high = sum(mv for _, mv in moves[half:]) / (len(moves) - half)
+    assert high <= low + eps
+
+
+def test_group_split_is_atomic_and_total(spark):
+    """Every source appears in exactly one split, splits cover the corpus
+    (doc counts sum to the table count), and the assignment agrees with
+    the md5-nibble rule."""
+    import hashlib
+
+    rows = Q["q_group_split"](spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    seen = {}
+    for r in rows:
+        assert r.source not in seen  # one row (== one split) per source
+        seen[r.source] = r.split
+        nib = hashlib.md5(r.source.encode()).hexdigest()[0]
+        want = "train" if nib in "0123456789ab" else ("val" if nib in "cd" else "test")
+        assert r.split == want
+    assert set(seen) == {r.source for r in d.select("source").distinct().collect()}
