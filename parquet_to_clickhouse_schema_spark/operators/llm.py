@@ -2576,6 +2576,31 @@ def q_pq_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_V_REFINE = 16  # ADC shortlist re-ranked exactly
 IVFPQ_V_K = 3
 
+_PQ_CODEBOOK_CACHE: dict = {}
+
+
+def _pq_codebook_np():
+    """The "pq" md5 grid as a (S, CODES, W) numpy array — byte-identical to
+    _md5_unit_grid(spark, "pq", S*CODES, W) reshaped by the q_pq_verified
+    cb mapping (code = c % CODES, s = c // CODES): hashlib.md5 and Spark's
+    F.md5 agree on every byte, and the scale arithmetic is the same IEEE
+    double expression, so the driver-built constant equals the SQL-built
+    grid exactly. Cached per process (executors build it once)."""
+    if "cb" not in _PQ_CODEBOOK_CACHE:
+        import hashlib
+
+        import numpy as np
+
+        cb = np.empty((PQ_V_S, PQ_V_CODES, PQ_V_W), dtype="float64")
+        for c in range(PQ_V_S * PQ_V_CODES):
+            for d in range(PQ_V_W):
+                h = hashlib.md5(f"pq:{c}:{d}".encode()).hexdigest()
+                cb[c // PQ_V_CODES, c % PQ_V_CODES, d] = (
+                    int(h[:4], 16) / 65535.0
+                ) * 2.0 - 1.0
+        _PQ_CODEBOOK_CACHE["cb"] = cb
+    return _PQ_CODEBOOK_CACHE["cb"]
+
 _IVFPQ_VERIFIED_ORACLE = f"""
     WITH cent AS ({_IVF_GRID_SQL.format(tag="ivf", n=IVF_V_C, dim=ANN_V_DIM)}),
     cnorm AS (SELECT c, sqrt(sum(val * val)) AS cn FROM cent GROUP BY c),
@@ -2680,76 +2705,107 @@ def q_ivfpq_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     still scans all n codes per query (q_pq_verified's honest O(n²/codes)
     shape); IVF alone re-ranks raw floats. IVF-PQ probes
     {IVF_V_PROBE}/{IVF_V_C} of the lists and scores only those candidates
-    with 1-byte-per-subspace codes — candidates × {PQ_V_S} join rows, not
-    vectors. Every step is an equi-join or a map-side-combined aggregate:
-    the ADC is ivfcand ⋈ codes(nbr) ⋈ enc(query LUT) on (vec_id, s,
-    code) summed per pair (the shared-intermediate trick: for self-ANN
-    the query's encoding-distance table IS its ADC lookup table). Tie
-    discipline as q_pq_verified: ranks compare 1e-6-quantized ADC and
-    1e-4-quantized cosine with nbr_id total tiebreaks, both bit-identical
+    with the 8-entry code gather. The ADC runs as ONE cogroup-on-centroid
+    job (the q_ivf_verified rerank shape): each (probe-queries, list)
+    pair meets in a numpy LUT gather — lut[q, s, code_x(s)] summed over
+    subspaces, the shared-intermediate trick where for self-ANN the
+    query's encoding-distance table IS its ADC lookup table — and only
+    per-list partial top-{IVFPQ_V_REFINE} rows leave the kernel, so the
+    shuffle after scoring is queries × probes × {IVFPQ_V_REFINE}, linear
+    in the corpus (the join formulation this replaced materialized
+    candidate × {PQ_V_S} shuffle rows and measured 63.9× at the 10×
+    probe; this form rides the BLAS-absorption lane of q_semdedup).
+    Partial-then-global top-k is lossless because both ranks share the
+    one total order (quantized adc, nbr_id). Tie discipline as
+    q_pq_verified: ranks compare 1e-6-quantized ADC and 1e-4-quantized
+    cosine with nbr_id total tiebreaks, both bit-identical
     cross-engine."""
-    cent = _md5_unit_grid(spark, "ivf", IVF_V_C, ANN_V_DIM)
-    cnorm = cent.groupBy("c").agg(
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("cn")
-    )
-    ex = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
-        .withColumn("v", F.col("v").cast("double"))
-    )
-    dots = (
-        ex.join(F.broadcast(cent), "d")
-        .groupBy("vec_id", "c")
-        .agg(F.sum(F.col("v") * F.col("val")).alias("dot"))
-    )
-    wc = Window.partitionBy("vec_id").orderBy(
-        (F.col("dot") / F.col("cn")).desc(), "c"
-    )
-    ranked = dots.join(F.broadcast(cnorm), "c").withColumn(
-        "rn", F.row_number().over(wc)
-    )
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("nbr_id"), F.col("c").alias("cid")
-    )
-    probes = ranked.filter(F.col("rn") <= IVF_V_PROBE).select(
+    import numpy as np
+    import pandas as pd
+
+    def ranked_frame() -> DataFrame:
+        # built FRESH per cogroup side (the _block_sides lesson: cogroup
+        # sides must not share a subplan or the analyzer's self-join dedup
+        # leaves ambiguous expression ids)
+        cent = _md5_unit_grid(spark, "ivf", IVF_V_C, ANN_V_DIM)
+        cnorm = cent.groupBy("c").agg(
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("cn")
+        )
+        ex = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+            .withColumn("v", F.col("v").cast("double"))
+        )
+        dots = (
+            ex.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "c")
+            .agg(F.sum(F.col("v") * F.col("val")).alias("dot"))
+        )
+        wc = Window.partitionBy("vec_id").orderBy(
+            (F.col("dot") / F.col("cn")).desc(), "c"
+        )
+        return dots.join(F.broadcast(cnorm), "c").withColumn(
+            "rn", F.row_number().over(wc)
+        )
+
+    probes = ranked_frame().filter(F.col("rn") <= IVF_V_PROBE).select(
         "vec_id", F.col("c").alias("pc")
     )
-    ivfcand = (
-        probes.join(assigned, F.col("pc") == F.col("cid"))
-        .filter(F.col("vec_id") != F.col("nbr_id"))
-        .select("vec_id", "nbr_id")
+    assigned = ranked_frame().filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("nbr_id"), F.col("c").alias("cid")
     )
-    grid = _md5_unit_grid(spark, "pq", PQ_V_S * PQ_V_CODES, PQ_V_W)
-    cb = grid.select(
-        F.pmod("c", F.lit(PQ_V_CODES)).alias("code"),
-        F.floor(F.col("c") / PQ_V_CODES).alias("s"),
-        (F.floor(F.col("c") / PQ_V_CODES) * PQ_V_W + F.col("d")).alias("dim"),
-        "val",
+    qside = probes.join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
     )
-    enc = (
-        ex.join(F.broadcast(cb), ex.d == cb.dim)
-        .groupBy("vec_id", "s", "code")
-        .agg(
-            F.sum((F.col("v") - F.col("val")) * (F.col("v") - F.col("val"))).alias(
-                "d2"
-            )
+    iside = assigned.join(
+        load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("nbr_id"), "embedding"
+        ),
+        "nbr_id",
+    )
+
+    def adc_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return _empty_pairs("adc")
+        cb = _pq_codebook_np()  # (S, CODES, W)
+        q_ids = qpdf["vec_id"].to_numpy()
+        q_sub = (
+            np.stack(qpdf["embedding"].to_numpy())
+            .astype("float64")
+            .reshape(len(qpdf), PQ_V_S, PQ_V_W)
         )
-    )
-    wcode = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
-    codes = (
-        enc.withColumn("rn", F.row_number().over(wcode))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vec_id").alias("nbr_id"), "s", "code")
-    )
-    adc = (
-        ivfcand.join(codes, "nbr_id")
-        .join(enc, ["vec_id", "s", "code"])
-        .groupBy("vec_id", "nbr_id")
-        .agg(qround(F.sum("d2"), 6).alias("adc"))
+        i_ids = ipdf["nbr_id"].to_numpy()
+        i_sub = (
+            np.stack(ipdf["embedding"].to_numpy())
+            .astype("float64")
+            .reshape(len(ipdf), PQ_V_S, PQ_V_W)
+        )
+        dq = q_sub[:, :, None, :] - cb[None, :, :, :]
+        lut = (dq * dq).sum(-1)  # (nq, S, CODES)
+        di = i_sub[:, :, None, :] - cb[None, :, :, :]
+        codes = (di * di).sum(-1).argmin(-1)  # (ni, S): first/lowest code wins
+        adc = np.zeros((len(q_ids), len(i_ids)))
+        for s in range(PQ_V_S):
+            adc += lut[:, s, codes[:, s]]
+        adcq = np.floor(adc * 1e6 + 0.5) / 1e6
+        out_vec, out_nbr, out_sc = _partial_topk(
+            q_ids, i_ids, -adcq, IVFPQ_V_REFINE
+        )
+        if not out_vec:
+            return _empty_pairs("adc")
+        return pd.DataFrame(
+            {"vec_id": out_vec, "nbr_id": out_nbr, "adc": [-s for s in out_sc]}
+        )
+
+    partials = (
+        qside.groupBy("pc")
+        .cogroup(iside.groupBy("cid"))
+        .applyInPandas(adc_cogroup, schema="vec_id long, nbr_id long, adc double")
     )
     wa = Window.partitionBy("vec_id").orderBy("adc", "nbr_id")
     shortlist = (
-        adc.withColumn("rn", F.row_number().over(wa))
+        partials.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") <= IVFPQ_V_REFINE)
         .select("vec_id", "nbr_id")
     )
