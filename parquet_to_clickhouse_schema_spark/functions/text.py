@@ -2725,3 +2725,81 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_raw"),
         F.max("n_chars").cast("bigint").alias("max_raw"),
     )
+
+
+BOILER_DF = 5  # a shingle in >= this many distinct docs is boilerplate
+
+
+@_q(
+    "q_boilerplate_ngrams",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+{NOVELTY_N}-1], ' ')
+                       for i in range(1, len(toks) - {NOVELTY_N} + 2)])
+                   AS shingle
+        FROM (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        )
+        WHERE len(toks) >= {NOVELTY_N}
+      )
+    ),
+    df AS (SELECT shingle, count(*) AS docfreq FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df.docfreq >= {BOILER_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           floor(sum(CASE WHEN df.docfreq >= {BOILER_DF} THEN 1.0 ELSE 0.0 END)
+                 * 1000000.0 / count(*) + 0.5) / 1000000.0 AS boiler_frac
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate fraction: the share of a document's
+    distinct {NOVELTY_N}-gram shingles that occur in >= {BOILER_DF}
+    distinct documents — the corpus-frequency lens (CCNet/RefinedWeb's
+    repeated-line filter, adapted to shingles since this corpus has no
+    line structure) that catches navigation chrome, license headers and
+    templated text which per-doc quality scores miss. Complements
+    q_ngram_novelty (first-occurrence order) and q_repetition_filter
+    (INTRA-doc repetition): a doc can be internally non-repetitive and
+    still be 90% template.
+
+    Exact integer logic: docfreq is a count of distinct docs per shingle
+    (the dedup happens in the same distinct that q_ngram_novelty uses),
+    only the final fraction is quantized. Scale shape identical to
+    q_ngram_novelty — two shingle-keyed shuffles (distinct + docfreq) and
+    one doc-keyed reduce, the q_dedup_ngram cost class, and the docfreq
+    side of the join is Heaps'-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {NOVELTY_N} + 1, 0)), "
+                    f"i -> array_join(slice(split(text, ' '), i, {NOVELTY_N}), ' '))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    df = sh.groupBy("shingle").agg(F.count("*").alias("docfreq"))
+    boiler = (F.col("docfreq") >= BOILER_DF).cast("int")
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(boiler).cast("bigint").alias("n_boiler"),
+            (
+                F.floor(
+                    F.sum(boiler.cast("double")) * 1000000.0 / F.count("*")
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("boiler_frac"),
+        )
+    )

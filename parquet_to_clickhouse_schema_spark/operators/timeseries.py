@@ -932,3 +932,94 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("km_survival")
         )
     )
+
+
+@_q(
+    "q_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT * FROM (
+        SELECT o.o_orderpriority AS prio, o.o_orderdate AS t_open,
+               max(l.l_shipdate) AS t_close
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+      ) WHERE t_close > t_open
+    ),
+    b AS (
+      SELECT prio, t_open AS ts, 1 AS delta FROM iv
+      UNION ALL
+      SELECT prio, t_close AS ts, -1 AS delta FROM iv
+    ),
+    net AS (SELECT prio, ts, sum(delta) AS net FROM b GROUP BY prio, ts),
+    cum AS (
+      SELECT prio, ts,
+             sum(net) OVER (PARTITION BY prio ORDER BY ts) AS open_now
+      FROM net
+    ),
+    pk AS (SELECT prio, max(open_now) AS peak FROM cum GROUP BY prio)
+    SELECT cum.prio AS o_orderpriority,
+           CAST(pk.peak AS BIGINT) AS peak_open_orders,
+           min(cum.ts) AS peak_ts
+    FROM cum JOIN pk ON cum.prio = pk.prio AND cum.open_now = pk.peak
+    GROUP BY cum.prio, pk.peak
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per priority class — the maxIntersections
+    aggregate ClickHouse ships (the reference's target engine), answered
+    here by the classic sweep line: each order is an in-flight interval
+    [orderdate, last item shipdate), boundaries become +1/−1 deltas,
+    same-timestamp deltas NET inside one aggregate (so boundary tie order
+    can never matter), and the running sum's maximum is the peak load,
+    with the earliest timestamp attaining it. This is the capacity
+    question behind connection pools, warehouse staffing and stream-join
+    state sizing. Inverted spans (last shipment at or before the open
+    date — dirty data the synthetic corpus really contains) are dropped
+    in BOTH engines: a sweep line requires open <= close, and a
+    non-positive span covers no instant anyway.
+
+    Scale shape: the fact scan collapses to one interval per order (a
+    map-side-combined groupBy), boundaries double that, and the
+    sweep-line cumsum runs over DISTINCT (priority, timestamp) keys —
+    calendar-bounded like q_seasonal_decompose (~10³ distinct dates per
+    priority at any fact scale; the q_shard_plan two-pass block cumsum is
+    the swap if a use case ever keyed boundaries by microsecond). Exact
+    integer counting end to end, half-open intervals ([t,t) nets to 0)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("t_close"))
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").alias("t_open"),
+            "t_close",
+        )
+        .filter(F.col("t_close") > F.col("t_open"))
+    )
+    b = iv.select("prio", F.col("t_open").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        iv.select("prio", F.col("t_close").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    net = b.groupBy("prio", "ts").agg(F.sum("delta").alias("net"))
+    w = Window.partitionBy("prio").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = net.withColumn("open_now", F.sum("net").over(w))
+    pk = cum.groupBy("prio").agg(F.max("open_now").alias("peak")).select(
+        F.col("prio").alias("pk_prio"), "peak"
+    )
+    return (
+        cum.join(
+            F.broadcast(pk),
+            (F.col("prio") == F.col("pk_prio"))
+            & (F.col("open_now") == F.col("peak")),
+        )
+        .groupBy(F.col("prio").alias("o_orderpriority"), F.col("peak"))
+        .agg(F.min("ts").alias("peak_ts"))
+        .select(
+            "o_orderpriority",
+            F.col("peak").cast("bigint").alias("peak_open_orders"),
+            "peak_ts",
+        )
+    )

@@ -1390,3 +1390,76 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+COVERAGE_LEVELS = (10, 25, 50, 100)  # percent of the md5-ordered ingest
+
+
+@_q(
+    "q_coverage_curve",
+    f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS digest,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) * 100.0 / 4294967296.0 AS pct
+      FROM documents
+    ),
+    lv AS (SELECT unnest([{", ".join(str(v) for v in COVERAGE_LEVELS)}])
+               AS level_pct)
+    SELECT lv.level_pct AS level_pct,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.digest) AS BIGINT) AS n_unique,
+           floor((1.0 - count(DISTINCT d.digest) * 1.0 / count(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+    FROM d JOIN lv ON d.pct < lv.level_pct
+    GROUP BY lv.level_pct
+    """,
+)
+def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup saturation curve: exact-duplicate rate of the first
+    10/25/50/100% of the corpus in a deterministic md5 ingest order — the
+    is-more-data-still-new readout that decides whether the next crawl
+    batch is worth processing (dup_rate flat in corpus size = healthy;
+    climbing = the source is exhausted and you are re-buying old tokens).
+
+    The "first X%" prefix is hash-RANGE membership (md5(doc_id) high bits
+    under X% of the hash space), not a rank: no global sort, no window —
+    prefix membership is a row-local predicate, exactly the trick
+    hash-splits (q_data_split) use, so the curve costs one scan expanded
+    {len(COVERAGE_LEVELS)}x by the level spine (realized prefix sizes are
+    reported as n_docs — binomially close to nominal, never padded).
+    Content identity is the md5 text digest (the q_dedup_exact dedup key):
+    only digests flow into the distinct, never text. Exact integers plus
+    one quantized ratio."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            * 100.0
+            / 4294967296.0
+        ).alias("pct"),
+    )
+    lv = spark.createDataFrame(
+        [(v,) for v in COVERAGE_LEVELS], "level_pct int"
+    )
+    return (
+        d.join(F.broadcast(lv), F.col("pct") < F.col("level_pct"))
+        .groupBy("level_pct")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("digest").cast("bigint").alias("n_unique"),
+            (
+                F.floor(
+                    (1.0 - F.countDistinct("digest") * 1.0 / F.count("*"))
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("dup_rate"),
+        )
+    )

@@ -170,6 +170,9 @@ SWEEP_PRIORITY = (
     "q_weighted_quantile",  # r11: two-pass bucketed weighted percentiles, gated
     "q_ctr_smoothing",  # r11: empirical-Bayes beta-binomial CTR shrinkage, gated
     "q_group_split",  # r11: leakage-free source-grouped split audit, gated
+    "q_max_concurrency",  # r11: sweep-line peak interval concurrency, gated
+    "q_boilerplate_ngrams",  # r11: cross-doc repeated-shingle fraction, gated
+    "q_coverage_curve",  # r11: dedup saturation over hash-prefix levels, gated
     # ---- ~50-budget line ----
     # (c) r4-era fill, oldest-first (alphabetical within round)
     "q_agg_collect",

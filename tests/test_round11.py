@@ -106,3 +106,69 @@ def test_group_split_is_atomic_and_total(spark):
         want = "train" if nib in "0123456789ab" else ("val" if nib in "cd" else "test")
         assert r.split == want
     assert set(seen) == {r.source for r in d.select("source").distinct().collect()}
+
+
+def test_max_concurrency_matches_bruteforce_sweep(spark):
+    """Per priority: peak must equal the brute-force maximum computed
+    driver-side by counting intervals covering each boundary instant
+    (half-open [open, close)), and peak_ts must be the earliest instant
+    attaining it."""
+    from collections import defaultdict
+
+    rows = Q["q_max_concurrency"](spark, SF_SMOKE).collect()
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("t_close")
+    )
+    iv = defaultdict(list)
+    for r in o.join(li, o.o_orderkey == li.l_orderkey).collect():
+        if r.t_close > r.o_orderdate:  # sweep line requires open < close
+            iv[r.o_orderpriority].append((r.o_orderdate, r.t_close))
+    want = {}
+    for prio, spans in iv.items():
+        instants = sorted({t for s in spans for t in s})
+        best, best_ts = -1, None
+        for t in instants:
+            n = sum(1 for a, b in spans if a <= t < b)
+            if n > best:
+                best, best_ts = n, t
+        want[prio] = (best, best_ts)
+    got = {r.o_orderpriority: (r.peak_open_orders, r.peak_ts) for r in rows}
+    assert got == want
+
+
+def test_boilerplate_vs_novelty_are_complementary_lenses(spark):
+    """Shared shingle universe with q_ngram_novelty (same docs, same
+    n_shingles), fractions in [0,1], and the corpus-wide identity: a
+    shingle counted boilerplate must appear in >= BOILER_DF docs, so
+    total boilerplate hits >= BOILER_DF * (number of boilerplate
+    shingles observed anywhere)."""
+    from parquet_to_clickhouse_schema_spark.functions.text import BOILER_DF
+
+    b = {r.doc_id: r for r in Q["q_boilerplate_ngrams"](spark, SF_SMOKE).collect()}
+    n = {r.doc_id: r for r in Q["q_ngram_novelty"](spark, SF_SMOKE).collect()}
+    assert set(b) == set(n)
+    for doc_id, rb in b.items():
+        assert rb.n_shingles == n[doc_id].n_shingles
+        assert 0 <= rb.n_boiler <= rb.n_shingles
+        assert 0.0 <= rb.boiler_frac <= 1.0
+    # each boilerplate shingle contributes >= BOILER_DF doc-hits
+    total_boiler_hits = sum(r.n_boiler for r in b.values())
+    assert total_boiler_hits == 0 or total_boiler_hits >= BOILER_DF
+
+
+def test_coverage_curve_is_monotone_and_total(spark):
+    """Levels nest: n_docs and n_unique are nondecreasing in level, the
+    100% level covers the whole corpus, and n_unique matches the exact
+    distinct-text count."""
+    rows = {r.level_pct: r for r in Q["q_coverage_curve"](spark, SF_SMOKE).collect()}
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert rows[100].n_docs == d.count()
+    assert rows[100].n_unique == d.select("text").distinct().count()
+    levels = sorted(rows)
+    for lo, hi in zip(levels, levels[1:]):
+        assert rows[lo].n_docs <= rows[hi].n_docs
+        assert rows[lo].n_unique <= rows[hi].n_unique
+    assert all(0.0 <= r.dup_rate < 1.0 for r in rows.values())
