@@ -173,6 +173,7 @@ SWEEP_PRIORITY = (
     "q_max_concurrency",  # r11: sweep-line peak interval concurrency, gated
     "q_boilerplate_ngrams",  # r11: cross-doc repeated-shingle fraction, gated
     "q_coverage_curve",  # r11: dedup saturation over hash-prefix levels, gated
+    "q_sequence_count",  # r11: disjoint view->purchase chains (sequenceCount), gated
     # ---- ~50-budget line ----
     # (c) r4-era fill, oldest-first (alphabetical within round)
     "q_agg_collect",

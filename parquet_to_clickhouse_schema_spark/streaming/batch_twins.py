@@ -1543,3 +1543,72 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("pr"), 6).alias("stationary_p"),
         qround(F.col("f"), 6).alias("empirical_p"),
     )
+
+
+@_q(
+    "q_sequence_count",
+    """
+    WITH ab AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    pref AS (
+      SELECT user_id,
+             sum(is_b) OVER w - sum(is_a) OVER w AS deficit,
+             sum(is_b) OVER (PARTITION BY user_id) AS b_total
+      FROM ab
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(any_value(b_total)
+                - greatest(max(deficit), 0) AS BIGINT) AS n_chains
+    FROM pref GROUP BY user_id
+    """,
+)
+def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-overlapping view→purchase chain count per user — ClickHouse's
+    sequenceCount aggregate (the reference's target engine), i.e. the
+    maximum number of DISJOINT (view, later purchase) pairs, the
+    conversion-episode counter where q_funnel answers only "converted at
+    least once". Computed without any sequential scan via the matching
+    identity: greedy pairs = B_total − max(0, max_prefix(#B − #A)) — the
+    running purchase surplus that no earlier view can absorb is exactly
+    the unmatched remainder (Hall's condition on the interval order), so
+    two per-user window cumsums replace the per-user event walk.
+    (ts, event_id) total order makes tie handling engine-identical.
+
+    Scale shape: the scan prunes to two event types, the windows
+    partition by user (per-user event lists are the natural bounded unit
+    — the q_sessionize class), and the final reduce is one row per user.
+    Exact integer logic end to end."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    ab = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_b"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wu = Window.partitionBy("user_id")
+    pref = ab.select(
+        "user_id",
+        (F.sum("is_b").over(w) - F.sum("is_a").over(w)).alias("deficit"),
+        F.sum("is_b").over(wu).alias("b_total"),
+    )
+    return pref.groupBy("user_id").agg(
+        (
+            F.any_value("b_total")
+            - F.greatest(F.max("deficit"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_chains")
+    )

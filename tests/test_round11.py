@@ -172,3 +172,34 @@ def test_coverage_curve_is_monotone_and_total(spark):
         assert rows[lo].n_docs <= rows[hi].n_docs
         assert rows[lo].n_unique <= rows[hi].n_unique
     assert all(0.0 <= r.dup_rate < 1.0 for r in rows.values())
+
+
+def test_sequence_count_matches_greedy_simulation(spark):
+    """Per user, n_chains must equal the literal greedy matcher run
+    driver-side over the (ts, event_id)-ordered stream: a purchase closes
+    a chain iff an unmatched earlier view exists."""
+    from collections import defaultdict
+
+    rows = {r.user_id: r.n_chains for r in Q["q_sequence_count"](spark, SF_SMOKE).collect()}
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    streams = defaultdict(list)
+    for r in ev:
+        streams[r.user_id].append((r.ts, r.event_id, r.event_type))
+    want = {}
+    for u, es in streams.items():
+        es.sort()
+        avail = chains = 0
+        for _, _, t in es:
+            if t == "view":
+                avail += 1
+            elif avail > 0:
+                avail -= 1
+                chains += 1
+        want[u] = chains
+    assert rows == want
+    assert any(c > 1 for c in rows.values())  # multi-episode users exist
