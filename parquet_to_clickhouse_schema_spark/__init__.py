@@ -14,6 +14,7 @@ for Spark's distributed execution at large scale.
 from parquet_to_clickhouse_schema_spark.ddl import (
     infer_parquet_schema,
     schema_diff,
+    schema_diff_to_clickhouse_alter,
     schema_to_clickhouse,
     struct_to_clickhouse_ddl,
     struct_to_spark_ddl,
@@ -25,6 +26,7 @@ __all__ = [
     "tune",
     "infer_parquet_schema",
     "schema_diff",
+    "schema_diff_to_clickhouse_alter",
     "schema_to_clickhouse",
     "struct_to_clickhouse_ddl",
     "struct_to_spark_ddl",

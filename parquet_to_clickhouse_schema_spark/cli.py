@@ -17,7 +17,10 @@ from __future__ import annotations
 import argparse
 import sys
 
-from parquet_to_clickhouse_schema_spark.ddl import schema_to_clickhouse
+from parquet_to_clickhouse_schema_spark.ddl import (
+    schema_diff_to_clickhouse_alter,
+    schema_to_clickhouse,
+)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -38,7 +41,26 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="map types the reference panics on (DECIMAL, DATE, ...) faithfully",
     )
+    ap.add_argument(
+        "--diff-against",
+        default=None,
+        metavar="OLD_PARQUET",
+        help="emit ALTER TABLE statements migrating the table created from "
+        "this older Parquet file to --parquet-path's schema, instead of "
+        "CREATE DDL (day-2 schema evolution; footer-only like CREATE)",
+    )
     args = ap.parse_args(argv)
+
+    if args.diff_against is not None:
+        ddl = schema_diff_to_clickhouse_alter(
+            args.diff_against,
+            args.parquet_path,
+            args.table_name,
+            strict=not args.lenient,
+            out_path=args.clickhouse_schema_path,
+        )
+        sys.stdout.write(ddl)
+        return 0
 
     pk = [c.strip() for c in args.primary_key.split(",")] if "," in args.primary_key else args.primary_key
     ddl = schema_to_clickhouse(

@@ -405,3 +405,89 @@ def schema_diff(
                                 "old_type": f"nullable={on}",
                                 "new_type": f"nullable={nn}"})
     return changes
+
+
+def _render_column_type(
+    name: str,
+    dtype: T.DataType,
+    nullable: bool,
+    strict: bool,
+    always_nullable: bool = True,
+) -> str:
+    """The ClickHouse type expression for ONE column, exactly as the CREATE
+    emitter would render it (same _emit visitor, so Nested/Map/Tuple and the
+    reference's always-Nullable rule stay byte-consistent), collapsed to a
+    single line for use inside ALTER statements."""
+    out: list[str] = []
+    _emit(out, name, dtype, nullable, 0, set(), strict, always_nullable)
+    text = "".join(out).strip()
+    if not text.startswith(f"{name} "):
+        raise AssertionError(f"unexpected emit layout for {name!r}: {text!r}")
+    return " ".join(text[len(name) + 1:].split())
+
+
+def schema_diff_to_clickhouse_alter(
+    old_path: str,
+    new_path: str,
+    table_name: str,
+    strict: bool = True,
+    spark: SparkSession | None = None,
+    out_path: str | None = None,
+) -> str:
+    """Footer-to-footer schema evolution as executable ClickHouse DDL: the
+    ALTER TABLE statements that migrate ``table_name`` (created from
+    ``old_path`` by schema_to_clickhouse) to ``new_path``'s schema.
+
+    The reference stops at CREATE (src/parquetutils.rs:33-56); this is the
+    day-2 sibling: when tomorrow's partition adds, drops or retypes a
+    column, the fix is three footer reads and an ALTER, not a recreate of a
+    100 TB table. Emission order is safe to execute top-to-bottom:
+      1. ``drop column`` for columns only in the old footer,
+      2. ``modify column`` where the RENDERED ClickHouse type changed
+         (rendered, not Spark-type, so the reference's always-Nullable rule
+         means pure nullability flips correctly emit nothing),
+      3. ``add column ... first|after <prev>`` in new-footer order —
+         each AFTER anchor is either a surviving column or an add emitted
+         earlier, so every anchor exists when its statement runs.
+    Nested/Map/Tuple columns render through the same _emit visitor as
+    CREATE; any change inside one becomes a single top-level MODIFY (the
+    granularity ClickHouse ALTER actually supports for Nested rewrites).
+    Returns a comment line when the footers already agree.
+    """
+    old_schema = infer_parquet_schema(old_path, spark)
+    new_schema = infer_parquet_schema(new_path, spark)
+    old_top = {f.name: f for f in old_schema.fields}
+    new_top = {f.name: f for f in new_schema.fields}
+
+    stmts: list[str] = []
+    for f in old_schema.fields:
+        if f.name not in new_top:
+            stmts.append(f"alter table {table_name} drop column {f.name};")
+    for f in new_schema.fields:
+        if f.name in old_top:
+            old_f = old_top[f.name]
+            old_t = _render_column_type(f.name, old_f.dataType, old_f.nullable, strict)
+            new_t = _render_column_type(f.name, f.dataType, f.nullable, strict)
+            if old_t != new_t:
+                stmts.append(
+                    f"alter table {table_name} modify column {f.name} {new_t};"
+                )
+    prev: str | None = None
+    for f in new_schema.fields:
+        if f.name not in old_top:
+            pos = "first" if prev is None else f"after {prev}"
+            col_t = _render_column_type(f.name, f.dataType, f.nullable, strict)
+            stmts.append(
+                f"alter table {table_name} add column {f.name} {col_t} {pos};"
+            )
+        prev = f.name
+
+    ddl = (
+        "\n".join(stmts) + "\n"
+        if stmts
+        else f"-- {table_name}: footers match; no ALTER needed\n"
+    )
+    if out_path is not None:
+        with open(out_path, "w") as fh:
+            fh.write(ddl)
+    return ddl

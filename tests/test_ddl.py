@@ -491,3 +491,117 @@ def test_schema_diff_recurses_into_structs(tmp_path, spark):
     assert [(c["column"], c["change"]) for c in changes] == [
         ("meta.b", "type_changed")
     ]
+
+
+def test_schema_alter_ddl_covers_add_drop_modify(tmp_path, spark):
+    """schema_diff_to_clickhouse_alter emits executable day-2 DDL: drop for
+    removed columns, modify for retyped ones (rendered ClickHouse type, so
+    the always-Nullable rule keeps pure nullability flips silent), add with
+    a position anchor that always exists at execution time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        schema_diff_to_clickhouse_alter,
+    )
+
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1], pa.int64()),
+                "a": pa.array([1.0], pa.float64()),
+                "gone": pa.array(["x"]),
+            }
+        ),
+        old,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "lead": pa.array([0], pa.int64()),
+                "id": pa.array([1], pa.int64()),
+                "a": pa.array([1], pa.int32()),
+                "fresh": pa.array([2], pa.int64()),
+            }
+        ),
+        new,
+    )
+    ddl = schema_diff_to_clickhouse_alter(old, new, "t")
+    lines = ddl.strip().splitlines()
+    assert lines == [
+        "alter table t drop column gone;",
+        "alter table t modify column a Nullable(Int32);",
+        "alter table t add column lead Nullable(Int64) first;",
+        "alter table t add column fresh Nullable(Int64) after a;",
+    ]
+    # identical footers -> no statements, just the comment
+    same = schema_diff_to_clickhouse_alter(old, old, "t")
+    assert same.startswith("-- t: footers match")
+    # out_path side effect mirrors schema_to_clickhouse
+    out = tmp_path / "alter.sql"
+    schema_diff_to_clickhouse_alter(old, new, "t", out_path=str(out))
+    assert out.read_text() == ddl
+
+
+def test_schema_alter_ddl_consecutive_adds_anchor_each_other(tmp_path, spark):
+    """Two adjacent new columns: the second's AFTER anchor is the first —
+    which the emission order has already created."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        schema_diff_to_clickhouse_alter,
+    )
+
+    old = str(tmp_path / "o.parquet")
+    new = str(tmp_path / "n.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), old)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1], pa.int64()),
+                "x": pa.array([1], pa.int64()),
+                "y": pa.array([1], pa.int64()),
+            }
+        ),
+        new,
+    )
+    ddl = schema_diff_to_clickhouse_alter(old, new, "t")
+    lines = ddl.strip().splitlines()
+    assert lines == [
+        "alter table t add column x Nullable(Int64) after id;",
+        "alter table t add column y Nullable(Int64) after x;",
+    ]
+
+
+def test_cli_diff_against_writes_alter_file(tmp_path):
+    """The --diff-against CLI mode writes the ALTER file and prints it,
+    reusing the schemagen entry point (footer-only, no Spark session)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_clickhouse_schema_spark.cli import main
+
+    old = str(tmp_path / "o.parquet")
+    new = str(tmp_path / "n.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), old)
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([1], pa.int64()), "x": pa.array([1.5], pa.float64())}
+        ),
+        new,
+    )
+    out = tmp_path / "alter.sql"
+    rc = main(
+        [
+            "--parquet-path", new,
+            "--clickhouse-schema-path", str(out),
+            "--table-name", "t",
+            "--primary-key", "id",
+            "--diff-against", old,
+        ]
+    )
+    assert rc == 0
+    assert out.read_text() == "alter table t add column x Nullable(Float64) after id;\n"
