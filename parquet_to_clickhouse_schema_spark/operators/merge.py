@@ -222,3 +222,85 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("s"), 4).alias("total_value"),
         qround(F.col("s") / F.col("n"), 4).alias("avg_value"),
     )
+
+
+SNAP_T1 = "2024-01-15 00:00:00"
+
+
+@_q(
+    "q_snapshot_diff",
+    f"""
+    WITH a AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{SNAP_T1}'
+      ) WHERE rn = 1
+    ),
+    b AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT b.user_id,
+           CASE WHEN a.user_id IS NULL THEN 'added'
+                WHEN a.event_type <> b.event_type OR a.value <> b.value
+                THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           a.event_type AS old_type,
+           b.event_type AS new_type
+    FROM b LEFT JOIN a ON a.user_id = b.user_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the DIFF GENERATOR that complements
+    q_cdc_apply's applier: reconstruct each user's latest-event state at
+    two cut points (mid-month vs now) and classify every current key as
+    added / changed / unchanged, the table you hand an incremental
+    downstream (or an auditor asking what yesterday's run changed)
+    when the upstream has no change feed of its own. Keys cannot be
+    'removed' under append-only ingestion, so the classification is total
+    over snapshot B.
+
+    State equality compares the STORED event_type/value (no arithmetic —
+    both engines read identical parquet doubles, so <> is exact). Scale
+    shape: two keep-latest windows partitioned by user (the q_cdc_apply
+    reduce; the early-cut snapshot prunes its scan by timestamp) and one
+    user-keyed equi-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def snap(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias(f"{prefix}_type"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+        )
+
+    a = snap(ev.filter(F.col("ts") <= F.lit(SNAP_T1).cast("timestamp")), "old")
+    b = snap(ev, "new")
+    change = (
+        F.when(F.col("old_type").isNull(), "added")
+        .when(
+            (F.col("old_type") != F.col("new_type"))
+            | (F.col("old_value") != F.col("new_value")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return b.join(a, "user_id", "left").select(
+        "user_id",
+        change.alias("change"),
+        F.col("old_type"),
+        F.col("new_type").alias("new_type"),
+    )

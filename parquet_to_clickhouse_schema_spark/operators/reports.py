@@ -1674,3 +1674,75 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_level"),
         )
     )
+
+
+@_q(
+    "q_dataset_card",
+    """
+    WITH base AS (
+      SELECT source, lang, n_chars, md5(text) AS dg FROM documents
+    ),
+    lc AS (SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2),
+    top AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang) AS rn
+        FROM lc
+      ) WHERE rn = 1
+    )
+    SELECT base.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           max(top.top_lang) AS top_lang,
+           floor((1.0 - count(DISTINCT dg) * 1.0 / count(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_rate,
+           floor(avg(n_chars) * 1000000.0 + 0.5) / 1000000.0 AS mean_chars
+    FROM base JOIN top ON base.source = top.source
+    GROUP BY base.source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the one-row-per-source summary a data
+    curator reads before mixing sources into a training run — volume
+    (docs, chars), language spread (count + dominant language with a
+    deterministic (count desc, lang) tiebreak), exact-duplicate rate
+    (md5 digests, the q_dedup_exact key) and mean document length. The
+    composite exists because no single upstream query answers "which
+    source do I cap" — this is the join of those answers, emitted as one
+    auditable artifact (datasheets-for-datasets, Gebru 2018).
+
+    Scale shape: one fact scan feeding map-side-combined aggregates; the
+    dominant-language pick windows the source×lang count table
+    (vocabulary-bounded); digests, never text, flow into the distinct."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("dg")
+    )
+    lc = base.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    wtop = Window.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+    top = (
+        lc.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        base.join(F.broadcast(top), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.max("top_lang").alias("top_lang"),
+            (
+                F.floor(
+                    (1.0 - F.countDistinct("dg") * 1.0 / F.count("*"))
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("dup_rate"),
+            qround(F.avg("n_chars"), 6).alias("mean_chars"),
+        )
+    )

@@ -174,6 +174,8 @@ SWEEP_PRIORITY = (
     "q_boilerplate_ngrams",  # r11: cross-doc repeated-shingle fraction, gated
     "q_coverage_curve",  # r11: dedup saturation over hash-prefix levels, gated
     "q_sequence_count",  # r11: disjoint view->purchase chains (sequenceCount), gated
+    "q_snapshot_diff",  # r11: added/changed/unchanged snapshot reconciliation, gated
+    "q_dataset_card",  # r11: per-source datasheet summary artifact, gated
     # ---- ~50-budget line ----
     # (c) r4-era fill, oldest-first (alphabetical within round)
     "q_agg_collect",
