@@ -2803,3 +2803,67 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_frac"),
         )
     )
+
+
+NEG_SAMPLE_TOP = 15
+NEG_SAMPLE_POW = 0.75
+
+
+@_q(
+    "q_negative_sampling_freq",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    cnt AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY lang, t),
+    wsum AS (
+      SELECT lang, sum(pow(c, {NEG_SAMPLE_POW})) AS z FROM cnt GROUP BY lang
+    )
+    SELECT lang, t AS token, CAST(c AS BIGINT) AS cnt,
+           floor(pow(c, {NEG_SAMPLE_POW}) / z * 1000000.0 + 0.5) / 1000000.0
+               AS p_neg
+    FROM (
+      SELECT cnt.lang, t, c, z,
+             row_number() OVER (PARTITION BY cnt.lang
+                                ORDER BY c DESC, t) AS rn
+      FROM cnt JOIN wsum ON cnt.lang = wsum.lang
+    ) WHERE rn <= {NEG_SAMPLE_TOP}
+    """,
+)
+def q_negative_sampling_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling distribution per language: token
+    probability ∝ count^{NEG_SAMPLE_POW} (Mikolov 2013's unigram-to-the-
+    3/4, the flattening that keeps rare words sampled often enough to
+    learn), normalized within language, top-{NEG_SAMPLE_TOP} rows per
+    language by (count desc, token). The table an embedding trainer
+    broadcasts to draw negatives — and a corpus-mix diagnostic in its own
+    right (compare p_neg mass of function words across languages).
+
+    Exact integer counts; pow and the normalizer are the same IEEE
+    doubles on both engines with the ratio 1e-6-quantized (Σ over a
+    Heaps'-bounded vocab, noise ~1e-15). Scale shape: one
+    map-side-combined token count, a lang-keyed 1-row-per-lang
+    normalizer broadcast back, one vocabulary-bounded top-k window."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    wsum = cnt.groupBy("lang").agg(
+        F.sum(F.pow(F.col("c"), NEG_SAMPLE_POW)).alias("z")
+    )
+    wtop = Window.partitionBy("lang").orderBy(F.col("c").desc(), "t")
+    return (
+        cnt.join(F.broadcast(wsum), "lang")
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= NEG_SAMPLE_TOP)
+        .select(
+            "lang",
+            F.col("t").alias("token"),
+            F.col("c").cast("bigint").alias("cnt"),
+            qround(F.pow(F.col("c"), NEG_SAMPLE_POW) / F.col("z"), 6).alias(
+                "p_neg"
+            ),
+        )
+    )

@@ -5693,3 +5693,138 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rr"),
         )
     )
+
+
+_MAP_ORACLE = f"""
+    WITH ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label FROM embeddings
+      ORDER BY md5('rq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {RQ_N}
+    ),
+    lc AS (SELECT label, count(*) AS c FROM embeddings GROUP BY label),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    exd AS (
+      SELECT qq.vec_id AS qid, qq.label AS qlabel,
+             b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
+      FROM q qq
+      JOIN ex a ON a.vec_id = qq.vec_id
+      JOIN ex b ON b.d = a.d AND b.vec_id <> qq.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT qid, qlabel, nbr_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dot / (na.nrm * nb.nrm) DESC,
+                                         nbr_id) AS pos
+      FROM exd d
+      JOIN norms na ON d.qid = na.vec_id
+      JOIN norms nb ON d.nbr_id = nb.vec_id
+      QUALIFY pos <= {RQ_K}
+    ),
+    rel AS (
+      SELECT r.qid, r.qlabel, r.pos,
+             CASE WHEN e.label = r.qlabel THEN 1 ELSE 0 END AS hit
+      FROM ranked r JOIN embeddings e ON e.vec_id = r.nbr_id
+    ),
+    prec AS (
+      SELECT qid, qlabel, pos, hit,
+             sum(hit) OVER (PARTITION BY qid ORDER BY pos) AS cum
+      FROM rel
+    ),
+    ap AS (
+      SELECT p.qid,
+             CAST(sum(p.hit) AS BIGINT) AS n_rel_topk,
+             sum(p.hit * p.cum * 1.0 / p.pos)
+               / least(any_value(lc.c) - 1, {RQ_K}) AS ap_raw
+      FROM prec p JOIN lc ON lc.label = p.qlabel
+      GROUP BY p.qid
+    )
+    SELECT q.vec_id,
+           COALESCE(ap.n_rel_topk, 0) AS n_rel_topk,
+           floor(COALESCE(ap.ap_raw, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS ap
+    FROM q LEFT JOIN ap ON ap.qid = q.vec_id
+"""
+
+
+@_q("q_map_eval", _MAP_ORACLE)
+def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision at {RQ_K} per query (same-label = relevant),
+    normalized by min(R, {RQ_K}) with R = the corpus count of the query's
+    label minus itself — the standard AP@k. MAP is the mean of this
+    column; emitting per-query AP keeps the hard queries visible instead
+    of burying them in one scalar. Completes the retrieval-eval suite:
+    recall@k (present at all), MRR (how fast the first hit), NDCG (graded
+    order quality), AP (precision integrated over every hit position).
+
+    Same broadcast-sample O({RQ_N}·n) shape, raw-double ranking with
+    nbr_id tiebreaks as its siblings; the AP sum has ≤{RQ_K} rational
+    terms, quantized 1e-6 against summation-order noise. Queries with no
+    top-{RQ_K} hit stay at ap=0 (the q_mrr no-drop rule)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.select("vec_id", F.col("label").alias("qlabel"))
+        .orderBy(
+            F.md5(F.concat(F.lit("rq:"), F.col("vec_id").cast("string")).cast("binary")),
+            "vec_id",
+        )
+        .limit(RQ_N)
+    )
+    lc = emb.groupBy(F.col("label").alias("qlabel")).agg(
+        F.count("*").alias("c")
+    )
+    v = _as_double_vec(emb)
+    qv = qs.join(v, "vec_id").select(
+        F.col("vec_id").alias("qid"),
+        "qlabel",
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qn"),
+    )
+    allv = v.join(emb.select("vec_id", "label"), "vec_id").select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nlabel"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        (dot / (F.col("qn") * F.col("nn"))).desc(), "nbr_id"
+    )
+    ranked = (
+        allv.crossJoin(F.broadcast(qv))
+        .filter(F.col("nbr_id") != F.col("qid"))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= RQ_K)
+        .withColumn("hit", (F.col("nlabel") == F.col("qlabel")).cast("int"))
+    )
+    wc = Window.partitionBy("qid").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prec = ranked.withColumn("cum", F.sum("hit").over(wc))
+    ap = (
+        prec.join(F.broadcast(lc), "qlabel")
+        .groupBy("qid")
+        .agg(
+            F.sum("hit").cast("bigint").alias("n_rel_topk"),
+            (
+                F.sum(F.col("hit") * F.col("cum") * 1.0 / F.col("pos"))
+                / F.least(F.any_value("c") - 1, F.lit(RQ_K))
+            ).alias("ap_raw"),
+        )
+    )
+    return (
+        qs.select("vec_id")
+        .join(ap.withColumnRenamed("qid", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_rel_topk"), F.lit(0)).alias("n_rel_topk"),
+            qround(F.coalesce(F.col("ap_raw"), F.lit(0.0)), 6).alias("ap"),
+        )
+    )

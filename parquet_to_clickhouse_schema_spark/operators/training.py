@@ -1463,3 +1463,85 @@ def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+CHURN_CUTOFF = "2024-01-24 00:00:00"
+
+
+@_q(
+    "q_churn_features",
+    f"""
+    WITH pre AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS n_purchases,
+             max(ts) AS last_ts,
+             sum(value) AS total_value
+      FROM events WHERE ts <= TIMESTAMP '{CHURN_CUTOFF}'
+      GROUP BY user_id
+    ),
+    post AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts > TIMESTAMP '{CHURN_CUTOFF}'
+    )
+    SELECT pre.user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_purchases AS BIGINT) AS n_purchases,
+           CAST((epoch_us(TIMESTAMP '{CHURN_CUTOFF}') - epoch_us(last_ts))
+                // 86400000000 AS INT) AS recency_days,
+           floor(total_value * 1000000.0 + 0.5) / 1000000.0 AS total_value,
+           CAST(post.user_id IS NULL AS INT) AS churned
+    FROM pre LEFT JOIN post ON pre.user_id = post.user_id
+    """,
+)
+def q_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn training table: features computed ONLY from
+    events at or before the cutoff (activity counts, purchase count,
+    recency in whole days, spend), label = churned (no event after the
+    cutoff) from ONLY the post-cutoff window — the temporal
+    feature/label wall every supervised pipeline on event data needs,
+    and the thing ad-hoc notebook joins silently violate (a feature that
+    peeks past the cutoff scores brilliantly offline and dies in
+    production). Users with no pre-cutoff history emit no row: they have
+    no features to train on.
+
+    Recency is exact integer microseconds floor-divided to days (the
+    cross-engine epoch discipline); spend is 1e-6-quantized. Scale
+    shape: two timestamp-pruned scans collapsing to one row per user
+    (map-side combined) and a user-keyed left join."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(CHURN_CUTOFF).cast("timestamp")
+    pre = (
+        ev.filter(F.col("ts") <= cut)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.max("ts").alias("last_ts"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    post = (
+        ev.filter(F.col("ts") > cut)
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(1))
+    )
+    recency = F.floor(
+        (
+            F.unix_micros(cut)
+            - F.unix_micros(F.col("last_ts").cast("timestamp"))
+        )
+        / 86400000000
+    ).cast("int")
+    return pre.join(post, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        recency.alias("recency_days"),
+        qround(F.col("total_value"), 6).alias("total_value"),
+        F.col("active").isNull().cast("int").alias("churned"),
+    )

@@ -176,6 +176,9 @@ SWEEP_PRIORITY = (
     "q_sequence_count",  # r11: disjoint view->purchase chains (sequenceCount), gated
     "q_snapshot_diff",  # r11: added/changed/unchanged snapshot reconciliation, gated
     "q_dataset_card",  # r11: per-source datasheet summary artifact, gated
+    "q_map_eval",  # r11: average precision@k per query (completes eval suite), gated
+    "q_churn_features",  # r11: leakage-safe churn feature/label table, gated
+    "q_negative_sampling_freq",  # r11: unigram^0.75 negative-sampling table, gated
     # ---- ~50-budget line ----
     # (c) r4-era fill, oldest-first (alphabetical within round)
     "q_agg_collect",

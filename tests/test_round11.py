@@ -255,3 +255,88 @@ def test_dataset_card_matches_per_source_ground_truth(spark):
         assert r.top_lang == sorted(cnt, key=lambda l: (-cnt[l], l))[0]
         uniq = len({d.text for d in ds})
         assert abs(r.dup_rate - (1 - uniq / len(ds))) < 2e-6
+
+
+def test_map_eval_matches_bruteforce_ap(spark):
+    """AP@k per query must equal the textbook computation done driver-side
+    from the exact cosine ranking (same (cos desc, nbr_id) order)."""
+    import math
+
+    from parquet_to_clickhouse_schema_spark.operators.llm import RQ_K
+
+    rows = {r.vec_id: r for r in Q["q_map_eval"](spark, SF_SMOKE).collect()}
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    vecs = {r.vec_id: (r.embedding, r.label) for r in emb}
+    from collections import Counter
+
+    label_counts = Counter(l for _, l in vecs.values())
+    for qid, r in rows.items():
+        qv, ql = vecs[qid]
+        scored = []
+        qn = math.sqrt(sum(x * x for x in qv))
+        for nid, (nv, nl) in vecs.items():
+            if nid == qid:
+                continue
+            dot = sum(float(a) * float(b) for a, b in zip(qv, nv))
+            nn = math.sqrt(sum(float(x) * float(x) for x in nv))
+            scored.append((-(dot / (qn * nn)), nid, nl))
+        scored.sort()
+        top = scored[:RQ_K]
+        hits = cum = 0
+        ap = 0.0
+        for pos, (_, _, nl) in enumerate(top, start=1):
+            if nl == ql:
+                cum += 1
+                ap += cum / pos
+        denom = min(label_counts[ql] - 1, RQ_K)
+        ap = ap / denom if denom > 0 else 0.0
+        assert r.n_rel_topk == cum
+        assert abs(r.ap - ap) < 2e-6
+
+
+def test_churn_features_respect_the_temporal_wall(spark):
+    """No feature may reflect post-cutoff activity and the label must be
+    exactly 'no post-cutoff event'; recency is nonnegative whole days."""
+    from parquet_to_clickhouse_schema_spark.operators.training import (
+        CHURN_CUTOFF,
+    )
+
+    rows = {r.user_id: r for r in Q["q_churn_features"](spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    import datetime
+
+    cut = datetime.datetime.fromisoformat(CHURN_CUTOFF)
+    pre = {}
+    post_users = set()
+    for e in ev:
+        if e.ts <= cut:
+            st = pre.setdefault(e.user_id, [0, 0])
+            st[0] += 1
+            st[1] += 1 if e.event_type == "purchase" else 0
+        else:
+            post_users.add(e.user_id)
+    assert set(rows) == set(pre)
+    for u, r in rows.items():
+        assert (r.n_events, r.n_purchases) == tuple(pre[u])
+        assert r.churned == (0 if u in post_users else 1)
+        assert r.recency_days >= 0
+
+
+def test_negative_sampling_flattens_the_unigram(spark):
+    """p_neg must be subproportional to count: between any two rows of one
+    language, the probability ratio must be MILDER than the count ratio
+    (the 3/4-power flattening), and per-language rows are the top-15 by
+    count with probabilities summing to < 1 (head of the full vocab)."""
+    from collections import defaultdict
+
+    rows = Q["q_negative_sampling_freq"](spark, SF_SMOKE).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        assert len(rs) == 15
+        assert sum(r.p_neg for r in rs) < 1.0
+        rs.sort(key=lambda r: -r.cnt)
+        hi, lo = rs[0], rs[-1]
+        if hi.cnt > lo.cnt:
+            assert hi.p_neg / lo.p_neg < hi.cnt / lo.cnt
