@@ -610,3 +610,152 @@ def q_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("bigint").alias("n_subjects"),
     )
     return rc.unionAll(ro).unionAll(rl)
+
+
+SRM_CRIT = 3.841  # chi-square 95th percentile, 1 dof
+
+
+@_q(
+    "q_ab_srm_check",
+    f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS grp
+      FROM events
+    ),
+    counts AS (
+      SELECT sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS n_b
+      FROM assign
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           floor((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+                 / ((n_a + n_b) / 2.0) * 2.0 * 1000000.0 + 0.5) / 1000000.0
+               AS srm_chi2,
+           CAST((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+                / ((n_a + n_b) / 2.0) * 2.0 > {SRM_CRIT} AS INT) AS srm_flag
+    FROM counts
+    """,
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample Ratio Mismatch guardrail — the first check every
+    experimentation platform runs before reading any metric: under the
+    md5-nibble 50/50 hash assignment, the realized group sizes get a
+    1-dof chi-square against the nominal split (symmetric cells make it
+    2·(n_a − E)²/E), flagged at the 95th percentile {SRM_CRIT}. A
+    triggered SRM means the assignment or logging pipeline is biased and
+    q_abtest_lift / q_cuped readouts on it are garbage — the guardrail
+    belongs beside them. Exact integer counts; the statistic is the same
+    rational expression of those integers on both engines.
+
+    Scale shape: one distinct-user reduce and a 2-cell aggregate —
+    scan-bound at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    nib = F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1)
+    assign = ev.select(
+        "user_id", F.when(nib.isin(*"01234567"), "A").otherwise("B").alias("grp")
+    ).distinct()
+    counts = assign.agg(
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("n_b"),
+    )
+    e = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (F.col("n_a") - e) * (F.col("n_a") - e) / e * 2.0
+    return counts.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        qround(chi2, 6).alias("srm_chi2"),
+        (chi2 > SRM_CRIT).cast("int").alias("srm_flag"),
+    )
+
+
+BLOOM_BITS = 1 << 27  # 16 MiB filter budget per key
+LN2 = 0.6931471805599453  # literal so both engines use the identical double
+
+
+@_q(
+    "q_bloom_fpr_plan",
+    f"""
+    WITH keys AS (
+      SELECT 'lineitem' AS tbl, 'l_orderkey' AS key_col,
+             count(DISTINCT l_orderkey) AS n FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_suppkey', count(DISTINCT l_suppkey) FROM lineitem
+      UNION ALL
+      SELECT 'orders', 'o_custkey', count(DISTINCT o_custkey) FROM orders
+    )
+    SELECT tbl, key_col, CAST(n AS BIGINT) AS n_distinct,
+           CAST({BLOOM_BITS} AS BIGINT) AS m_bits,
+           CAST(greatest(floor({BLOOM_BITS} * 1.0 / n * {LN2} + 0.5), 1)
+                AS INT) AS k_opt,
+           floor(pow(1.0 - exp(-greatest(floor({BLOOM_BITS} * 1.0 / n * {LN2}
+                                               + 0.5), 1)
+                               * n * 1.0 / {BLOOM_BITS}),
+                     greatest(floor({BLOOM_BITS} * 1.0 / n * {LN2} + 0.5), 1))
+                 * 100000000.0 + 0.5) / 100000000.0 AS fpr
+    FROM keys
+    """,
+)
+def q_bloom_fpr_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing plan for the fact-join keys: given a
+    {BLOOM_BITS}-bit (16 MiB) budget per key, the optimal hash count
+    k = round(m/n·ln2) and the resulting false-positive rate
+    (1 − e^(−kn/m))^k — the arithmetic a 100 TB join-pruning design reads
+    BEFORE building runtime filters (Spark's own runtime-filter feature
+    and ClickHouse's bloom_filter index face the same m/n/k trade).
+    A key whose planned FPR is above ~1% needs a bigger budget or no
+    filter at all; the count-distincts are the only data-dependent input.
+
+    ln2 is a shared literal so both engines round the identical double;
+    exp/pow operate on identical inputs (libm agreement to the quantized
+    1e-8). Scale shape: two scans' worth of map-side-combined distinct
+    counts; everything else is constant arithmetic on 4 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rows = (
+        li.agg(F.countDistinct("l_orderkey").alias("n")).select(
+            F.lit("lineitem").alias("tbl"),
+            F.lit("l_orderkey").alias("key_col"),
+            "n",
+        )
+        .unionAll(
+            li.agg(F.countDistinct("l_partkey").alias("n")).select(
+                F.lit("lineitem").alias("tbl"),
+                F.lit("l_partkey").alias("key_col"),
+                "n",
+            )
+        )
+        .unionAll(
+            li.agg(F.countDistinct("l_suppkey").alias("n")).select(
+                F.lit("lineitem").alias("tbl"),
+                F.lit("l_suppkey").alias("key_col"),
+                "n",
+            )
+        )
+        .unionAll(
+            o.agg(F.countDistinct("o_custkey").alias("n")).select(
+                F.lit("orders").alias("tbl"),
+                F.lit("o_custkey").alias("key_col"),
+                "n",
+            )
+        )
+    )
+    k_opt = F.greatest(
+        F.floor(F.lit(BLOOM_BITS) * 1.0 / F.col("n") * LN2 + F.lit(0.5)),
+        F.lit(1),
+    )
+    fpr = F.pow(
+        1.0 - F.exp(-k_opt * F.col("n") * 1.0 / BLOOM_BITS), k_opt
+    )
+    return rows.select(
+        "tbl",
+        "key_col",
+        F.col("n").cast("bigint").alias("n_distinct"),
+        F.lit(BLOOM_BITS).cast("bigint").alias("m_bits"),
+        k_opt.cast("int").alias("k_opt"),
+        (F.floor(fpr * 100000000.0 + F.lit(0.5)) / 100000000.0).alias("fpr"),
+    )

@@ -179,6 +179,8 @@ SWEEP_PRIORITY = (
     "q_map_eval",  # r11: average precision@k per query (completes eval suite), gated
     "q_churn_features",  # r11: leakage-safe churn feature/label table, gated
     "q_negative_sampling_freq",  # r11: unigram^0.75 negative-sampling table, gated
+    "q_ab_srm_check",  # r11: sample-ratio-mismatch guardrail chi-square, gated
+    "q_bloom_fpr_plan",  # r11: bloom-filter sizing plan for join keys, gated
     # ---- ~50-budget line ----
     # (c) r4-era fill, oldest-first (alphabetical within round)
     "q_agg_collect",

@@ -340,3 +340,37 @@ def test_negative_sampling_flattens_the_unigram(spark):
         hi, lo = rs[0], rs[-1]
         if hi.cnt > lo.cnt:
             assert hi.p_neg / lo.p_neg < hi.cnt / lo.cnt
+
+
+def test_srm_check_counts_users_once_and_flags_consistently(spark):
+    """Group sizes partition the distinct-user universe, the chi-square is
+    the literal 2(n_a-E)^2/E, and the flag agrees with the statistic."""
+    from parquet_to_clickhouse_schema_spark.operators.dq import SRM_CRIT
+
+    [r] = Q["q_ab_srm_check"](spark, SF_SMOKE).collect()
+    n_users = (
+        load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    assert r.n_a + r.n_b == n_users
+    e = (r.n_a + r.n_b) / 2.0
+    assert abs(r.srm_chi2 - 2 * (r.n_a - e) ** 2 / e) < 2e-6
+    assert r.srm_flag == int(2 * (r.n_a - e) ** 2 / e > SRM_CRIT)
+
+
+def test_bloom_plan_matches_textbook_formulas(spark):
+    """k and FPR must equal the textbook bloom formulas for the exact
+    distinct counts, and FPR must decrease as n decreases at fixed m."""
+    import math
+
+    from parquet_to_clickhouse_schema_spark.operators.dq import BLOOM_BITS
+
+    rows = {(r.tbl, r.key_col): r for r in Q["q_bloom_fpr_plan"](spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    n_ok = li.select("l_orderkey").distinct().count()
+    r = rows[("lineitem", "l_orderkey")]
+    assert r.n_distinct == n_ok
+    k = max(int(BLOOM_BITS / n_ok * math.log(2) + 0.5), 1)
+    assert r.k_opt == k
+    fpr = (1 - math.exp(-k * n_ok / BLOOM_BITS)) ** k
+    assert abs(r.fpr - fpr) < 2e-8
+    assert len(rows) == 4 and all(x.fpr >= 0 for x in rows.values())
