@@ -78,6 +78,11 @@ HEADLINE = [
     "q_join_pit",
     "q_ngram_novelty",
     "q_zorder_preview",
+    # r11 additions: the most expensive new ops, tracked from birth
+    "q_ivfpq_verified_topk",
+    "q_boilerplate_ngrams",
+    "q_weighted_quantile",
+    "q_max_concurrency",
 ]
 
 
