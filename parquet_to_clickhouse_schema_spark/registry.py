@@ -116,11 +116,11 @@ CONTRACT_KEYS = (
 # evidence ledger (`python scripts/sweep_ledger.py`, docs/SWEEP_LEDGER.md);
 # r10 swept its section (a)+(b) keys (50/50 green, CORRECTNESS_r10.json), so
 # r11 rotates to: (a) the 38 never-swept oracle-gated keys (judge-verified
-# exact-match locally in the r10 session, but no driver row yet) plus the two
-# never-swept rows-only keys (a structural rows-only row beats no row; this
-# closes out 'never swept' entirely), (b) keys NEW in r11 (first driver
-# rows), (c) r4-era keys oldest-first as overflow fill. Zero overlap with the
-# r10 sweep set by construction.
+# exact-match locally in the r10 session, but no driver row yet), (b) the 16
+# keys NEW in r11 (first driver rows — all verified here at sf0.01 AND sf0.1
+# AND 5 cores), (c) the two never-swept rows-only keys, (d) r4-era keys
+# oldest-first as overflow fill. Zero overlap with the r10 sweep set by
+# construction.
 SWEEP_PRIORITY = (
     # (a) never-swept keys — first driver rows (38 oracle-gated + 2 rows-only)
     "q_abc_classification",
@@ -161,9 +161,6 @@ SWEEP_PRIORITY = (
     "q_twap",
     "q_wsample_es",
     "q_zorder_preview",
-    # rows-only by design (structural no_oracle rows) — last in section (a)
-    "q_freq_topk_sketch",
-    "q_pagerank",
     # (b) new-in-r11 oracle-gated keys — first driver rows
     "q_ivfpq_verified_topk",  # r11: IVF probe + PQ ADC composition, gated
     "q_window_funnel",  # r11: time-boxed windowFunnel conversion levels, gated
@@ -181,6 +178,12 @@ SWEEP_PRIORITY = (
     "q_negative_sampling_freq",  # r11: unigram^0.75 negative-sampling table, gated
     "q_ab_srm_check",  # r11: sample-ratio-mismatch guardrail chi-square, gated
     "q_bloom_fpr_plan",  # r11: bloom-filter sizing plan for join keys, gated
+    # (c) never-swept rows-only keys: below the oracle-gated keys on purpose
+    # (a structural rows-only row is worth less than a first hash-gated row
+    # — the r7/r8 q_bpe_train lesson), but still ahead of the already-green
+    # refill so they finally get SOME driver row if the budget reaches them
+    "q_freq_topk_sketch",
+    "q_pagerank",
     # ---- ~50-budget line ----
     # (c) r4-era fill, oldest-first (alphabetical within round)
     "q_agg_collect",
