@@ -759,3 +759,72 @@ def q_bloom_fpr_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_opt.cast("int").alias("k_opt"),
         (F.floor(fpr * 100000000.0 + F.lit(0.5)) / 100000000.0).alias("fpr"),
     )
+
+
+POWER_Z_ALPHA = 1.959963984540054  # two-sided alpha = 0.05
+POWER_Z_BETA = 0.8416212335729143  # power = 0.80
+POWER_MDE = (0.01, 0.02, 0.05)  # absolute detectable lifts
+
+
+@_q(
+    "q_power_analysis",
+    f"""
+    WITH base AS (
+      SELECT avg(conv) AS p, count(*) AS n_users FROM (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 90
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+      )
+    ),
+    mde AS (SELECT unnest(CAST([{", ".join(str(d) for d in POWER_MDE)}]
+                           AS DOUBLE[])) AS mde)
+    SELECT mde.mde,
+           floor(base.p * 1000000.0 + 0.5) / 1000000.0 AS baseline_rate,
+           CAST(ceil(2.0 * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                     * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                     * base.p * (1.0 - base.p) / (mde.mde * mde.mde))
+                AS BIGINT) AS n_per_arm,
+           CAST(ceil(2.0 * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                     * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                     * base.p * (1.0 - base.p) / (mde.mde * mde.mde))
+                * 2 <= base.n_users AS INT) AS feasible_now
+    FROM base CROSS JOIN mde
+    """,
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size planner: for each candidate minimum detectable
+    effect (absolute lift {POWER_MDE}), the per-arm sample size
+    n = 2(z_α/2 + z_β)²·p(1−p)/δ² at α=0.05 two-sided and 80% power,
+    seeded by the corpus's own baseline conversion rate (the
+    q_abtest_lift conversion definition) — plus whether the CURRENT user
+    population could already run that test. The pre-experiment companion
+    to q_ab_srm_check (validity) / q_abtest_lift (readout) /
+    q_cuped (variance reduction buys a smaller n).
+
+    The z quantiles are shared literals so both engines compute one
+    identical double expression; the only data-dependent inputs are one
+    user-grain conversion aggregate. Scale: one map-side-combined reduce
+    to a 1-row baseline, crossed with a 3-row MDE spine."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    base = conv.agg(
+        F.avg("conv").alias("p"), F.count("*").alias("n_users")
+    )
+    mde = spark.createDataFrame([(d,) for d in POWER_MDE], "mde double")
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+    n_arm = F.ceil(
+        2.0 * z2 * F.col("p") * (1.0 - F.col("p")) / (F.col("mde") * F.col("mde"))
+    )
+    return base.crossJoin(F.broadcast(mde)).select(
+        "mde",
+        qround(F.col("p"), 6).alias("baseline_rate"),
+        n_arm.cast("bigint").alias("n_per_arm"),
+        (n_arm * 2 <= F.col("n_users")).cast("int").alias("feasible_now"),
+    )

@@ -178,6 +178,8 @@ SWEEP_PRIORITY = (
     "q_negative_sampling_freq",  # r11: unigram^0.75 negative-sampling table, gated
     "q_ab_srm_check",  # r11: sample-ratio-mismatch guardrail chi-square, gated
     "q_bloom_fpr_plan",  # r11: bloom-filter sizing plan for join keys, gated
+    "q_session_metrics",  # r11: session-grain rollup table, gated
+    "q_power_analysis",  # r11: A/B sample-size planner from corpus baseline, gated
     # (c) never-swept rows-only keys: below the oracle-gated keys on purpose
     # (a structural rows-only row is worth less than a first hash-gated row
     # — the r7/r8 q_bpe_train lesson), but still ahead of the already-green

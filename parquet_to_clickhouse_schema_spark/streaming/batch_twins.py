@@ -1612,3 +1612,90 @@ def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_chains")
     )
+
+
+@_q(
+    "q_session_metrics",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             sum(CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+      )
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           min(ts) AS session_start,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                AS BIGINT) AS duration_sec,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS INT) AS converted,
+           floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS session_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def q_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain rollup — the table product analytics actually lives
+    on: q_sessionize's {SESSION_GAP_MIN}-minute-gap session ids collapsed
+    to one row per (user, session) with start, whole-second duration,
+    event count, converted flag and summed value. Bounce rate, session
+    depth, value-per-session and q_window_funnel's denominators are all
+    one GROUP BY away from this artifact; materializing the grain once
+    beats re-deriving sessions in every dashboard query.
+
+    Duration is exact integer microseconds floored to seconds; value is
+    1e-6-quantized. Scale shape: the session-id window partitions by
+    user (the q_sessionize discipline — per-user event lists are the
+    bounded unit) and the rollup is one map-side-combined aggregate on
+    (user, session)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # lag first, cumsum second — nesting one window function inside
+    # another's frame expression silently misevaluates (every event became
+    # its own session on first try); two projections match the oracle's
+    # two CTE levels
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    new_sess = (
+        F.col("prev_ts").isNull()
+        | (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+            > SESSION_GAP_MIN * 60 * 1000000
+        )
+    ).cast("int")
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = lagged.withColumn("session_idx", F.sum(new_sess).over(wrun))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.floor((F.max(us) - F.min(us)) / 1000000).cast("bigint").alias(
+                "duration_sec"
+            ),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("int")
+            .alias("converted"),
+            qround(F.sum("value"), 6).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("bigint").alias("session_idx"),
+            "session_start",
+            "duration_sec",
+            "n_events",
+            "converted",
+            "session_value",
+        )
+    )

