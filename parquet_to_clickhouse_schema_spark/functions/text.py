@@ -2867,3 +2867,42 @@ def q_negative_sampling_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q(
+    "q_cross_source_dups",
+    """
+    WITH d AS (SELECT DISTINCT source, md5(text) AS dg FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source contamination matrix: for every source pair, the
+    number of distinct texts BOTH carry (exact md5 identity) — which
+    crawls/feeds copy from each other, the question behind source-level
+    mix weights (two sources sharing half their content should not get
+    two full sampling slots) and behind q_group_split's whole-source
+    leakage rule. Within-source duplication is q_dup_rate_report's and
+    q_coverage_curve's axis; this is the BETWEEN axis.
+
+    Digests, never text, flow into the self-join, and the join key is
+    the digest itself — O(shared content), never all-pairs; per-digest
+    fan-out is bounded by the source count (20 here), so the worst case
+    is a boilerplate digest present in every source, C(20,2) rows. Exact
+    integer counts; ordered pair (a < b) counts each pair once."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.md5(F.col("text").cast("binary")).alias("dg"))
+        .distinct()
+    )
+    a = d.select(F.col("source").alias("source_a"), "dg")
+    b = d.select(F.col("source").alias("source_b"), "dg")
+    return (
+        a.join(b, "dg")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )

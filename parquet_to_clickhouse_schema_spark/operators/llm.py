@@ -5828,3 +5828,39 @@ def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.coalesce(F.col("ap_raw"), F.lit(0.0)), 6).alias("ap"),
         )
     )
+
+
+@_q(
+    "q_class_weights",
+    """
+    WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+    SELECT CAST(label AS INT) AS label,
+           CAST(n AS BIGINT) AS n_examples,
+           floor(n * 1000000.0 / t.total + 0.5) / 1000000.0 AS freq,
+           floor(t.total * 1000000.0 / (t.k * n) + 0.5) / 1000000.0
+               AS class_weight
+    FROM c CROSS JOIN t
+    """,
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class-weight table (sklearn's class_weight='balanced'
+    identity, w_c = N/(k·n_c)): per label, its example count, frequency
+    and the inverse-frequency weight a loss function multiplies in — the
+    one-table fix for label imbalance that q_knn_eval / q_nb_classifier /
+    q_linear_probe consumers apply before trusting accuracy numbers.
+    Weighted by construction: Σ_c w_c·n_c = N.
+
+    One map-side-combined label count crossed with a 1-row total (the
+    scalar-attach pattern); exact integers with two quantized ratios."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"), F.count("*").alias("k"))
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("bigint").alias("n_examples"),
+        qround(F.col("n") * 1.0 / F.col("total"), 6).alias("freq"),
+        qround(F.col("total") * 1.0 / (F.col("k") * F.col("n")), 6).alias(
+            "class_weight"
+        ),
+    )

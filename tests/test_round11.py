@@ -407,3 +407,37 @@ def test_power_analysis_is_monotone_in_mde(spark):
     for r in rows:
         assert 0.0 <= r.baseline_rate <= 1.0
         assert r.feasible_now == int(2 * r.n_per_arm <= n_users)
+
+
+def test_cross_source_dups_symmetric_ground_truth(spark):
+    """Pair counts must match a driver-side set intersection of per-source
+    distinct-text sets, each unordered pair exactly once."""
+    from collections import defaultdict
+
+    rows = {(r.source_a, r.source_b): r.n_shared for r in Q["q_cross_source_dups"](spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    sets = defaultdict(set)
+    for d in docs:
+        sets[d.source].add(d.text)
+    want = {}
+    srcs = sorted(sets)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            n = len(sets[a] & sets[b])
+            if n:
+                want[(a, b)] = n
+    assert rows == want
+    assert all(a < b for a, b in rows)
+
+
+def test_class_weights_rebalance_exactly(spark):
+    """Counts sum to the corpus, and the weighted example mass per class is
+    uniform: w_c * n_c = N / k for every class (the 'balanced' identity)."""
+    rows = Q["q_class_weights"](spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    k = len(rows)
+    assert sum(r.n_examples for r in rows) == n
+    for r in rows:
+        assert abs(r.class_weight * r.n_examples - n / k) < n * 2e-6
+        assert abs(r.freq - r.n_examples / n) < 2e-6
