@@ -1247,9 +1247,14 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bk",
         F.least(
             F.lit(WQ_BUCKETS - 1),
-            F.floor(
-                (F.col("price") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / WQ_BUCKETS)
+            # degenerate group (one distinct price -> zero width) maps to
+            # bucket 0 instead of a NaN division that would null the
+            # bucket key and silently drop the group at the offset join
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                F.floor(
+                    (F.col("price") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / WQ_BUCKETS)
+                )
             ),
         ).cast("int"),
     )

@@ -441,3 +441,19 @@ def test_class_weights_rebalance_exactly(spark):
     for r in rows:
         assert abs(r.class_weight * r.n_examples - n / k) < n * 2e-6
         assert abs(r.freq - r.n_examples / n) < 2e-6
+
+
+def test_weighted_quantile_degenerate_single_price_group(spark, tmp_path):
+    """A group with ONE distinct price has zero bucket width: the guard
+    must map it to bucket 0 (a NaN division would null the key and drop
+    the group at the offset join), and every quantile returns that price."""
+    df = spark.createDataFrame(
+        [("X", 5.0, 2.0)] * 3 + [("Y", 1.0, 1.0), ("Y", 2.0, 1.0)],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    rows = Q["q_weighted_quantile"](spark, str(tmp_path)).collect()
+    x = [r for r in rows if r.l_returnflag == "X"]
+    assert len(x) == 5 and all(r.wq_price == 5.0 for r in x)
+    y = {r.quantile: r.wq_price for r in rows if r.l_returnflag == "Y"}
+    assert y[0.25] == 1.0 and y[0.99] == 2.0
