@@ -1309,7 +1309,10 @@ CTR_PRIOR_MIN = 1e-6
     ),
     mom AS (SELECT avg(raw) AS m, var_pop(raw) AS v FROM r),
     pri AS (
-      SELECT m, greatest(m * (1 - m) / v - 1, {CTR_PRIOR_MIN}) AS c
+      -- clamp both ends: v=0 (all rates identical) would send c to
+      -- infinity and the posterior to NaN
+      SELECT m, least(greatest(m * (1 - m) / v - 1, {CTR_PRIOR_MIN}),
+                      1000000.0) AS c
       FROM mom
     )
     SELECT user_id,
@@ -1351,9 +1354,12 @@ def q_ctr_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = uc.withColumn("raw", F.col("n_clicks") * 1.0 / F.col("n_trials"))
     pri = r.agg(F.avg("raw").alias("m"), F.var_pop("raw").alias("v")).select(
         "m",
-        F.greatest(
-            F.col("m") * (1 - F.col("m")) / F.col("v") - 1,
-            F.lit(CTR_PRIOR_MIN),
+        F.least(
+            F.greatest(
+                F.col("m") * (1 - F.col("m")) / F.col("v") - 1,
+                F.lit(CTR_PRIOR_MIN),
+            ),
+            F.lit(1000000.0),
         ).alias("c"),
     )
     return r.crossJoin(F.broadcast(pri)).select(

@@ -5739,7 +5739,7 @@ _MAP_ORACLE = f"""
       SELECT p.qid,
              CAST(sum(p.hit) AS BIGINT) AS n_rel_topk,
              sum(p.hit * p.cum * 1.0 / p.pos)
-               / least(any_value(lc.c) - 1, {RQ_K}) AS ap_raw
+               / greatest(least(any_value(lc.c) - 1, {RQ_K}), 1) AS ap_raw
       FROM prec p JOIN lc ON lc.label = p.qlabel
       GROUP BY p.qid
     )
@@ -5815,7 +5815,9 @@ def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hit").cast("bigint").alias("n_rel_topk"),
             (
                 F.sum(F.col("hit") * F.col("cum") * 1.0 / F.col("pos"))
-                / F.least(F.any_value("c") - 1, F.lit(RQ_K))
+                # greatest(...,1): a singleton-label query has R=0 and no
+                # possible hits — 0/1 keeps it an honest 0 instead of NaN
+                / F.greatest(F.least(F.any_value("c") - 1, F.lit(RQ_K)), F.lit(1))
             ).alias("ap_raw"),
         )
     )
