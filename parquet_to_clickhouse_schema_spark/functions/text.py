@@ -2906,3 +2906,80 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
+
+
+VOCAB_COVER_TARGET = 0.9
+
+
+@_q(
+    "q_vocab_coverage",
+    f"""
+    WITH cnt AS (
+      SELECT lang, t, count(*) AS c FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+      ) GROUP BY lang, t
+    ),
+    cum AS (
+      SELECT lang, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY c DESC, t) AS cw,
+             sum(c) OVER (PARTITION BY lang) AS tot,
+             count(*) OVER (PARTITION BY lang) AS n_vocab
+      FROM cnt
+    )
+    SELECT lang,
+           CAST(any_value(n_vocab) AS BIGINT) AS n_vocab,
+           CAST(any_value(tot) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN cw - c < {VOCAB_COVER_TARGET} * tot
+                           THEN 1 END) AS BIGINT) AS n_vocab_90,
+           floor(count(CASE WHEN cw - c < {VOCAB_COVER_TARGET} * tot
+                            THEN 1 END) * 1000000.0 / any_value(n_vocab)
+                 + 0.5) / 1000000.0 AS vocab_share_90
+    FROM cum GROUP BY lang
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary sizing table: per language, the smallest
+    frequency-ranked vocabulary prefix covering {VOCAB_COVER_TARGET:.0%}
+    of token mass (a token is in the prefix iff the mass BEFORE it is
+    still short of the target — the standard cumulative-coverage cut),
+    beside total vocab and token counts — the curve behind "how many
+    merges / how big a vocab do we actually need", and a Zipf sanity
+    check (q_zipf_slope's integral form: a heavy tail means the 90% knee
+    sits at a tiny vocab share).
+
+    Exact integers with one quantized share; the (count desc, token)
+    rank is a total order so the prefix is engine-identical. Scale
+    shape: one map-side-combined token count, then windows over the
+    Heaps'-bounded per-language vocabulary — never the token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    wcum = Window.partitionBy("lang").orderBy(F.col("c").desc(), "t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("lang")
+    cum = cnt.select(
+        "lang",
+        "c",
+        F.sum("c").over(wcum).alias("cw"),
+        F.sum("c").over(wall).alias("tot"),
+        F.count("*").over(wall).alias("n_vocab"),
+    )
+    in_prefix = F.when(
+        F.col("cw") - F.col("c") < VOCAB_COVER_TARGET * F.col("tot"), 1
+    )
+    return cum.groupBy("lang").agg(
+        F.any_value("n_vocab").cast("bigint").alias("n_vocab"),
+        F.any_value("tot").cast("bigint").alias("n_tokens"),
+        F.count(in_prefix).cast("bigint").alias("n_vocab_90"),
+        (
+            F.floor(
+                F.count(in_prefix) * 1000000.0 / F.any_value("n_vocab")
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("vocab_share_90"),
+    )

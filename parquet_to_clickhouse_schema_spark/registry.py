@@ -182,6 +182,7 @@ SWEEP_PRIORITY = (
     "q_power_analysis",  # r11: A/B sample-size planner from corpus baseline, gated
     "q_cross_source_dups",  # r11: inter-source exact-dup overlap matrix, gated
     "q_class_weights",  # r11: balanced inverse-frequency class weights, gated
+    "q_vocab_coverage",  # r11: 90%-mass vocabulary-prefix sizing table, gated
     # (c) never-swept rows-only keys: below the oracle-gated keys on purpose
     # (a structural rows-only row is worth less than a first hash-gated row
     # — the r7/r8 q_bpe_train lesson), but still ahead of the already-green

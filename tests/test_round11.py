@@ -457,3 +457,34 @@ def test_weighted_quantile_degenerate_single_price_group(spark, tmp_path):
     assert len(x) == 5 and all(r.wq_price == 5.0 for r in x)
     y = {r.quantile: r.wq_price for r in rows if r.l_returnflag == "Y"}
     assert y[0.25] == 1.0 and y[0.99] == 2.0
+
+
+def test_vocab_coverage_matches_bruteforce_prefix(spark):
+    """n_vocab_90 must equal the literal frequency-ranked prefix length
+    computed driver-side, and the Zipf shape must hold (prefix share well
+    under 1)."""
+    from collections import Counter, defaultdict
+
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        VOCAB_COVER_TARGET,
+    )
+
+    rows = {r.lang: r for r in Q["q_vocab_coverage"](spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    cnt = defaultdict(Counter)
+    for d in docs:
+        cnt[d.lang].update(d.text.split(" "))
+    for lang, c in cnt.items():
+        r = rows[lang]
+        assert r.n_vocab == len(c)
+        tot = sum(c.values())
+        assert r.n_tokens == tot
+        ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        cum = 0
+        n90 = 0
+        for _, v in ordered:
+            if cum < VOCAB_COVER_TARGET * tot:
+                n90 += 1
+            cum += v
+        assert r.n_vocab_90 == n90
+        assert 0 < r.vocab_share_90 < 1.0
