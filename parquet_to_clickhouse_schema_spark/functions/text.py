@@ -2983,3 +2983,57 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("vocab_share_90"),
     )
+
+
+@_q(
+    "q_source_mix_kl",
+    """
+    WITH sl AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+    ),
+    st AS (SELECT source, sum(c) AS n FROM sl GROUP BY source),
+    m AS (SELECT lang, sum(c) AS mc FROM sl GROUP BY lang),
+    mt AS (SELECT sum(mc) AS n_all FROM m)
+    SELECT sl.source,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           floor(sum((sl.c * 1.0 / st.n)
+                     * ln((sl.c * 1.0 / st.n) / (m.mc * 1.0 / mt.n_all)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS kl_nats
+    FROM sl
+    JOIN st ON sl.source = st.source
+    JOIN m ON sl.lang = m.lang
+    CROSS JOIN mt
+    GROUP BY sl.source
+    """,
+)
+def q_source_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix skew per source: KL(source's language distribution ‖
+    corpus marginal) in nats — which feeds are responsible for a
+    language imbalance (KL ≈ 0: the source mirrors the corpus; large:
+    it concentrates on few languages and a temperature-mix consumer
+    (q_mix_temperature) should reweight it). Only observed (source,
+    lang) cells contribute — absent cells are p=0 terms, which vanish in
+    KL by the x·ln x limit, the q_feature_mi convention; the support of
+    each source is a subset of the marginal's by construction, so KL is
+    finite.
+
+    Exact integer counts; one quantized KL per source. Scale shape: one
+    (source × lang)-bounded aggregate with two tiny broadcast joins and
+    a 1-row total."""
+    d = load_table(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    st = sl.groupBy("source").agg(F.sum("c").alias("n"))
+    m = sl.groupBy("lang").agg(F.sum("c").alias("mc"))
+    mt = m.agg(F.sum("mc").alias("n_all"))
+    p = F.col("c") * 1.0 / F.col("n")
+    q = F.col("mc") * 1.0 / F.col("n_all")
+    return (
+        sl.join(F.broadcast(st), "source")
+        .join(F.broadcast(m), "lang")
+        .crossJoin(F.broadcast(mt))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_langs"),
+            qround(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+        )
+    )

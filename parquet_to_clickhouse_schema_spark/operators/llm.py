@@ -5866,3 +5866,45 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "class_weight"
         ),
     )
+
+
+@_q(
+    "q_dup_cluster_sizes",
+    """
+    WITH g AS (
+      SELECT md5(text) AS dg, count(*) AS sz FROM documents GROUP BY md5(text)
+    )
+    SELECT CAST(floor(ln(sz) / ln(2.0)) AS INT) AS log2_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_removable
+    FROM g GROUP BY log2_size
+    """,
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster STRUCTURE: md5-identity groups bucketed by
+    log2 size, with cluster counts, document mass and the removable-row
+    count (size − 1 per cluster — what q_dedup_exact would delete).
+    q_dup_rate_report and q_coverage_curve give the RATE; this gives the
+    shape — a few mega-clusters (one boilerplate page crawled 10⁶ times)
+    and a long singleton tail need different treatment than uniform
+    small clusters, and Σ n_removable is the exact dedup savings
+    forecast before running the dedup.
+
+    Digests only; one map-side-combined group + a ~30-bucket reduce.
+    Exact integers end to end (ln(sz)/ln2 of an integer is the same
+    double on both engines; floor boundaries at exact powers of 2 are
+    representation-exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5(F.col("text").cast("binary")).alias("dg")).agg(
+        F.count("*").alias("sz")
+    )
+    return g.groupBy(
+        F.floor(F.log(F.col("sz").cast("double")) / F.log(F.lit(2.0)))
+        .cast("int")
+        .alias("log2_size")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
+    )

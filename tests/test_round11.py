@@ -488,3 +488,42 @@ def test_vocab_coverage_matches_bruteforce_prefix(spark):
             cum += v
         assert r.n_vocab_90 == n90
         assert 0 < r.vocab_share_90 < 1.0
+
+
+def test_dup_cluster_sizes_account_for_the_corpus(spark):
+    """Cluster doc mass sums to the corpus, removable = docs − clusters,
+    and totals agree with q_coverage_curve's 100% level."""
+    rows = Q["q_dup_cluster_sizes"](spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    n = d.count()
+    uniq = d.select("text").distinct().count()
+    assert sum(r.n_docs for r in rows) == n
+    assert sum(r.n_clusters for r in rows) == uniq
+    assert sum(r.n_removable for r in rows) == n - uniq
+    for r in rows:
+        assert r.n_removable == r.n_docs - r.n_clusters
+
+
+def test_source_mix_kl_matches_bruteforce_and_is_nonnegative(spark):
+    """KL per source must match the driver-side computation over exact
+    counts and be nonnegative (Gibbs' inequality)."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = {r.source: r for r in Q["q_source_mix_kl"](spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    per_src = defaultdict(Counter)
+    marg = Counter()
+    for d in docs:
+        per_src[d.source][d.lang] += 1
+        marg[d.lang] += 1
+    n_all = sum(marg.values())
+    for src, cnt in per_src.items():
+        n = sum(cnt.values())
+        kl = sum(
+            (c / n) * math.log((c / n) / (marg[l] / n_all)) for l, c in cnt.items()
+        )
+        r = rows[src]
+        assert r.n_langs == len(cnt)
+        assert abs(r.kl_nats - kl) < 2e-6
+        assert r.kl_nats >= -1e-9
