@@ -1,0 +1,62 @@
+"""Operator catalog: discoverability for the 300+ query surface.
+
+A user switching from the reference (or onboarding onto this engine)
+needs to answer "what can I run, and is it oracle-verified?" without
+reading 19 modules. `describe_queries()` builds that table from the live
+registry — key, implementing module, one-line description (the first
+docstring sentence), and whether a DuckDB oracle twin gates it — and the
+CLI prints it:
+
+    python -m parquet_to_clickhouse_schema_spark.cli --list-queries
+    python -m parquet_to_clickhouse_schema_spark.cli --list-queries dedup
+"""
+
+from __future__ import annotations
+
+from parquet_to_clickhouse_schema_spark import registry
+
+
+def describe_queries(filter_substr: str | None = None) -> list[dict]:
+    """One row per registered query key, sorted by key.
+
+    Fields: key, module (short name), description (first docstring line,
+    cleaned), oracle (True when a DuckDB twin hash-gates the key).
+    `filter_substr` (case-insensitive) narrows on key or description.
+    """
+    queries = registry.all_queries()
+    oracles = registry.all_oracles()
+    out: list[dict] = []
+    for key in sorted(queries):
+        fn = queries[key]
+        doc = (fn.__doc__ or "").strip()
+        first = doc.split("\n\n", 1)[0].replace("\n", " ")
+        first = " ".join(first.split())
+        row = {
+            "key": key,
+            "module": fn.__module__.rsplit(".", 1)[-1],
+            "description": first,
+            "oracle": key in oracles,
+        }
+        if filter_substr:
+            s = filter_substr.lower()
+            if s not in key.lower() and s not in first.lower():
+                continue
+        out.append(row)
+    return out
+
+
+def format_catalog(rows: list[dict]) -> str:
+    """Plain-text table for the CLI."""
+    lines = []
+    n_gated = sum(1 for r in rows if r["oracle"])
+    lines.append(
+        f"{len(rows)} queries ({n_gated} oracle-gated, "
+        f"{len(rows) - n_gated} rows-only)"
+    )
+    for r in rows:
+        mark = "oracle" if r["oracle"] else "rows  "
+        desc = r["description"]
+        if len(desc) > 100:
+            desc = desc[:97] + "..."
+        lines.append(f"{r['key']:32s} {mark}  [{r['module']}] {desc}")
+    return "\n".join(lines) + "\n"

@@ -28,6 +28,28 @@ def main(argv: list[str] | None = None) -> int:
         prog="schemagen",
         description="Generate ClickHouse MergeTree DDL from a Parquet file's footer.",
     )
+    ap.add_argument(
+        "--list-queries",
+        nargs="?",
+        const="",
+        default=None,
+        metavar="FILTER",
+        help="print the operator catalog (optionally filtered by substring) "
+        "and exit — discoverability for the engine's query surface",
+    )
+    if argv is not None and any(a.startswith("--list-queries") for a in argv) or (
+        argv is None and any(a.startswith("--list-queries") for a in sys.argv[1:])
+    ):
+        args, _ = ap.parse_known_args(argv)
+        from parquet_to_clickhouse_schema_spark.catalog import (
+            describe_queries,
+            format_catalog,
+        )
+
+        sys.stdout.write(
+            format_catalog(describe_queries(args.list_queries or None))
+        )
+        return 0
     ap.add_argument("--parquet-path", required=True)
     ap.add_argument("--clickhouse-schema-path", required=True)
     ap.add_argument("--table-name", required=True)

@@ -39,6 +39,7 @@ QUERIES, ORACLES, _q = new_registry()
     """,
 )
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (concat/substr/upper/trim/lpad/regexp/split and friends) exercised in one row-local projection — whole-stage-codegen JVM expressions, no UDFs."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -68,6 +69,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family (trunc, extract, date math, formatting) as one row-local projection with exact cross-engine semantics."""
     o = load_table(spark, sf_dir, "orders")
     od = F.col("o_orderdate")
     return o.select(
@@ -100,6 +102,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (abs/ceil/floor/round/exp/ln/pow/sqrt/sign) row-locally, quantized where engines' libm can differ."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -129,6 +132,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family (CASE/coalesce/nullif/least/greatest/if) — the branching expressions every report composes, row-local."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",

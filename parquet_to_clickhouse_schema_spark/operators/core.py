@@ -60,6 +60,7 @@ def _leaves(prefix: str, dtype: T.DataType, nullable: bool):
 
 
 def q_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-only schema inference surfaced as a query: one row per column with Spark type and nullability (no data pages read)."""
     rows = []
     for t in TABLES:
         schema = infer_parquet_schema(f"{sf_dir}/{t}.parquet", spark)
@@ -78,6 +79,7 @@ _DDL_SCHEMA = T.StructType(
 
 
 def q_ddl_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole capability as a query: ClickHouse MergeTree CREATE DDL lines for a table's footer (rows-only: string artifact, byte-golden-tested in tests/test_ddl.py)."""
     rows = [
         (
             t,
@@ -91,6 +93,7 @@ def q_ddl_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ddl_sparksql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL CREATE TABLE DDL for the same footer — the engine-side sibling of q_ddl_clickhouse (rows-only string artifact)."""
     rows = [
         (
             t,

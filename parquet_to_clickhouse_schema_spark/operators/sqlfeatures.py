@@ -185,6 +185,7 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING post-aggregation filter — planned as a filter above the aggregate, pushdown-safe."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_suppkey").agg(F.count("*").alias("n")).filter(F.col("n") > 550)

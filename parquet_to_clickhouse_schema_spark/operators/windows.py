@@ -38,6 +38,7 @@ QUERIES, ORACLES, _q = new_registry()
     """,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number per return flag — the canonical ranking-window trio with a deterministic row_number tiebreak."""
     li = load_table(spark, sf_dir, "lineitem")
     w_rank = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
     w_rn = Window.partitionBy("l_returnflag").orderBy(
@@ -67,6 +68,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation over per-flag quantity order — previous/next-row deltas without a self-join."""
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_suppkey").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
@@ -95,6 +97,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """running sum/avg/count over a rows-frame (unbounded preceding to current) — the cumulative-metrics window shape."""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")

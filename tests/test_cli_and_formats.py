@@ -487,3 +487,33 @@ def test_layout_pruning_gate_footer_equals_data(spark):
     comp = rows[("compacted", 0)]
     p0 = rows[("partitioned", 0)]
     assert (comp.n_rows, comp.min_key, comp.max_key) == (p0.n_rows, p0.min_key, p0.max_key)
+
+
+def test_cli_list_queries_catalog():
+    """--list-queries prints every registered key with its gate status and
+    supports substring filtering; the catalog agrees with the registry."""
+    import contextlib
+    import io
+
+    from parquet_to_clickhouse_schema_spark import registry
+    from parquet_to_clickhouse_schema_spark.catalog import describe_queries
+    from parquet_to_clickhouse_schema_spark.cli import main
+
+    rows = describe_queries()
+    assert {r["key"] for r in rows} == set(registry.all_queries())
+    gated = {r["key"] for r in rows if r["oracle"]}
+    assert gated == set(registry.all_oracles())
+    assert all(r["description"] for r in rows)  # every operator documented
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--list-queries"])
+    assert rc == 0
+    out = buf.getvalue()
+    assert "q_agg_hash" in out and str(len(rows)) in out
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["--list-queries", "minhash"])
+    filtered = buf.getvalue()
+    assert "q_near_dedup_minhash" in filtered and "q_agg_hash" not in filtered
