@@ -13,24 +13,48 @@ CLI prints it:
 
 from __future__ import annotations
 
+import sys
+
 from parquet_to_clickhouse_schema_spark import registry
+
+
+def _first_sentence(doc: str, module_name: str) -> str:
+    """First sentence of the first docstring paragraph, with any
+    ``{CONSTANT}`` placeholders resolved against the defining module's
+    globals (many operator docstrings reference module constants like
+    NOVELTY_N without being f-strings — the catalog must not print raw
+    template tokens)."""
+    first = doc.split("\n\n", 1)[0].replace("\n", " ")
+    first = " ".join(first.split())
+    if "{" in first:
+        mod = sys.modules.get(module_name)
+        if mod is not None:
+            try:
+                first = first.format(**vars(mod))
+            except (KeyError, IndexError, ValueError, AttributeError):
+                pass
+    # sentence cut: the first ". " ends it ("e.g." style abbreviations are
+    # not used at sentence heads in this codebase); keep em-dash clauses
+    cut = first.find(". ")
+    if cut != -1:
+        first = first[: cut + 1]
+    return first
 
 
 def describe_queries(filter_substr: str | None = None) -> list[dict]:
     """One row per registered query key, sorted by key.
 
-    Fields: key, module (short name), description (first docstring line,
-    cleaned), oracle (True when a DuckDB twin hash-gates the key).
-    `filter_substr` (case-insensitive) narrows on key or description.
+    Fields: key, module (short name), description (first docstring
+    sentence, placeholder-resolved), oracle (True when a DuckDB twin
+    hash-gates the key). `filter_substr` (case-insensitive) narrows on
+    key or description.
     """
     queries = registry.all_queries()
     oracles = registry.all_oracles()
     out: list[dict] = []
     for key in sorted(queries):
         fn = queries[key]
-        doc = (fn.__doc__ or "").strip()
-        first = doc.split("\n\n", 1)[0].replace("\n", " ")
-        first = " ".join(first.split())
+        first = _first_sentence((fn.__doc__ or "").strip(), fn.__module__)
         row = {
             "key": key,
             "module": fn.__module__.rsplit(".", 1)[-1],

@@ -73,18 +73,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
+    pk = [c.strip() for c in args.primary_key.split(",")] if "," in args.primary_key else args.primary_key
+
     if args.diff_against is not None:
         ddl = schema_diff_to_clickhouse_alter(
             args.diff_against,
             args.parquet_path,
             args.table_name,
+            primary_key=pk,
             strict=not args.lenient,
             out_path=args.clickhouse_schema_path,
         )
         sys.stdout.write(ddl)
         return 0
 
-    pk = [c.strip() for c in args.primary_key.split(",")] if "," in args.primary_key else args.primary_key
     ddl = schema_to_clickhouse(
         args.parquet_path,
         args.table_name,

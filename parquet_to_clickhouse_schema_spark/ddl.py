@@ -430,6 +430,7 @@ def schema_diff_to_clickhouse_alter(
     old_path: str,
     new_path: str,
     table_name: str,
+    primary_key: str | Iterable[str] | None = None,
     strict: bool = True,
     spark: SparkSession | None = None,
     out_path: str | None = None,
@@ -439,48 +440,108 @@ def schema_diff_to_clickhouse_alter(
     ``old_path`` by schema_to_clickhouse) to ``new_path``'s schema.
 
     The reference stops at CREATE (src/parquetutils.rs:33-56); this is the
-    day-2 sibling: when tomorrow's partition adds, drops or retypes a
-    column, the fix is three footer reads and an ALTER, not a recreate of a
-    100 TB table. Emission order is safe to execute top-to-bottom:
+    day-2 sibling: when tomorrow's partition adds, drops, retypes or
+    reorders a column, the fix is two footer reads and an ALTER, not a
+    recreate of a 100 TB table. Emission order is safe to execute
+    top-to-bottom:
       1. ``drop column`` for columns only in the old footer,
       2. ``modify column`` where the RENDERED ClickHouse type changed
-         (rendered, not Spark-type, so the reference's always-Nullable rule
-         means pure nullability flips correctly emit nothing),
-      3. ``add column ... first|after <prev>`` in new-footer order —
-         each AFTER anchor is either a surviving column or an add emitted
-         earlier, so every anchor exists when its statement runs.
+         (rendered with the same ``primary_key`` rule as CREATE — PK
+         columns stay bare, everything else Nullable — so pure
+         nullability flips correctly emit nothing and a PK retype never
+         emits an invalid Nullable sorting key),
+      3. ``add column ... first|after <prev>`` in new-footer order,
+      4. ``modify column ... first|after <prev>`` MOVES for surviving
+         columns whose position still deviates from the new footer (the
+         statement order is derived by simulating 1-3 against the old
+         layout, so every anchor exists when its statement runs).
+    Statements touching a sorting-key column get a ``-- WARNING`` line:
+    MergeTree restricts ALTERing key columns, and such a change usually
+    means a table rebuild, which this tool deliberately does not hide.
     Nested/Map/Tuple columns render through the same _emit visitor as
     CREATE; any change inside one becomes a single top-level MODIFY (the
     granularity ClickHouse ALTER actually supports for Nested rewrites).
-    Returns a comment line when the footers already agree.
+    Returns a comment line when the footers already agree (including
+    column order).
     """
+    if primary_key is None:
+        pks: set[str] = set()
+    elif isinstance(primary_key, str):
+        pks = {primary_key}
+    else:
+        pks = set(primary_key)
     old_schema = infer_parquet_schema(old_path, spark)
     new_schema = infer_parquet_schema(new_path, spark)
     old_top = {f.name: f for f in old_schema.fields}
     new_top = {f.name: f for f in new_schema.fields}
 
+    def render(f: T.StructField) -> str:
+        out: list[str] = []
+        _emit(out, f.name, f.dataType, f.nullable, 0, pks, strict, True)
+        text = "".join(out).strip()
+        if not text.startswith(f"{f.name} "):
+            raise AssertionError(f"unexpected emit layout: {text!r}")
+        return " ".join(text[len(f.name) + 1:].split())
+
     stmts: list[str] = []
+
+    def warn_if_key(name: str) -> None:
+        if name in pks:
+            stmts.append(
+                f"-- WARNING: {name} is a sorting-key column; MergeTree "
+                "restricts ALTERing key columns (usually a table rebuild)"
+            )
+
+    # 1. drops (old order); track the surviving layout
+    layout = [f.name for f in old_schema.fields]
     for f in old_schema.fields:
         if f.name not in new_top:
+            warn_if_key(f.name)
             stmts.append(f"alter table {table_name} drop column {f.name};")
+            layout.remove(f.name)
+
+    # 2. type changes on survivors (new order)
     for f in new_schema.fields:
         if f.name in old_top:
             old_f = old_top[f.name]
-            old_t = _render_column_type(f.name, old_f.dataType, old_f.nullable, strict)
-            new_t = _render_column_type(f.name, f.dataType, f.nullable, strict)
-            if old_t != new_t:
+            if render(old_f) != render(f):
+                warn_if_key(f.name)
                 stmts.append(
-                    f"alter table {table_name} modify column {f.name} {new_t};"
+                    f"alter table {table_name} modify column {f.name} "
+                    f"{render(f)};"
                 )
+
+    # 3. adds, anchored on the new footer's predecessor (which is either a
+    # survivor or an add emitted just before, so it exists at run time)
     prev: str | None = None
     for f in new_schema.fields:
         if f.name not in old_top:
-            pos = "first" if prev is None else f"after {prev}"
-            col_t = _render_column_type(f.name, f.dataType, f.nullable, strict)
+            if prev is None:
+                pos = "first"
+                layout.insert(0, f.name)
+            else:
+                pos = f"after {prev}"
+                layout.insert(layout.index(prev) + 1, f.name)
             stmts.append(
-                f"alter table {table_name} add column {f.name} {col_t} {pos};"
+                f"alter table {table_name} add column {f.name} {render(f)} "
+                f"{pos};"
             )
         prev = f.name
+
+    # 4. residual reorders: walk the target order, moving each misplaced
+    # survivor into place in the simulated layout
+    target = [f.name for f in new_schema.fields]
+    for i, name in enumerate(target):
+        if layout[i] != name:
+            layout.remove(name)
+            layout.insert(i, name)
+            pos = "first" if i == 0 else f"after {target[i - 1]}"
+            warn_if_key(name)
+            stmts.append(
+                f"alter table {table_name} modify column {name} "
+                f"{render(new_top[name])} {pos};"
+            )
+    assert layout == target
 
     ddl = (
         "\n".join(stmts) + "\n"

@@ -2059,7 +2059,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     is row-local (JVM transform over the split array, no window); at
     100 TB the min-reduce is map-side combinable and the join's build
     side is the shingle-first table, bucketable by the same key."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= NOVELTY_N
+    )
     sh = (
         d.select(
             "doc_id",
@@ -2773,7 +2775,12 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ngram_novelty — two shingle-keyed shuffles (distinct + docfreq) and
     one doc-keyed reduce, the q_dedup_ngram cost class, and the docfreq
     side of the join is Heaps'-bounded."""
-    d = load_table(spark, sf_dir, "documents")
+    # the >=N-token filter is semantic (short docs carry no shingles) AND a
+    # crash guard: sequence(1, 0) is DESCENDING in Spark, so the unguarded
+    # transform hands slice() a start of 0 and throws on any 1-2-token doc
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= NOVELTY_N
+    )
     sh = (
         d.select(
             "doc_id",

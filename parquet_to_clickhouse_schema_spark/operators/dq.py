@@ -712,8 +712,14 @@ def q_bloom_fpr_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ln2 is a shared literal so both engines round the identical double;
     exp/pow operate on identical inputs (libm agreement to the quantized
-    1e-8). Scale shape: two scans' worth of map-side-combined distinct
-    counts; everything else is constant arithmetic on 4 rows."""
+    1e-8). Scale shape: one column-pruned scan PER KEY, unioned — each
+    branch's parquet read touches exactly its one key column, so the
+    union does the same total I/O as a single 3-column scan; the
+    alternative (one multi-countDistinct aggregate + stack unpivot) was
+    measured 2.6x SLOWER at sf0.1 (0.63 s -> 1.67 s) because Spark plans
+    multi-distinct as a 3x Expand row blowup through one pipeline while
+    the union branches run concurrently. Everything downstream is
+    constant arithmetic on 4 rows."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     rows = (

@@ -116,11 +116,15 @@ CONTRACT_KEYS = (
 # evidence ledger (`python scripts/sweep_ledger.py`, docs/SWEEP_LEDGER.md);
 # r10 swept its section (a)+(b) keys (50/50 green, CORRECTNESS_r10.json), so
 # r11 rotates to: (a) the 38 never-swept oracle-gated keys (judge-verified
-# exact-match locally in the r10 session, but no driver row yet), (b) the 16
-# keys NEW in r11 (first driver rows — all verified here at sf0.01 AND sf0.1
-# AND 5 cores), (c) the two never-swept rows-only keys, (d) r4-era keys
-# oldest-first as overflow fill. Zero overlap with the r10 sweep set by
-# construction.
+# exact-match locally in the r10 session, but no driver row yet), (b) the 24
+# keys NEW in r11 (all verified this round at sf0.01 AND sf0.1 AND 5 cores),
+# (c) the two never-swept rows-only keys, (d) r4-era keys oldest-first as
+# overflow fill. Zero overlap with the r10 sweep set by construction.
+# HONEST BUDGET NOTE: (a)+(b) = 62 keys exceeds the ~50-key sweep budget, so
+# roughly the last dozen section-(b) keys will NOT get a driver row this
+# round — they are ordered newest-last on purpose (the earlier r11 keys are
+# the heavier operators) and the r12 rotation must lead with whatever the
+# regenerated ledger still shows as never-swept.
 SWEEP_PRIORITY = (
     # (a) never-swept keys — first driver rows (38 oracle-gated + 2 rows-only)
     "q_abc_classification",

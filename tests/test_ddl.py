@@ -605,3 +605,42 @@ def test_cli_diff_against_writes_alter_file(tmp_path):
     )
     assert rc == 0
     assert out.read_text() == "alter table t add column x Nullable(Float64) after id;\n"
+
+
+def test_schema_alter_ddl_primary_key_and_reorder(tmp_path, spark):
+    """r11 review fixes: PK columns render BARE in MODIFY (never an invalid
+    Nullable sorting key) with an explicit warning comment, and a
+    column-order-only footer change emits reorder MOVES instead of the
+    false 'footers match' claim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        schema_diff_to_clickhouse_alter,
+    )
+
+    old = str(tmp_path / "o.parquet")
+    new = str(tmp_path / "n.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()), "a": pa.array([1.0])}), old
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int32()), "a": pa.array([1.0])}), new
+    )
+    ddl = schema_diff_to_clickhouse_alter(old, new, "t", primary_key="id")
+    lines = ddl.strip().splitlines()
+    assert lines[0].startswith("-- WARNING: id is a sorting-key column")
+    assert lines[1] == "alter table t modify column id Int32;"  # bare, not Nullable
+
+    ro_old = str(tmp_path / "ro_o.parquet")
+    ro_new = str(tmp_path / "ro_n.parquet")
+    pq.write_table(
+        pa.table({"a": pa.array([1], pa.int64()), "b": pa.array([1], pa.int64())}),
+        ro_old,
+    )
+    pq.write_table(
+        pa.table({"b": pa.array([1], pa.int64()), "a": pa.array([1], pa.int64())}),
+        ro_new,
+    )
+    ddl = schema_diff_to_clickhouse_alter(ro_old, ro_new, "t")
+    assert ddl.strip() == "alter table t modify column b Nullable(Int64) first;"

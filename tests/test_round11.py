@@ -554,3 +554,23 @@ def test_neyman_allocation_beats_proportional_on_variance_weighting(spark):
         assert r.n_alloc == want
         assert r.n_alloc <= r.n_docs
     assert sum(r.alloc_share for r in rows.values()) > 0.999
+
+
+def test_shingle_ops_survive_sub_n_token_documents(spark, tmp_path):
+    """Regression (r11 review): Spark's sequence(1, 0) is DESCENDING, so an
+    unguarded shingle transform hands slice() a zero start and crashes on
+    any document shorter than NOVELTY_N tokens. Both shingle ops must skip
+    such docs (the oracle's WHERE len(toks) >= N) instead of throwing."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b", "en", "s0", 3),
+            (2, "one two three four five", "en", "s0", 23),
+            (3, "one two three four five", "en", "s1", 23),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    b = Q["q_boilerplate_ngrams"](spark, str(tmp_path)).collect()
+    n = Q["q_ngram_novelty"](spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in b} == {2, 3}  # the 2-token doc emits no row
+    assert {r.doc_id for r in n} == {2, 3}
