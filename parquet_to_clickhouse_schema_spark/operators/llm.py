@@ -1020,8 +1020,11 @@ _COSINE_ORACLE = """
 
 @_q("q_cosine_topk", _COSINE_ORACLE)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-3 neighbors per vector (gated path — see
-    cosine_topk_blocked for the plan)."""
+    """Exact cosine top-3 neighbors per vector — the LABELED O(n²)
+    brute-force BASELINE (contract-mandated; do NOT ship this at corpus
+    scale — the sublinear paths are q_ann_lsh_topk / q_ivf_topk /
+    q_pq_topk / q_ivfpq_topk, recall-measured by q_ann_recall_eval).
+    Gated path; see cosine_topk_blocked for the tiled all-pairs plan."""
     return cosine_topk_blocked(spark, sf_dir, k=3)
 
 
