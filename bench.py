@@ -103,6 +103,23 @@ def main() -> None:
             samples.append(time.time() - t0)
         return round(statistics.median(samples), 3)
 
+    # Contention sentinel (VERDICT r11 #3): a fixed ~0.3 s warm canary
+    # (q_topk through the noop sink) timed before and after the suite, plus
+    # os.getloadavg() at both points. The sandbox is shared; whole-suite
+    # drifts of 1.2-1.5x with zero code change have shown up twice (r8, r11)
+    # and previously had to be adjudicated by hand-rerunning queries. If the
+    # after/before canary ratio is far from 1.0 or the load average is high,
+    # the round's numbers are machine-labeled as contended, not regressed.
+    def canary_time() -> float:
+        df = queries["q_topk"](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    canary_time()  # JVM/codegen warmup; discard
+    sentinel_before = round(statistics.median([canary_time() for _ in range(3)]), 3)
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
     # the reference's core op: footer-only DDL (no Spark job expected)
     times["schema_to_clickhouse"] = median_time(
         lambda: schema_to_clickhouse(
@@ -119,6 +136,9 @@ def main() -> None:
 
         times[name] = median_time(run)
 
+    sentinel_after = round(statistics.median([canary_time() for _ in range(3)]), 3)
+    load_after = [round(x, 2) for x in os.getloadavg()]
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -129,6 +149,14 @@ def main() -> None:
                 "queries": times,
                 "reps": reps,
                 "sf": sf,
+                "sentinel": {
+                    "canary_query": "q_topk",
+                    "before_sec": sentinel_before,
+                    "after_sec": sentinel_after,
+                    "drift_ratio": round(sentinel_after / max(sentinel_before, 1e-9), 3),
+                    "loadavg_before": load_before,
+                    "loadavg_after": load_after,
+                },
             }
         )
     )
