@@ -533,7 +533,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once. The DuckDB twin applies the identical orientation, so
     the output stays byte-identical to the ID-ordered form. The degree
     table is |V|-sized (node-, not edge-cardinality); AQE broadcasts it at
-    test scale and it stays a linear shuffle join beyond."""
+    test scale and it stays a linear shuffle join beyond.
+
+    Plan-reuse note (r12): `e`, `deg`, and `eo` are each consumed by
+    multiple downstream branches (eo feeds the wedge join THREE times as
+    e1/e2/e3; e feeds deg and the edge count; deg feeds du/dv/wed). Spark
+    is lazy, so without truncation every branch re-executes the whole
+    distinct-self-join subtree — the r11 plan carried 94 Exchanges for a
+    4-value output. Each is localCheckpoint'ed once (the q_dedup_pipeline
+    idiom): e and eo are |E|-sized two-int-column sets, deg is |V|-sized —
+    all bounded, executor-resident, and far cheaper to hold than to
+    recompute 3x at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
@@ -547,12 +557,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("id"))
         .unionAll(e.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint()
     )
     du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
@@ -566,6 +578,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        .localCheckpoint()
     )
     e1, e2, e3 = eo.alias("e1"), eo.alias("e2"), eo.alias("e3")
     tri = (

@@ -1220,7 +1220,11 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two-pass centered moments throughout (the q_corr_matrix discipline).
     Scale shape: one user-keyed reduce, two 1-row moment aggregates
-    broadcast back, one |groups|-row readout."""
+    broadcast back, one |groups|-row readout. The |users|-sized `u` and
+    `adj` frames each feed 3+ downstream aggregates, so both are
+    localCheckpoint'ed once (r12, the q_graph_triangles treatment) —
+    without truncation the lazy plan re-ran the events scan + user
+    reduce for every branch (43 Exchanges for a 1-row output)."""
     ev = load_table(spark, sf_dir, "events")
     mid = ev.agg(
         F.floor(
@@ -1249,6 +1253,7 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("post"),
         )
         .withColumn("grp", (F.col("user_id") % 2).cast("int"))
+        .localCheckpoint()
     )
     m = u.agg(
         F.avg("pre").alias("mx"), F.avg("post").alias("my"), F.count("*").alias("n")
@@ -1271,7 +1276,7 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("post") - (F.col("sxy") / F.col("sxx")) * (F.col("pre") - F.col("mx"))
         ).alias("ystar"),
-    )
+    ).localCheckpoint()
     madj_all = adj.agg(F.avg("ystar").alias("ma"))
     va = adj.crossJoin(F.broadcast(madj_all)).agg(
         F.sum((F.col("ystar") - F.col("ma")) * (F.col("ystar") - F.col("ma"))).alias(
