@@ -5877,7 +5877,7 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT md5(text) AS dg, count(*) AS sz FROM documents GROUP BY md5(text)
     )
-    SELECT CAST(floor(ln(sz) / ln(2.0)) AS INT) AS log2_size,
+    SELECT CAST(length(bin(sz)) - 1 AS INT) AS log2_size,
            CAST(count(*) AS BIGINT) AS n_clusters,
            CAST(sum(sz) AS BIGINT) AS n_docs,
            CAST(sum(sz - 1) AS BIGINT) AS n_removable
@@ -5895,15 +5895,17 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecast before running the dedup.
 
     Digests only; one map-side-combined group + a ~30-bucket reduce.
-    Exact integers end to end (ln(sz)/ln2 of an integer is the same
-    double on both engines; floor boundaries at exact powers of 2 are
-    representation-exact)."""
+    Exact integers end to end: floor(log2(n)) == bit_length(n) - 1, taken
+    as length of the base-2 rendering (Spark `conv(sz,10,2)`, DuckDB
+    `bin(sz)`) — pure integer arithmetic, no libm. The earlier
+    ln(sz)/ln(2.0) form relied on JVM Math.log and DuckDB libm agreeing
+    to the last ulp at power-of-2 floor boundaries (ADVICE r11)."""
     d = load_table(spark, sf_dir, "documents")
     g = d.groupBy(F.md5(F.col("text").cast("binary")).alias("dg")).agg(
         F.count("*").alias("sz")
     )
     return g.groupBy(
-        F.floor(F.log(F.col("sz").cast("double")) / F.log(F.lit(2.0)))
+        (F.length(F.conv(F.col("sz").cast("string"), 10, 2)) - 1)
         .cast("int")
         .alias("log2_size")
     ).agg(
