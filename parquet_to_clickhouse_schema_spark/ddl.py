@@ -408,22 +408,21 @@ def schema_diff(
 
 
 def _render_column_type(
-    name: str,
-    dtype: T.DataType,
-    nullable: bool,
+    field: T.StructField,
+    pks: set[str],
     strict: bool,
-    always_nullable: bool = True,
 ) -> str:
     """The ClickHouse type expression for ONE column, exactly as the CREATE
-    emitter would render it (same _emit visitor, so Nested/Map/Tuple and the
-    reference's always-Nullable rule stay byte-consistent), collapsed to a
-    single line for use inside ALTER statements."""
+    emitter would render it (same _emit visitor with the same primary-key
+    set, so Nested/Map/Tuple, the reference's always-Nullable rule AND the
+    bare-PK rule stay byte-consistent), collapsed to a single line for use
+    inside ALTER statements."""
     out: list[str] = []
-    _emit(out, name, dtype, nullable, 0, set(), strict, always_nullable)
+    _emit(out, field.name, field.dataType, field.nullable, 0, pks, strict, True)
     text = "".join(out).strip()
-    if not text.startswith(f"{name} "):
-        raise AssertionError(f"unexpected emit layout for {name!r}: {text!r}")
-    return " ".join(text[len(name) + 1:].split())
+    if not text.startswith(f"{field.name} "):
+        raise AssertionError(f"unexpected emit layout for {field.name!r}: {text!r}")
+    return " ".join(text[len(field.name) + 1:].split())
 
 
 def schema_diff_to_clickhouse_alter(
@@ -450,11 +449,13 @@ def schema_diff_to_clickhouse_alter(
          columns stay bare, everything else Nullable — so pure
          nullability flips correctly emit nothing and a PK retype never
          emits an invalid Nullable sorting key),
-      3. ``add column ... first|after <prev>`` in new-footer order,
-      4. ``modify column ... first|after <prev>`` MOVES for surviving
-         columns whose position still deviates from the new footer (the
-         statement order is derived by simulating 1-3 against the old
-         layout, so every anchor exists when its statement runs).
+      3. ``modify column ... first|after <prev>`` MOVES that put the
+         surviving columns into the new footer's relative order (derived
+         by simulating against the post-drop layout, so every anchor
+         exists and is final when its statement runs),
+      4. ``add column ... first|after <prev>`` in new-footer order — the
+         predecessor is already in its final slot, so every column is
+         positioned by exactly one statement.
     Statements touching a sorting-key column get a ``-- WARNING`` line:
     MergeTree restricts ALTERing key columns, and such a change usually
     means a table rebuild, which this tool deliberately does not hide.
@@ -476,12 +477,7 @@ def schema_diff_to_clickhouse_alter(
     new_top = {f.name: f for f in new_schema.fields}
 
     def render(f: T.StructField) -> str:
-        out: list[str] = []
-        _emit(out, f.name, f.dataType, f.nullable, 0, pks, strict, True)
-        text = "".join(out).strip()
-        if not text.startswith(f"{f.name} "):
-            raise AssertionError(f"unexpected emit layout: {text!r}")
-        return " ".join(text[len(f.name) + 1:].split())
+        return _render_column_type(f, pks, strict)
 
     stmts: list[str] = []
 
@@ -511,8 +507,30 @@ def schema_diff_to_clickhouse_alter(
                     f"{render(f)};"
                 )
 
-    # 3. adds, anchored on the new footer's predecessor (which is either a
-    # survivor or an add emitted just before, so it exists at run time)
+    # 3. survivor reorders FIRST (r12, ADVICE r11): put the surviving
+    # columns into the new footer's relative order before any ADD, so step
+    # 4 can anchor every new column directly at its final position — one
+    # positioning statement per column, no add-at-a-temporary-spot-then-
+    # re-move churn (each MOVE is a metadata mutation on a 100 TB table).
+    # Simulated against the post-drop layout: positions 0..i-1 are already
+    # final when i is examined, so every `after` anchor exists and is in
+    # place when its statement runs.
+    surv_target = [f.name for f in new_schema.fields if f.name in old_top]
+    for i, name in enumerate(surv_target):
+        if layout[i] != name:
+            layout.remove(name)
+            layout.insert(i, name)
+            pos = "first" if i == 0 else f"after {surv_target[i - 1]}"
+            warn_if_key(name)
+            stmts.append(
+                f"alter table {table_name} modify column {name} "
+                f"{render(new_top[name])} {pos};"
+            )
+
+    # 4. adds, anchored on the new footer's predecessor — by now either a
+    # survivor already moved to its final slot (step 3) or an add emitted
+    # just before, so each add lands exactly where the target wants it.
+    target = [f.name for f in new_schema.fields]
     prev: str | None = None
     for f in new_schema.fields:
         if f.name not in old_top:
@@ -527,20 +545,6 @@ def schema_diff_to_clickhouse_alter(
                 f"{pos};"
             )
         prev = f.name
-
-    # 4. residual reorders: walk the target order, moving each misplaced
-    # survivor into place in the simulated layout
-    target = [f.name for f in new_schema.fields]
-    for i, name in enumerate(target):
-        if layout[i] != name:
-            layout.remove(name)
-            layout.insert(i, name)
-            pos = "first" if i == 0 else f"after {target[i - 1]}"
-            warn_if_key(name)
-            stmts.append(
-                f"alter table {table_name} modify column {name} "
-                f"{render(new_top[name])} {pos};"
-            )
     assert layout == target
 
     ddl = (

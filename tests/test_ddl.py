@@ -576,6 +576,57 @@ def test_schema_alter_ddl_consecutive_adds_anchor_each_other(tmp_path, spark):
     ]
 
 
+def test_schema_alter_ddl_one_positioning_statement_per_column(tmp_path, spark):
+    """ADVICE r11 regression: old [a,b,c,d] -> new [d,x,b,a] used to emit
+    'add x after d' at a temporary slot and then immediately re-move x in
+    the reorder pass. With survivors reordered BEFORE adds, every column is
+    positioned by exactly one statement and the script still replays to the
+    exact target layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        schema_diff_to_clickhouse_alter,
+    )
+
+    i64 = pa.int64()
+    old = str(tmp_path / "o.parquet")
+    new = str(tmp_path / "n.parquet")
+    pq.write_table(
+        pa.table({n: pa.array([1], i64) for n in ["a", "b", "c", "d"]}), old
+    )
+    pq.write_table(
+        pa.table({n: pa.array([1], i64) for n in ["d", "x", "b", "a"]}), new
+    )
+    ddl = schema_diff_to_clickhouse_alter(old, new, "t")
+    lines = [l for l in ddl.strip().splitlines() if not l.startswith("--")]
+    assert lines == [
+        "alter table t drop column c;",
+        "alter table t modify column d Nullable(Int64) first;",
+        "alter table t modify column b Nullable(Int64) after d;",
+        "alter table t add column x Nullable(Int64) after d;",
+    ]
+    # replay the script against the old layout and check it lands on target
+    layout = ["a", "b", "c", "d"]
+    for line in lines:
+        toks = line.rstrip(";").split()
+        col = toks[5]
+        if toks[3] == "drop":
+            layout.remove(col)
+            continue
+        if col in layout:
+            layout.remove(col)
+        if toks[-1] == "first":
+            layout.insert(0, col)
+        else:
+            assert toks[-2] == "after" and toks[-1] in layout
+            layout.insert(layout.index(toks[-1]) + 1, col)
+    assert layout == ["d", "x", "b", "a"]
+    # exactly one positioning statement (first/after) per column
+    positioned = [l.split()[5] for l in lines if l.split()[3] != "drop"]
+    assert len(positioned) == len(set(positioned))
+
+
 def test_cli_diff_against_writes_alter_file(tmp_path):
     """The --diff-against CLI mode writes the ALTER file and prints it,
     reusing the schemagen entry point (footer-only, no Spark session)."""
@@ -605,6 +656,66 @@ def test_cli_diff_against_writes_alter_file(tmp_path):
     )
     assert rc == 0
     assert out.read_text() == "alter table t add column x Nullable(Float64) after id;\n"
+
+
+def test_cli_diff_against_real_bench_footers_golden(tmp_path):
+    """VERDICT r11 stretch: drive --diff-against over a REAL bench-SF
+    footer (sf0.1 nation) against an evolved copy — one column retyped
+    (n_regionkey int32->int64) and one added (n_comment_len) — and
+    golden-test the emitted ALTER script and its order end-to-end through
+    the CLI entry point. Pins the day-2 feature on production-shaped
+    footers, not just synthetic two-column fixtures."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_clickhouse_schema_spark.cli import main
+
+    old = "/root/testdata/sf0.1/nation.parquet"
+    t = pq.read_table(old)
+    evolved = pa.table(
+        {
+            "n_nationkey": t["n_nationkey"],
+            "n_name": t["n_name"],
+            "n_regionkey": t["n_regionkey"].cast(pa.int64()),
+            "n_comment_len": pa.array([7] * t.num_rows, pa.int64()),
+        }
+    )
+    new = str(tmp_path / "nation_v2.parquet")
+    pq.write_table(evolved, new)
+
+    out = tmp_path / "alter.sql"
+    rc = main(
+        [
+            "--parquet-path", new,
+            "--clickhouse-schema-path", str(out),
+            "--table-name", "nation",
+            "--primary-key", "n_nationkey",
+            "--diff-against", old,
+        ]
+    )
+    assert rc == 0
+    assert out.read_text() == (
+        "alter table nation modify column n_regionkey Nullable(Int64);\n"
+        "alter table nation add column n_comment_len Nullable(Int64) "
+        "after n_regionkey;\n"
+    )
+
+    # the reverse migration drops the add and retypes back — same entry point
+    out2 = tmp_path / "alter_back.sql"
+    rc = main(
+        [
+            "--parquet-path", old,
+            "--clickhouse-schema-path", str(out2),
+            "--table-name", "nation",
+            "--primary-key", "n_nationkey",
+            "--diff-against", new,
+        ]
+    )
+    assert rc == 0
+    assert out2.read_text() == (
+        "alter table nation drop column n_comment_len;\n"
+        "alter table nation modify column n_regionkey Nullable(Int32);\n"
+    )
 
 
 def test_schema_alter_ddl_primary_key_and_reorder(tmp_path, spark):
