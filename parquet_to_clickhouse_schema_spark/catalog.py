@@ -13,9 +13,14 @@ CLI prints it:
 
 from __future__ import annotations
 
+import re
 import sys
 
 from parquet_to_clickhouse_schema_spark import registry
+
+# one {token} — no nested braces; `{{` never starts a match because the
+# inner char class excludes braces, so format-style escapes pass through
+_TOKEN = re.compile(r"\{([^{}]+)\}")
 
 
 def _first_sentence(doc: str, module_name: str) -> str:
@@ -23,16 +28,32 @@ def _first_sentence(doc: str, module_name: str) -> str:
     ``{CONSTANT}`` placeholders resolved against the defining module's
     globals (many operator docstrings reference module constants like
     NOVELTY_N without being f-strings — the catalog must not print raw
-    template tokens)."""
+    template tokens).
+
+    Resolution is per-token, not whole-string str.format (ADVICE r11): a
+    single expression placeholder like ``{CDC_MASK + 1}`` used to KeyError
+    the format call and leave EVERY token in the string raw. Each token is
+    now evaluated independently against the module's globals (the
+    docstring is our own source, so this is the same trust level as the
+    module code itself); tokens that don't resolve — math notation like
+    ``y_{t-1}`` — are left verbatim."""
     first = doc.split("\n\n", 1)[0].replace("\n", " ")
     first = " ".join(first.split())
     if "{" in first:
         mod = sys.modules.get(module_name)
         if mod is not None:
-            try:
-                first = first.format(**vars(mod))
-            except (KeyError, IndexError, ValueError, AttributeError):
-                pass
+            namespace = dict(vars(mod))
+
+            def _sub(m: re.Match) -> str:
+                expr, has_spec, spec = m.group(1).partition(":")
+                try:
+                    val = eval(expr, {"__builtins__": {}}, namespace)
+                    return format(val, spec) if has_spec else str(val)
+                except Exception:
+                    return m.group(0)
+
+            first = _TOKEN.sub(_sub, first)
+            first = first.replace("{{", "{").replace("}}", "}")
     # sentence cut: the first ". " ends it ("e.g." style abbreviations are
     # not used at sentence heads in this codebase); keep em-dash clauses
     cut = first.find(". ")

@@ -37,10 +37,16 @@ def main(argv: list[str] | None = None) -> int:
         help="print the operator catalog (optionally filtered by substring) "
         "and exit — discoverability for the engine's query surface",
     )
-    if argv is not None and any(a.startswith("--list-queries") for a in argv) or (
-        argv is None and any(a.startswith("--list-queries") for a in sys.argv[1:])
-    ):
-        args, _ = ap.parse_known_args(argv)
+    def _is_catalog_flag(a: str) -> bool:
+        # exact flag (or --list-queries=FILTER) only: a prefix test would
+        # also swallow future flags sharing the prefix and positional
+        # values, silently routing typoed invocations into catalog mode
+        return a == "--list-queries" or a.startswith("--list-queries=")
+
+    raw_args = sys.argv[1:] if argv is None else argv
+    if any(_is_catalog_flag(a) for a in raw_args):
+        # strict parse: a typoed --parquet-path etc. must error, not vanish
+        args = ap.parse_args(argv)
         from parquet_to_clickhouse_schema_spark.catalog import (
             describe_queries,
             format_catalog,

@@ -517,3 +517,50 @@ def test_cli_list_queries_catalog():
         main(["--list-queries", "minhash"])
     filtered = buf.getvalue()
     assert "q_near_dedup_minhash" in filtered and "q_agg_hash" not in filtered
+
+
+def test_catalog_descriptions_fully_resolved():
+    """ADVICE r11 regression: every registered description must have its
+    {CONSTANT} / {CONSTANT:.0%} / {EXPR + 1} docstring placeholders resolved
+    — an expression token used to KeyError the whole-string str.format and
+    leave ALL tokens raw for that query. Math notation like y_{t-1}
+    (lowercase) is allowed; constant-style tokens are not."""
+    import re
+
+    from parquet_to_clickhouse_schema_spark.catalog import describe_queries
+
+    unresolved = [
+        (r["key"], r["description"])
+        for r in describe_queries()
+        if re.search(r"\{[A-Z_]{2,}", r["description"])
+    ]
+    assert unresolved == []
+
+
+def test_cli_list_queries_prefix_is_not_catalog_mode(tmp_path):
+    """ADVICE r11 regression: only the exact --list-queries flag (or
+    --list-queries=FILTER) enters catalog mode, and a typoed extra flag in
+    catalog mode errors instead of being silently swallowed."""
+    import contextlib
+    import io
+
+    import pytest
+
+    from parquet_to_clickhouse_schema_spark.cli import main
+
+    # a future flag sharing the prefix must NOT be swallowed into catalog
+    # mode — argparse should reject it as unknown (SystemExit != 0)
+    with pytest.raises(SystemExit) as exc, contextlib.redirect_stderr(io.StringIO()):
+        main(["--list-queries-format", "json"])
+    assert exc.value.code != 0
+
+    # a typoed companion flag alongside --list-queries errors loudly too
+    with pytest.raises(SystemExit) as exc, contextlib.redirect_stderr(io.StringIO()):
+        main(["--list-queries", "--parquet-pth", "/tmp/x.parquet"])
+    assert exc.value.code != 0
+
+    # the = form still works
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--list-queries=minhash"])
+    assert rc == 0 and "q_near_dedup_minhash" in buf.getvalue()
