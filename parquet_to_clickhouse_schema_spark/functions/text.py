@@ -2879,39 +2879,64 @@ def q_negative_sampling_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q_cross_source_dups",
     """
-    WITH d AS (SELECT DISTINCT source, md5(text) AS dg FROM documents)
-    SELECT a.source AS source_a, b.source AS source_b,
-           CAST(count(*) AS BIGINT) AS n_shared
-    FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source
-    GROUP BY 1, 2
+    WITH d AS (SELECT DISTINCT source, md5(text) AS dg FROM documents),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared
+    FROM (SELECT x.source AS source_a, y.source AS source_b
+          FROM srcs x JOIN srcs y ON x.source < y.source) p
+    LEFT JOIN shared s
+      ON p.source_a = s.source_a AND p.source_b = s.source_b
     """,
 )
 def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-source contamination matrix: for every source pair, the
+    """Inter-source contamination matrix: for EVERY source pair, the
     number of distinct texts BOTH carry (exact md5 identity) — which
     crawls/feeds copy from each other, the question behind source-level
     mix weights (two sources sharing half their content should not get
     two full sampling slots) and behind q_group_split's whole-source
     leakage rule. Within-source duplication is q_dup_rate_report's and
-    q_coverage_curve's axis; this is the BETWEEN axis.
+    q_coverage_curve's axis; this is the BETWEEN axis. The matrix is
+    DENSE (r12): zero-shared pairs are emitted explicitly — "no
+    contamination between a and b" is itself the answer the mix-weight
+    planner needs, and it keeps the correctness gate non-trivial at any
+    SF (at sf0.01 the sparse form matched on 0 = 0 rows; the dense form
+    gates 190 rows of pair structure + counts).
 
     Digests, never text, flow into the self-join, and the join key is
     the digest itself — O(shared content), never all-pairs; per-digest
     fan-out is bounded by the source count (20 here), so the worst case
-    is a boilerplate digest present in every source, C(20,2) rows. Exact
-    integer counts; ordered pair (a < b) counts each pair once."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("source", F.md5(F.col("text").cast("binary")).alias("dg"))
-        .distinct()
-    )
+    is a boilerplate digest present in every source, C(20,2) rows. The
+    pair skeleton is |sources|² — catalog-sized, broadcast both sides.
+    Exact integer counts; ordered pair (a < b) counts each pair once."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", F.md5(F.col("text").cast("binary")).alias("dg")
+    ).distinct()
+    srcs = docs.select("source").distinct()
     a = d.select(F.col("source").alias("source_a"), "dg")
     b = d.select(F.col("source").alias("source_b"), "dg")
-    return (
+    shared = (
         a.join(b, "dg")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    pairs = (
+        F.broadcast(srcs.select(F.col("source").alias("source_a")))
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("source_b"))))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    return pairs.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
     )
 
 

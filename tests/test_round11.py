@@ -411,7 +411,8 @@ def test_power_analysis_is_monotone_in_mde(spark):
 
 def test_cross_source_dups_symmetric_ground_truth(spark):
     """Pair counts must match a driver-side set intersection of per-source
-    distinct-text sets, each unordered pair exactly once."""
+    distinct-text sets, each unordered pair exactly once — DENSE (r12):
+    every source pair appears, zero-shared pairs explicitly at 0."""
     from collections import defaultdict
 
     rows = {(r.source_a, r.source_b): r.n_shared for r in Q["q_cross_source_dups"](spark, SF_SMOKE).collect()}
@@ -423,10 +424,9 @@ def test_cross_source_dups_symmetric_ground_truth(spark):
     srcs = sorted(sets)
     for i, a in enumerate(srcs):
         for b in srcs[i + 1:]:
-            n = len(sets[a] & sets[b])
-            if n:
-                want[(a, b)] = n
+            want[(a, b)] = len(sets[a] & sets[b])
     assert rows == want
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
     assert all(a < b for a, b in rows)
 
 
