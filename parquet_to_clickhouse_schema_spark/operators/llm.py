@@ -2112,7 +2112,15 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample size scales the precision of the estimate, not the data touched.
     Ranking ties: raw-double order with nbr_id tiebreak, the proven
     q_ann_verified_topk discipline (~1e-15 cross-engine relative error vs
-    ~1e-7 typical cosine gaps); hits compare only ids, never floats."""
+    ~1e-7 typical cosine gaps); hits compare only ids, never floats.
+
+    Plan-reuse note (r12): qs/sig/cand each feed 2-3 branches, so the
+    q_graph_triangles localCheckpoint treatment was TRIED here — and
+    measured SLOWER at both sf0.1 (1.9 s → 3.0 s) and the 10× probe
+    (3.8 s → 4.4 s): the recomputed subtrees pipeline across all cores,
+    while eager checkpoints serialize the job graph and pay
+    materialization for corpus×bands rows. Rejected; evidence in
+    docs/SCALE.md (r12)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = (
         emb.select("vec_id")
