@@ -12,9 +12,13 @@ for Spark's distributed execution at large scale.
 """
 
 from parquet_to_clickhouse_schema_spark.ddl import (
+    SchemaDriftError,
+    UnsupportedTypeError,
+    fragment_schemas,
     infer_parquet_schema,
     schema_diff,
     schema_diff_to_clickhouse_alter,
+    schema_drift_report,
     schema_to_clickhouse,
     struct_to_clickhouse_ddl,
     struct_to_spark_ddl,
@@ -24,9 +28,13 @@ from parquet_to_clickhouse_schema_spark.session import get_spark, tune
 __all__ = [
     "get_spark",
     "tune",
+    "SchemaDriftError",
+    "UnsupportedTypeError",
+    "fragment_schemas",
     "infer_parquet_schema",
     "schema_diff",
     "schema_diff_to_clickhouse_alter",
+    "schema_drift_report",
     "schema_to_clickhouse",
     "struct_to_clickhouse_ddl",
     "struct_to_spark_ddl",

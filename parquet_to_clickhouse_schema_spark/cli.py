@@ -10,6 +10,11 @@ Usage:
 
 Unlike the reference, no Spark/JVM is launched: schema inference is the
 pyarrow footer path, so this runs in milliseconds on a 100 TB file's footer.
+
+Standalone modes (each exits without the four required flags):
+    --list-queries [FILTER]      operator catalog with gate status
+    --drift-report DATASET_DIR   per-fragment footer drift (exit 0/3)
+Day-2 mode: --diff-against OLD_PARQUET emits ALTER TABLE migration DDL.
 """
 
 from __future__ import annotations
@@ -37,16 +42,46 @@ def main(argv: list[str] | None = None) -> int:
         help="print the operator catalog (optionally filtered by substring) "
         "and exit — discoverability for the engine's query surface",
     )
-    def _is_catalog_flag(a: str) -> bool:
-        # exact flag (or --list-queries=FILTER) only: a prefix test would
-        # also swallow future flags sharing the prefix and positional
-        # values, silently routing typoed invocations into catalog mode
-        return a == "--list-queries" or a.startswith("--list-queries=")
+    ap.add_argument(
+        "--drift-report",
+        default=None,
+        metavar="DATASET_PATH",
+        help="scan EVERY part-file footer of a directory dataset and report "
+        "fragments whose schema disagrees with the first fragment, then "
+        "exit (0 clean, 3 drift found) — the intra-table complement of "
+        "--diff-against",
+    )
+
+    def _is_standalone_flag(a: str) -> bool:
+        # exact flag (or --flag=VALUE) only: a prefix test would also
+        # swallow future flags sharing the prefix and positional values,
+        # silently routing typoed invocations into the standalone mode
+        return a in ("--list-queries", "--drift-report") or a.startswith(
+            ("--list-queries=", "--drift-report=")
+        )
 
     raw_args = sys.argv[1:] if argv is None else argv
-    if any(_is_catalog_flag(a) for a in raw_args):
+    if any(_is_standalone_flag(a) for a in raw_args):
         # strict parse: a typoed --parquet-path etc. must error, not vanish
         args = ap.parse_args(argv)
+        if args.drift_report is not None:
+            from parquet_to_clickhouse_schema_spark.ddl import (
+                schema_drift_report,
+            )
+
+            drift = schema_drift_report(args.drift_report)
+            if not drift:
+                sys.stdout.write(
+                    f"{args.drift_report}: all fragment footers agree\n"
+                )
+                return 0
+            for d in drift:
+                sys.stdout.write(
+                    f"{d['file']}: {d['column']} {d['change']} "
+                    f"(reference {d['old_type']}, found {d['new_type']})\n"
+                )
+            sys.stdout.write(f"{len(drift)} disagreement(s)\n")
+            return 3
         from parquet_to_clickhouse_schema_spark.catalog import (
             describe_queries,
             format_catalog,

@@ -41,6 +41,7 @@ domain.
 
 from __future__ import annotations
 
+import json
 from typing import Iterable
 
 from pyspark.sql import SparkSession
@@ -49,6 +50,12 @@ from pyspark.sql import types as T
 
 class UnsupportedTypeError(NotImplementedError):
     """Raised in strict mode for types the reference panics on."""
+
+
+class SchemaDriftError(ValueError):
+    """Raised in strict mode when the fragments of a directory dataset
+    carry conflicting footer schemas — emitting DDL from the first
+    fragment would silently misdescribe the rest of the table."""
 
 
 # Reference-supported scalar map (src/parquetutils.rs:76-99). DateType →
@@ -318,13 +325,33 @@ def schema_to_clickhouse(
 ) -> str:
     """The reference's end-to-end flow (src/parquetutils.rs:17-61):
     Parquet footer → schema walk → ClickHouse DDL (optionally written to a
-    file, as the reference's BufWriter sink does)."""
+    file, as the reference's BufWriter sink does).
+
+    Strict mode walks EVERY footer of a directory dataset (the
+    _strict_physical_violations discipline) and additionally refuses to
+    emit DDL when fragments disagree (SchemaDriftError): pyarrow's dataset
+    discovery reports the first fragment's schema, so on a drifted table
+    the generated DDL would silently misdescribe every later part-file.
+    Lenient mode keeps the first-fragment behavior (use
+    schema_drift_report to inspect the drift)."""
     if strict:
         bad = _strict_physical_violations(parquet_path)
         if bad:
             raise UnsupportedTypeError(
                 "reference panics on these physical types "
                 f"(src/parquetutils.rs:76-88,85): {bad}"
+            )
+        drift = schema_drift_report(parquet_path, spark)
+        if drift:
+            preview = "; ".join(
+                f"{d['file'].rsplit('/', 1)[-1]}:{d['column']} {d['change']}"
+                for d in drift[:5]
+            )
+            raise SchemaDriftError(
+                f"{len(drift)} fragment-schema disagreement(s) in "
+                f"{parquet_path} (vs first fragment) — DDL would misdescribe "
+                f"the drifted part-files: {preview}"
+                f"{' …' if len(drift) > 5 else ''}"
             )
     schema = infer_parquet_schema(parquet_path, spark)
     ddl = struct_to_clickhouse_ddl(schema, table_name, primary_key, strict=strict)
@@ -371,20 +398,28 @@ def schema_diff(
     """
     old_schema = infer_parquet_schema(old_path, spark)
     new_schema = infer_parquet_schema(new_path, spark)
+    return _schema_changes(old_schema, new_schema)
 
-    def flatten(st: T.StructType, prefix: str = "") -> dict[str, tuple[str, bool]]:
-        out: dict[str, tuple[str, bool]] = {}
-        for f in st.fields:
-            path = f"{prefix}{f.name}"
-            if isinstance(f.dataType, T.StructType):
-                out[path] = ("struct", f.nullable)
-                out.update(flatten(f.dataType, prefix=f"{path}."))
-            else:
-                out[path] = (f.dataType.simpleString(), f.nullable)
-        return out
 
-    old_cols = flatten(old_schema)
-    new_cols = flatten(new_schema)
+def _flatten_schema(st: T.StructType, prefix: str = "") -> dict[str, tuple[str, bool]]:
+    """path -> (simpleString type, nullable), recursing into structs with
+    dotted paths (shared by schema_diff and schema_drift_report)."""
+    out: dict[str, tuple[str, bool]] = {}
+    for f in st.fields:
+        path = f"{prefix}{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            out[path] = ("struct", f.nullable)
+            out.update(_flatten_schema(f.dataType, prefix=f"{path}."))
+        else:
+            out[path] = (f.dataType.simpleString(), f.nullable)
+    return out
+
+
+def _schema_changes(old_schema: T.StructType, new_schema: T.StructType) -> list[dict]:
+    """The added/removed/type_changed/nullability_changed entries between
+    two already-inferred schemas (the comparison core of schema_diff)."""
+    old_cols = _flatten_schema(old_schema)
+    new_cols = _flatten_schema(new_schema)
     changes: list[dict] = []
     for path in sorted(old_cols.keys() | new_cols.keys()):
         if path not in new_cols:
@@ -405,6 +440,100 @@ def schema_diff(
                                 "old_type": f"nullable={on}",
                                 "new_type": f"nullable={nn}"})
     return changes
+
+
+def _list_fragments(path: str) -> list[str]:
+    """Every .parquet part-file under a dataset path, sorted for
+    determinism; a plain file is its own single fragment."""
+    import os
+
+    if os.path.isdir(path):
+        return [
+            os.path.join(root, name)
+            for root, _dirs, names in sorted(os.walk(path))
+            for name in sorted(names)
+            if name.endswith(".parquet")
+        ]
+    return [path]
+
+
+def _read_footer_schema_json(file_path: str) -> str:
+    """One fragment's footer schema as Spark schema JSON — runs on the
+    driver OR inside a Spark task (imports stay local so the closure ships
+    clean to executors)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    arrow_schema = pq.read_schema(file_path)
+    try:
+        spark_schema = from_arrow_schema(arrow_schema, prefer_timestamp_ntz=False)
+    except TypeError:  # older signature
+        spark_schema = from_arrow_schema(arrow_schema)
+    return spark_schema.json()
+
+
+def fragment_schemas(
+    path: str,
+    spark: SparkSession | None = None,
+    distributed_threshold: int = 64,
+) -> list[tuple[str, T.StructType]]:
+    """(fragment file, footer schema) for every part-file of a dataset.
+
+    pyarrow's dataset discovery (and therefore infer_parquet_schema on a
+    directory) reports the FIRST fragment's schema — drift in any later
+    part-file is silently masked. This reads every footer individually so
+    drift is observable. Footers are metadata-only reads (~KB each), but a
+    100 TB table can be 10⁵ part-files; at or above `distributed_threshold`
+    files (and given a SparkSession) the footer scan fans out over
+    executors — each task opens its files' footers with pyarrow and ships
+    back the schema JSON, so the driver never serially opens 10⁵ files.
+    Order is the sorted file order either way."""
+    files = _list_fragments(path)
+    if spark is not None and len(files) >= distributed_threshold:
+        sc = spark.sparkContext
+        n_slices = max(1, min(len(files) // 8, sc.defaultParallelism * 4))
+        pairs = (
+            sc.parallelize(files, n_slices)
+            .map(lambda f: (f, _read_footer_schema_json(f)))
+            .collect()
+        )
+        by_file = dict(pairs)
+        return [
+            (f, T.StructType.fromJson(json.loads(by_file[f])))
+            for f in files
+        ]
+    return [
+        (f, T.StructType.fromJson(json.loads(_read_footer_schema_json(f))))
+        for f in files
+    ]
+
+
+def schema_drift_report(
+    path: str,
+    spark: SparkSession | None = None,
+    distributed_threshold: int = 64,
+) -> list[dict]:
+    """Intra-dataset schema drift: every fragment whose footer disagrees
+    with the dataset's first (sorted-order) fragment, as schema_diff-style
+    change entries plus ``file`` / ``reference_file`` keys.
+
+    schema_diff compares TWO datasets (yesterday vs today); this compares
+    the part-files WITHIN one dataset — the drift mode a long-lived 100 TB
+    table actually develops when a writer deploy changes a type mid-table.
+    An empty list means every footer agrees and the dataset-level DDL is
+    trustworthy. Footer-only; distributed over executors past
+    `distributed_threshold` files (see fragment_schemas)."""
+    frags = fragment_schemas(path, spark, distributed_threshold)
+    if len(frags) <= 1:
+        return []
+    ref_file, ref_schema = frags[0]
+    report: list[dict] = []
+    for f, schema in frags[1:]:
+        for change in _schema_changes(ref_schema, schema):
+            change["file"] = f
+            change["reference_file"] = ref_file
+            report.append(change)
+    return report
 
 
 def _render_column_type(

@@ -658,6 +658,115 @@ def test_cli_diff_against_writes_alter_file(tmp_path):
     assert out.read_text() == "alter table t add column x Nullable(Float64) after id;\n"
 
 
+def _write_fragment(dirpath, name, cols):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table(cols), str(dirpath / name))
+
+
+def test_fragment_drift_report_and_distributed_scan(tmp_path, spark):
+    """pyarrow dataset discovery reports the FIRST fragment's schema, so a
+    retyped/extended later part-file is invisible to dataset-level
+    inference; schema_drift_report reads every footer and surfaces it. The
+    Spark-distributed footer scan (threshold forced to 1) must agree with
+    the driver loop exactly."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        fragment_schemas,
+        schema_drift_report,
+    )
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    i64, f64 = pa.int64(), pa.float64()
+    _write_fragment(d, "part-000.parquet", {"id": pa.array([1], i64), "x": pa.array([1.0], f64)})
+    _write_fragment(d, "part-001.parquet", {"id": pa.array([2], i64), "x": pa.array([2.0], f64)})
+    _write_fragment(
+        d,
+        "part-002.parquet",
+        {"id": pa.array([3], pa.int32()), "x": pa.array([3.0], f64), "y": pa.array(["s"])},
+    )
+
+    report = schema_drift_report(str(d))
+    assert [(r["file"].rsplit("/", 1)[-1], r["column"], r["change"]) for r in report] == [
+        ("part-002.parquet", "id", "type_changed"),
+        ("part-002.parquet", "y", "added"),
+    ]
+    assert report[0]["old_type"] == "bigint" and report[0]["new_type"] == "int"
+    assert all(r["reference_file"].endswith("part-000.parquet") for r in report)
+
+    # executor-fanned footer scan == driver loop (order and schemas)
+    local = fragment_schemas(str(d))
+    dist = fragment_schemas(str(d), spark, distributed_threshold=1)
+    assert [(f, s.json()) for f, s in local] == [(f, s.json()) for f, s in dist]
+
+    # a uniform dataset reports no drift
+    u = tmp_path / "u.parquet"
+    u.mkdir()
+    for i in range(3):
+        _write_fragment(u, f"part-{i:03d}.parquet", {"id": pa.array([i], i64)})
+    assert schema_drift_report(str(u)) == []
+    # single plain file: trivially one fragment, no drift
+    assert schema_drift_report(str(u / "part-000.parquet")) == []
+
+
+def test_schema_to_clickhouse_refuses_drifted_dataset(tmp_path):
+    """Strict mode must not emit DDL that misdescribes later part-files;
+    lenient keeps the documented first-fragment behavior."""
+    import pyarrow as pa
+    import pytest
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        SchemaDriftError,
+        schema_to_clickhouse,
+    )
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    _write_fragment(d, "part-000.parquet", {"id": pa.array([1], pa.int64())})
+    _write_fragment(d, "part-001.parquet", {"id": pa.array([2], pa.int32())})
+
+    with pytest.raises(SchemaDriftError) as exc:
+        schema_to_clickhouse(str(d), "t", "id")
+    assert "part-001.parquet" in str(exc.value)
+
+    ddl = schema_to_clickhouse(str(d), "t", "id", strict=False)
+    assert "id Int64" in ddl  # first fragment's footer, documented
+
+
+def test_cli_drift_report_exit_codes(tmp_path):
+    """--drift-report is a standalone CLI mode: 0 when every footer agrees,
+    3 when drift is found (CI-gateable), lines naming file+column+change."""
+    import contextlib
+    import io
+
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.cli import main
+
+    clean = tmp_path / "clean.parquet"
+    clean.mkdir()
+    for i in range(2):
+        _write_fragment(clean, f"part-{i:03d}.parquet", {"id": pa.array([i], pa.int64())})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--drift-report", str(clean)])
+    assert rc == 0 and "agree" in buf.getvalue()
+
+    drifted = tmp_path / "drifted.parquet"
+    drifted.mkdir()
+    _write_fragment(drifted, "part-000.parquet", {"id": pa.array([1], pa.int64())})
+    _write_fragment(drifted, "part-001.parquet", {"id": pa.array([2], pa.int32())})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([f"--drift-report={drifted}"])
+    out = buf.getvalue()
+    assert rc == 3
+    assert "part-001.parquet" in out and "type_changed" in out and "1 disagreement" in out
+
+
 def test_cli_diff_against_real_bench_footers_golden(tmp_path):
     """VERDICT r11 stretch: drive --diff-against over a REAL bench-SF
     footer (sf0.1 nation) against an evolved copy — one column retyped
