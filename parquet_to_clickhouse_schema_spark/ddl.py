@@ -475,19 +475,27 @@ def _read_footer_schema_json(file_path: str) -> str:
 def fragment_schemas(
     path: str,
     spark: SparkSession | None = None,
-    distributed_threshold: int = 64,
+    distributed_threshold: int = 8192,
 ) -> list[tuple[str, T.StructType]]:
     """(fragment file, footer schema) for every part-file of a dataset.
 
     pyarrow's dataset discovery (and therefore infer_parquet_schema on a
     directory) reports the FIRST fragment's schema — drift in any later
     part-file is silently masked. This reads every footer individually so
-    drift is observable. Footers are metadata-only reads (~KB each), but a
-    100 TB table can be 10⁵ part-files; at or above `distributed_threshold`
-    files (and given a SparkSession) the footer scan fans out over
-    executors — each task opens its files' footers with pyarrow and ships
-    back the schema JSON, so the driver never serially opens 10⁵ files.
-    Order is the sorted file order either way."""
+    drift is observable. Footers are metadata-only reads (~KB each); at or
+    above `distributed_threshold` files (and given a SparkSession) the
+    scan fans out over executors — each task opens its files' footers with
+    pyarrow and ships back the schema JSON.
+
+    Threshold calibration (measured r12): on a LOCAL filesystem a footer
+    read is ~0.14 ms, so the driver loop beats the fan-out up to tens of
+    thousands of files (512 fragments: 0.07 s driver vs 0.65 s warm
+    Spark — task overhead dominates); the default therefore stays high.
+    The fan-out pays off on object storage, where each footer read is a
+    10-50 ms round-trip and a 10⁵-file table costs the driver 20-80
+    serial minutes vs seconds across executors — lower the threshold when
+    the dataset lives on S3/GCS/HDFS. Order is sorted file order either
+    way, and both paths return identical results (tested)."""
     files = _list_fragments(path)
     if spark is not None and len(files) >= distributed_threshold:
         sc = spark.sparkContext
