@@ -22,6 +22,7 @@ from parquet_to_clickhouse_schema_spark.ddl import (
     schema_to_clickhouse,
     struct_to_clickhouse_ddl,
     struct_to_spark_ddl,
+    unified_parquet_schema,
 )
 from parquet_to_clickhouse_schema_spark.session import get_spark, tune
 
@@ -38,4 +39,5 @@ __all__ = [
     "schema_to_clickhouse",
     "struct_to_clickhouse_ddl",
     "struct_to_spark_ddl",
+    "unified_parquet_schema",
 ]

@@ -112,6 +112,13 @@ def main(argv: list[str] | None = None) -> int:
         "this older Parquet file to --parquet-path's schema, instead of "
         "CREATE DDL (day-2 schema evolution; footer-only like CREATE)",
     )
+    ap.add_argument(
+        "--unify",
+        action="store_true",
+        help="on a directory dataset with drifted fragment schemas, emit "
+        "DDL for the promoted union schema covering every part-file "
+        "instead of refusing (see --drift-report to inspect the drift)",
+    )
     args = ap.parse_args(argv)
 
     pk = [c.strip() for c in args.primary_key.split(",")] if "," in args.primary_key else args.primary_key
@@ -134,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
         pk,
         out_path=args.clickhouse_schema_path,
         strict=not args.lenient,
+        unify=args.unify,
     )
     sys.stdout.write(ddl)
     return 0

@@ -322,6 +322,7 @@ def schema_to_clickhouse(
     spark: SparkSession | None = None,
     out_path: str | None = None,
     strict: bool = True,
+    unify: bool = False,
 ) -> str:
     """The reference's end-to-end flow (src/parquetutils.rs:17-61):
     Parquet footer → schema walk → ClickHouse DDL (optionally written to a
@@ -333,7 +334,10 @@ def schema_to_clickhouse(
     discovery reports the first fragment's schema, so on a drifted table
     the generated DDL would silently misdescribe every later part-file.
     Lenient mode keeps the first-fragment behavior (use
-    schema_drift_report to inspect the drift)."""
+    schema_drift_report to inspect the drift). ``unify=True`` resolves
+    drift instead of refusing: the DDL is emitted for the PROMOTED union
+    schema covering every fragment (unified_parquet_schema) — the schema
+    the re-created table needs so all existing part-files load into it."""
     if strict:
         bad = _strict_physical_violations(parquet_path)
         if bad:
@@ -341,19 +345,26 @@ def schema_to_clickhouse(
                 "reference panics on these physical types "
                 f"(src/parquetutils.rs:76-88,85): {bad}"
             )
-        drift = schema_drift_report(parquet_path, spark)
-        if drift:
-            preview = "; ".join(
-                f"{d['file'].rsplit('/', 1)[-1]}:{d['column']} {d['change']}"
-                for d in drift[:5]
-            )
-            raise SchemaDriftError(
-                f"{len(drift)} fragment-schema disagreement(s) in "
-                f"{parquet_path} (vs first fragment) — DDL would misdescribe "
-                f"the drifted part-files: {preview}"
-                f"{' …' if len(drift) > 5 else ''}"
-            )
-    schema = infer_parquet_schema(parquet_path, spark)
+        if not unify:
+            drift = schema_drift_report(parquet_path, spark)
+            if drift:
+                preview = "; ".join(
+                    f"{d['file'].rsplit('/', 1)[-1]}:{d['column']} {d['change']}"
+                    for d in drift[:5]
+                )
+                raise SchemaDriftError(
+                    f"{len(drift)} fragment-schema disagreement(s) in "
+                    f"{parquet_path} (vs first fragment) — DDL would "
+                    f"misdescribe the drifted part-files: {preview}"
+                    f"{' …' if len(drift) > 5 else ''} "
+                    "(pass unify=True / --unify to emit the promoted "
+                    "union schema instead)"
+                )
+    schema = (
+        unified_parquet_schema(parquet_path)
+        if unify
+        else infer_parquet_schema(parquet_path, spark)
+    )
     ddl = struct_to_clickhouse_ddl(schema, table_name, primary_key, strict=strict)
     if out_path is not None:
         with open(out_path, "w", encoding="utf-8") as fh:
@@ -514,6 +525,54 @@ def fragment_schemas(
         (f, T.StructType.fromJson(json.loads(_read_footer_schema_json(f))))
         for f in files
     ]
+
+
+def unified_parquet_schema(path: str) -> T.StructType:
+    """The PROMOTED union schema across every fragment of a dataset —
+    what the table schema should be so that every part-file reads under
+    it: types widen along Arrow's permissive promotion lattice
+    (int32+int64 → int64, float+double → double), columns union, and a
+    truly incompatible pair (int vs string) raises SchemaDriftError with
+    the conflicting column named.
+
+    This is the EMIT side of schema_drift_report: the report says which
+    fragments drifted; this produces the one schema that covers them all
+    (feed it to struct_to_clickhouse_ddl, or use the CLI's --unify).
+    Footer-only, driver-side (the r12 calibration: local footer reads are
+    ~0.14 ms, fine into tens of thousands of files; promotion runs on the
+    Arrow schemas, so the fan-out path's Spark-schema JSON doesn't
+    apply)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = _list_fragments(path)
+    if not files:
+        raise FileNotFoundError(f"no .parquet fragments under {path}")
+    import pyarrow as pa
+
+    arrow_schemas = [pq.read_schema(f) for f in files]
+    try:
+        # ArrowTypeError subclasses TypeError, so the true-conflict arm
+        # must come FIRST or the promote_options-compat fallback eats it
+        unified = pa.unify_schemas(arrow_schemas, promote_options="permissive")
+    except pa.lib.ArrowTypeError as e:
+        raise SchemaDriftError(
+            f"fragments of {path} cannot be unified even with type "
+            f"promotion: {e}"
+        ) from e
+    except TypeError:
+        # older pyarrow without promote_options: exact-match unify only
+        try:
+            unified = pa.unify_schemas(arrow_schemas)
+        except pa.lib.ArrowTypeError as e:
+            raise SchemaDriftError(
+                f"fragments of {path} cannot be unified (pyarrow too old "
+                f"for type promotion): {e}"
+            ) from e
+    try:
+        return from_arrow_schema(unified, prefer_timestamp_ntz=False)
+    except TypeError:
+        return from_arrow_schema(unified)
 
 
 def schema_drift_report(

@@ -736,6 +736,65 @@ def test_schema_to_clickhouse_refuses_drifted_dataset(tmp_path):
     assert "id Int64" in ddl  # first fragment's footer, documented
 
 
+def test_unified_schema_promotes_and_rejects(tmp_path):
+    """unify=True emits DDL for the promoted union schema (int32+int64 →
+    Int64, new columns unioned in) so every existing part-file loads under
+    it; a truly incompatible pair (int vs string) still raises
+    SchemaDriftError naming the column. The CLI --unify flag drives the
+    same path."""
+    import contextlib
+    import io
+
+    import pyarrow as pa
+    import pytest
+
+    from parquet_to_clickhouse_schema_spark.cli import main
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        SchemaDriftError,
+        schema_to_clickhouse,
+        unified_parquet_schema,
+    )
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    _write_fragment(
+        d, "part-000.parquet",
+        {"id": pa.array([1], pa.int32()), "x": pa.array([1.0], pa.float32())},
+    )
+    _write_fragment(
+        d, "part-001.parquet",
+        {"id": pa.array([2], pa.int64()), "x": pa.array([2.0], pa.float64()),
+         "y": pa.array(["s"])},
+    )
+    schema = unified_parquet_schema(str(d))
+    assert [(f.name, f.dataType.simpleString()) for f in schema.fields] == [
+        ("id", "bigint"), ("x", "double"), ("y", "string"),
+    ]
+    ddl = schema_to_clickhouse(str(d), "t", "id", unify=True)
+    assert "id Int64" in ddl and "x Nullable(Float64)" in ddl
+    assert "y Nullable(String)" in ddl
+
+    out = tmp_path / "ddl.sql"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "--parquet-path", str(d),
+            "--clickhouse-schema-path", str(out),
+            "--table-name", "t",
+            "--primary-key", "id",
+            "--unify",
+        ])
+    assert rc == 0 and out.read_text() == ddl
+
+    bad = tmp_path / "bad.parquet"
+    bad.mkdir()
+    _write_fragment(bad, "part-000.parquet", {"id": pa.array([1], pa.int64())})
+    _write_fragment(bad, "part-001.parquet", {"id": pa.array(["s"])})
+    with pytest.raises(SchemaDriftError) as exc:
+        unified_parquet_schema(str(bad))
+    assert "id" in str(exc.value)
+
+
 def test_cli_drift_report_exit_codes(tmp_path):
     """--drift-report is a standalone CLI mode: 0 when every footer agrees,
     3 when drift is found (CI-gateable), lines naming file+column+change."""
