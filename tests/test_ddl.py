@@ -795,6 +795,31 @@ def test_unified_schema_promotes_and_rejects(tmp_path):
     assert "id" in str(exc.value)
 
 
+def test_drift_clean_on_spark_written_directory(tmp_path, spark):
+    """Real-world dataset shape: a multi-part directory written by Spark
+    itself (with _SUCCESS marker files, which the fragment walk must skip).
+    Uniform by construction → no drift, strict DDL emits, and the unified
+    schema equals the dataset schema."""
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        schema_drift_report,
+        schema_to_clickhouse,
+        unified_parquet_schema,
+    )
+
+    d = str(tmp_path / "ev.parquet")
+    spark.range(0, 1000).selectExpr(
+        "id", "cast(id % 7 as double) as v"
+    ).repartition(4).write.parquet(d)
+
+    assert schema_drift_report(d) == []
+    ddl = schema_to_clickhouse(d, "ev", "id")  # strict: walks all footers
+    assert "id Int64" in ddl and "v Nullable(Float64)" in ddl
+    uni = unified_parquet_schema(d)
+    assert [(f.name, f.dataType.simpleString()) for f in uni.fields] == [
+        ("id", "bigint"), ("v", "double"),
+    ]
+
+
 def test_cli_drift_report_exit_codes(tmp_path):
     """--drift-report is a standalone CLI mode: 0 when every footer agrees,
     3 when drift is found (CI-gateable), lines naming file+column+change."""
