@@ -111,81 +111,76 @@ CONTRACT_KEYS = (
     "q_udaf_grouped",
 )
 
-# Round-12 sweep priority: the driver's correctness sweep checks the FIRST
+# Round-13 sweep priority: the driver's correctness sweep checks the FIRST
 # ~50 queries() keys each round. Rotation is rebuilt each round from the
-# evidence ledger (`python scripts/sweep_ledger.py`, docs/SWEEP_LEDGER.md);
-# r11 swept 50/50 green (CORRECTNESS_r11.json), leaving exactly 14 keys
-# with no driver row ever. r12 leads with those: (a) the 12 never-swept
-# oracle-gated keys (all 12 judge-verified exact-match in the r11 judge
-# session — pure harvesting), (b) the 2 never-swept rows-only keys, then
-# (c) the r4-era refresh, oldest evidence first: 40 oracle-gated r4 keys
-# alphabetically, then the 6 rows-only r4 keys (a hash-gated refresh is
-# worth more than a rows-only one, so the oracle block goes first).
-# BUDGET NOTE: 14 + 46 = 60 keys vs the ~50-key budget, so the last ~10
-# entries (tail of the r4 oracle block + the r4 rows-only block) may not
-# get a row this round; the r13 rotation must lead with whatever the
-# regenerated ledger still shows as oldest. Zero overlap with the r11
-# sweep set by construction.
+# evidence ledger (`python scripts/sweep_ledger.py`, docs/SWEEP_LEDGER.md).
+# After r12 every registered key has driver evidence; what remains is the
+# freshness backlog: 50 keys whose latest row is r05 and 10 whose latest is
+# r04. r13 leads with the full r05 block (45 oracle-gated alphabetical,
+# then the 5 rows-only keys) — exactly the ~50-key budget — with the 10
+# r04 stragglers as overflow (their 4 oracle-gated members were
+# judge-verified exact-match in the r12 session, so they are the safest
+# keys to defer to r14). Zero overlap with the r12 sweep set by
+# construction.
 SWEEP_PRIORITY = (
-    # (a) never-swept oracle-gated keys (judge-verified exact in r11 session)
-    "q_ab_srm_check",
-    "q_bloom_fpr_plan",
-    "q_churn_features",
-    "q_class_weights",
-    "q_cross_source_dups",
-    "q_dup_cluster_sizes",
-    "q_negative_sampling_freq",
-    "q_neyman_allocation",
-    "q_power_analysis",
-    "q_session_metrics",
-    "q_source_mix_kl",
-    "q_vocab_coverage",
-    # (b) never-swept rows-only keys
-    "q_freq_topk_sketch",  # rows-only
-    "q_pagerank",  # rows-only
-    # (c) r4-era refresh: oracle-gated first, alphabetical
-    "q_agg_collect",
-    "q_agg_distinct_twophase",
-    "q_chunk_docs",
-    "q_cosine_topk",
-    "q_data_split",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_dedup_ngram",
-    "q_doc_fingerprint",
-    "q_embed_centroid",
-    "q_explode_pos",
-    "q_funnel",
-    "q_gapfill_ffill",
-    "q_islands",
-    "q_join_full",
-    "q_lang_id",
-    "q_lateral_join",
-    "q_map_funcs",
-    "q_pii_redact",
-    "q_quality_score",
-    "q_repetition_filter",
-    "q_report_disjunctive_revenue",
-    "q_report_nation_profit",
-    "q_report_promo_share",
-    "q_report_regional_revenue",
-    "q_resample_gapfill",
-    "q_retention",
-    "q_salted_join",
-    "q_scd1_merge",
-    "q_scd2_apply",
-    "q_schema_infer",
-    "q_stratified_sample",
-    "q_string_agg",
-    "q_tfidf_top",
-    "q_token_count",
+    # (a) r5-era oracle-gated refresh, alphabetical (45 keys)
+    "q_agg_distinct",
+    "q_agg_filtered",
+    "q_agg_hash",
+    "q_array_funcs",
+    "q_bm25_score",
+    "q_cond_funcs",
+    "q_cube",
+    "q_date_funcs",
+    "q_dedup_exact",
+    "q_dedup_keep_best",
+    "q_epoch_shuffle",
+    "q_ewma",
+    "q_except",
+    "q_explode",
+    "q_filter_pred",
+    "q_fuzzy_pairs",
+    "q_grouping_sets",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_sortmerge",
+    "q_json_funcs",
+    "q_math_funcs",
+    "q_multimodal_cols",
+    "q_pack_sequences",
+    "q_rolling_distinct",
+    "q_rollup",
+    "q_sample_weighted",
+    "q_scan_project",
+    "q_sessionize",
+    "q_source_cap",
+    "q_string_funcs",
+    "q_topk",
+    "q_topk_per_group",
+    "q_union",
+    "q_window_frame",
+    "q_window_lag",
+    "q_window_range_frame",
+    "q_window_rank",
+    "q_window_rank_scalable",
+    # (b) r5-era rows-only keys (50-key budget line falls here)
+    "q_agg_approx_distinct",  # rows-only
+    "q_ddl_sparksql",  # rows-only
+    "q_ivfpq_topk",  # rows-only
+    "q_kmeans_clusters",  # rows-only
+    "q_pq_topk",  # rows-only
+    # ---- ~50-budget line ----
+    # (c) overflow: r4-era stragglers for r14 (oracle-gated first)
     "q_try_funcs",
     "q_udtf_ngrams",
     "q_vocab_top",
     "q_window_distinct_running",
-    # ---- ~50-budget line falls a few keys above here ----
-    # (c cont.) r4-era rows-only keys
     "q_ann_lsh_topk",  # rows-only
     "q_ddl_clickhouse",  # rows-only
     "q_dedup_simhash",  # rows-only
