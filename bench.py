@@ -116,7 +116,13 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    canary_time()  # JVM/codegen warmup; discard
+    # 4 discarded warmups: one is not enough — r12's artifact showed the
+    # "before" median still riding the JIT/codegen ramp (0.308 s vs 0.135 s
+    # after, drift_ratio 0.438 on an otherwise-clean run), which made the
+    # ratio read "contended" in the warm-up direction. The canary must
+    # measure the MACHINE, not the JVM's first minutes.
+    for _ in range(4):
+        canary_time()
     sentinel_before = round(statistics.median([canary_time() for _ in range(3)]), 3)
     load_before = [round(x, 2) for x in os.getloadavg()]
 

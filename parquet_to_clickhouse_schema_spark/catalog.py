@@ -13,14 +13,90 @@ CLI prints it:
 
 from __future__ import annotations
 
-import re
+import ast
+import operator
 import sys
 
 from parquet_to_clickhouse_schema_spark import registry
 
-# one {token} — no nested braces; `{{` never starts a match because the
-# inner char class excludes braces, so format-style escapes pass through
-_TOKEN = re.compile(r"\{([^{}]+)\}")
+# constant-expression whitelist for docstring placeholders: a bare module
+# constant, int/float literals, +-*/%//** and <</>> arithmetic, unary +/-.
+# No attributes, no calls, no subscripts — a docstring is the part of
+# source most likely to carry pasted external text, so it gets a narrower
+# sandbox than the module code around it (ADVICE r12; eval with stripped
+# __builtins__ still reached attribute access and calls on module globals).
+_BIN_OPS = {
+    ast.Add: operator.add,
+    ast.Sub: operator.sub,
+    ast.Mult: operator.mul,
+    ast.Div: operator.truediv,
+    ast.FloorDiv: operator.floordiv,
+    ast.Mod: operator.mod,
+    ast.Pow: operator.pow,
+    ast.LShift: operator.lshift,
+    ast.RShift: operator.rshift,
+}
+_UNARY_OPS = {ast.UAdd: operator.pos, ast.USub: operator.neg}
+
+
+def _const_eval(expr: str, namespace: dict) -> object:
+    """Evaluate a placeholder expression under the AST whitelist above;
+    raises on anything outside it (the caller leaves the token verbatim)."""
+
+    def ev(node: ast.AST) -> object:
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Name):
+            return namespace[node.id]  # KeyError → verbatim
+        if isinstance(node, ast.Constant) and isinstance(
+            node.value, (int, float)
+        ):
+            return node.value
+        if isinstance(node, ast.BinOp) and type(node.op) in _BIN_OPS:
+            return _BIN_OPS[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp) and type(node.op) in _UNARY_OPS:
+            return _UNARY_OPS[type(node.op)](ev(node.operand))
+        raise ValueError(f"disallowed placeholder syntax: {ast.dump(node)}")
+
+    return ev(ast.parse(expr, mode="eval"))
+
+
+def _resolve_placeholders(text: str, namespace: dict) -> str:
+    """str.format-parity scan (ADVICE r12): `{{`/`}}` are consumed as
+    escape pairs FIRST (left to right, exactly like the format spec), so
+    `{{TOKEN}}` renders the literal `{TOKEN}` with no substitution, while
+    a real token nested inside escapes — `y_{{h−{SEASON}}}` — still
+    resolves its inner `{SEASON}`. Tokens that fail the _const_eval
+    whitelist (math notation like `{t-1}`) stay verbatim."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "{":
+            if text.startswith("{{", i):
+                out.append("{")
+                i += 2
+                continue
+            j = text.find("}", i + 1)
+            if j == -1 or "{" in text[i + 1 : j]:
+                out.append(c)
+                i += 1
+                continue
+            expr, has_spec, spec = text[i + 1 : j].partition(":")
+            try:
+                val = _const_eval(expr, namespace)
+                out.append(format(val, spec) if has_spec else str(val))
+            except Exception:
+                out.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if text.startswith("}}", i):
+            out.append("}")
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _first_sentence(doc: str, module_name: str) -> str:
@@ -33,27 +109,16 @@ def _first_sentence(doc: str, module_name: str) -> str:
     Resolution is per-token, not whole-string str.format (ADVICE r11): a
     single expression placeholder like ``{CDC_MASK + 1}`` used to KeyError
     the format call and leave EVERY token in the string raw. Each token is
-    now evaluated independently against the module's globals (the
-    docstring is our own source, so this is the same trust level as the
-    module code itself); tokens that don't resolve — math notation like
-    ``y_{t-1}`` — are left verbatim."""
+    evaluated independently under a constant-expression AST whitelist
+    (bare module constants + arithmetic — see _const_eval); tokens that
+    don't resolve — math notation like ``y_{t-1}`` — are left verbatim,
+    and ``{{...}}`` escapes round-trip to their literal braces."""
     first = doc.split("\n\n", 1)[0].replace("\n", " ")
     first = " ".join(first.split())
     if "{" in first:
         mod = sys.modules.get(module_name)
         if mod is not None:
-            namespace = dict(vars(mod))
-
-            def _sub(m: re.Match) -> str:
-                expr, has_spec, spec = m.group(1).partition(":")
-                try:
-                    val = eval(expr, {"__builtins__": {}}, namespace)
-                    return format(val, spec) if has_spec else str(val)
-                except Exception:
-                    return m.group(0)
-
-            first = _TOKEN.sub(_sub, first)
-            first = first.replace("{{", "{").replace("}}", "}")
+            first = _resolve_placeholders(first, dict(vars(mod)))
     # sentence cut: the first ". " ends it ("e.g." style abbreviations are
     # not used at sentence heads in this codebase); keep em-dash clauses
     cut = first.find(". ")

@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     if any(_is_standalone_flag(a) for a in raw_args):
         # strict parse: a typoed --parquet-path etc. must error, not vanish
         args = ap.parse_args(argv)
+        if args.drift_report is not None and args.list_queries is not None:
+            # each mode exits on its own; silently preferring one would
+            # swallow the other request
+            ap.error("--drift-report and --list-queries are mutually exclusive")
         if args.drift_report is not None:
             from parquet_to_clickhouse_schema_spark.ddl import (
                 schema_drift_report,
@@ -76,9 +80,14 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 0
             for d in drift:
+                if d["change"] == "added":
+                    detail = f"(added as {d['new_type']})"
+                elif d["change"] == "removed":
+                    detail = f"(removed, was {d['old_type']})"
+                else:
+                    detail = f"(reference {d['old_type']}, found {d['new_type']})"
                 sys.stdout.write(
-                    f"{d['file']}: {d['column']} {d['change']} "
-                    f"(reference {d['old_type']}, found {d['new_type']})\n"
+                    f"{d['file']}: {d['column']} {d['change']} {detail}\n"
                 )
             sys.stdout.write(f"{len(drift)} disagreement(s)\n")
             return 3

@@ -220,21 +220,77 @@ def struct_to_clickhouse_ddl(
     primary_key: str | Iterable[str],
     strict: bool = True,
     always_nullable: bool = True,
+    partition_by: Iterable[str] | None = None,
 ) -> str:
     """Pure formatter: Spark schema → ClickHouse MergeTree DDL string.
 
     ``always_nullable=True`` reproduces the reference's rule of wrapping every
     non-PK primitive in Nullable regardless of the Parquet repetition
     (src/parquetutils.rs:169-172); set False to honor actual nullability.
+
+    ``partition_by`` names columns emitted into a ``partition by (...)``
+    clause (hive-layout datasets: the ``key=value`` directory columns).
+    Partition-key columns are emitted bare like the primary key — ClickHouse
+    rejects Nullable partition keys without a compatibility setting, and a
+    hive directory column can never actually be null. None (the default)
+    reproduces the reference's clause-free layout byte-for-byte
+    (src/parquetutils.rs:33-56 — the reference had no directory datasets at
+    all, src/bin/schemagen.rs:19-21).
     """
     pk_list = [primary_key] if isinstance(primary_key, str) else list(primary_key)
-    pks = set(pk_list)
+    part_list = list(partition_by) if partition_by is not None else []
+    pks = set(pk_list) | set(part_list)  # both families emit bare types
     out = [f"drop table if exists {table_name};\n", f"create table {table_name} (\n"]
     for i, f in enumerate(schema.fields):
         out.append("    " if i == 0 else "    , ")
         _emit(out, f.name, f.dataType, f.nullable, 4, pks, strict, always_nullable)
-    out.append(f") engine = MergeTree() primary key ({', '.join(pk_list)});\n")
+    part_clause = f" partition by ({', '.join(part_list)})" if part_list else ""
+    out.append(
+        f") engine = MergeTree(){part_clause} "
+        f"primary key ({', '.join(pk_list)});\n"
+    )
     return "".join(out)
+
+
+def hive_partition_fields(path: str) -> list[T.StructField]:
+    """Partition columns a hive-layout directory encodes as ``key=value``
+    path segments, typed by pyarrow's partitioning discovery (``year=2024``
+    → int32, ``region=eu`` → string — the same inference Spark's reader
+    applies). These columns appear in NO part-file footer, so every
+    footer-only path (infer/unify/drift) is blind to them; any dataset-level
+    schema or DDL must append them explicitly or the emitted table silently
+    drops the partition keys — the first thing a real lakehouse user hits.
+
+    Discovery is footer-free AND data-free: pyarrow lists the directory tree
+    and parses the segment names (one listing, which every directory mode
+    here already pays). Returns [] for plain files and flat directories. A
+    key that ALSO appears in the footers (some writers duplicate partition
+    columns into the data) is excluded — the footer typing wins."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    has_kv = any(
+        "=" in seg
+        for root, dirs, _files in os.walk(path)
+        for seg in dirs
+    )
+    if not has_kv:
+        return []
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    full = ds.dataset(path, format="parquet", partitioning="hive").schema
+    footer_names = set(ds.dataset(path, format="parquet").schema.names)
+    part_fields = [full.field(n) for n in full.names if n not in footer_names]
+    if not part_fields:
+        return []
+    sub = pa.schema(part_fields)
+    try:
+        return list(from_arrow_schema(sub, prefer_timestamp_ntz=False).fields)
+    except TypeError:  # older signature
+        return list(from_arrow_schema(sub).fields)
 
 
 def infer_parquet_schema(path: str, spark: SparkSession | None = None) -> T.StructType:
@@ -244,7 +300,10 @@ def infer_parquet_schema(path: str, spark: SparkSession | None = None) -> T.Stru
     converted to Spark types — mirrors the reference's metadata-only read
     (src/parquetutils.rs:28-30) and also handles TIMESTAMP(NANOS), which
     Spark's own reader rejects. Falls back to ``spark.read.parquet`` when
-    pyarrow is unavailable.
+    pyarrow is unavailable. Hive-layout directories get their ``key=value``
+    partition columns appended (typed by discovery — see
+    hive_partition_fields), matching what Spark's own reader would report
+    for the same directory.
     """
     try:
         import pyarrow.dataset as ds
@@ -252,9 +311,10 @@ def infer_parquet_schema(path: str, spark: SparkSession | None = None) -> T.Stru
 
         arrow_schema = ds.dataset(path, format="parquet").schema
         try:
-            return from_arrow_schema(arrow_schema, prefer_timestamp_ntz=False)
+            schema = from_arrow_schema(arrow_schema, prefer_timestamp_ntz=False)
         except TypeError:  # older signature
-            return from_arrow_schema(arrow_schema)
+            schema = from_arrow_schema(arrow_schema)
+        return T.StructType(schema.fields + hive_partition_fields(path))
     except ImportError:
         if spark is None:
             raise
@@ -365,7 +425,14 @@ def schema_to_clickhouse(
         if unify
         else infer_parquet_schema(parquet_path, spark)
     )
-    ddl = struct_to_clickhouse_ddl(schema, table_name, primary_key, strict=strict)
+    part_cols = [f.name for f in hive_partition_fields(parquet_path)]
+    ddl = struct_to_clickhouse_ddl(
+        schema,
+        table_name,
+        primary_key,
+        strict=strict,
+        partition_by=part_cols or None,
+    )
     if out_path is not None:
         with open(out_path, "w", encoding="utf-8") as fh:
             fh.write(ddl)
@@ -506,21 +573,45 @@ def fragment_schemas(
     10-50 ms round-trip and a 10⁵-file table costs the driver 20-80
     serial minutes vs seconds across executors — lower the threshold when
     the dataset lives on S3/GCS/HDFS. Order is sorted file order either
-    way, and both paths return identical results (tested)."""
+    way, and both paths return identical results (tested).
+
+    Collect cost model: tasks ship back one (file, md5-fingerprint) pair
+    per fragment plus ONE exemplar schema JSON per DISTINCT schema,
+    deduplicated inside each task. A 10⁵-file drifted table therefore
+    returns 10⁵ 16-byte digests and a handful of KB-sized JSONs — not 10⁵
+    full schema payloads (the naive per-file-JSON collect this replaced)."""
     files = _list_fragments(path)
     if spark is not None and len(files) >= distributed_threshold:
+
+        def _scan(file_iter):
+            # local imports + local dedup: ships clean, returns one
+            # (rows, exemplars) pair per task
+            import hashlib
+
+            rows: list[tuple[str, str]] = []
+            exemplars: dict[str, str] = {}
+            for f in file_iter:
+                j = _read_footer_schema_json(f)
+                fp = hashlib.md5(j.encode("utf-8")).hexdigest()
+                rows.append((f, fp))
+                exemplars.setdefault(fp, j)
+            yield (rows, exemplars)
+
         sc = spark.sparkContext
         n_slices = max(1, min(len(files) // 8, sc.defaultParallelism * 4))
-        pairs = (
-            sc.parallelize(files, n_slices)
-            .map(lambda f: (f, _read_footer_schema_json(f)))
-            .collect()
-        )
-        by_file = dict(pairs)
-        return [
-            (f, T.StructType.fromJson(json.loads(by_file[f])))
-            for f in files
-        ]
+        fp_by_file: dict[str, str] = {}
+        json_by_fp: dict[str, str] = {}
+        for rows, exemplars in (
+            sc.parallelize(files, n_slices).mapPartitions(_scan).collect()
+        ):
+            fp_by_file.update(rows)
+            json_by_fp.update(exemplars)
+        # parse each distinct schema ONCE, share the StructType across files
+        schema_by_fp = {
+            fp: T.StructType.fromJson(json.loads(j))
+            for fp, j in json_by_fp.items()
+        }
+        return [(f, schema_by_fp[fp_by_file[f]]) for f in files]
     return [
         (f, T.StructType.fromJson(json.loads(_read_footer_schema_json(f))))
         for f in files
@@ -570,15 +661,18 @@ def unified_parquet_schema(path: str) -> T.StructType:
                 f"for type promotion): {e}"
             ) from e
     try:
-        return from_arrow_schema(unified, prefer_timestamp_ntz=False)
+        spark_schema = from_arrow_schema(unified, prefer_timestamp_ntz=False)
     except TypeError:
-        return from_arrow_schema(unified)
+        spark_schema = from_arrow_schema(unified)
+    # hive partition columns live in directory names, not footers — append
+    # them here too or --unify would drop the partition keys
+    return T.StructType(spark_schema.fields + hive_partition_fields(path))
 
 
 def schema_drift_report(
     path: str,
     spark: SparkSession | None = None,
-    distributed_threshold: int = 64,
+    distributed_threshold: int = 8192,
 ) -> list[dict]:
     """Intra-dataset schema drift: every fragment whose footer disagrees
     with the dataset's first (sorted-order) fragment, as schema_diff-style

@@ -564,3 +564,46 @@ def test_cli_list_queries_prefix_is_not_catalog_mode(tmp_path):
     with contextlib.redirect_stdout(buf):
         rc = main(["--list-queries=minhash"])
     assert rc == 0 and "q_near_dedup_minhash" in buf.getvalue()
+
+
+def test_catalog_placeholder_sandbox_and_escapes():
+    """ADVICE r12: placeholder resolution is a constant-expression AST
+    whitelist, not eval — attribute access, calls and subscripts on module
+    globals stay verbatim; bare constants and arithmetic resolve; and a
+    {{TOKEN}} escape renders as the literal {TOKEN} even when TOKEN would
+    resolve (str.format parity)."""
+    import sys
+    import types
+
+    from parquet_to_clickhouse_schema_spark.catalog import (
+        _const_eval,
+        _first_sentence,
+    )
+
+    mod = types.ModuleType("catalog_sandbox_probe")
+    mod.N = 7
+    mod.RATE = 0.25
+    mod.os = __import__("os")
+    sys.modules["catalog_sandbox_probe"] = mod
+    try:
+        resolve = lambda s: _first_sentence(s, "catalog_sandbox_probe")
+        # bare constant, arithmetic, format spec all resolve
+        assert resolve("uses {N} grams.") == "uses 7 grams."
+        assert resolve("mask {N + 1} wide.") == "mask 8 wide."
+        assert resolve("rate {RATE:.0%} cut.") == "rate 25% cut."
+        assert resolve("shift {1 << N} buckets.") == "shift 128 buckets."
+        # attribute access / calls / subscripts are NOT reachable
+        assert "{os.getcwd()}" in resolve("path {os.getcwd()} here.")
+        assert "{N.__class__}" in resolve("cls {N.__class__} here.")
+        assert "{os.environ['HOME']}" in resolve("env {os.environ['HOME']} x.")
+        # {{TOKEN}} renders the literal {TOKEN}, never the value
+        assert resolve("keep {{N}} literal.") == "keep {N} literal."
+        # math notation round-trips untouched
+        assert resolve("lag y_{t-1} term.") == "lag y_{t-1} term."
+        # _const_eval itself refuses comprehension-style smuggling
+        import pytest
+
+        with pytest.raises(Exception):
+            _const_eval("[x for x in (1,)]", vars(mod))
+    finally:
+        del sys.modules["catalog_sandbox_probe"]

@@ -948,3 +948,224 @@ def test_schema_alter_ddl_primary_key_and_reorder(tmp_path, spark):
     )
     ddl = schema_diff_to_clickhouse_alter(ro_old, ro_new, "t")
     assert ddl.strip() == "alter table t modify column b Nullable(Int64) first;"
+
+
+def test_hive_partitioned_ddl_golden(tmp_path, spark):
+    """A Spark partitionBy() write encodes the partition columns as
+    key=value directory names — they appear in NO part-file footer, so a
+    footer-only DDL would silently drop them (the reference never had
+    directories at all, src/bin/schemagen.rs:19-21). infer/unify must
+    append the discovered partition columns (typed like Spark's own
+    reader: int32/string) and the DDL must emit them bare inside a
+    ``partition by (...)`` clause (ClickHouse rejects Nullable partition
+    keys)."""
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        hive_partition_fields,
+        schema_drift_report,
+        unified_parquet_schema,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "orders_part.parquet")
+    (
+        src.withColumn("o_year", F.year("o_orderdate"))
+        .limit(200)
+        .repartition(2)
+        .write.partitionBy("o_year", "o_orderpriority")
+        .parquet(d)
+    )
+
+    parts = hive_partition_fields(d)
+    assert [(f.name, f.dataType.simpleString()) for f in parts] == [
+        ("o_year", "int"),
+        ("o_orderpriority", "string"),
+    ]
+    # discovery agrees with what Spark's reader reports for the directory
+    # (names + partition types; o_orderdate differs only by the documented
+    # pyarrow timestamp-vs-ntz convention, unrelated to partitioning)
+    spark_schema = spark.read.parquet(d).schema
+    inferred = infer_parquet_schema(d)
+    assert inferred.names == spark_schema.names
+    assert [inferred[n].dataType for n in ("o_year", "o_orderpriority")] == [
+        spark_schema[n].dataType for n in ("o_year", "o_orderpriority")
+    ]
+
+    ddl = schema_to_clickhouse(d, "orders", "o_orderkey")
+    assert "o_year Int32\n" in ddl  # bare, not Nullable
+    assert "o_orderpriority String\n" in ddl
+    assert (
+        ") engine = MergeTree() partition by (o_year, o_orderpriority) "
+        "primary key (o_orderkey);" in ddl
+    )
+    # partition columns are directory metadata, not footer drift
+    assert schema_drift_report(d) == []
+    # --unify path appends them identically
+    assert unified_parquet_schema(d).simpleString() == (
+        infer_parquet_schema(d).simpleString()
+    )
+    # flat datasets keep the reference's clause-free golden layout
+    flat = schema_to_clickhouse(
+        "/root/testdata/sf0.001/region.parquet", "region", "r_regionkey"
+    )
+    assert "partition by" not in flat
+    assert ") engine = MergeTree() primary key (r_regionkey);" in flat
+
+
+def test_hive_partition_added_column_drift(tmp_path):
+    """A new DATA column appearing only under one partition directory is
+    footer drift and must be reported; --unify must emit a DDL carrying
+    both the unioned data column and the partition columns."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        SchemaDriftError,
+        schema_drift_report,
+    )
+
+    d = tmp_path / "t.parquet"
+    for part, cols in (
+        ("year=2024", {"id": pa.array([1], pa.int64())}),
+        ("year=2025", {"id": pa.array([2], pa.int64()), "score": pa.array([0.5])}),
+    ):
+        sub = d / part
+        sub.mkdir(parents=True)
+        _write_fragment(sub, "part-000.parquet", cols)
+
+    report = schema_drift_report(str(d))
+    assert [(r["column"], r["change"], r["new_type"]) for r in report] == [
+        ("score", "added", "double")
+    ]
+    import pytest
+
+    with pytest.raises(SchemaDriftError):
+        schema_to_clickhouse(str(d), "t", "id")
+    ddl = schema_to_clickhouse(str(d), "t", "id", unify=True)
+    assert "score Nullable(Float64)" in ddl
+    assert "year Int32" in ddl
+    assert "partition by (year)" in ddl
+
+
+def test_unified_schema_nested_promotion(tmp_path):
+    """Drift INSIDE nested types: a field added inside a struct, a struct
+    field widened int32→int64, and a list element widened must all promote
+    through --unify; a truly incompatible nested pair must raise
+    SchemaDriftError naming the field path."""
+    import pyarrow as pa
+    import pytest
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        SchemaDriftError,
+        unified_parquet_schema,
+    )
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    _write_fragment(
+        d,
+        "part-000.parquet",
+        {
+            "id": pa.array([1], pa.int64()),
+            "meta": pa.array([{"a": 1}], pa.struct([("a", pa.int32())])),
+            "tags": pa.array([[1]], pa.list_(pa.int32())),
+        },
+    )
+    _write_fragment(
+        d,
+        "part-001.parquet",
+        {
+            "id": pa.array([2], pa.int64()),
+            "meta": pa.array(
+                [{"a": 2, "b": "x"}],
+                pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+            "tags": pa.array([[2]], pa.list_(pa.int64())),
+        },
+    )
+    unified = unified_parquet_schema(str(d))
+    assert unified.simpleString() == (
+        "struct<id:bigint,meta:struct<a:bigint,b:string>,tags:array<bigint>>"
+    )
+    # and the DDL renders the promoted nested shape
+    ddl = schema_to_clickhouse(str(d), "t", "id", unify=True)
+    assert "a Nullable(Int64)" in ddl and "b Nullable(String)" in ddl
+
+    bad = tmp_path / "bad.parquet"
+    bad.mkdir()
+    _write_fragment(
+        bad,
+        "part-000.parquet",
+        {"meta": pa.array([{"a": 1}], pa.struct([("a", pa.int32())]))},
+    )
+    _write_fragment(
+        bad,
+        "part-001.parquet",
+        {"meta": pa.array([{"a": "s"}], pa.struct([("a", pa.string())]))},
+    )
+    with pytest.raises(SchemaDriftError) as exc:
+        unified_parquet_schema(str(bad))
+    assert "meta" in str(exc.value) and "a" in str(exc.value)
+
+
+def test_fragment_scan_fingerprint_collect_parity(tmp_path, spark):
+    """The fan-out footer scan dedups schema JSON inside each task and
+    ships (file, fingerprint) + one exemplar per distinct schema — results
+    must stay identical to the driver loop, including on drifted and on
+    hive-partitioned layouts."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import fragment_schemas
+
+    d = tmp_path / "t.parquet"
+    for part, n, cols in (
+        ("year=2024", 3, lambda i: {"id": pa.array([i], pa.int64())}),
+        ("year=2025", 3, lambda i: {"id": pa.array([i], pa.int32()),
+                                    "y": pa.array(["s"])}),
+    ):
+        sub = d / part
+        sub.mkdir(parents=True)
+        for i in range(n):
+            _write_fragment(sub, f"part-{i:03d}.parquet", cols(i))
+
+    local = fragment_schemas(str(d))
+    dist = fragment_schemas(str(d), spark, distributed_threshold=1)
+    assert [(f, s.json()) for f, s in local] == [(f, s.json()) for f, s in dist]
+    # exactly two distinct schemas across six files
+    assert len({s.json() for _, s in dist}) == 2
+
+
+def test_cli_drift_report_added_removed_lines_and_flag_conflict(tmp_path):
+    """added/removed drift rows print their one-sided type ('added as T' /
+    'removed, was T'), not 'reference None'; and the two standalone modes
+    refuse to be combined instead of one silently winning."""
+    import contextlib
+    import io
+
+    import pyarrow as pa
+    import pytest
+
+    from parquet_to_clickhouse_schema_spark.cli import main
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    _write_fragment(
+        d, "part-000.parquet",
+        {"id": pa.array([1], pa.int64()), "gone": pa.array([0.5])},
+    )
+    _write_fragment(
+        d, "part-001.parquet",
+        {"id": pa.array([2], pa.int64()), "fresh": pa.array(["s"])},
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--drift-report", str(d)])
+    out = buf.getvalue()
+    assert rc == 3
+    assert "fresh added (added as string)" in out
+    assert "gone removed (removed, was double)" in out
+    assert "None" not in out
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--drift-report", str(d), "--list-queries"])
+    assert exc.value.code == 2  # argparse error, not silent preference
