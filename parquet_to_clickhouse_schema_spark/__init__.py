@@ -15,6 +15,7 @@ from parquet_to_clickhouse_schema_spark.ddl import (
     SchemaDriftError,
     UnsupportedTypeError,
     fragment_schemas,
+    hive_partition_fields,
     infer_parquet_schema,
     schema_diff,
     schema_diff_to_clickhouse_alter,
@@ -32,6 +33,7 @@ __all__ = [
     "SchemaDriftError",
     "UnsupportedTypeError",
     "fragment_schemas",
+    "hive_partition_fields",
     "infer_parquet_schema",
     "schema_diff",
     "schema_diff_to_clickhouse_alter",

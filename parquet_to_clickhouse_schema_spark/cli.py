@@ -70,9 +70,21 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--drift-report and --list-queries are mutually exclusive")
         if args.drift_report is not None:
             from parquet_to_clickhouse_schema_spark.ddl import (
+                hive_partition_fields,
                 schema_drift_report,
             )
 
+            parts = hive_partition_fields(args.drift_report)
+            if parts:
+                # partition columns live in directory names, not footers —
+                # say so, or their absence from the report reads as a miss
+                rendered = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in parts
+                )
+                sys.stdout.write(
+                    f"{args.drift_report}: hive partition columns (from "
+                    f"directory layout, not footers): {rendered}\n"
+                )
             drift = schema_drift_report(args.drift_report)
             if not drift:
                 sys.stdout.write(

@@ -1169,3 +1169,51 @@ def test_cli_drift_report_added_removed_lines_and_flag_conflict(tmp_path):
     with pytest.raises(SystemExit) as exc:
         main(["--drift-report", str(d), "--list-queries"])
     assert exc.value.code == 2  # argparse error, not silent preference
+
+
+def test_schema_diff_sees_partition_columns(tmp_path):
+    """Day-2 migration across hive layouts: a partition column added
+    between yesterday's and today's dataset is a real schema change and
+    must surface in schema_diff (both sides are inferred hive-aware)."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import schema_diff
+
+    old = tmp_path / "old.parquet"
+    (old / "year=2024").mkdir(parents=True)
+    _write_fragment(old / "year=2024", "part-000.parquet",
+                    {"id": pa.array([1], pa.int64())})
+
+    new = tmp_path / "new.parquet"
+    (new / "year=2024" / "region=eu").mkdir(parents=True)
+    _write_fragment(new / "year=2024" / "region=eu", "part-000.parquet",
+                    {"id": pa.array([1], pa.int64())})
+
+    changes = schema_diff(str(old), str(new))
+    assert [(c["column"], c["change"], c["new_type"]) for c in changes] == [
+        ("region", "added", "string")
+    ]
+
+
+def test_cli_drift_report_names_hive_partition_columns(tmp_path):
+    """--drift-report on a hive layout announces the directory-derived
+    partition columns so their absence from the footer report doesn't
+    read as a miss; exit code semantics are unchanged."""
+    import contextlib
+    import io
+
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.cli import main
+
+    d = tmp_path / "t.parquet"
+    (d / "year=2024").mkdir(parents=True)
+    _write_fragment(d / "year=2024", "part-000.parquet",
+                    {"id": pa.array([1], pa.int64())})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--drift-report", str(d)])
+    out = buf.getvalue()
+    assert rc == 0
+    assert "hive partition columns" in out and "year int" in out
+    assert "agree" in out
