@@ -765,6 +765,14 @@ def schema_diff_to_clickhouse_alter(
     new_schema = infer_parquet_schema(new_path, spark)
     old_top = {f.name: f for f in old_schema.fields}
     new_top = {f.name: f for f in new_schema.fields}
+    # hive directory columns are the CREATE path's `partition by` keys —
+    # MergeTree cannot ALTER a partition key at all, so touching one gets
+    # the same loud warning as a sorting-key column
+    part_cols = {
+        f.name
+        for p in (old_path, new_path)
+        for f in hive_partition_fields(p)
+    }
 
     def render(f: T.StructField) -> str:
         return _render_column_type(f, pks, strict)
@@ -776,6 +784,13 @@ def schema_diff_to_clickhouse_alter(
             stmts.append(
                 f"-- WARNING: {name} is a sorting-key column; MergeTree "
                 "restricts ALTERing key columns (usually a table rebuild)"
+            )
+        if name in part_cols:
+            stmts.append(
+                f"-- WARNING: {name} is a hive partition column (the "
+                "CREATE path's `partition by` key); MergeTree cannot "
+                "ALTER the partition key — changing it means a table "
+                "rebuild"
             )
 
     # 1. drops (old order); track the surviving layout
@@ -824,6 +839,17 @@ def schema_diff_to_clickhouse_alter(
     prev: str | None = None
     for f in new_schema.fields:
         if f.name not in old_top:
+            # ADD COLUMN itself is always legal — but a column that is a
+            # hive partition key belongs in `partition by`, which ALTER
+            # can never put it into (sorting-key adds stay silent: the
+            # added column simply isn't part of the fixed sorting key)
+            if f.name in part_cols:
+                stmts.append(
+                    f"-- WARNING: {f.name} is a hive partition column (the "
+                    "CREATE path's `partition by` key); MergeTree cannot "
+                    "ALTER the partition key — changing it means a table "
+                    "rebuild"
+                )
             if prev is None:
                 pos = "first"
                 layout.insert(0, f.name)

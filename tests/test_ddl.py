@@ -1217,3 +1217,42 @@ def test_cli_drift_report_names_hive_partition_columns(tmp_path):
     assert rc == 0
     assert "hive partition columns" in out and "year int" in out
     assert "agree" in out
+
+
+def test_alter_warns_on_hive_partition_column_change(tmp_path):
+    """--diff-against across hive layouts: a partition column appearing
+    (or disappearing) cannot be migrated by ALTER — MergeTree's partition
+    key is immutable — so the emitted DDL carries a loud warning next to
+    the statement. Non-partition day-2 changes stay warning-free."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        schema_diff_to_clickhouse_alter,
+    )
+
+    old = tmp_path / "old.parquet"
+    (old / "year=2024").mkdir(parents=True)
+    _write_fragment(old / "year=2024", "part-000.parquet",
+                    {"id": pa.array([1], pa.int64())})
+    new = tmp_path / "new.parquet"
+    (new / "year=2024" / "region=eu").mkdir(parents=True)
+    _write_fragment(new / "year=2024" / "region=eu", "part-000.parquet",
+                    {"id": pa.array([1], pa.int64())})
+
+    ddl = schema_diff_to_clickhouse_alter(str(old), str(new), "t",
+                                          primary_key="id")
+    # added as a PLAIN Nullable column — ALTER can never put it into the
+    # partition key, which is exactly what the warning says
+    assert "add column region Nullable(String)" in ddl
+    assert "WARNING: region is a hive partition column" in ddl
+
+    # a plain data-column add on the same layouts carries no warning
+    newer = tmp_path / "newer.parquet"
+    (newer / "year=2024").mkdir(parents=True)
+    _write_fragment(newer / "year=2024", "part-000.parquet",
+                    {"id": pa.array([1], pa.int64()),
+                     "score": pa.array([0.5])})
+    ddl2 = schema_diff_to_clickhouse_alter(str(old), str(newer), "t",
+                                           primary_key="id")
+    assert "add column score Nullable(Float64)" in ddl2
+    assert "WARNING" not in ddl2
