@@ -579,7 +579,12 @@ def fragment_schemas(
     per fragment plus ONE exemplar schema JSON per DISTINCT schema,
     deduplicated inside each task. A 10⁵-file drifted table therefore
     returns 10⁵ 16-byte digests and a handful of KB-sized JSONs — not 10⁵
-    full schema payloads (the naive per-file-JSON collect this replaced)."""
+    full schema payloads (the naive per-file-JSON collect this replaced).
+    Measured r13 at exactly the 8192-file threshold (local FS, 2-schema
+    drifted corpus): driver loop 1.13 s vs fingerprint fan-out 1.07 s —
+    the crossover sits right at the calibrated default even locally, and
+    every object-store footer adds 10-50 ms per file to the driver side
+    only."""
     files = _list_fragments(path)
     if spark is not None and len(files) >= distributed_threshold:
 
