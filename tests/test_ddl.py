@@ -1256,3 +1256,28 @@ def test_alter_warns_on_hive_partition_column_change(tmp_path):
                                            primary_key="id")
     assert "add column score Nullable(Float64)" in ddl2
     assert "WARNING" not in ddl2
+
+
+def test_unified_schema_promotes_map_values(tmp_path):
+    """Map value types widen through --unify too (int32+int64 value →
+    Map(String, Int64)) — the container family test_unified_schema_nested
+    _promotion doesn't cover."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import unified_parquet_schema
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    _write_fragment(
+        d, "part-000.parquet",
+        {"m": pa.array([[("a", 1)]], pa.map_(pa.string(), pa.int32()))},
+    )
+    _write_fragment(
+        d, "part-001.parquet",
+        {"m": pa.array([[("b", 2)]], pa.map_(pa.string(), pa.int64()))},
+    )
+    assert unified_parquet_schema(str(d)).simpleString() == (
+        "struct<m:map<string,bigint>>"
+    )
+    ddl = schema_to_clickhouse(str(d), "t", "pk", unify=True)
+    assert "m Map (\n        String\n        , Int64\n    )" in ddl
