@@ -581,15 +581,41 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     e1, e2, e3 = eo.alias("e1"), eo.alias("e2"), eo.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.src"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
+    # closure join key: the wedge set is the LARGE side (Σ out-deg² — 49M
+    # wedges vs 1.2M edges at sf0.1), so its shuffle+sort dominates the
+    # query. Packing (src, dst) into one int64 halves the sort key and
+    # measured 2.2× on the FULL query (7.9 s → 3.6 s, identical count;
+    # fresh plans per rep — same-DF re-collects reuse shuffle files and
+    # read 0.03 s, a measurement trap). Packing is collision-free only
+    # when ids < 2³¹, checked against the already-checkpointed |V|-sized
+    # degree table (one scalar agg); wider id spaces keep the exact
+    # two-column composite join.
+    max_id = deg.agg(F.max("id").alias("m")).collect()[0]["m"] or 0
+    if max_id < 2**31:
+        pack = 4294967296  # 2^32: src*2^32 + dst stays inside int64
+        ek = eo.select(
+            (F.col("src").cast("long") * pack + F.col("dst")).alias("key")
         )
-        .agg(F.count("*").alias("t"))
-    )
+        tri = (
+            e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+            .select(
+                (F.col("e1.src").cast("long") * pack + F.col("e2.dst")).alias(
+                    "key"
+                )
+            )
+            .join(ek, "key")
+            .agg(F.count("*").alias("t"))
+        )
+    else:
+        tri = (
+            e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+            .join(
+                e3,
+                (F.col("e3.src") == F.col("e1.src"))
+                & (F.col("e3.dst") == F.col("e2.dst")),
+            )
+            .agg(F.count("*").alias("t"))
+        )
     wed = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
     ne = e.agg(F.count("*").alias("n_edges"))
     return (
