@@ -3864,6 +3864,12 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     text = F.col("text")
     n_pos = F.greatest(F.length(text) - SUBDUP_K + 1, F.lit(0))
+    # anchors never reach the output (it is doc pairs + a count), so the
+    # hex digest is unhexed to 16-byte binary at birth: hex encoding is
+    # order-isomorphic to unsigned byte order, so the window-min election
+    # matches the oracle's hex-string election exactly, while explode /
+    # window sort / distinct / self-join all move keys half the width
+    # (r13 A/B: 6.57 → 6.01 s full query, byte-identical 325 pairs).
     # sequence(1, 0) would infer step -1, so gate the empty case explicitly
     hashes = d.select(
         "doc_id",
@@ -3871,10 +3877,12 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_pos >= 1,
             F.transform(
                 F.sequence(F.lit(1), n_pos),
-                lambda i: F.md5(text.substr(i, F.lit(SUBDUP_K)).cast("binary")),
+                lambda i: F.unhex(
+                    F.md5(text.substr(i, F.lit(SUBDUP_K)).cast("binary"))
+                ),
             ),
         )
-        .otherwise(F.array().cast("array<string>"))
+        .otherwise(F.array().cast("array<binary>"))
         .alias("h"),
     )
     ex = hashes.filter(F.size("h") > 0).select(
