@@ -1448,54 +1448,49 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the bigram table is at most {BLM_BUCKETS}^2 rows and the
     unigram table {BLM_BUCKETS} — both broadcast, as is the 1-row token
     total; the token stream joins them map-side and the only fact-sized
-    shuffle is the per-doc mean. Bigrams come from a row-local JVM
-    transform(sequence(...)) over the split array (q_bigram_pmi's
-    pattern — no window, no UDF); docs shorter than 2 tokens produce no
-    bigrams and are absent from the output in both engines (corpus min
-    is 10 tokens). Float caveat: ln() may differ 1 ulp cross-libm; the
-    1e-6 quantization sits ~9 orders above (q_unigram_nll's proven
-    margin)."""
+    shuffle is the per-doc mean. Each token position is hashed EXACTLY
+    once (r13): the per-doc bucket array (one md5 per position, row-local
+    JVM transform) is localCheckpoint'ed and feeds the unigram counts,
+    the token total AND the bigram pairing — the r11 form re-hashed
+    tokens per branch and twice per bigram slot (~3 md5/token) and
+    measured 5.09 s vs 1.49 s for this one (identical rows; the
+    checkpointed subtree is |docs| rows × one int array, bounded, and is
+    exactly the "reused subtree whose recompute dominates" case of the
+    r12 checkpoint rule). Docs shorter than 2 tokens produce no bigrams
+    and are absent from the output in both engines (corpus min is 10
+    tokens). Float caveat: ln() may differ 1 ulp cross-libm; the 1e-6
+    quantization sits ~9 orders above (q_unigram_nll's proven margin)."""
     d = load_table(spark, sf_dir, "documents")
-
-    def nib(h: str):
-        # bucket from an ALREADY-computed md5 column: one hash per token,
-        # not one per nibble (the md5 is the dominant per-row cost here)
-        return F.expr(
-            f"(instr('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
-            f" + (instr('0123456789abcdef', substring({h}, 2, 1)) - 1)"
-        )
-
-    toks = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .withColumn("h", F.md5(F.col("tok").cast("binary")))
-        .select("doc_id", nib("h").alias("b"))
-    )
-    uni = toks.groupBy("b").agg(F.count("*").alias("cu"))
-    n = toks.agg(F.count("*").alias("n_tok"))
+    # one md5 per token position; first two nibbles -> bucket (the md5 is
+    # the dominant per-row cost, so hash count is the budget that matters).
     # repartition("doc_id") is the minhash_signatures parallelism barrier
     # (llm.py): the corpus arrives as ONE file split, and without it the
-    # explode + 2 md5/bigram run single-task; with it the hash work spreads
-    # across the cluster and Catalyst reuses the exchange for both the
-    # model-count branch and the scoring branch
+    # hashing runs single-task.
+    bucket_arr = (
+        "transform(split(text, ' '), t -> "
+        "(instr('0123456789abcdef', substring(md5(cast(t AS binary)), 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(md5(cast(t AS binary)), 2, 1)) - 1))"
+    )
+    base = (
+        d.select("doc_id", F.expr(bucket_arr).alias("bk"))
+        .repartition("doc_id")
+        .localCheckpoint()
+    )
+    toks = base.select("doc_id", F.explode("bk").alias("b"))
+    uni = toks.groupBy("b").agg(F.count("*").alias("cu"))
+    n = toks.agg(F.count("*").alias("n_tok"))
     bg = (
-        d.filter(F.size(F.split("text", " ")) >= 2)
+        base.filter(F.size("bk") >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1), "
-                    "i -> struct(split(text, ' ')[i-1] AS a, "
-                    "split(text, ' ')[i] AS bt))"
+                    "transform(sequence(1, size(bk) - 1), "
+                    "i -> struct(bk[i-1] AS ba, bk[i] AS bb))"
                 )
             ).alias("pr"),
         )
-        .repartition("doc_id")
-        .select(
-            "doc_id",
-            F.md5(F.col("pr.a").cast("binary")).alias("ha"),
-            F.md5(F.col("pr.bt").cast("binary")).alias("hb"),
-        )
-        .select("doc_id", nib("ha").alias("ba"), nib("hb").alias("bb"))
+        .select("doc_id", F.col("pr.ba").alias("ba"), F.col("pr.bb").alias("bb"))
     )
     c2 = bg.groupBy("ba", "bb").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("ba").agg(F.sum("c2").cast("bigint").alias("c1"))
