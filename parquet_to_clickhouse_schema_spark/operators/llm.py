@@ -194,8 +194,15 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    # shingles travel as xxhash64 longs in the verify arrays (r13, the
+    # q_dedup_ngram precedent): intersect/union over 8-byte longs, and the
+    # candidate join ships narrow arrays — jaccard is unchanged modulo the
+    # minhash ~n²/2⁶⁴ collision mass; the raw-shingle DuckDB oracle pins it
     shs = d.select(
-        "doc_id", F.array_distinct(shingle_array("text")).alias("shset")
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingle_array("text"), lambda s: F.xxhash64(s))
+        ).alias("shset"),
     )
     sa = shs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
     sb = shs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
@@ -299,8 +306,15 @@ def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    # shingles travel as xxhash64 longs in the verify arrays (r13, the
+    # q_dedup_ngram precedent): intersect/union over 8-byte longs, and the
+    # candidate join ships narrow arrays — jaccard is unchanged modulo the
+    # minhash ~n²/2⁶⁴ collision mass; the raw-shingle DuckDB oracle pins it
     shs = d.select(
-        "doc_id", F.array_distinct(shingle_array("text")).alias("shset")
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingle_array("text"), lambda s: F.xxhash64(s))
+        ).alias("shset"),
     )
     sb = shs.select(F.col("doc_id").alias("batch_doc"), F.col("shset").alias("sb"))
     sh = shs.select(F.col("doc_id").alias("history_doc"), F.col("shset").alias("sh"))
