@@ -433,6 +433,27 @@ def schema_to_clickhouse(
         strict=strict,
         partition_by=part_cols or None,
     )
+    if part_cols:
+        # a __HIVE_DEFAULT_PARTITION__ directory means that key is NULL for
+        # those rows — the bare partition-key column the DDL emits would
+        # reject them on load, so say it loudly instead of failing later
+        import os
+
+        null_keys = sorted(
+            {
+                seg.split("=", 1)[0]
+                for root_, dirs, _files in os.walk(parquet_path)
+                for seg in dirs
+                if seg.endswith("=__HIVE_DEFAULT_PARTITION__")
+            }
+        )
+        if null_keys:
+            ddl = (
+                f"-- WARNING: partition column(s) {', '.join(null_keys)} "
+                "contain NULL values (__HIVE_DEFAULT_PARTITION__ "
+                "directories); the bare partition-key column rejects NULL "
+                "rows — backfill the key or use allow_nullable_key\n" + ddl
+            )
     if out_path is not None:
         with open(out_path, "w", encoding="utf-8") as fh:
             fh.write(ddl)

@@ -1281,3 +1281,25 @@ def test_unified_schema_promotes_map_values(tmp_path):
     )
     ddl = schema_to_clickhouse(str(d), "t", "pk", unify=True)
     assert "m Map (\n        String\n        , Int64\n    )" in ddl
+
+
+def test_null_partition_values_warned(tmp_path):
+    """A __HIVE_DEFAULT_PARTITION__ directory means the partition key is
+    NULL for those rows — the bare partition-key column the DDL emits
+    would reject them at load, so the CREATE carries a loud leading
+    warning; clean hive layouts stay warning-free."""
+    import pyarrow as pa
+
+    d = tmp_path / "t.parquet"
+    for part in ("year=2024", "year=__HIVE_DEFAULT_PARTITION__"):
+        (d / part).mkdir(parents=True)
+        _write_fragment(d / part, "p.parquet", {"id": pa.array([1], pa.int64())})
+    ddl = schema_to_clickhouse(str(d), "t", "id")
+    assert ddl.startswith("-- WARNING: partition column(s) year contain NULL")
+    assert "partition by (year)" in ddl
+
+    clean = tmp_path / "c.parquet"
+    (clean / "year=2024").mkdir(parents=True)
+    _write_fragment(clean / "year=2024", "p.parquet",
+                    {"id": pa.array([1], pa.int64())})
+    assert "WARNING" not in schema_to_clickhouse(str(clean), "t", "id")
