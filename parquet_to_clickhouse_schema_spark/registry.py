@@ -110,73 +110,17 @@ CONTRACT_KEYS = (
     "q_udf_pandas",
     "q_udaf_grouped",
 )
-
-# Round-13 sweep priority: the driver's correctness sweep checks the FIRST
+# Round-14 sweep priority: the driver's correctness sweep checks the FIRST
 # ~50 queries() keys each round. Rotation is rebuilt each round from the
 # evidence ledger (`python scripts/sweep_ledger.py`, docs/SWEEP_LEDGER.md).
-# After r12 every registered key has driver evidence; what remains is the
-# freshness backlog: 50 keys whose latest row is r05 and 10 whose latest is
-# r04. r13 leads with the full r05 block (45 oracle-gated alphabetical,
-# then the 5 rows-only keys) — exactly the ~50-key budget — with the 10
-# r04 stragglers as overflow (their 4 oracle-gated members were
-# judge-verified exact-match in the r12 session, so they are the safest
-# keys to defer to r14). Zero overlap with the r12 sweep set by
-# construction.
+# After r13 the freshness backlog is: 10 keys whose latest row is r04 (they
+# sat in r13 priority slots 51-60, one budget past the 50-key sweep) and 50
+# whose latest is r08. r14 leads with all 10 r04 stragglers (oracle-gated
+# first), then the first 40 r08-era keys in ledger (alphabetical) order —
+# exactly the ~50-key budget. The 10 r08 tail keys overflow to r15. Zero
+# overlap with the r13 sweep set by construction.
 SWEEP_PRIORITY = (
-    # (a) r5-era oracle-gated refresh, alphabetical (45 keys)
-    "q_agg_distinct",
-    "q_agg_filtered",
-    "q_agg_hash",
-    "q_array_funcs",
-    "q_bm25_score",
-    "q_cond_funcs",
-    "q_cube",
-    "q_date_funcs",
-    "q_dedup_exact",
-    "q_dedup_keep_best",
-    "q_epoch_shuffle",
-    "q_ewma",
-    "q_except",
-    "q_explode",
-    "q_filter_pred",
-    "q_fuzzy_pairs",
-    "q_grouping_sets",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_multiway",
-    "q_join_range",
-    "q_join_semi",
-    "q_join_sortmerge",
-    "q_json_funcs",
-    "q_math_funcs",
-    "q_multimodal_cols",
-    "q_pack_sequences",
-    "q_rolling_distinct",
-    "q_rollup",
-    "q_sample_weighted",
-    "q_scan_project",
-    "q_sessionize",
-    "q_source_cap",
-    "q_string_funcs",
-    "q_topk",
-    "q_topk_per_group",
-    "q_union",
-    "q_window_frame",
-    "q_window_lag",
-    "q_window_range_frame",
-    "q_window_rank",
-    "q_window_rank_scalable",
-    # (b) r5-era rows-only keys (50-key budget line falls here)
-    "q_agg_approx_distinct",  # rows-only
-    "q_ddl_sparksql",  # rows-only
-    "q_ivfpq_topk",  # rows-only
-    "q_kmeans_clusters",  # rows-only
-    "q_pq_topk",  # rows-only
-    # ---- ~50-budget line ----
-    # (c) overflow: r4-era stragglers for r14 (oracle-gated first)
+    # (a) r4-era stragglers, oracle-gated first (10 keys)
     "q_try_funcs",
     "q_udtf_ngrams",
     "q_vocab_top",
@@ -187,6 +131,59 @@ SWEEP_PRIORITY = (
     "q_hll_sketch",  # rows-only
     "q_ivf_topk",  # rows-only
     "q_percentile_approx",  # rows-only
+    # (b) r8-era refresh, ledger (alphabetical) order (40 keys)
+    "q_abtest_lift",
+    "q_acf",
+    "q_audience_overlap",
+    "q_audio_decode",
+    "q_bootstrap_ci",
+    "q_bpe_train",  # rows-only
+    "q_chi_square",
+    "q_cohort_ltv",
+    "q_contamination_score",
+    "q_copurchase_pairs",
+    "q_curriculum_order",
+    "q_cusum",
+    "q_distinct_on",
+    "q_filter_sweep",
+    "q_funnel_time",
+    "q_image_decode",
+    "q_impute_median",
+    "q_incremental_agg",
+    "q_incremental_dedup",
+    "q_lang_confusion",
+    "q_mix_temperature",
+    "q_moving_median",
+    "q_oov_rate",
+    "q_recursive_cte",
+    "q_report_excess_supply",
+    "q_report_idle_customers",
+    "q_report_important_stock",
+    "q_report_market_share",
+    "q_report_min_cost_supplier",
+    "q_report_part_supp_count",
+    "q_report_ship_priority",
+    "q_report_top_supplier",
+    "q_report_volume_shipping",
+    "q_report_waiting_suppliers",
+    "q_rolling_corr",
+    "q_seasonal_decompose",
+    "q_session_window",
+    "q_ship_latency",
+    "q_skyline",
+    "q_sliding_window",
+    # ---- ~50-budget line ----
+    # (c) overflow: r8-era tail for r15
+    "q_spend_alerts",
+    "q_stream_dedup",
+    "q_stream_enrich",
+    "q_table_checksum",
+    "q_time_rollup",
+    "q_top_movers",
+    "q_tumbling_window",
+    "q_video_frames",
+    "q_window_time_range",
+    "q_zipf_slope",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -41,6 +41,15 @@ def build_ledger(rounds: dict[int, dict]) -> dict[str, dict]:
 
 
 def row_status(row: dict) -> str:
+    if row.get("err") == "no_oracle":
+        # By-design rows-only keys (approximate sketches, iterative float
+        # fixpoints, string artifacts) have no oracle_sql entry; the driver
+        # records err="no_oracle" with spark_rows set iff the query ran.
+        return (
+            "rows-only (by design)"
+            if row.get("spark_rows") is not None
+            else "FAIL"
+        )
     if row.get("err"):
         return "ERROR"
     if row.get("hash_match"):
