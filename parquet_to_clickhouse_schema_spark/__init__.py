@@ -16,6 +16,7 @@ from parquet_to_clickhouse_schema_spark.ddl import (
     UnsupportedTypeError,
     fragment_schemas,
     hive_partition_fields,
+    incremental_drift_scan,
     infer_parquet_schema,
     schema_diff,
     schema_diff_to_clickhouse_alter,
@@ -34,6 +35,7 @@ __all__ = [
     "UnsupportedTypeError",
     "fragment_schemas",
     "hive_partition_fields",
+    "incremental_drift_scan",
     "infer_parquet_schema",
     "schema_diff",
     "schema_diff_to_clickhouse_alter",

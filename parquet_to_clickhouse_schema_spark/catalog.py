@@ -38,6 +38,13 @@ _BIN_OPS = {
 }
 _UNARY_OPS = {ast.UAdd: operator.pos, ast.USub: operator.neg}
 
+# Pow/LShift magnitude bound (ADVICE r13): docstrings are the surface most
+# likely to carry pasted external text, and a placeholder like {2**10**8}
+# would otherwise hang or memory-spike --list-queries. 64 covers every
+# legitimate bit-width constant used in scale-shape docstrings (2**31 id
+# guards, 1<<32 pack factors) with no room for amplification.
+_MAX_EXPONENT = 64
+
 
 def _const_eval(expr: str, namespace: dict) -> object:
     """Evaluate a placeholder expression under the AST whitelist above;
@@ -53,7 +60,16 @@ def _const_eval(expr: str, namespace: dict) -> object:
         ):
             return node.value
         if isinstance(node, ast.BinOp) and type(node.op) in _BIN_OPS:
-            return _BIN_OPS[type(node.op)](ev(node.left), ev(node.right))
+            left, right = ev(node.left), ev(node.right)
+            if isinstance(node.op, (ast.Pow, ast.LShift)) and (
+                not isinstance(right, (int, float))
+                or abs(right) > _MAX_EXPONENT
+                or (isinstance(left, (int, float)) and abs(left) > 2**_MAX_EXPONENT)
+            ):
+                raise ValueError(
+                    f"placeholder exponent/shift beyond {_MAX_EXPONENT}"
+                )
+            return _BIN_OPS[type(node.op)](left, right)
         if isinstance(node, ast.UnaryOp) and type(node.op) in _UNARY_OPS:
             return _UNARY_OPS[type(node.op)](ev(node.operand))
         raise ValueError(f"disallowed placeholder syntax: {ast.dump(node)}")

@@ -51,6 +51,16 @@ def main(argv: list[str] | None = None) -> int:
         "exit (0 clean, 3 drift found) — the intra-table complement of "
         "--diff-against",
     )
+    ap.add_argument(
+        "--drift-cache",
+        default=None,
+        metavar="CACHE_JSON",
+        help="with --drift-report: per-partition footer-fingerprint cache "
+        "file — unchanged partitions (same file names/sizes/mtimes) are "
+        "served from the cache and only mutated partitions re-read their "
+        "footers; the file is created on first run and rewritten "
+        "atomically each run",
+    )
 
     def _is_standalone_flag(a: str) -> bool:
         # exact flag (or --flag=VALUE) only: a prefix test would also
@@ -71,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.drift_report is not None:
             from parquet_to_clickhouse_schema_spark.ddl import (
                 hive_partition_fields,
+                incremental_drift_scan,
                 schema_drift_report,
             )
 
@@ -85,7 +96,19 @@ def main(argv: list[str] | None = None) -> int:
                     f"{args.drift_report}: hive partition columns (from "
                     f"directory layout, not footers): {rendered}\n"
                 )
-            drift = schema_drift_report(args.drift_report)
+            if args.drift_cache is not None:
+                scan = incremental_drift_scan(
+                    args.drift_report, args.drift_cache
+                )
+                drift = scan["report"]
+                sys.stdout.write(
+                    f"{args.drift_report}: {scan['footers_read']} footer(s) "
+                    f"read, {len(scan['partitions_rescanned'])} partition(s) "
+                    f"rescanned, {len(scan['partitions_reused'])} served "
+                    "from cache\n"
+                )
+            else:
+                drift = schema_drift_report(args.drift_report)
             if not drift:
                 sys.stdout.write(
                     f"{args.drift_report}: all fragment footers agree\n"

@@ -590,8 +590,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when ids < 2³¹, checked against the already-checkpointed |V|-sized
     # degree table (one scalar agg); wider id spaces keep the exact
     # two-column composite join.
-    max_id = deg.agg(F.max("id").alias("m")).collect()[0]["m"] or 0
-    if max_id < 2**31:
+    # non-negativity matters too: src = -2^31 would overflow the packed
+    # long while passing a max-only check (ADVICE r13) — one extra agg on
+    # the already-checkpointed |V|-sized degree table is effectively free
+    bounds = deg.agg(
+        F.max("id").alias("mx"), F.min("id").alias("mn")
+    ).collect()[0]
+    max_id, min_id = bounds["mx"] or 0, bounds["mn"] or 0
+    if 0 <= min_id and max_id < 2**31:
         pack = 4294967296  # 2^32: src*2^32 + dst stays inside int64
         ek = eo.select(
             (F.col("src").cast("long") * pack + F.col("dst")).alias("key")

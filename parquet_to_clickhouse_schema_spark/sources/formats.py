@@ -22,6 +22,8 @@ contract requires.
 
 from __future__ import annotations
 
+from typing import Iterable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -376,6 +378,7 @@ def export_for_clickhouse(
     table_name: str,
     primary_key: str,
     n_files: int | None = None,
+    partition_by: Iterable[str] | None = None,
 ) -> str:
     """Full ClickHouse handoff — the reference's DDL generation
     (`/root/reference/src/parquetutils.rs:17-61`) extended with the data
@@ -421,8 +424,18 @@ def export_for_clickhouse(
             f"TabSeparated: {complex_cols} — flatten them or wrap in "
             "to_json() before exporting"
         )
+    part_list = list(partition_by) if partition_by is not None else []
+    missing = [c for c in part_list if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"partition_by columns not in the DataFrame: {missing}"
+        )
     ddl = struct_to_clickhouse_ddl(
-        df.schema, table_name, primary_key, strict=False
+        df.schema,
+        table_name,
+        primary_key,
+        strict=False,
+        partition_by=part_list or None,
     )
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/schema.sql", "w") as fh:
@@ -456,3 +469,41 @@ def export_for_clickhouse(
         .text(f"{out_dir}/data")
     )
     return ddl
+
+
+def export_dataset_for_clickhouse(
+    spark: SparkSession,
+    parquet_path: str,
+    out_dir: str,
+    table_name: str,
+    primary_key: str,
+    n_files: int | None = None,
+) -> str:
+    """Path-level export: read a parquet dataset (file, flat directory, or
+    hive-partitioned tree) and hand it to :func:`export_for_clickhouse`
+    with the hive partition keys wired through (r14, VERDICT r13 task #7).
+
+    Hive ``key=value`` directory columns live in NO part-file footer, so an
+    export built from footer metadata alone would silently drop them from
+    both the DDL and the data. Spark's reader materializes the
+    directory-derived values into real columns, and the single directory
+    scan here names them so the emitted CREATE carries
+    ``partition by (...)`` with bare (non-Nullable) partition keys —
+    exactly what :func:`~parquet_to_clickhouse_schema_spark.ddl.
+    schema_to_clickhouse` declares for the same tree.
+
+    One distributed read → one distributed TSV write; discovery is one
+    driver-side directory listing. Returns the DDL string."""
+    from parquet_to_clickhouse_schema_spark.ddl import _hive_partition_scan
+
+    scan = _hive_partition_scan(parquet_path)
+    part_cols = list(scan[0]) if scan else []
+    df = spark.read.parquet(parquet_path)
+    return export_for_clickhouse(
+        df,
+        out_dir,
+        table_name,
+        primary_key,
+        n_files=n_files,
+        partition_by=part_cols or None,
+    )

@@ -605,5 +605,69 @@ def test_catalog_placeholder_sandbox_and_escapes():
 
         with pytest.raises(Exception):
             _const_eval("[x for x in (1,)]", vars(mod))
+        # ADVICE r13: exponent/shift magnitude is bounded — a pasted
+        # {2**10**8} must stay verbatim, not hang or memory-spike
+        with pytest.raises(ValueError):
+            _const_eval("2**10**8", vars(mod))
+        with pytest.raises(ValueError):
+            _const_eval("1 << (1 << 62)", vars(mod))
+        assert "{2**10**8}" in resolve("bomb {2**10**8} stays.")
+        # legit bit-width constants still resolve
+        assert _const_eval("2**31", vars(mod)) == 2**31
+        assert _const_eval("1 << 32", vars(mod)) == 1 << 32
     finally:
         del sys.modules["catalog_sandbox_probe"]
+
+
+def test_export_dataset_for_clickhouse_hive_partitioned(spark, tmp_path):
+    """r14 (VERDICT r13 task #7): exporting a hive-partitioned tree must
+    carry the directory-derived partition columns in BOTH the DDL
+    (bare keys inside `partition by (...)`) and the TSV data rows —
+    before this, a footer-built export silently dropped them."""
+    import gzip
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_clickhouse_schema_spark.sources.formats import (
+        export_dataset_for_clickhouse,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "a", 2024), (2, "b", 2024), (3, "c", 2025)],
+        "id long, name string, year int",
+    )
+    d = str(tmp_path / "t.parquet")
+    src.write.partitionBy("year").parquet(d)
+
+    out = str(tmp_path / "export")
+    ddl = export_dataset_for_clickhouse(spark, d, out, "t_hive", "id", n_files=1)
+    # partition key present, bare, and in the clause
+    assert "year Int32\n" in ddl
+    assert "Nullable(Int32)" not in ddl.split(", year ")[-1].split("\n")[0]
+    assert "partition by (year)" in ddl
+    assert "primary key (id)" in ddl
+    # data rows include the directory-derived values
+    gz = sorted(pathlib.Path(out, "data").glob("*.txt.gz"))
+    lines = gzip.decompress(gz[0].read_bytes()).decode().splitlines()
+    assert len(lines) == 3
+    got = {tuple(ln.split("\t")) for ln in lines}
+    assert got == {("1", "a", "2024"), ("2", "b", "2024"), ("3", "c", "2025")}
+    # flat datasets keep the clause-free layout
+    flat_dir = str(tmp_path / "flat.parquet")
+    src.write.parquet(flat_dir)
+    flat_ddl = export_dataset_for_clickhouse(
+        spark, flat_dir, str(tmp_path / "export_flat"), "t_flat", "id"
+    )
+    assert "partition by" not in flat_ddl
+    # a bogus explicit partition column is rejected up front
+    import pytest as _pytest
+
+    from parquet_to_clickhouse_schema_spark.sources.formats import (
+        export_for_clickhouse,
+    )
+
+    with _pytest.raises(ValueError, match="not in the DataFrame"):
+        export_for_clickhouse(
+            src, str(tmp_path / "bad2"), "t_bad2", "id", partition_by=["nope"]
+        )

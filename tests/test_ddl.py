@@ -1303,3 +1303,291 @@ def test_null_partition_values_warned(tmp_path):
     _write_fragment(clean / "year=2024", "p.parquet",
                     {"id": pa.array([1], pa.int64())})
     assert "WARNING" not in schema_to_clickhouse(str(clean), "t", "id")
+
+
+def test_hive_date_partition_typing_matches_spark(tmp_path, spark):
+    """r14 (VERDICT r13 task #3): ``dt=2024-01-01`` directory values must
+    type as DATE — what Spark's reader infers with
+    partitionColumnTypeInference (on by default) — not pyarrow-discovery's
+    string. Golden-pinned against a real Spark partitionBy(date_col) write
+    and cross-checked against spark.read's own reported schema."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_clickhouse_schema_spark.ddl import hive_partition_fields
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    d = str(tmp_path / "orders_by_date.parquet")
+    (
+        src.withColumn("o_month", F.trunc("o_orderdate", "month"))
+        .limit(120)
+        .coalesce(1)
+        .write.partitionBy("o_month")
+        .parquet(d)
+    )
+    parts = hive_partition_fields(d)
+    assert [(f.name, f.dataType) for f in parts] == [("o_month", T.DateType())]
+    # parity with what Spark itself reports for the same directory
+    assert spark.read.parquet(d).schema["o_month"].dataType == T.DateType()
+    # strict DDL keeps the reference's lossy Date→Int32 scalar map and the
+    # partition clause names the key
+    ddl = schema_to_clickhouse(d, "orders", "o_orderkey")
+    assert "o_month Int32\n" in ddl  # bare (partition key), strict map
+    assert "partition by (o_month)" in ddl
+
+
+def test_hive_timestamp_partition_typing_matches_spark(tmp_path, spark):
+    """Timestamp partition values arrive %-escaped (``00%3A00%3A00``) —
+    discovery must unescape before typing, matching Spark's reader."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_clickhouse_schema_spark.ddl import hive_partition_fields
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    d = str(tmp_path / "orders_by_ts.parquet")
+    (
+        src.withColumn(
+            "o_ts", F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+        )
+        .limit(120)
+        .coalesce(1)
+        .write.partitionBy("o_ts")
+        .parquet(d)
+    )
+    parts = hive_partition_fields(d)
+    assert [(f.name, f.dataType) for f in parts] == [("o_ts", T.TimestampType())]
+    assert spark.read.parquet(d).schema["o_ts"].dataType == T.TimestampType()
+
+
+def test_hive_partition_value_type_inference_unit():
+    """Spark PartitioningUtils parity table: int32 → int64 → decimal(p,0)
+    → double → date → timestamp → string, with the round-trip rule (a
+    non-zero-padded '2024-1-1' formats back differently, so it stays a
+    string) and SPARK-26188 widening (double x integral → string)."""
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        _partition_value_type as vt,
+        _widen_partition_types as widen,
+    )
+
+    assert vt("2024") == T.IntegerType()
+    assert vt("-7") == T.IntegerType()
+    assert vt(str(2**40)) == T.LongType()
+    assert vt(str(10**25)) == T.DecimalType(26, 0)
+    assert vt("1.5") == T.DoubleType()
+    assert vt("1e5") == T.DoubleType()
+    assert vt("NaN") == T.DoubleType()
+    assert vt("2024-01-01") == T.DateType()
+    assert vt("2024-13-01") == T.StringType()  # invalid calendar date
+    assert vt("2024-1-1") == T.StringType()  # fails Spark's round-trip rule
+    assert vt("2024-01-01 00:00:00") == T.TimestampType()
+    assert vt("2024-01-01T00:00:00.123456") == T.TimestampType()
+    assert vt("eu-west") == T.StringType()
+    assert vt("") == T.StringType()
+
+    assert widen(T.IntegerType(), T.LongType()) == T.LongType()
+    assert widen(T.IntegerType(), T.DecimalType(26, 0)) == T.DecimalType(26, 0)
+    assert widen(T.DoubleType(), T.IntegerType()) == T.StringType()  # SPARK-26188
+    assert widen(T.DateType(), T.TimestampType()) == T.TimestampType()
+    assert widen(T.DateType(), T.IntegerType()) == T.StringType()
+
+
+def test_hive_footer_duplicated_partition_key(tmp_path):
+    """Some writers duplicate the partition column into the part-file
+    footers. r13 silently dropped the PARTITION BY clause for such
+    datasets; the clause must survive (ADVICE r13), with the column keeping
+    its footer typing and emitted bare like any partition key."""
+    import pyarrow as pa
+
+    d = tmp_path / "t.parquet"
+    for year in (2024, 2025):
+        sub = d / f"year={year}"
+        sub.mkdir(parents=True)
+        _write_fragment(
+            sub,
+            "part-000.parquet",
+            {
+                "id": pa.array([1], pa.int64()),
+                "year": pa.array([year], pa.int64()),  # footer-duplicated
+            },
+        )
+    from parquet_to_clickhouse_schema_spark.ddl import hive_partition_fields
+
+    # the footer typing wins: no EXTRA field is appended ...
+    assert hive_partition_fields(str(d)) == []
+    ddl = schema_to_clickhouse(str(d), "t", "id")
+    # ... but the partition clause still names the key, bare, footer-typed
+    assert "year Int64\n" in ddl
+    assert "Nullable(Int64)" not in ddl.split("year")[1].split("\n")[0]
+    assert "partition by (year)" in ddl
+
+
+def test_hive_ragged_layout_warns(tmp_path):
+    """A partition key present under some branches but absent from others:
+    Spark's reader rejects such trees ('conflicting directory structures');
+    the DDL is still emitted but carries a loud WARNING naming the key."""
+    import pyarrow as pa
+
+    d = tmp_path / "t.parquet"
+    good = d / "year=2024" / "region=eu"
+    good.mkdir(parents=True)
+    _write_fragment(good, "part-000.parquet", {"id": pa.array([1], pa.int64())})
+    bare = d / "year=2025"  # no region= level — files sit directly here
+    bare.mkdir(parents=True)
+    _write_fragment(bare, "part-000.parquet", {"id": pa.array([2], pa.int64())})
+
+    ddl = schema_to_clickhouse(str(d), "t", "id")
+    assert "WARNING: partition column(s) region are missing" in ddl
+    assert "partition by (year, region)" in ddl
+
+
+def test_hive_drift_compound_unify(tmp_path):
+    """r14 (VERDICT r13 task #6): footers that DISAGREE under different
+    partition branches — drift-report must name the widened column,
+    strict CREATE must refuse, and --unify must emit the promoted union
+    schema WITH the partition columns and clause intact."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        SchemaDriftError,
+        schema_drift_report,
+        unified_parquet_schema,
+    )
+
+    d = tmp_path / "t.parquet"
+    for year, id_type in (("2024", pa.int32()), ("2025", pa.int64())):
+        sub = d / f"year={year}"
+        sub.mkdir(parents=True)
+        _write_fragment(sub, "part-000.parquet", {"id": pa.array([1], id_type)})
+
+    report = schema_drift_report(str(d))
+    assert [(r["column"], r["change"], r["new_type"]) for r in report] == [
+        ("id", "type_changed", "bigint")
+    ]
+
+    with pytest.raises(SchemaDriftError):
+        schema_to_clickhouse(str(d), "t", "id")
+
+    unified = unified_parquet_schema(str(d))
+    assert unified["id"].dataType == T.LongType()
+    assert unified["year"].dataType == T.IntegerType()
+
+    ddl = schema_to_clickhouse(str(d), "t", "id", unify=True)
+    assert "id Int64\n" in ddl
+    assert "year Int32\n" in ddl
+    assert "partition by (year)" in ddl
+
+
+def test_hive_null_partition_dirs_excluded_from_typing(tmp_path):
+    """__HIVE_DEFAULT_PARTITION__ directories mean NULL — they must not
+    drag the key's inferred type to string, and the NULL warning must
+    still lead the CREATE."""
+    import pyarrow as pa
+
+    d = tmp_path / "t.parquet"
+    for seg in ("year=2024", "year=__HIVE_DEFAULT_PARTITION__"):
+        sub = d / seg
+        sub.mkdir(parents=True)
+        _write_fragment(sub, "part-000.parquet", {"id": pa.array([1], pa.int64())})
+
+    from parquet_to_clickhouse_schema_spark.ddl import hive_partition_fields
+
+    assert [f.dataType for f in hive_partition_fields(str(d))] == [T.IntegerType()]
+    ddl = schema_to_clickhouse(str(d), "t", "id")
+    assert ddl.startswith("-- WARNING: partition column(s) year contain NULL")
+    assert "partition by (year)" in ddl
+
+
+def test_incremental_drift_scan_touches_only_mutated_partition(tmp_path):
+    """r14 (VERDICT r13 task #8): the per-partition footer cache — run 1
+    reads every footer; run 2 with nothing changed reads ZERO; appending
+    one partition re-reads only that partition; mutating a file inside an
+    existing partition re-reads only that partition. Report parity with
+    schema_drift_report throughout."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        incremental_drift_scan,
+        schema_drift_report,
+    )
+
+    d = tmp_path / "t.parquet"
+    for year in (2024, 2025):
+        sub = d / f"year={year}"
+        sub.mkdir(parents=True)
+        _write_fragment(sub, "part-000.parquet", {"id": pa.array([1], pa.int64())})
+    cache = str(tmp_path / "drift_cache.json")
+
+    # run 1: cold cache — every footer read
+    s1 = incremental_drift_scan(str(d), cache)
+    assert s1["footers_read"] == 2
+    assert sorted(s1["partitions_rescanned"]) == ["year=2024", "year=2025"]
+    assert s1["report"] == schema_drift_report(str(d))
+
+    # run 2: steady state — zero footer reads, everything from cache
+    s2 = incremental_drift_scan(str(d), cache)
+    assert s2["footers_read"] == 0
+    assert sorted(s2["partitions_reused"]) == ["year=2024", "year=2025"]
+    assert s2["report"] == schema_drift_report(str(d))
+
+    # run 3: one NEW partition with a drifted footer — only it is read
+    sub = d / "year=2026"
+    sub.mkdir()
+    _write_fragment(
+        sub,
+        "part-000.parquet",
+        {"id": pa.array([1], pa.int64()), "score": pa.array([0.5])},
+    )
+    s3 = incremental_drift_scan(str(d), cache)
+    assert s3["footers_read"] == 1
+    assert s3["partitions_rescanned"] == ["year=2026"]
+    assert sorted(s3["partitions_reused"]) == ["year=2024", "year=2025"]
+    assert s3["report"] == schema_drift_report(str(d))
+    assert [(r["column"], r["change"]) for r in s3["report"]] == [
+        ("score", "added")
+    ]
+
+    # run 4: mutate a file INSIDE an existing partition (append a second
+    # fragment) — only that partition re-reads, and BOTH its footers do
+    _write_fragment(
+        d / "year=2024",
+        "part-001.parquet",
+        {"id": pa.array([2], pa.int32())},
+    )
+    s4 = incremental_drift_scan(str(d), cache)
+    assert s4["footers_read"] == 2
+    assert s4["partitions_rescanned"] == ["year=2024"]
+    assert s4["report"] == schema_drift_report(str(d))
+
+    # corrupt cache degrades to a full scan with identical results
+    import pathlib
+
+    pathlib.Path(cache).write_text("{not json")
+    s5 = incremental_drift_scan(str(d), cache)
+    assert s5["footers_read"] == 4
+    assert s5["report"] == schema_drift_report(str(d))
+
+
+def test_cli_drift_report_with_cache(tmp_path, capsys):
+    """--drift-report --drift-cache: same verdict/exit codes as the full
+    scan, with the cache telemetry line announcing the reuse."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.cli import main
+
+    d = tmp_path / "t.parquet"
+    for year, typ in (("2024", pa.int64()), ("2025", pa.int32())):
+        sub = d / f"year={year}"
+        sub.mkdir(parents=True)
+        _write_fragment(sub, "part-000.parquet", {"id": pa.array([1], typ)})
+    cache = str(tmp_path / "cache.json")
+
+    rc = main(["--drift-report", str(d), "--drift-cache", cache])
+    out1 = capsys.readouterr().out
+    assert rc == 3  # drift found
+    assert "2 footer(s) read" in out1
+    assert "type_changed" in out1
+
+    rc = main(["--drift-report", str(d), "--drift-cache", cache])
+    out2 = capsys.readouterr().out
+    assert rc == 3
+    assert "0 footer(s) read" in out2
+    assert "2 served from cache" in out2
