@@ -101,8 +101,29 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for simhash's bit votes — was A/B-measured ~10% SLOWER here: the
     explode adds per-row overhead, so the array form stands.)
     """
+    return minhash_sig_from_base(minhash_base(docs, text_col))
+
+
+def minhash_base(
+    docs: DataFrame, text_col: str = "text", extra_cols: tuple = ()
+) -> DataFrame:
+    """doc_id (+ extra_cols) + ``hs``: the xxhash64-per-shingle base array —
+    the shared input of BOTH the minhash signature and the exact-Jaccard
+    verify set. Split out of minhash_signatures (r14) so LSH queries can
+    localCheckpoint this ONE tokenize→shingle→hash pass and derive
+    signatures, band tables and verify shingle-sets from it instead of
+    re-running the pass per consumer (the band self-join alone consumes
+    signatures twice). The repartition is the materialization barrier
+    documented in minhash_signatures."""
     base = F.transform(shingle_array(text_col), lambda s: F.xxhash64(s))
-    hashed = docs.select("doc_id", base.alias("hs")).repartition("doc_id")
+    return docs.select(
+        "doc_id", *extra_cols, base.alias("hs")
+    ).repartition("doc_id")
+
+
+def minhash_sig_from_base(hashed: DataFrame) -> DataFrame:
+    """doc_id + sig from a minhash_base frame (N_HASHES seeded re-hash
+    minima per doc — see minhash_signatures for the family argument)."""
     sig = F.array(
         *[
             F.array_min(F.transform("hs", lambda h: F.xxhash64(h, F.lit(seed))))
@@ -162,6 +183,15 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both sides.
     """
     d = load_table(spark, sf_dir, "documents")
+    # NO localCheckpoint here (r14 measured-and-rejected): AQE's
+    # ReusedExchange already dedups the identical signature subplan across
+    # the band self-join's two sides, so a checkpoint of the base-hash
+    # table only adds block-manager storage of the full corpus — 20×
+    # interleaved A/B: old [9.0, 6.4, 6.5] vs checkpointed [21.8, 5.9,
+    # 6.1] s (cold materialization 2.4× WORSE, warm a wash), sf0.1
+    # bench-style 2.85 vs 2.69 s (noise). Contrast
+    # q_incremental_near_dedup, where the checkpoint replaces THREE
+    # genuinely distinct pipelines and wins 2.8× cold.
     sigs = minhash_signatures(d)
 
     rows_per_band = N_HASHES // N_BANDS
@@ -272,13 +302,24 @@ def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it)."""
     d = load_table(spark, sf_dir, "documents")
     src_num = F.substring("source", 4, 10).cast("int")
-    batch = d.filter(src_num >= 10)
-    hist = d.filter(src_num < 10)
+    # ONE checkpointed tokenize→shingle→hash pass carrying the split flag:
+    # batch/hist band tables AND the verify shingle-sets all derive from
+    # it. Unlike q_near_dedup_minhash (where AQE exchange reuse already
+    # dedups the identical self-join subplans and a checkpoint was
+    # measured-and-rejected), the three consumers here are genuinely
+    # DISTINCT pipelines (different filters/projections), so the
+    # materialization replaces two full corpus passes — r14 20× probe:
+    # 14.8 → 5.4 s cold (2.8×), sf0.1 a wash. The storage cost is the
+    # base-hash table once; the production form keeps the history side as
+    # a standing index anyway (docstring).
+    hashed = minhash_base(
+        d, extra_cols=((src_num >= 10).alias("_is_batch"),)
+    ).localCheckpoint(eager=False)
 
     rows_per_band = N_HASHES // N_BANDS
 
     def band_table(docs, id_alias):
-        sigs = minhash_signatures(docs)
+        sigs = minhash_sig_from_base(docs)
         return sigs.select(
             F.col("doc_id").alias(id_alias),
             F.explode(
@@ -300,8 +341,11 @@ def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(id_alias, "bk.band", "bk.bh")
 
     cand = (
-        band_table(batch, "batch_doc")
-        .join(band_table(hist, "history_doc"), ["band", "bh"])
+        band_table(hashed.filter("_is_batch"), "batch_doc")
+        .join(
+            band_table(hashed.filter(~F.col("_is_batch")), "history_doc"),
+            ["band", "bh"],
+        )
         .select("batch_doc", "history_doc")
         .distinct()
     )
@@ -309,13 +353,9 @@ def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles travel as xxhash64 longs in the verify arrays (r13, the
     # q_dedup_ngram precedent): intersect/union over 8-byte longs, and the
     # candidate join ships narrow arrays — jaccard is unchanged modulo the
-    # minhash ~n²/2⁶⁴ collision mass; the raw-shingle DuckDB oracle pins it
-    shs = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(shingle_array("text"), lambda s: F.xxhash64(s))
-        ).alias("shset"),
-    )
+    # minhash ~n²/2⁶⁴ collision mass; the raw-shingle DuckDB oracle pins it.
+    # The verify sets distinct the SAME checkpointed base hashes.
+    shs = hashed.select("doc_id", F.array_distinct("hs").alias("shset"))
     sb = shs.select(F.col("doc_id").alias("batch_doc"), F.col("shset").alias("sb"))
     sh = shs.select(F.col("doc_id").alias("history_doc"), F.col("shset").alias("sh"))
     inter = F.size(F.array_intersect("sb", "sh"))
@@ -620,6 +660,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.alias("toks"),
         F.floor(F.size(toks) / F.lit(32.0)).alias("szbkt"),
     ).repartition("lang", "source", "szbkt")
+    # NO localCheckpoint (r14 measured-and-rejected): the repartition
+    # exchange is already reused across the identical same-bucket a/b
+    # subplans, and checkpointing the full tok table for the adjacent
+    # join's sake traded a re-tokenize for block-manager storage of the
+    # corpus — sf0.1 bench-style won ~5% but the 20× single-shot REGRESSED
+    # 36.4 → 38.9 s on cold materialization (the driver's one-shot runs
+    # are always cold)
     a, b = tok.alias("a"), tok.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
