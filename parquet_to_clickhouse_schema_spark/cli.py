@@ -55,9 +55,10 @@ def main(argv: list[str] | None = None) -> int:
         "--drift-cache",
         default=None,
         metavar="CACHE_JSON",
-        help="with --drift-report: per-partition footer-fingerprint cache "
-        "file — unchanged partitions (same file names/sizes/mtimes) are "
-        "served from the cache and only mutated partitions re-read their "
+        help="per-partition footer-fingerprint cache file (used by "
+        "--drift-report AND by the CREATE path's strict drift gate) — "
+        "unchanged partitions (same file names/sizes/mtimes) are served "
+        "from the cache and only mutated partitions re-read their "
         "footers; the file is created on first run and rewritten "
         "atomically each run",
     )
@@ -186,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
         out_path=args.clickhouse_schema_path,
         strict=not args.lenient,
         unify=args.unify,
+        drift_cache=args.drift_cache,
     )
     sys.stdout.write(ddl)
     return 0

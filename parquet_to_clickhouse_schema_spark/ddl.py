@@ -540,6 +540,7 @@ def schema_to_clickhouse(
     out_path: str | None = None,
     strict: bool = True,
     unify: bool = False,
+    drift_cache: str | None = None,
 ) -> str:
     """The reference's end-to-end flow (src/parquetutils.rs:17-61):
     Parquet footer → schema walk → ClickHouse DDL (optionally written to a
@@ -554,7 +555,15 @@ def schema_to_clickhouse(
     schema_drift_report to inspect the drift). ``unify=True`` resolves
     drift instead of refusing: the DDL is emitted for the PROMOTED union
     schema covering every fragment (unified_parquet_schema) — the schema
-    the re-created table needs so all existing part-files load into it."""
+    the re-created table needs so all existing part-files load into it.
+
+    ``drift_cache`` (r14): path to an incremental_drift_scan cache file —
+    the strict drift gate then re-reads footers ONLY for partitions whose
+    listing changed since the last run, so repeat DDL generation on a
+    10⁵-file table costs a directory listing instead of 10⁵ footer
+    round-trips. (The physical-type scan still reads footers directly:
+    its INT96/FLBA evidence lives below the Spark-schema JSON the cache
+    fingerprints.)"""
     if strict:
         bad = _strict_physical_violations(parquet_path)
         if bad:
@@ -563,7 +572,13 @@ def schema_to_clickhouse(
                 f"(src/parquetutils.rs:76-88,85): {bad}"
             )
         if not unify:
-            drift = schema_drift_report(parquet_path, spark)
+            drift = (
+                incremental_drift_scan(parquet_path, drift_cache, spark)[
+                    "report"
+                ]
+                if drift_cache is not None
+                else schema_drift_report(parquet_path, spark)
+            )
             if drift:
                 preview = "; ".join(
                     f"{d['file'].rsplit('/', 1)[-1]}:{d['column']} {d['change']}"

@@ -1591,3 +1591,75 @@ def test_cli_drift_report_with_cache(tmp_path, capsys):
     assert rc == 3
     assert "0 footer(s) read" in out2
     assert "2 served from cache" in out2
+
+
+def test_schema_to_clickhouse_drift_cache(tmp_path, monkeypatch):
+    """r14: the strict CREATE path's drift gate accepts the incremental
+    cache — the second DDL generation on an unchanged dataset reads ZERO
+    footers for the drift check, and a drifted partition added later still
+    raises SchemaDriftError through the cached path."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark import ddl as ddl_mod
+    from parquet_to_clickhouse_schema_spark.ddl import SchemaDriftError
+
+    d = tmp_path / "t.parquet"
+    for year in (2024, 2025):
+        sub = d / f"year={year}"
+        sub.mkdir(parents=True)
+        _write_fragment(sub, "part-000.parquet", {"id": pa.array([1], pa.int64())})
+    cache = str(tmp_path / "cache.json")
+
+    out1 = schema_to_clickhouse(str(d), "t", "id", drift_cache=cache)
+    assert "partition by (year)" in out1
+
+    # second run: the drift gate must not re-read any footer. The
+    # physical-type scan (_strict_physical_violations) reads footers for
+    # its own INT96/FLBA evidence, so count only the drift gate's reads.
+    reads = []
+    real = ddl_mod._read_footer_schema_json
+    monkeypatch.setattr(
+        ddl_mod, "_read_footer_schema_json", lambda f: (reads.append(f), real(f))[1]
+    )
+    out2 = schema_to_clickhouse(str(d), "t", "id", drift_cache=cache)
+    assert out2 == out1
+    assert reads == []  # every partition served from the cache
+
+    # drift in a NEW partition is still caught through the cache
+    sub = d / "year=2026"
+    sub.mkdir()
+    _write_fragment(sub, "part-000.parquet", {"id": pa.array(["x"])})
+    with pytest.raises(SchemaDriftError):
+        schema_to_clickhouse(str(d), "t", "id", drift_cache=cache)
+    # and only the new partition's footer was read
+    assert [f for f in reads if "year=2026" in f] and all(
+        "year=2026" in f for f in reads
+    )
+
+
+def test_cli_main_mode_accepts_drift_cache(tmp_path, capsys):
+    """schemagen main mode: --drift-cache threads into the strict gate."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.cli import main
+
+    d = tmp_path / "t.parquet"
+    sub = d / "year=2024"
+    sub.mkdir(parents=True)
+    _write_fragment(sub, "part-000.parquet", {"id": pa.array([1], pa.int64())})
+    out_sql = str(tmp_path / "ddl.sql")
+    cache = str(tmp_path / "cache.json")
+    rc = main(
+        [
+            "--parquet-path", str(d),
+            "--clickhouse-schema-path", out_sql,
+            "--table-name", "t",
+            "--primary-key", "id",
+            "--drift-cache", cache,
+        ]
+    )
+    assert rc == 0
+    import os
+
+    assert os.path.exists(cache)
+    assert "partition by (year)" in capsys.readouterr().out
