@@ -75,3 +75,83 @@ def test_ddl_deterministic(schema):
     a = struct_to_clickhouse_ddl(schema, "t", "id", strict=False)
     b = struct_to_clickhouse_ddl(schema, "t", "id", strict=False)
     assert a == b
+
+
+# --- r14: hive partition-value typing (Spark PartitioningUtils parity) ---
+
+_part_values = st.one_of(
+    st.integers(-(2**70), 2**70).map(str),
+    st.floats(allow_nan=False, allow_infinity=False).map(repr),
+    st.dates().map(str),
+    st.text(min_size=0, max_size=20),
+    st.sampled_from(["NaN", "Infinity", "-Infinity", "2024-1-1", "2024-13-01",
+                     "2024-01-01 00:00:00", "2024-01-01T23:59:59.123456", ""]),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(raw=_part_values)
+def test_partition_value_type_total_and_consistent(raw):
+    """Inference is total (never raises), deterministic, and honors the
+    headline invariants: int32-range integers are IntegerType, valid
+    ISO-dates are DateType, values failing the strict zero-padded
+    round-trip shape are NEVER DateType/TimestampType."""
+    import re
+
+    from parquet_to_clickhouse_schema_spark.ddl import _partition_value_type
+
+    t1 = _partition_value_type(raw)
+    t2 = _partition_value_type(raw)
+    assert t1 == t2
+    assert isinstance(t1, T.DataType)
+    if re.fullmatch(r"[+-]?\d+", raw):
+        v = int(raw)
+        if -(2**31) <= v < 2**31:
+            assert t1 == T.IntegerType()
+        elif -(2**63) <= v < 2**63:
+            assert t1 == T.LongType()
+        else:
+            assert isinstance(t1, (T.DecimalType, T.StringType))
+    if isinstance(t1, T.DateType):
+        assert re.fullmatch(r"\d{4}-\d{2}-\d{2}", raw)
+    if isinstance(t1, T.TimestampType):
+        assert re.fullmatch(
+            r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?", raw
+        )
+
+
+_part_types = st.sampled_from(
+    [
+        T.IntegerType(),
+        T.LongType(),
+        T.DecimalType(26, 0),
+        T.DoubleType(),
+        T.DateType(),
+        T.TimestampType(),
+        T.StringType(),
+    ]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(t1=_part_types, t2=_part_types, t3=_part_types)
+def test_widen_partition_types_lattice(t1, t2, t3):
+    """Widening is commutative, idempotent, and never loses to a narrower
+    type: the result must absorb both inputs under a second widen (the
+    property that makes multi-directory reduction order-independent,
+    combined with associativity up to the string top element)."""
+    from parquet_to_clickhouse_schema_spark.ddl import _widen_partition_types as w
+
+    assert w(t1, t2) == w(t2, t1)  # commutative
+    assert w(t1, t1) == t1  # idempotent
+    r = w(t1, t2)
+    # absorbing: widening the result with either input is a no-op
+    assert w(r, t1) == r
+    assert w(r, t2) == r
+    # SPARK-26188 pin: double x integral/decimal is STRING, not double
+    if isinstance(t1, T.DoubleType) and isinstance(
+        t2, (T.IntegerType, T.LongType, T.DecimalType)
+    ):
+        assert r == T.StringType()
+    # associativity on the sampled lattice
+    assert w(w(t1, t2), t3) == w(t1, w(t2, t3))
