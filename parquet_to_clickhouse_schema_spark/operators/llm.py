@@ -3975,25 +3975,22 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("anchor")
     )
-    # pair join is a SELF-join of the keep-FILTERED anchor table: the
-    # unfiltered b-side the r13 form used still shuffled the
-    # boilerplate-hot anchors (> SUBDUP_BOILERPLATE docs — the biggest
-    # groups, excluded precisely because they are hot) only for the join
-    # to drop every one of their rows; filtering both sides removes them
-    # from the b-side exchange entirely. r14 A/B (5-rep medians, both
-    # orders, identical 325 pairs): 6.62→6.09 and 5.95→5.50 s (~8%) —
-    # and the cut grows with the boilerplate mass at corpus scale.
+    # The b-side stays the UNFILTERED anchor table (r14 measured-and-
+    # rejected alternative: self-joining the keep-filtered table removed
+    # the boilerplate-hot anchors from the b-side exchange and won ~8% at
+    # sf0.1 — 6.62→6.09 / 5.95→5.50 s, identical 325 pairs — but LOST at
+    # the 20× probe, interleaved: unfiltered-b [24.9, 17.4] vs filtered
+    # self-join [27.1, 25.3] s. Duplicating the keep-join subtree under
+    # both pair-join inputs costs more at scale than shuffling the hot
+    # anchors the a-side filter then drops; the same isolated-win-not-
+    # transferring trap as r13's triangles broadcast hint.)
     a = anchors.join(keep, "anchor")
-    x, y = a.alias("x"), a.alias("y")
+    b = anchors.select(
+        F.col("anchor").alias("anchor"), F.col("doc_id").alias("doc_b")
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.anchor") == F.col("y.anchor"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        a.join(b, (a.anchor == b.anchor) & (a.doc_id < F.col("doc_b")))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_shared_anchors"))
     )
 
