@@ -279,8 +279,10 @@ def _partition_value_type(raw: str) -> T.DataType:
         if -(2**63) <= v < 2**63:
             return T.LongType()
         digits = len(raw.lstrip("+-").lstrip("0") or "0")
-        # integral but beyond int64: Spark infers DecimalType(precision, 0)
-        return T.DecimalType(digits, 0) if digits <= 38 else T.StringType()
+        # integral but beyond int64: Spark infers DecimalType(precision, 0);
+        # beyond decimal's 38-digit ceiling its chain falls through to
+        # Double.parseDouble, which succeeds — DOUBLE, not string
+        return T.DecimalType(digits, 0) if digits <= 38 else T.DoubleType()
     if raw in _PART_FLOAT_SPECIAL or _PART_FLOAT_RE.fullmatch(raw):
         return T.DoubleType()
     import datetime

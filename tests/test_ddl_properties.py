@@ -111,7 +111,9 @@ def test_partition_value_type_total_and_consistent(raw):
         elif -(2**63) <= v < 2**63:
             assert t1 == T.LongType()
         else:
-            assert isinstance(t1, (T.DecimalType, T.StringType))
+            # past int64: decimal up to 38 digits, then Spark's chain
+            # falls through to parseDouble — DOUBLE beyond that
+            assert isinstance(t1, (T.DecimalType, T.DoubleType))
     if isinstance(t1, T.DateType):
         assert re.fullmatch(r"\d{4}-\d{2}-\d{2}", raw)
     if isinstance(t1, T.TimestampType):
