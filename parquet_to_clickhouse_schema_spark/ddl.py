@@ -560,12 +560,12 @@ def schema_to_clickhouse(
     the re-created table needs so all existing part-files load into it.
 
     ``drift_cache`` (r14): path to an incremental_drift_scan cache file —
-    the strict drift gate then re-reads footers ONLY for partitions whose
-    listing changed since the last run, so repeat DDL generation on a
-    10⁵-file table costs a directory listing instead of 10⁵ footer
-    round-trips. (The physical-type scan still reads footers directly:
-    its INT96/FLBA evidence lives below the Spark-schema JSON the cache
-    fingerprints.)"""
+    the strict drift gate (and, with ``unify=True``, the promotion scan)
+    then re-reads footers ONLY for partitions whose listing changed since
+    the last run, so repeat DDL generation on a 10⁵-file table costs a
+    directory listing instead of 10⁵ footer round-trips. (The
+    physical-type scan still reads footers directly: its INT96/FLBA
+    evidence lives below the payloads the cache fingerprints.)"""
     if strict:
         bad = _strict_physical_violations(parquet_path)
         if bad:
@@ -598,7 +598,9 @@ def schema_to_clickhouse(
     # warning below (the r13 path re-listed the tree up to three times)
     scan = _hive_partition_scan(parquet_path)
     schema = (
-        unified_parquet_schema(parquet_path, _hive_scan=scan)
+        unified_parquet_schema(
+            parquet_path, _hive_scan=scan, drift_cache=drift_cache
+        )
         if unify
         else infer_parquet_schema(parquet_path, spark, _hive_scan=scan)
     )
@@ -853,7 +855,9 @@ def _footer_fingerprints(
     return fp_by_file, json_by_fp
 
 
-def unified_parquet_schema(path: str, *, _hive_scan=_UNSET) -> T.StructType:
+def unified_parquet_schema(
+    path: str, *, _hive_scan=_UNSET, drift_cache: str | None = None
+) -> T.StructType:
     """The PROMOTED union schema across every fragment of a dataset —
     what the table schema should be so that every part-file reads under
     it: types widen along Arrow's permissive promotion lattice
@@ -876,7 +880,25 @@ def unified_parquet_schema(path: str, *, _hive_scan=_UNSET) -> T.StructType:
         raise FileNotFoundError(f"no .parquet fragments under {path}")
     import pyarrow as pa
 
-    arrow_schemas = [pq.read_schema(f) for f in files]
+    # dedup BEFORE promotion (r14): a 10⁵-file table usually carries a
+    # handful of distinct schemas, and unify_schemas walks its whole input
+    # list — promote over one exemplar per distinct schema instead.
+    # First-seen order is preserved, only exact duplicates are dropped, so
+    # the promotion result is unchanged (equal schemas add nothing to the
+    # union). With ``drift_cache`` the footer reads themselves go
+    # incremental too: unchanged partitions serve their arrow-IPC
+    # exemplars from the cache (shared file with incremental_drift_scan).
+    if drift_cache is not None:
+        arrow_schemas = _cached_distinct_arrow_schemas(path, drift_cache)
+    else:
+        seen: set[bytes] = set()
+        arrow_schemas = []
+        for f in files:
+            s = pq.read_schema(f)
+            key = s.serialize().to_pybytes()
+            if key not in seen:
+                seen.add(key)
+                arrow_schemas.append(s)
     try:
         # ArrowTypeError subclasses TypeError, so the true-conflict arm
         # must come FIRST or the promote_options-compat fallback eats it
@@ -968,41 +990,18 @@ def incremental_drift_scan(
          "partitions_reused": [...],       # relative dirs served by cache
          "footers_read": N}
     """
-    import hashlib
-    import os
-
-    files = [os.path.abspath(f) for f in _list_fragments(path)]
-    root = os.path.abspath(path)
-    by_part: dict[str, list[tuple[str, str]]] = {}
-    stat_by_rel: dict[str, tuple[int, int]] = {}
-    for f in files:
-        rel = os.path.relpath(f, root)
-        part = os.path.dirname(rel) or "."
-        by_part.setdefault(part, []).append((rel, f))
-        st = os.stat(f)
-        stat_by_rel[rel] = (st.st_size, st.st_mtime_ns)
-
-    cache: dict = {"version": 1, "partitions": {}, "exemplars": {}}
-    try:
-        with open(cache_path, encoding="utf-8") as fh:
-            loaded = json.load(fh)
-        if isinstance(loaded, dict) and loaded.get("version") == 1:
-            cache = loaded
-    except (OSError, ValueError):
-        pass  # missing/corrupt cache → full scan
-
+    files, root, by_part, lfp_by_part = _partition_listing(path)
+    cache = _load_scan_cache(cache_path)
     cached_parts = cache.get("partitions", {})
     cached_exemplars = cache.get("exemplars", {})
     rescanned: list[str] = []
     reused: list[str] = []
     to_read: list[tuple[str, str]] = []
     new_parts: dict[str, dict] = {}
+    import os
+
     for part in sorted(by_part):
-        listing = "\n".join(
-            f"{rel}\x00{stat_by_rel[rel][0]}\x00{stat_by_rel[rel][1]}"
-            for rel, _ in by_part[part]
-        )
-        lfp = hashlib.md5(listing.encode("utf-8")).hexdigest()
+        lfp = lfp_by_part[part]
         entry = cached_parts.get(part)
         usable = (
             entry is not None
@@ -1054,18 +1053,144 @@ def incremental_drift_scan(
                 change["reference_file"] = os.path.join(root, ref_rel)
                 report.append(change)
 
-    tmp = f"{cache_path}.tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(
-            {"version": 1, "partitions": new_parts, "exemplars": exemplars}, fh
-        )
-    os.replace(tmp, cache_path)
+    _write_scan_cache(
+        cache_path,
+        {**cache, "version": 1, "partitions": new_parts, "exemplars": exemplars},
+    )
     return {
         "report": report,
         "partitions_rescanned": rescanned,
         "partitions_reused": reused,
         "footers_read": len(to_read),
     }
+
+
+def _partition_listing(path: str):
+    """(files, root, by_part, listing_fp_by_part): the one directory
+    listing every incremental scan shares — fragments grouped by partition
+    directory with an md5 over (name, size, mtime_ns) per partition."""
+    import hashlib
+    import os
+
+    files = [os.path.abspath(f) for f in _list_fragments(path)]
+    root = os.path.abspath(path)
+    by_part: dict[str, list[tuple[str, str]]] = {}
+    stat_by_rel: dict[str, tuple[int, int]] = {}
+    for f in files:
+        rel = os.path.relpath(f, root)
+        part = os.path.dirname(rel) or "."
+        by_part.setdefault(part, []).append((rel, f))
+        st = os.stat(f)
+        stat_by_rel[rel] = (st.st_size, st.st_mtime_ns)
+    lfp_by_part = {
+        part: hashlib.md5(
+            "\n".join(
+                f"{rel}\x00{stat_by_rel[rel][0]}\x00{stat_by_rel[rel][1]}"
+                for rel, _ in by_part[part]
+            ).encode("utf-8")
+        ).hexdigest()
+        for part in by_part
+    }
+    return files, root, by_part, lfp_by_part
+
+
+def _load_scan_cache(cache_path: str) -> dict:
+    """The scan-cache JSON, or a fresh empty one on miss/corruption.
+    Unknown top-level sections are preserved by writers so the drift
+    (Spark-JSON) and unify (arrow-IPC) payloads can share one file."""
+    try:
+        with open(cache_path, encoding="utf-8") as fh:
+            loaded = json.load(fh)
+        if isinstance(loaded, dict) and loaded.get("version") == 1:
+            return loaded
+    except (OSError, ValueError):
+        pass
+    return {"version": 1, "partitions": {}, "exemplars": {}}
+
+
+def _write_scan_cache(cache_path: str, cache: dict) -> None:
+    import os
+
+    tmp = f"{cache_path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(cache, fh)
+    os.replace(tmp, cache_path)
+
+
+def _cached_distinct_arrow_schemas(path: str, cache_path: str) -> list:
+    """One exemplar pyarrow schema per DISTINCT footer schema, in
+    first-seen sorted-file order — the unify path's input — served from
+    the per-partition cache: unchanged partitions contribute their cached
+    arrow-IPC exemplars without a single footer read; mutated partitions
+    re-read only their own files. Shares the cache FILE (separate
+    ``arrow_*`` sections) and the listing fingerprints with
+    incremental_drift_scan; either writer preserves the other's payload."""
+    import base64
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files, root, by_part, lfp_by_part = _partition_listing(path)
+    cache = _load_scan_cache(cache_path)
+    cached_parts = cache.get("arrow_partitions", {})
+    cached_ex = cache.get("arrow_exemplars", {})
+    new_parts: dict[str, dict] = {}
+    to_read: list[tuple[str, str]] = []
+    for part in sorted(by_part):
+        lfp = lfp_by_part[part]
+        entry = cached_parts.get(part)
+        usable = (
+            entry is not None
+            and entry.get("listing_fp") == lfp
+            and set(entry.get("files", {})) == {rel for rel, _ in by_part[part]}
+            and all(fp in cached_ex for fp in entry["files"].values())
+        )
+        if usable:
+            new_parts[part] = entry
+        else:
+            to_read.extend(by_part[part])
+            new_parts[part] = {"listing_fp": lfp, "files": {}}
+
+    fresh_ex: dict[str, str] = {}
+    for rel, f in to_read:
+        ipc = pq.read_schema(f).serialize().to_pybytes()
+        fp = hashlib.md5(ipc).hexdigest()
+        part = os.path.dirname(rel) or "."
+        new_parts[part]["files"][rel] = fp
+        fresh_ex.setdefault(fp, base64.b64encode(ipc).decode("ascii"))
+
+    fp_by_rel: dict[str, str] = {}
+    for entry in new_parts.values():
+        fp_by_rel.update(entry["files"])
+    used = set(fp_by_rel.values())
+    exemplars = {
+        fp: b
+        for fp, b in {**cached_ex, **fresh_ex}.items()
+        if fp in used
+    }
+    _write_scan_cache(
+        cache_path,
+        {
+            **cache,
+            "version": 1,
+            "arrow_partitions": new_parts,
+            "arrow_exemplars": exemplars,
+        },
+    )
+    out: list = []
+    seen: set[str] = set()
+    for f in files:
+        fp = fp_by_rel[os.path.relpath(f, root)]
+        if fp not in seen:
+            seen.add(fp)
+            out.append(
+                pa.ipc.read_schema(
+                    pa.BufferReader(base64.b64decode(exemplars[fp]))
+                )
+            )
+    return out
 
 
 def _render_column_type(

@@ -1663,3 +1663,63 @@ def test_cli_main_mode_accepts_drift_cache(tmp_path, capsys):
 
     assert os.path.exists(cache)
     assert "partition by (year)" in capsys.readouterr().out
+
+
+def test_unified_schema_drift_cache(tmp_path, monkeypatch):
+    """r14: the --unify promotion scan accepts the shared drift cache —
+    the second unify on an unchanged tree reads ZERO footers, a mutated
+    partition re-reads only itself, the promoted schema is identical to
+    the uncached path, and the drift/unify payloads coexist in ONE cache
+    file without clobbering each other."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        incremental_drift_scan,
+        unified_parquet_schema,
+    )
+
+    d = tmp_path / "t.parquet"
+    for year, cols in (
+        ("2024", {"id": pa.array([1], pa.int32())}),
+        ("2025", {"id": pa.array([2], pa.int64())}),
+    ):
+        sub = d / f"year={year}"
+        sub.mkdir(parents=True)
+        _write_fragment(sub, "part-000.parquet", cols)
+    cache = str(tmp_path / "cache.json")
+
+    expected = unified_parquet_schema(str(d))  # uncached reference
+    got1 = unified_parquet_schema(str(d), drift_cache=cache)
+    assert got1.simpleString() == expected.simpleString()
+
+    # drift scan shares the file; its write must preserve the arrow payload
+    incremental_drift_scan(str(d), cache)
+    blob = _json.loads((tmp_path / "cache.json").read_text())
+    assert "arrow_partitions" in blob and "partitions" in blob
+
+    reads = []
+    real = _pq.read_schema
+    monkeypatch.setattr(_pq, "read_schema", lambda f, **kw: (reads.append(str(f)), real(f, **kw))[1])
+    got2 = unified_parquet_schema(str(d), drift_cache=cache)
+    assert got2.simpleString() == expected.simpleString()
+    assert reads == []  # steady state: zero footer reads
+
+    # mutate one partition: only it re-reads; result still matches uncached
+    _write_fragment(
+        d / "year=2025", "part-001.parquet", {"id": pa.array([3], pa.int64()),
+                                              "score": pa.array([0.5])}
+    )
+    got3 = unified_parquet_schema(str(d), drift_cache=cache)
+    assert all("year=2025" in f for f in reads) and reads
+    monkeypatch.undo()
+    assert got3.simpleString() == unified_parquet_schema(str(d)).simpleString()
+    assert "score" in got3.fieldNames()
+
+    # end-to-end: --unify + cache through schema_to_clickhouse
+    ddl = schema_to_clickhouse(
+        str(d), "t", "id", unify=True, drift_cache=cache
+    )
+    assert "id Int64\n" in ddl and "partition by (year)" in ddl
