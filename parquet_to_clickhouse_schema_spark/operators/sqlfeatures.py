@@ -231,6 +231,157 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PV_SHARDS = 32  # simulated partition count (shard = l_orderkey % PV_SHARDS)
+PV_M = 64  # samples kept per shard -> merged rank error <= 1/PV_M
+
+
+@_q(
+    "q_percentile_verified",
+    f"""
+    WITH base AS (
+      SELECT l_returnflag AS grp, l_orderkey % {PV_SHARDS} AS shard,
+             l_extendedprice AS val, l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT grp, shard, val,
+             row_number() OVER (PARTITION BY grp, shard
+                                ORDER BY val, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY grp, shard) AS n
+      FROM base
+    ),
+    kept AS (
+      SELECT grp, shard, val, rn,
+             rn - coalesce(lag(rn) OVER (PARTITION BY grp, shard ORDER BY rn),
+                           0) AS w
+      FROM ranked
+      WHERE (rn * {PV_M}) // n > ((rn - 1) * {PV_M}) // n
+    ),
+    merged AS (
+      SELECT grp, val,
+             sum(w) OVER (PARTITION BY grp ORDER BY val, shard, rn
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(w) OVER (PARTITION BY grp) AS n_all
+      FROM kept
+    ),
+    est AS (
+      SELECT grp, CAST(max(n_all) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS sketch_rows,
+             min(CASE WHEN cumw * 4 >= n_all THEN val END) AS p25_est,
+             min(CASE WHEN cumw * 2 >= n_all THEN val END) AS p50_est,
+             min(CASE WHEN cumw * 4 >= 3 * n_all THEN val END) AS p75_est
+      FROM merged GROUP BY grp
+    )
+    SELECT e.grp AS l_returnflag, e.n_rows, e.sketch_rows,
+           e.p25_est, e.p50_est, e.p75_est,
+           floor(abs(sum(CASE WHEN b.val <= e.p25_est THEN 1 ELSE 0 END) * 1.0
+                     / e.n_rows - 0.25) * 1000000.0 + 0.5) / 1000000.0
+               AS p25_rank_err,
+           floor(abs(sum(CASE WHEN b.val <= e.p50_est THEN 1 ELSE 0 END) * 1.0
+                     / e.n_rows - 0.5) * 1000000.0 + 0.5) / 1000000.0
+               AS p50_rank_err,
+           floor(abs(sum(CASE WHEN b.val <= e.p75_est THEN 1 ELSE 0 END) * 1.0
+                     / e.n_rows - 0.75) * 1000000.0 + 0.5) / 1000000.0
+               AS p75_rank_err
+    FROM est e JOIN base b ON b.grp = e.grp
+    GROUP BY e.grp, e.n_rows, e.sketch_rows, e.p25_est, e.p50_est, e.p75_est
+    """,
+)
+def q_percentile_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated mergeable quantile sketch (q_percentile_approx's hash-
+    gated mechanism proof — the q_minhash_union / q_ann_verified_topk move
+    applied to quantile summaries).
+
+    Mechanism (Manku-Rajagopalan-Lindsay mergeable summary, the family
+    percentile_approx's GK sketch belongs to): each simulated partition
+    (shard = l_orderkey % {PV_SHARDS} — deterministic, unlike real task
+    splits) sorts its values and keeps the {PV_M} evenly-spaced rank
+    samples p_i = ceil(i*n/m), each carrying its exact integer rank
+    coverage w_i = p_i - p_(i-1); summaries merge by a weighted cumulative
+    rank over (val, shard, rn) and the q-quantile estimate is the first
+    sample whose cumulative weight reaches ceil(q*N) (integer threshold
+    cumw*den >= num*N — no float rank math anywhere in the sketch). The
+    estimates are exact data values and every merge step is integer
+    arithmetic, so DuckDB rebuilds the whole path bit-for-bit: the SKETCH
+    is oracle-gated, not just its output rows. Measured per-group rank
+    error (|rank(est)/N - q|, bound 1/{PV_M}) rides on the row.
+
+    100 TB shape: the per-shard summary is m rows regardless of shard
+    size (two window passes over the shard's local sort — in production a
+    per-partition mapPartitions pass, here windows so the oracle can
+    mirror it); the merge shuffles groups x shards x m rows only. The
+    truth join (base x 3-row broadcast est) exists to measure — drop it
+    in production and the sketch never rescans the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_orderkey") % PV_SHARDS).alias("shard"),
+        F.col("l_extendedprice").alias("val"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_rank = Window.partitionBy("grp", "shard").orderBy(
+        "val", "l_orderkey", "l_linenumber"
+    )
+    ranked = base.select(
+        "grp",
+        "shard",
+        "val",
+        F.row_number().over(w_rank).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy("grp", "shard")).alias("n"),
+    )
+    kept = ranked.filter(
+        F.expr(f"(rn * {PV_M}) DIV n > ((rn - 1) * {PV_M}) DIV n")
+    )
+    w_lag = Window.partitionBy("grp", "shard").orderBy("rn")
+    kept = kept.select(
+        "grp",
+        "shard",
+        "val",
+        "rn",
+        (F.col("rn") - F.coalesce(F.lag("rn").over(w_lag), F.lit(0))).alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("val", "shard", "rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = kept.select(
+        "grp",
+        "val",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("grp")).alias("n_all"),
+    )
+    est = merged.groupBy("grp").agg(
+        F.max("n_all").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("sketch_rows"),
+        F.min(F.when(F.col("cumw") * 4 >= F.col("n_all"), F.col("val"))).alias(
+            "p25_est"
+        ),
+        F.min(F.when(F.col("cumw") * 2 >= F.col("n_all"), F.col("val"))).alias(
+            "p50_est"
+        ),
+        F.min(
+            F.when(F.col("cumw") * 4 >= 3 * F.col("n_all"), F.col("val"))
+        ).alias("p75_est"),
+    )
+
+    def rank_err(p_col: str, q: float):
+        le = F.sum((F.col("val") <= F.col(p_col)).cast("int"))
+        return qround(F.abs(le * 1.0 / F.col("n_rows") - q), 6)
+
+    return (
+        base.join(F.broadcast(est), "grp")
+        .groupBy("grp", "n_rows", "sketch_rows", "p25_est", "p50_est", "p75_est")
+        .agg(
+            rank_err("p25_est", 0.25).alias("p25_rank_err"),
+            rank_err("p50_est", 0.5).alias("p50_rank_err"),
+            rank_err("p75_est", 0.75).alias("p75_rank_err"),
+        )
+        .withColumnRenamed("grp", "l_returnflag")
+    )
+
+
 @_q(
     "q_stats_agg",
     """

@@ -110,71 +110,17 @@ CONTRACT_KEYS = (
     "q_udf_pandas",
     "q_udaf_grouped",
 )
-# Round-14 sweep priority: the driver's correctness sweep checks the FIRST
+# Round-15 sweep priority: the driver's correctness sweep checks the FIRST
 # ~50 queries() keys each round. Rotation is rebuilt each round from the
 # evidence ledger (`python scripts/sweep_ledger.py`, docs/SWEEP_LEDGER.md).
-# After r13 the freshness backlog is: 10 keys whose latest row is r04 (they
-# sat in r13 priority slots 51-60, one budget past the 50-key sweep) and 50
-# whose latest is r08. r14 leads with all 10 r04 stragglers (oracle-gated
-# first), then the first 40 r08-era keys in ledger (alphabetical) order —
-# exactly the ~50-key budget. The 10 r08 tail keys overflow to r15. Zero
-# overlap with the r13 sweep set by construction.
+# After r14 the freshness backlog is: 11 keys whose latest row is r08 (the
+# r14 rotation's documented overflow tail) and 50 whose latest is r09. r15
+# leads with all 11 r08 keys (the r14 VERDICT's explicit order), then the
+# first 38 r09-era keys in ledger (alphabetical) order — exactly the
+# ~50-key budget. The 12 r09 tail keys overflow to r16. Zero overlap with
+# the r14 sweep set by construction.
 SWEEP_PRIORITY = (
-    # (a) r4-era stragglers, oracle-gated first (10 keys)
-    "q_try_funcs",
-    "q_udtf_ngrams",
-    "q_vocab_top",
-    "q_window_distinct_running",
-    "q_ann_lsh_topk",  # rows-only
-    "q_ddl_clickhouse",  # rows-only
-    "q_dedup_simhash",  # rows-only
-    "q_hll_sketch",  # rows-only
-    "q_ivf_topk",  # rows-only
-    "q_percentile_approx",  # rows-only
-    # (a2) new r14 key — never swept, gets its first driver row here
-    "q_partition_prune",
-    # (b) r8-era refresh, ledger (alphabetical) order (39 keys)
-    "q_abtest_lift",
-    "q_acf",
-    "q_audience_overlap",
-    "q_audio_decode",
-    "q_bootstrap_ci",
-    "q_bpe_train",  # rows-only
-    "q_chi_square",
-    "q_cohort_ltv",
-    "q_contamination_score",
-    "q_copurchase_pairs",
-    "q_curriculum_order",
-    "q_cusum",
-    "q_distinct_on",
-    "q_filter_sweep",
-    "q_funnel_time",
-    "q_image_decode",
-    "q_impute_median",
-    "q_incremental_agg",
-    "q_incremental_dedup",
-    "q_lang_confusion",
-    "q_mix_temperature",
-    "q_moving_median",
-    "q_oov_rate",
-    "q_recursive_cte",
-    "q_report_excess_supply",
-    "q_report_idle_customers",
-    "q_report_important_stock",
-    "q_report_market_share",
-    "q_report_min_cost_supplier",
-    "q_report_part_supp_count",
-    "q_report_ship_priority",
-    "q_report_top_supplier",
-    "q_report_volume_shipping",
-    "q_report_waiting_suppliers",
-    "q_rolling_corr",
-    "q_seasonal_decompose",
-    "q_session_window",
-    "q_ship_latency",
-    "q_skyline",
-    # ---- ~50-budget line ----
-    # (c) overflow: r8-era tail for r15
+    # (a) r8-era keys, VERDICT r14 task #2 (11 keys)
     "q_sliding_window",
     "q_spend_alerts",
     "q_stream_dedup",
@@ -186,6 +132,61 @@ SWEEP_PRIORITY = (
     "q_video_frames",
     "q_window_time_range",
     "q_zipf_slope",
+    # (a2) new r15 key — never swept, gets its first driver row here
+    "q_percentile_verified",
+    # (b) r9-era refresh, ledger (alphabetical) order (38 keys)
+    "q_anomaly_zscore",
+    "q_audio_resample",
+    "q_benford",
+    "q_bigram_pmi",
+    "q_bpe_pairs",
+    "q_cdc_apply",
+    "q_dedup_containment",
+    "q_dedup_pipeline",
+    "q_dq_checks",
+    "q_dup_rate_report",
+    "q_embed_outliers",
+    "q_embed_quantize",
+    "q_event_transitions",
+    "q_except_set",
+    "q_format_roundtrip",
+    "q_graph_degree",
+    "q_having",
+    "q_hourly_profile",
+    "q_image_resize",
+    "q_incremental_near_dedup",
+    "q_interp_linear",
+    "q_intersect_all",
+    "q_layout_pruning",
+    "q_length_histogram",
+    "q_limit_offset",
+    "q_mad_robust",
+    "q_mix_balanced",
+    "q_mode_agg",
+    "q_near_dedup_minhash",
+    "q_order_nulls",
+    "q_percentile",
+    "q_pii_scrub",
+    "q_pivot",
+    "q_profile_table",
+    "q_quantile_bucketize",
+    "q_report_big_orders",
+    "q_report_late_orders",
+    "q_report_order_count_dist",
+    # ---- ~50-budget line ----
+    # (c) overflow: r9-era tail for r16
+    "q_report_returned_customers",
+    "q_report_revenue_delta",
+    "q_report_small_qty_revenue",
+    "q_report_top_orders",
+    "q_source_entropy",
+    "q_stream_stream_join",
+    "q_substring_dup",
+    "q_training_mix_report",
+    "q_udf_arrow",
+    "q_unigram_nll",
+    "q_variant_json",
+    "q_video_thumbnail",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

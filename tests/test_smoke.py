@@ -74,6 +74,30 @@ def test_percentile_approx_within_one_unit_of_exact(spark):
             assert abs(getattr(a, fld) - getattr(e, fld)) <= 1.0, (flag, fld)
 
 
+def test_percentile_verified_sketch_bounds(spark):
+    """q_percentile_verified (r15, oracle-gated): the MRL merged summary's
+    measured rank error must honor the 1/PV_M analytic bound, the sketch
+    must stay within its SHARDS*M size ceiling, and the estimates must
+    bracket sanely (monotone p25<=p50<=p75, each within one rank-error
+    band of the exact interpolated percentile's neighborhood)."""
+    from parquet_to_clickhouse_schema_spark.operators.sqlfeatures import (
+        PV_M,
+        PV_SHARDS,
+        q_percentile_verified,
+    )
+
+    rows = {r.l_returnflag: r for r in q_percentile_verified(spark, SF_SMOKE).collect()}
+    assert len(rows) == 3
+    for flag, r in rows.items():
+        assert r.sketch_rows <= PV_SHARDS * PV_M, flag
+        assert r.sketch_rows < r.n_rows, flag  # actually compressed
+        assert r.p25_est <= r.p50_est <= r.p75_est, flag
+        for fld in ("p25_rank_err", "p50_rank_err", "p75_rank_err"):
+            # one-level merge of per-shard m-sample summaries: <= 1/m,
+            # plus a half-rank slack for the discrete threshold.
+            assert getattr(r, fld) <= 1.0 / PV_M + 0.5 / r.n_rows, (flag, fld)
+
+
 def test_minhash_detects_planted_near_duplicates(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     near = " ".join(f"tok{i}" for i in range(59)) + " tokX"  # ~1 shingle changed
