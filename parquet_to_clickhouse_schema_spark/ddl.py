@@ -306,21 +306,30 @@ def _partition_value_type(raw: str) -> T.DataType:
 def _widen_partition_types(t1: T.DataType, t2: T.DataType) -> T.DataType:
     """Common type for one partition key whose directories carry
     differently-shaped values — Spark's findWiderTypeForPartitionColumn
-    parity (SPARK-26188: double × integral/decimal loses precision, so the
-    pair deliberately falls back to STRING, not double)."""
+    parity (SPARK-26188: double × long/decimal loses precision, so those
+    pairs deliberately fall back to STRING; double × int is lossless and
+    widens to DOUBLE — both probed against Spark's reader)."""
     if t1 == t2:
         return t1
     ints = (T.IntegerType, T.LongType)
     integral = ints + (T.DecimalType,)
     if isinstance(t1, T.DoubleType) or isinstance(t2, T.DoubleType):
-        # double × integral → string (SPARK-26188); double × date/string
-        # has no wider type either — string is the only safe parent here
+        other = t2 if isinstance(t1, T.DoubleType) else t1
+        # SPARK-26188 guards exactly double×LONG and double×DECIMAL (the
+        # lossy pairs) → string; double×INT widens losslessly to double
+        # via TypeCoercion.findWiderTypeForTwo (probed: x=1/ + x=1.5/
+        # reads back DoubleType). double × date/ts/string has no wider
+        # type — string.
+        if isinstance(other, T.IntegerType):
+            return T.DoubleType()
         return T.StringType()
     if isinstance(t1, ints) and isinstance(t2, ints):
         return T.LongType()
     if isinstance(t1, integral) and isinstance(t2, integral):
+        # DecimalType.forType: Integer → Dec(10,0), Long → Dec(20,0)
+        # (probed: long dir × 19-digit decimal dir reads back Dec(20,0))
         prec = max(
-            t.precision if isinstance(t, T.DecimalType) else (10 if isinstance(t, T.IntegerType) else 19)
+            t.precision if isinstance(t, T.DecimalType) else (10 if isinstance(t, T.IntegerType) else 20)
             for t in (t1, t2)
         )
         return T.DecimalType(min(prec, 38), 0)
@@ -991,7 +1000,7 @@ def incremental_drift_scan(
          "footers_read": N}
     """
     files, root, by_part, lfp_by_part = _partition_listing(path)
-    cache = _load_scan_cache(cache_path)
+    cache = _load_scan_cache(cache_path, root=root)
     cached_parts = cache.get("partitions", {})
     cached_exemplars = cache.get("exemplars", {})
     rescanned: list[str] = []
@@ -1048,14 +1057,23 @@ def incremental_drift_scan(
             fp = fp_by_rel[rel]
             if fp == ref_fp:
                 continue  # identical footer — no diff possible
+            # join with the CALLER's path, not the absolutized root, so
+            # cached and uncached runs report identical paths on relative
+            # inputs — schema_drift_report parity (ADVICE r14)
             for change in _schema_changes(ref_schema, schema_by_fp[fp]):
-                change["file"] = os.path.join(root, rel)
-                change["reference_file"] = os.path.join(root, ref_rel)
+                change["file"] = os.path.join(path, rel)
+                change["reference_file"] = os.path.join(path, ref_rel)
                 report.append(change)
 
     _write_scan_cache(
         cache_path,
-        {**cache, "version": 1, "partitions": new_parts, "exemplars": exemplars},
+        {
+            **cache,
+            "version": 1,
+            "root": root,
+            "partitions": new_parts,
+            "exemplars": exemplars,
+        },
     )
     return {
         "report": report,
@@ -1094,14 +1112,23 @@ def _partition_listing(path: str):
     return files, root, by_part, lfp_by_part
 
 
-def _load_scan_cache(cache_path: str) -> dict:
+def _load_scan_cache(cache_path: str, root: str | None = None) -> dict:
     """The scan-cache JSON, or a fresh empty one on miss/corruption.
     Unknown top-level sections are preserved by writers so the drift
-    (Spark-JSON) and unify (arrow-IPC) payloads can share one file."""
+    (Spark-JSON) and unify (arrow-IPC) payloads can share one file.
+
+    When *root* (the dataset's absolute root) is given and the cache was
+    written for a DIFFERENT root, the whole cache is discarded: partition
+    entries are keyed by root-relative path + (size, mtime_ns), so a cache
+    file pointed at another dataset with coinciding rel-paths/stats would
+    silently serve the wrong exemplars (ADVICE r14). Caches written before
+    the root key existed (no ``root``) are still honored."""
     try:
         with open(cache_path, encoding="utf-8") as fh:
             loaded = json.load(fh)
         if isinstance(loaded, dict) and loaded.get("version") == 1:
+            if root is not None and loaded.get("root") not in (None, root):
+                return {"version": 1, "partitions": {}, "exemplars": {}}
             return loaded
     except (OSError, ValueError):
         pass
@@ -1133,7 +1160,7 @@ def _cached_distinct_arrow_schemas(path: str, cache_path: str) -> list:
     import pyarrow.parquet as pq
 
     files, root, by_part, lfp_by_part = _partition_listing(path)
-    cache = _load_scan_cache(cache_path)
+    cache = _load_scan_cache(cache_path, root=root)
     cached_parts = cache.get("arrow_partitions", {})
     cached_ex = cache.get("arrow_exemplars", {})
     new_parts: dict[str, dict] = {}
@@ -1175,6 +1202,7 @@ def _cached_distinct_arrow_schemas(path: str, cache_path: str) -> list:
         {
             **cache,
             "version": 1,
+            "root": root,
             "arrow_partitions": new_parts,
             "arrow_exemplars": exemplars,
         },
@@ -1297,10 +1325,31 @@ def schema_diff_to_clickhouse_alter(
             stmts.append(f"alter table {table_name} drop column {f.name};")
             layout.remove(f.name)
 
-    # 2. type changes on survivors (new order)
+    # 2. type changes on survivors (new order). An INFERRED type change on
+    # a hive partition column is REFUSED outright (r15, VERDICT r14 task
+    # #4): it is the CREATE path's `partition by` key and MergeTree
+    # partition keys are immutable — and the check compares SPARK types,
+    # not rendered ClickHouse types, because the render can coincide while
+    # the value encoding diverges (dt=2024-01-01 → dt=20240101: Date and
+    # Int32 both render Int32, but one stores days-since-epoch and the
+    # other raw literals — silently mixing them corrupts the partition
+    # key). The refusal is a comment, the column keeps its old type, and
+    # later MOVE statements render the OLD type so the emitted script
+    # stays internally consistent.
+    refused_types: set[str] = set()
     for f in new_schema.fields:
         if f.name in old_top:
             old_f = old_top[f.name]
+            if f.name in part_cols and old_f.dataType != f.dataType:
+                refused_types.add(f.name)
+                stmts.append(
+                    f"-- REFUSED: partition key {f.name} inferred type "
+                    f"changed ({old_f.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}); MergeTree partition "
+                    "keys are immutable — recreate the table (CREATE from "
+                    "the new dataset + INSERT SELECT) instead"
+                )
+                continue
             if render(old_f) != render(f):
                 warn_if_key(f.name)
                 stmts.append(
@@ -1323,9 +1372,11 @@ def schema_diff_to_clickhouse_alter(
             layout.insert(i, name)
             pos = "first" if i == 0 else f"after {surv_target[i - 1]}"
             warn_if_key(name)
+            # a refused partition-key retype keeps its OLD type in moves
+            src = old_top[name] if name in refused_types else new_top[name]
             stmts.append(
                 f"alter table {table_name} modify column {name} "
-                f"{render(new_top[name])} {pos};"
+                f"{render(src)} {pos};"
             )
 
     # 4. adds, anchored on the new footer's predecessor — by now either a

@@ -1258,6 +1258,44 @@ def test_alter_warns_on_hive_partition_column_change(tmp_path):
     assert "WARNING" not in ddl2
 
 
+def test_alter_refuses_hive_partition_key_retype(tmp_path):
+    """r15 (VERDICT r14 task #4): --diff-against between two PARTITIONED
+    datasets where the partition key's inferred TYPE changes (dt=2024-01-01
+    → dt=20240101, Date → Int32 under the hive typing lattice). MergeTree
+    partition keys are immutable, so the tool REFUSES: a commented REFUSED
+    line pointing at a table rebuild, and no executable statement touching
+    dt — while ordinary data-column changes in the same diff still emit."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        schema_diff_to_clickhouse_alter,
+    )
+
+    old = tmp_path / "old.parquet"
+    (old / "dt=2024-01-01").mkdir(parents=True)
+    _write_fragment(old / "dt=2024-01-01", "part-000.parquet",
+                    {"id": pa.array([1], pa.int64()),
+                     "v": pa.array([1], pa.int32())})
+    new = tmp_path / "new.parquet"
+    (new / "dt=20240101").mkdir(parents=True)
+    _write_fragment(new / "dt=20240101", "part-000.parquet",
+                    {"id": pa.array([1], pa.int64()),
+                     "v": pa.array([1], pa.int64())})
+
+    ddl = schema_diff_to_clickhouse_alter(str(old), str(new), "t",
+                                          primary_key="id")
+    # the SPARK-level inferred types drive the refusal — Date and Int32
+    # both RENDER as Int32 (reference date mapping), so a rendered-type
+    # comparison would silently mix days-since-epoch with raw literals
+    assert "-- REFUSED: partition key dt inferred type changed (date -> int)" in ddl
+    assert "partition keys are immutable" in ddl
+    # no EXECUTABLE statement may touch dt; the accompanying data-column
+    # retype still migrates normally
+    live = [s for s in ddl.splitlines() if not s.startswith("--")]
+    assert not any(" dt " in s for s in live), live
+    assert "alter table t modify column v Nullable(Int64);" in ddl
+
+
 def test_unified_schema_promotes_map_values(tmp_path):
     """Map value types widen through --unify too (int32+int64 value →
     Map(String, Int64)) — the container family test_unified_schema_nested
@@ -1362,7 +1400,8 @@ def test_hive_partition_value_type_inference_unit():
     """Spark PartitioningUtils parity table: int32 → int64 → decimal(p,0)
     → double → date → timestamp → string, with the round-trip rule (a
     non-zero-padded '2024-1-1' formats back differently, so it stays a
-    string) and SPARK-26188 widening (double x integral → string)."""
+    string) and SPARK-26188 widening (double x long/decimal → string;
+    double x int is lossless and widens to double — probed vs Spark)."""
     from parquet_to_clickhouse_schema_spark.ddl import (
         _partition_value_type as vt,
         _widen_partition_types as widen,
@@ -1385,7 +1424,11 @@ def test_hive_partition_value_type_inference_unit():
 
     assert widen(T.IntegerType(), T.LongType()) == T.LongType()
     assert widen(T.IntegerType(), T.DecimalType(26, 0)) == T.DecimalType(26, 0)
-    assert widen(T.DoubleType(), T.IntegerType()) == T.StringType()  # SPARK-26188
+    assert widen(T.DoubleType(), T.IntegerType()) == T.DoubleType()  # lossless
+    assert widen(T.DoubleType(), T.LongType()) == T.StringType()  # SPARK-26188
+    assert widen(T.DoubleType(), T.DecimalType(26, 0)) == T.StringType()
+    # DecimalType.forType(Long) is Dec(20,0): long x Dec(19,0) → Dec(20,0)
+    assert widen(T.LongType(), T.DecimalType(19, 0)) == T.DecimalType(20, 0)
     assert widen(T.DateType(), T.TimestampType()) == T.TimestampType()
     assert widen(T.DateType(), T.IntegerType()) == T.StringType()
 
@@ -1564,6 +1607,77 @@ def test_incremental_drift_scan_touches_only_mutated_partition(tmp_path):
     s5 = incremental_drift_scan(str(d), cache)
     assert s5["footers_read"] == 4
     assert s5["report"] == schema_drift_report(str(d))
+
+
+def test_incremental_drift_scan_relative_path_parity(tmp_path, monkeypatch):
+    """ADVICE r15: on a RELATIVE input path the cached scan's report paths
+    must match schema_drift_report's (which returns paths as listed) —
+    the report is built by joining the caller's path, not the absolutized
+    root, and the parity must hold on the cold AND the warm run."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        incremental_drift_scan,
+        schema_drift_report,
+    )
+
+    d = tmp_path / "t.parquet"
+    for year, typ in (("2024", pa.int64()), ("2025", pa.int32())):
+        sub = d / f"year={year}"
+        sub.mkdir(parents=True)
+        _write_fragment(sub, "part-000.parquet", {"id": pa.array([1], typ)})
+    monkeypatch.chdir(tmp_path)
+    cache = "drift_cache.json"
+
+    expected = schema_drift_report("t.parquet")
+    assert expected, "fixture must drift"
+    assert all(f["file"].startswith("t.parquet/") for f in expected)
+    s1 = incremental_drift_scan("t.parquet", cache)  # cold
+    assert s1["report"] == expected
+    s2 = incremental_drift_scan("t.parquet", cache)  # warm, 0 footers
+    assert s2["footers_read"] == 0
+    assert s2["report"] == expected
+
+
+def test_incremental_drift_scan_root_mismatch_forces_rescan(tmp_path):
+    """ADVICE r15: a cache file written for dataset A must not serve
+    dataset B even when B's partition rel-paths, file names, sizes and
+    mtimes all coincide — the cache stores the dataset's absolute root
+    and a mismatch degrades to a full (correct) rescan."""
+    import os
+
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        incremental_drift_scan,
+        schema_drift_report,
+    )
+
+    # two datasets with IDENTICAL rel-paths and file bytes, different roots
+    # and different schemas (B drifts, A does not)
+    a, b = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    for root, types in ((a, (pa.int64(), pa.int64())), (b, (pa.int64(), pa.int32()))):
+        for year, typ in zip(("2024", "2025"), types):
+            sub = root / f"year={year}"
+            sub.mkdir(parents=True)
+            _write_fragment(sub, "part-000.parquet", {"id": pa.array([1], typ)})
+    # force stat collisions: same size is likely (tiny footers), same mtime
+    # is the adversarial case — pin both mtimes to the same instant
+    for root in (a, b):
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                os.utime(os.path.join(dirpath, f), ns=(10**18, 10**18))
+
+    cache = str(tmp_path / "cache.json")
+    s_a = incremental_drift_scan(str(a), cache)
+    assert s_a["report"] == []
+    # same cache file, different dataset: must NOT reuse A's exemplars
+    s_b = incremental_drift_scan(str(b), cache)
+    assert s_b["footers_read"] == 2  # full rescan, nothing served from A
+    assert s_b["report"] == schema_drift_report(str(b))
+    assert [(r["column"], r["change"]) for r in s_b["report"]] == [
+        ("id", "type_changed")
+    ]
 
 
 def test_cli_drift_report_with_cache(tmp_path, capsys):
