@@ -359,16 +359,17 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="q_partition_prune_")
     try:
         p = os.path.join(tmp, "events_by_day")
-        (
-            ev.withColumn("event_date", F.to_date("ts"))
-            # repartition on the partition column BEFORE partitionBy or
-            # every task writes a file into every day directory (30 days
-            # × 32 tasks ≈ 10³ tiny files — the classic partitioned-write
-            # mistake); hash-clustered, each day lands in ONE file
-            # (r14 measured: the sf0.1 oracle run drops 21 → ~8 s)
-            .repartition(F.col("event_date"))
-            .write.partitionBy("event_date")
-            .parquet(p)
+        # the day-clustered write is the shared third layout recipe
+        # (sources/formats.write_partitioned): repartition on the
+        # partition column BEFORE partitionBy, so each day lands in ONE
+        # file instead of |days| x |tasks| tiny ones (r14 measured: the
+        # sf0.1 oracle run drops 21 → ~8 s)
+        from parquet_to_clickhouse_schema_spark.sources.formats import (
+            write_partitioned,
+        )
+
+        write_partitioned(
+            ev.withColumn("event_date", F.to_date("ts")), p, ["event_date"]
         )
         lo = F.lit(_PRUNE_LO).cast("date")
         hi = F.lit(_PRUNE_HI).cast("date")

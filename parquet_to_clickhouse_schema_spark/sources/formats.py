@@ -199,7 +199,10 @@ def write_sorted(
     on the sort key then skips whole row groups/files (zone-map pruning) —
     on a 100 TB table this is the difference between scanning everything
     and touching a handful of files. The write itself costs one range
-    shuffle; the payoff is every subsequent selective scan."""
+    shuffle; the payoff is every subsequent selective scan. One of three
+    layout recipes: write_sorted (one hot sort dimension), write_zordered
+    (several), write_partitioned (bounded-cardinality keys pruned at the
+    directory-listing level)."""
     if n_files:
         df = df.repartitionByRange(n_files, *sort_cols)
     else:
@@ -266,7 +269,8 @@ def write_zordered(
     selective predicates on ANY of the dimensions — the property a
     single-column sort (write_sorted) only gives its one sort key. The
     standard lakehouse OPTIMIZE ZORDER BY, expressed with built-in
-    expressions and one range shuffle.
+    expressions and one range shuffle. (Third recipe: write_partitioned,
+    directory-level pruning for bounded-cardinality keys.)
 
     Each dimension is first scaled to [0, 2^bits) from its min/max (one
     1-row aggregate): interleaving RAW values with unequal ranges lets the
@@ -303,6 +307,55 @@ def write_zordered(
         .drop("_z", *names)
     )
     out.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_value: int = 1,
+    n_tasks: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Directory(hive)-partitioned layout — the THIRD layout recipe next
+    to write_sorted (one sort dimension, zone-map pruning inside files)
+    and write_zordered (multi-dimension, zone-map pruning): `key=value`
+    directories prune at the LISTING level, before a single footer is
+    even opened, for any equality/range predicate on the partition
+    columns (Catalyst's PartitionFilters — gated end-to-end by
+    q_partition_prune's oracle + plan assert).
+
+    The load-bearing detail is the `repartition(partition_cols)` BEFORE
+    `partitionBy`: without it every upstream task writes one file into
+    every value directory (|values| x |tasks| tiny files — the classic
+    partitioned-write mistake; the small-files tax is file_stats' whole
+    subject), with it rows hash-cluster so each value lands in ONE file
+    (r14 measured on the sf0.1 oracle run: 21 → ~8 s). Pick partition
+    columns with bounded cardinality (days, sources, regions — 10³-10⁵
+    directories); for high-cardinality or skewed keys, partition on a
+    derived bucket (to_date, hash % n) instead.
+
+    `files_per_value` is the 100 TB lever on the OTHER side of the
+    small-files tradeoff: one-file-per-value caps write parallelism at
+    |values| and makes a 300 GB day one 300 GB file. Setting it to k
+    adds a row-hash salt to the clustering so each value splits into
+    <= k files and the write uses up to |values| x k tasks — size k so
+    files land near the 128 MB-1 GB sweet spot. With the default
+    implicit task count, AQE's size-based coalescing may re-merge salt
+    groups that come out tiny (desirable: it is exactly the small-files
+    guard); pass `n_tasks` (~ |values| x k) to pin the task count — an
+    explicit repartition count is exempt from AQE coalescing."""
+    from pyspark.sql import functions as F
+
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_value > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_value),
+        )
+        keys.append(salt)
+    rep = df.repartition(n_tasks, *keys) if n_tasks else df.repartition(*keys)
+    rep.write.partitionBy(*partition_cols).mode(mode).parquet(path)
 
 
 def file_stats(path: str) -> dict:
