@@ -83,6 +83,8 @@ HEADLINE = [
     "q_boilerplate_ngrams",
     "q_weighted_quantile",
     "q_max_concurrency",
+    # r15 addition: the gated quantile sketch, tracked from birth
+    "q_percentile_verified",
 ]
 
 
