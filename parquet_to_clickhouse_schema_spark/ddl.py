@@ -991,6 +991,14 @@ def incremental_drift_scan(
 
     The cache file is JSON, rewritten atomically each run; deleting it (or
     a version bump) degrades to a full scan with identical results. The
+    cache is keyed by the dataset's absolute root (a cache file pointed
+    at a different tree rescans fully — ADVICE r14) plus per-file
+    (size, mtime_ns); like every mtime-based cache it cannot see an
+    in-place rewrite that preserves BOTH size and mtime (touch -r /
+    mtime-restoring sync tools) — a per-file content check would cost a
+    footer read per file per run, exactly the steady-state zero-read
+    property the cache exists to provide, so after such a rewrite
+    delete the cache file instead. The
     returned report is exactly ``schema_drift_report``'s (tested), plus
     scan telemetry::
 
