@@ -126,6 +126,7 @@ _part_types = st.sampled_from(
     [
         T.IntegerType(),
         T.LongType(),
+        T.DecimalType(20, 0),  # DecimalType.forType(Long) — the r15 edge
         T.DecimalType(26, 0),
         T.DoubleType(),
         T.DateType(),
