@@ -123,13 +123,6 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     return r.load(path)
 
 
-def write_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
-) -> None:
-    """Hive-style partitioned parquet layout (partition pruning at read)."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
-
-
 def write_compacted(df: DataFrame, path: str, n_files: int, mode: str = "overwrite") -> None:
     """Compact to a target file count. coalesce() merges partitions without
     a shuffle but can only REDUCE the count; fall back to repartition (one
