@@ -482,3 +482,212 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         F.col("o_orderpriority").alias("priority_at_ship")
     ).agg(F.count("*").cast("bigint").alias("n_shipments"))
+
+
+# ------------------------------------------------------- bloom pruning ----
+
+BLOOM_BITS_PER_KEY = 6  # m = 6 * |dim keys| (scale-invariant FPR ~0.08)
+BLOOM_K = 2  # hash functions; pass = all K slot positions set
+
+
+@_q(
+    "q_bloom_prune",
+    f"""
+    WITH dim AS (
+      SELECT DISTINCT s_suppkey FROM supplier WHERE s_nationkey % 5 = 2
+    ),
+    dm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_dim,
+             CAST(count(*) * {BLOOM_BITS_PER_KEY} AS BIGINT) AS m
+      FROM dim
+    ),
+    slots AS (SELECT unnest(range(0, {BLOOM_K})) AS slot),
+    pos AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(CAST(slot AS VARCHAR) || ':'
+                                     || CAST(s_suppkey AS VARCHAR)),
+                                 1, 15) AS BIGINT) % m AS p
+      FROM dim CROSS JOIN slots CROSS JOIN dm
+    ),
+    factk AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS nrows
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    fk AS (
+      SELECT f.l_suppkey, f.nrows,
+             CAST('0x' || substr(md5(CAST(s.slot AS VARCHAR) || ':'
+                                     || CAST(f.l_suppkey AS VARCHAR)),
+                                 1, 15) AS BIGINT) % dm.m AS p
+      FROM factk f CROSS JOIN slots s CROSS JOIN dm
+    ),
+    hit AS (
+      SELECT fk.l_suppkey, max(fk.nrows) AS nrows,
+             sum(CASE WHEN pos.p IS NOT NULL THEN 1 ELSE 0 END) AS nh
+      FROM fk LEFT JOIN pos ON fk.p = pos.p
+      GROUP BY fk.l_suppkey
+    ),
+    lab AS (
+      SELECT h.l_suppkey, h.nrows, h.nh,
+             CASE WHEN d.s_suppkey IS NOT NULL THEN 1 ELSE 0 END AS member
+      FROM hit h LEFT JOIN dim d ON d.s_suppkey = h.l_suppkey
+    )
+    SELECT dm.n_dim AS n_dim_keys, dm.m AS m_bits,
+           (SELECT CAST(count(*) AS BIGINT) FROM pos) AS n_bits_set,
+           CAST(count(*) AS BIGINT) AS n_fact_keys,
+           CAST(sum(member) AS BIGINT) AS n_member_keys,
+           CAST(sum(CASE WHEN nh = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_keys,
+           CAST(sum(CASE WHEN member = 1 AND nh < {BLOOM_K} THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_false_neg_keys,
+           CAST(sum(CASE WHEN member = 0 AND nh = {BLOOM_K} THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_false_pos_keys,
+           floor(sum(CASE WHEN member = 0 AND nh = {BLOOM_K} THEN 1 ELSE 0
+                     END) * 1.0
+                 / greatest(sum(1 - member), 1) * 1000000.0 + 0.5)
+               / 1000000.0 AS fpr,
+           CAST(sum(CASE WHEN nh = {BLOOM_K} THEN nrows ELSE 0 END)
+                AS BIGINT) AS rows_kept,
+           CAST(sum(CASE WHEN nh < {BLOOM_K} THEN nrows ELSE 0 END)
+                AS BIGINT) AS rows_pruned
+    FROM lab CROSS JOIN dm
+    GROUP BY dm.n_dim, dm.m
+    """,
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned join, hash-gated end-to-end (r15): the runtime-filter
+    mechanism (Spark's spark.sql.optimizer.runtime.bloomFilter /
+    ClickHouse's bloom_filter index) made EXPLICIT with md5-derived hash
+    slots so DuckDB rebuilds the identical bit set — the
+    q_ann_verified_topk gate move applied to join pruning, and the
+    mechanism companion to q_bloom_fpr_plan's sizing table.
+
+    A dim-side key set (suppliers of a nation slice) populates an
+    m = {BLOOM_BITS_PER_KEY}·n bit Bloom filter via {BLOOM_K} md5 slot
+    hashes; every fact key (lineitem.l_suppkey) passes iff ALL {BLOOM_K}
+    of its positions are set. On the single output row: the filter's
+    actual geometry (m, bits set), the pass/member partition of the fact
+    keys, the NO-FALSE-NEGATIVE proof (n_false_neg_keys, pinned 0 by the
+    oracle hash AND the smoke test — a member failing the filter would
+    mean the pruned join lost rows), the measured false-positive rate
+    (~(1-e^(-K/bits_per_key))^K ≈ 0.08, scale-invariant because m grows
+    with n), and the fact-row I/O split (rows_kept/rows_pruned) the
+    filter would save before the shuffle.
+
+    100 TB shape: the bit set is broadcast-sized (≤ m entries ~ 6 bits/
+    dim key regardless of fact size) and the fact side is filtered
+    BEFORE the join shuffle — the whole point: rows_pruned rows never
+    enter the exchange; the per-key work is one groupBy on the join key
+    (already the join's shuffle key) plus a {BLOOM_K}-row explode of the
+    DISTINCT keys only, never of fact rows."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        sup.filter((F.col("s_nationkey") % 5) == 2)
+        .select("s_suppkey")
+        .distinct()
+    )
+    dm = dim.agg(
+        F.count("*").cast("bigint").alias("n_dim"),
+        (F.count("*") * BLOOM_BITS_PER_KEY).cast("bigint").alias("m"),
+    )
+    slots = spark.range(BLOOM_K).select(F.col("id").alias("slot"))
+
+    def slot_pos(key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("slot").cast("string"),
+                            F.lit(":"),
+                            key_col.cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("m")
+        )
+
+    pos = (
+        dim.crossJoin(F.broadcast(slots))
+        .crossJoin(F.broadcast(dm))
+        .select(slot_pos(F.col("s_suppkey")).alias("p"))
+        .distinct()
+    )
+    factk = li.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("nrows")
+    )
+    fk = (
+        factk.crossJoin(F.broadcast(slots))
+        .crossJoin(F.broadcast(dm))
+        .select("l_suppkey", "nrows", slot_pos(F.col("l_suppkey")).alias("p"))
+    )
+    hit = (
+        fk.join(F.broadcast(pos.withColumn("hitp", F.lit(1))), "p", "left")
+        .groupBy("l_suppkey")
+        .agg(
+            F.max("nrows").alias("nrows"),
+            F.sum(F.when(F.col("hitp").isNotNull(), 1).otherwise(0)).alias(
+                "nh"
+            ),
+        )
+    )
+    lab = hit.join(
+        F.broadcast(dim.withColumn("ismem", F.lit(1))),
+        hit.l_suppkey == dim.s_suppkey,
+        "left",
+    ).select(
+        "l_suppkey",
+        "nrows",
+        "nh",
+        F.when(F.col("ismem").isNotNull(), 1).otherwise(0).alias("member"),
+    )
+    n_bits = pos.agg(F.count("*").cast("bigint").alias("n_bits_set"))
+    passed = F.col("nh") == BLOOM_K
+    return (
+        lab.crossJoin(F.broadcast(dm))
+        .groupBy("n_dim", "m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fact_keys"),
+            F.sum("member").cast("bigint").alias("n_member_keys"),
+            F.sum(F.when(passed, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass_keys"),
+            F.sum(F.when((F.col("member") == 1) & ~passed, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_false_neg_keys"),
+            F.sum(F.when((F.col("member") == 0) & passed, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_false_pos_keys"),
+            qround(
+                F.sum(F.when((F.col("member") == 0) & passed, 1).otherwise(0))
+                * 1.0
+                / F.greatest(F.sum(1 - F.col("member")), F.lit(1)),
+                6,
+            ).alias("fpr"),
+            F.sum(F.when(passed, F.col("nrows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_kept"),
+            F.sum(F.when(~passed, F.col("nrows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_pruned"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.col("n_dim").alias("n_dim_keys"),
+            F.col("m").alias("m_bits"),
+            "n_bits_set",
+            "n_fact_keys",
+            "n_member_keys",
+            "n_pass_keys",
+            "n_false_neg_keys",
+            "n_false_pos_keys",
+            "fpr",
+            "rows_kept",
+            "rows_pruned",
+        )
+    )

@@ -116,9 +116,9 @@ CONTRACT_KEYS = (
 # After r14 the freshness backlog is: 11 keys whose latest row is r08 (the
 # r14 rotation's documented overflow tail) and 50 whose latest is r09. r15
 # leads with all 11 r08 keys (the r14 VERDICT's explicit order), then the
-# first 38 r09-era keys in ledger (alphabetical) order — exactly the
-# ~50-key budget. The 12 r09 tail keys overflow to r16. Zero overlap with
-# the r14 sweep set by construction.
+# two new never-swept r15 keys, then the first 37 r09-era keys in ledger
+# (alphabetical) order — exactly the ~50-key budget. The 13 r09 tail keys
+# overflow to r16. Zero overlap with the r14 sweep set by construction.
 SWEEP_PRIORITY = (
     # (a) r8-era keys, VERDICT r14 task #2 (11 keys)
     "q_sliding_window",
@@ -132,8 +132,9 @@ SWEEP_PRIORITY = (
     "q_video_frames",
     "q_window_time_range",
     "q_zipf_slope",
-    # (a2) new r15 key — never swept, gets its first driver row here
+    # (a2) new r15 keys — never swept, get their first driver row here
     "q_percentile_verified",
+    "q_bloom_prune",
     # (b) r9-era refresh, ledger (alphabetical) order (38 keys)
     "q_anomaly_zscore",
     "q_audio_resample",
@@ -172,9 +173,9 @@ SWEEP_PRIORITY = (
     "q_quantile_bucketize",
     "q_report_big_orders",
     "q_report_late_orders",
-    "q_report_order_count_dist",
     # ---- ~50-budget line ----
     # (c) overflow: r9-era tail for r16
+    "q_report_order_count_dist",
     "q_report_returned_customers",
     "q_report_revenue_delta",
     "q_report_small_qty_revenue",

@@ -98,6 +98,24 @@ def test_percentile_verified_sketch_bounds(spark):
             assert getattr(r, fld) <= 1.0 / PV_M + 0.5 / r.n_rows, (flag, fld)
 
 
+def test_bloom_prune_no_false_negatives(spark):
+    """q_bloom_prune (r15, oracle-gated): the pruned join must lose NO
+    member key (Bloom filters have no false negatives — a nonzero count
+    means the pruned join drops rows), every member must pass, and the
+    filter must actually prune something at this geometry."""
+    from parquet_to_clickhouse_schema_spark.operators.relational import (
+        q_bloom_prune,
+    )
+
+    r = q_bloom_prune(spark, SF_SMOKE).collect()[0]
+    assert r.n_false_neg_keys == 0
+    assert r.n_pass_keys == r.n_member_keys + r.n_false_pos_keys
+    assert r.n_member_keys <= r.n_pass_keys <= r.n_fact_keys
+    assert r.rows_pruned > 0  # the filter earns its keep
+    assert r.n_bits_set <= r.m_bits
+    assert 0.0 <= r.fpr <= 0.5  # ~(1-e^(-K/bits_per_key))^K ≈ 0.08
+
+
 def test_minhash_detects_planted_near_duplicates(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     near = " ".join(f"tok{i}" for i in range(59)) + " tokX"  # ~1 shingle changed
