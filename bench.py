@@ -83,8 +83,10 @@ HEADLINE = [
     "q_boilerplate_ngrams",
     "q_weighted_quantile",
     "q_max_concurrency",
-    # r15 addition: the gated quantile sketch, tracked from birth
+    # r15 additions: the gated quantile sketch and bloom-pruned join,
+    # tracked from birth
     "q_percentile_verified",
+    "q_bloom_prune",
 ]
 
 
