@@ -1325,10 +1325,25 @@ def schema_diff_to_clickhouse_alter(
                 "rebuild"
             )
 
-    # 1. drops (old order); track the surviving layout
+    # 1. drops (old order); track the surviving layout. Dropping a hive
+    # partition column is REFUSED like a retype (r15): ClickHouse rejects
+    # ALTER DROP on a partition-key column outright, so the statement is
+    # replaced by a rebuild pointer (the simulation still removes it —
+    # the remaining statements describe the post-rebuild target; sorting-
+    # key drops keep the softer WARNING because MergeTree restricts, not
+    # forbids, some sorting-key ALTERs).
     layout = [f.name for f in old_schema.fields]
     for f in old_schema.fields:
         if f.name not in new_top:
+            if f.name in part_cols:
+                stmts.append(
+                    f"-- REFUSED: drop column {f.name}: it is the "
+                    "`partition by` key and MergeTree cannot DROP a "
+                    "partition-key column; recreate the table (CREATE "
+                    "from the new dataset + INSERT SELECT) instead"
+                )
+                layout.remove(f.name)
+                continue
             warn_if_key(f.name)
             stmts.append(f"alter table {table_name} drop column {f.name};")
             layout.remove(f.name)

@@ -1295,6 +1295,20 @@ def test_alter_refuses_hive_partition_key_retype(tmp_path):
     assert not any(" dt " in s for s in live), live
     assert "alter table t modify column v Nullable(Int64);" in ddl
 
+    # DROPPING the partition key (new side unpartitioned) is refused the
+    # same way — ClickHouse rejects ALTER DROP on a partition-key column
+    flat = tmp_path / "flat.parquet"
+    flat.mkdir()
+    _write_fragment(flat, "part-000.parquet",
+                    {"id": pa.array([1], pa.int64()),
+                     "v": pa.array([1], pa.int32())})
+    ddl2 = schema_diff_to_clickhouse_alter(str(old), str(flat), "t",
+                                           primary_key="id")
+    assert "-- REFUSED: drop column dt" in ddl2
+    assert "cannot DROP a partition-key column" in ddl2
+    live2 = [s for s in ddl2.splitlines() if not s.startswith("--")]
+    assert not any(" dt " in s for s in live2), live2
+
 
 def test_unified_schema_promotes_map_values(tmp_path):
     """Map value types widen through --unify too (int32+int64 value →
