@@ -110,71 +110,17 @@ CONTRACT_KEYS = (
     "q_udf_pandas",
     "q_udaf_grouped",
 )
-# Round-15 sweep priority: the driver's correctness sweep checks the FIRST
+# Round-16 sweep priority: the driver's correctness sweep checks the FIRST
 # ~50 queries() keys each round. Rotation is rebuilt each round from the
 # evidence ledger (`python scripts/sweep_ledger.py`, docs/SWEEP_LEDGER.md).
-# After r14 the freshness backlog is: 11 keys whose latest row is r08 (the
-# r14 rotation's documented overflow tail) and 50 whose latest is r09. r15
-# leads with all 11 r08 keys (the r14 VERDICT's explicit order), then the
-# two new never-swept r15 keys, then the first 37 r09-era keys in ledger
-# (alphabetical) order — exactly the ~50-key budget. The 13 r09 tail keys
-# overflow to r16. Zero overlap with the r14 sweep set by construction.
+# After r15 the freshness backlog is: 13 keys whose latest row is r09 (the
+# r15 rotation's documented overflow tail) and 50 whose latest is r10. r16
+# leads with all 13 r09 keys (the r15 VERDICT's explicit order), then the
+# new never-swept r16 keys, then the first 35 r10-era keys in ledger
+# (alphabetical) order — exactly the ~50-key budget. The 15 r10 tail keys
+# overflow to r17. Zero overlap with the r15 sweep set by construction.
 SWEEP_PRIORITY = (
-    # (a) r8-era keys, VERDICT r14 task #2 (11 keys)
-    "q_sliding_window",
-    "q_spend_alerts",
-    "q_stream_dedup",
-    "q_stream_enrich",
-    "q_table_checksum",
-    "q_time_rollup",
-    "q_top_movers",
-    "q_tumbling_window",
-    "q_video_frames",
-    "q_window_time_range",
-    "q_zipf_slope",
-    # (a2) new r15 keys — never swept, get their first driver row here
-    "q_percentile_verified",
-    "q_bloom_prune",
-    # (b) r9-era refresh, ledger (alphabetical) order (38 keys)
-    "q_anomaly_zscore",
-    "q_audio_resample",
-    "q_benford",
-    "q_bigram_pmi",
-    "q_bpe_pairs",
-    "q_cdc_apply",
-    "q_dedup_containment",
-    "q_dedup_pipeline",
-    "q_dq_checks",
-    "q_dup_rate_report",
-    "q_embed_outliers",
-    "q_embed_quantize",
-    "q_event_transitions",
-    "q_except_set",
-    "q_format_roundtrip",
-    "q_graph_degree",
-    "q_having",
-    "q_hourly_profile",
-    "q_image_resize",
-    "q_incremental_near_dedup",
-    "q_interp_linear",
-    "q_intersect_all",
-    "q_layout_pruning",
-    "q_length_histogram",
-    "q_limit_offset",
-    "q_mad_robust",
-    "q_mix_balanced",
-    "q_mode_agg",
-    "q_near_dedup_minhash",
-    "q_order_nulls",
-    "q_percentile",
-    "q_pii_scrub",
-    "q_pivot",
-    "q_profile_table",
-    "q_quantile_bucketize",
-    "q_report_big_orders",
-    "q_report_late_orders",
-    # ---- ~50-budget line ----
-    # (c) overflow: r9-era tail for r16
+    # (a) r9-era keys, VERDICT r15 task #2 (13 keys)
     "q_report_order_count_dist",
     "q_report_returned_customers",
     "q_report_revenue_delta",
@@ -188,6 +134,61 @@ SWEEP_PRIORITY = (
     "q_unigram_nll",
     "q_variant_json",
     "q_video_thumbnail",
+    # (a2) new r16 keys — never swept, get their first driver row here
+    # (slots filled as the keys land this round)
+    # (b) r10-era refresh, ledger (alphabetical) order (35 keys)
+    "q_ann_recall_eval",
+    "q_ann_verified_topk",
+    "q_attribution",
+    "q_bigram_lm_score",
+    "q_bpe_encode",
+    "q_cluster_balanced_sample",
+    "q_corr_matrix",
+    "q_drift_psi",
+    "q_dsir_weights",
+    "q_feature_mi",
+    "q_freq_topk_exact",
+    "q_gini",
+    "q_hard_negatives",
+    "q_hill_tail_index",
+    "q_ht_estimate",
+    "q_image_decode_png",
+    "q_ivf_verified_topk",
+    "q_kmeans_verified",
+    "q_knn_eval",
+    "q_mask_plan",
+    "q_maxsim_colbert",
+    "q_mmr_diversify",
+    "q_nb_classifier",
+    "q_ngram_novelty",
+    "q_pagerank_ranks",
+    "q_parquet_meta",
+    "q_perplexity_buckets",
+    "q_pq_verified_topk",
+    "q_random_projection",
+    "q_rank_fusion",
+    "q_regression_ols",
+    "q_rfm_segments",
+    "q_semdedup",
+    "q_shard_plan",
+    "q_simhash_verified",
+    # ---- ~50-budget line ----
+    # (c) overflow: r10-era tail for r17
+    "q_skew_stats",
+    "q_stats_agg",
+    "q_subquery_corr",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_text_stats",
+    "q_token_burstiness",
+    "q_udaf_grouped",
+    "q_udf_pandas",
+    "q_udf_python",
+    "q_unpivot",
+    "q_vocab_overlap",
+    "q_window_dist",
+    "q_window_value",
+    "q_winsorize",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
