@@ -87,6 +87,10 @@ HEADLINE = [
     # tracked from birth
     "q_percentile_verified",
     "q_bloom_prune",
+    # r16 additions: the deterministic HLL twin and the unrolled BPE
+    # trainer twin, tracked from birth
+    "q_hll_verified",
+    "q_bpe_train_verified",
 ]
 
 

@@ -1009,6 +1009,7 @@ def incremental_drift_scan(
     """
     files, root, by_part, lfp_by_part = _partition_listing(path)
     cache = _load_scan_cache(cache_path, root=root)
+    reset_from_root = cache.pop("_reset_from_root", None)
     cached_parts = cache.get("partitions", {})
     cached_exemplars = cache.get("exemplars", {})
     rescanned: list[str] = []
@@ -1088,6 +1089,11 @@ def incremental_drift_scan(
         "partitions_rescanned": rescanned,
         "partitions_reused": reused,
         "footers_read": len(to_read),
+        # non-None when the cache file was written for a different dataset
+        # root and had to be discarded (full rescan): alternating two
+        # datasets through one cache file thrashes on every run — visible
+        # here instead of silently rescanning (ADVICE r15)
+        "cache_reset_root_mismatch": reset_from_root,
     }
 
 
@@ -1129,14 +1135,23 @@ def _load_scan_cache(cache_path: str, root: str | None = None) -> dict:
     written for a DIFFERENT root, the whole cache is discarded: partition
     entries are keyed by root-relative path + (size, mtime_ns), so a cache
     file pointed at another dataset with coinciding rel-paths/stats would
-    silently serve the wrong exemplars (ADVICE r14). Caches written before
-    the root key existed (no ``root``) are still honored."""
+    silently serve the wrong exemplars (ADVICE r14). The reset is marked
+    with a ``_reset_from_root`` key (the clobbered root) so callers can
+    surface it — a cache file alternated between two datasets resets on
+    EVERY run, which is correct but pure thrash, and it was invisible
+    before r16 (ADVICE r15). Callers pop the marker before writing. Caches
+    written before the root key existed (no ``root``) are still honored."""
     try:
         with open(cache_path, encoding="utf-8") as fh:
             loaded = json.load(fh)
         if isinstance(loaded, dict) and loaded.get("version") == 1:
             if root is not None and loaded.get("root") not in (None, root):
-                return {"version": 1, "partitions": {}, "exemplars": {}}
+                return {
+                    "version": 1,
+                    "partitions": {},
+                    "exemplars": {},
+                    "_reset_from_root": loaded.get("root"),
+                }
             return loaded
     except (OSError, ValueError):
         pass
@@ -1169,6 +1184,16 @@ def _cached_distinct_arrow_schemas(path: str, cache_path: str) -> list:
 
     files, root, by_part, lfp_by_part = _partition_listing(path)
     cache = _load_scan_cache(cache_path, root=root)
+    if cache.pop("_reset_from_root", None) is not None:
+        import warnings
+
+        warnings.warn(
+            f"scan cache {cache_path!r} was written for a different dataset "
+            f"root and was discarded (full footer rescan); alternating two "
+            "datasets through one cache file resets it on every run — use "
+            "one cache file per dataset",
+            stacklevel=2,
+        )
     cached_parts = cache.get("arrow_partitions", {})
     cached_ex = cache.get("arrow_exemplars", {})
     new_parts: dict[str, dict] = {}
@@ -1299,12 +1324,14 @@ def schema_diff_to_clickhouse_alter(
     new_top = {f.name: f for f in new_schema.fields}
     # hive directory columns are the CREATE path's `partition by` keys —
     # MergeTree cannot ALTER a partition key at all, so touching one gets
-    # the same loud warning as a sorting-key column
-    part_cols = {
-        f.name
-        for p in (old_path, new_path)
-        for f in hive_partition_fields(p)
-    }
+    # the same loud warning as a sorting-key column. Old- and new-side key
+    # sets are kept apart: a column whose partition-key MEMBERSHIP changes
+    # between the two datasets (promoted or demoted) is refused outright
+    # even when its type is stable (r16 — `partition by` itself cannot be
+    # edited by ALTER in either direction).
+    old_part = {f.name for f in hive_partition_fields(old_path)}
+    new_part = {f.name for f in hive_partition_fields(new_path)}
+    part_cols = old_part | new_part
 
     def render(f: T.StructField) -> str:
         return _render_column_type(f, pks, strict)
@@ -1363,6 +1390,26 @@ def schema_diff_to_clickhouse_alter(
     for f in new_schema.fields:
         if f.name in old_top:
             old_f = old_top[f.name]
+            # partition-key MEMBERSHIP change on a surviving column (a
+            # footer column became a directory key, or a directory key
+            # became a plain footer column): `partition by` is immutable
+            # in both directions, so this is refused even when no type or
+            # position statement would otherwise mention the column (the
+            # silent case r16 closes).
+            if (f.name in old_part) != (f.name in new_part):
+                refused_types.add(f.name)
+                direction = (
+                    "became the `partition by` key"
+                    if f.name in new_part
+                    else "stopped being the `partition by` key"
+                )
+                stmts.append(
+                    f"-- REFUSED: column {f.name} {direction} between the "
+                    "two datasets; MergeTree's partition key is immutable "
+                    "— recreate the table (CREATE from the new dataset + "
+                    "INSERT SELECT) instead"
+                )
+                continue
             if f.name in part_cols and old_f.dataType != f.dataType:
                 refused_types.add(f.name)
                 stmts.append(
@@ -1409,17 +1456,29 @@ def schema_diff_to_clickhouse_alter(
     prev: str | None = None
     for f in new_schema.fields:
         if f.name not in old_top:
-            # ADD COLUMN itself is always legal — but a column that is a
-            # hive partition key belongs in `partition by`, which ALTER
-            # can never put it into (sorting-key adds stay silent: the
-            # added column simply isn't part of the fixed sorting key)
-            if f.name in part_cols:
+            # A column that is the NEW dataset's hive partition key is
+            # REFUSED like a retype/drop (r16, VERDICT r15 task #7):
+            # ALTER ADD would create it only as a plain data column —
+            # `partition by` can never absorb it, MergeTree cannot add a
+            # partition key any more than it can drop one. The simulation
+            # still places it so later anchors describe the post-rebuild
+            # target (sorting-key adds stay silent: the added column
+            # simply isn't part of the fixed sorting key).
+            if f.name in new_part:
                 stmts.append(
-                    f"-- WARNING: {f.name} is a hive partition column (the "
-                    "CREATE path's `partition by` key); MergeTree cannot "
-                    "ALTER the partition key — changing it means a table "
-                    "rebuild"
+                    f"-- REFUSED: add column {f.name}: it is the new "
+                    "dataset's `partition by` key and ALTER cannot add a "
+                    "column into MergeTree's immutable partition key (an "
+                    "ALTER ADD would make it a plain data column with no "
+                    "partition pruning); recreate the table (CREATE from "
+                    "the new dataset + INSERT SELECT) instead"
                 )
+                if prev is None:
+                    layout.insert(0, f.name)
+                else:
+                    layout.insert(layout.index(prev) + 1, f.name)
+                prev = f.name
+                continue
             if prev is None:
                 pos = "first"
                 layout.insert(0, f.name)
@@ -1432,6 +1491,24 @@ def schema_diff_to_clickhouse_alter(
             )
         prev = f.name
     assert layout == target
+
+    # Any REFUSED change means the emitted script is NOT incrementally
+    # applicable: the refusal's simulation still advances the layout, so
+    # the surviving executable statements describe the POST-REBUILD target
+    # order, not a safe edit of the live table (ADVICE r15: partial
+    # application would produce a column order matching neither side).
+    # One loud banner up top makes that unmissable.
+    if any(s.startswith("-- REFUSED") for s in stmts):
+        stmts = [
+            "-- REBUILD REQUIRED: one or more changes below are REFUSED "
+            "(MergeTree",
+            "-- partition keys are immutable). The executable statements "
+            "below describe",
+            "-- the POST-REBUILD target layout — do NOT apply them to the "
+            "live table;",
+            "-- recreate it instead (CREATE from the new dataset + INSERT "
+            "SELECT).",
+        ] + stmts
 
     ddl = (
         "\n".join(stmts) + "\n"

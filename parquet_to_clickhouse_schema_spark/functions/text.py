@@ -1256,6 +1256,153 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPEV_ROUNDS = 4  # unrolled merge rounds in the verified twin
+
+
+def _bpe_train_verified_oracle() -> str:
+    """Chained-CTE unroll of BPEV_ROUNDS BPE merge rounds (the
+    q_pagerank_ranks / q_kmeans_verified move applied to the trainer
+    loop). Word state is a STRING with every symbol wrapped in single
+    spaces ('hello' -> ' h  e  l  l  o '), so applying merge (a, b) is one
+    literal replace(' a  b ', ' ab ') — non-overlapping left-to-right in
+    both engines, and the wrapping spaces make symbol boundaries exact
+    (no prefix-collision: ' a  b ' cannot match inside symbol 'bx')."""
+    parts = [
+        """
+    WITH words AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS wfreq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE len(tok) >= 2
+      GROUP BY tok
+    ),
+    w0 AS (
+      SELECT wfreq,
+             array_to_string(list_transform(string_split(tok, ''),
+                                            c -> ' ' || c || ' '), '') AS w
+      FROM words
+    )"""
+    ]
+    for i in range(1, BPEV_ROUNDS + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(wfreq) AS BIGINT) AS c
+      FROM (SELECT wfreq, string_split(trim(w), '  ') AS s FROM w{i - 1}),
+           unnest(range(1, len(s))) t(i)
+      GROUP BY 1, 2
+    ),
+    t{i} AS (SELECT a, b, c FROM c{i} ORDER BY c DESC, a, b LIMIT 1)"""
+        )
+        if i < BPEV_ROUNDS:
+            parts.append(
+                f""",
+    w{i} AS (
+      SELECT wfreq,
+             replace(w, ' ' || t{i}.a || '  ' || t{i}.b || ' ',
+                     ' ' || t{i}.a || t{i}.b || ' ') AS w
+      FROM w{i - 1}, t{i}
+    )"""
+            )
+    selects = "\n      UNION ALL ".join(
+        f'SELECT {i} AS merge_rank, a AS "left", b AS "right", '
+        f"c AS pair_count FROM t{i}"
+        for i in range(1, BPEV_ROUNDS + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(merge_rank AS INT) AS merge_rank, "left", "right", pair_count
+    FROM ({selects})"""
+    )
+    return "".join(parts)
+
+
+@_q("q_bpe_train_verified", _bpe_train_verified_oracle())
+def q_bpe_train_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated BPE trainer: the first BPEV_ROUNDS merge rounds of the
+    count -> argmax -> merge LOOP unrolled so DuckDB replays the whole
+    training path bit-for-bit (q_bpe_train's hash-gated mechanism twin —
+    q_bpe_encode gates application, q_bpe_pairs gates one count step; this
+    gates the iteration itself, the q_pagerank_ranks / q_kmeans_verified
+    move). In-engine, tests pin these rows == the first rows of the
+    production trainer (bpe_train), closing the loop: driver gate ->
+    verified twin == production path.
+
+    Mechanism: word state is a string with each symbol wrapped in single
+    spaces; merge (a, b) is the literal replace(' a  b ' -> ' ab '), whose
+    left-to-right non-overlapping scan is exactly the BPE merge rule (and
+    identical in both engines — probed: ' a  a  a  a ' + merge (a,a) ->
+    ' aa  aa '). Pair counts re-split the state (split on double space),
+    argmax is deterministic (count desc, left, right) over exact integer
+    counts. Unlike bpe_train's per-round driver argmax collect, the twin
+    is fully declarative: each round's top pair is a 1-row broadcast
+    crossJoin, never driver state.
+
+    100 TB shape: the corpus is touched once (word-frequency groupBy,
+    map-side combined, Heaps'-bounded output); each unrolled round is a
+    vocab-table scan + a groups-bounded pair count + a 1-row broadcast.
+    localCheckpoint per round truncates the lineage (graph.py:18
+    discipline)."""
+    words = _word_freqs(load_table(spark, sf_dir, "documents"))
+    enc = F.expr(
+        "concat_ws('', transform(split(tok, ''), c -> concat(' ', c, ' ')))"
+    )
+    cur = words.select("wfreq", enc.alias("w")).localCheckpoint()
+    tops: list[DataFrame] = []
+    for i in range(1, BPEV_ROUNDS + 1):
+        syms = cur.select(
+            "wfreq", F.split(F.trim("w"), "  ").alias("s")
+        ).filter(F.size("s") >= 2)
+        pairs = syms.select(
+            "wfreq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), "
+                    "i -> struct(s[i - 1] AS a, s[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wfreq").cast("bigint").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint()
+        )
+        tops.append(
+            top.select(
+                F.lit(i).cast("int").alias("merge_rank"),
+                F.col("a").alias("left"),
+                F.col("b").alias("right"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        if i < BPEV_ROUNDS:
+            cur = (
+                cur.crossJoin(F.broadcast(top))
+                .select(
+                    "wfreq",
+                    F.replace(
+                        "w",
+                        F.concat(
+                            F.lit(" "),
+                            F.col("a"),
+                            F.lit("  "),
+                            F.col("b"),
+                            F.lit(" "),
+                        ),
+                        F.concat(
+                            F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")
+                        ),
+                    ).alias("w"),
+                )
+                .localCheckpoint()
+            )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out
+
+
 @_q(
     "q_lang_confusion",
     f"""

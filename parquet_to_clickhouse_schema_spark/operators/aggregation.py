@@ -123,6 +123,193 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.unionByName(merged)
 
 
+# --- q_hll_verified: deterministic HyperLogLog, oracle-gated -----------------
+# p=8 -> m=256 registers (standard error 1.04/sqrt(256) ~ 6.5%); 32-bit
+# stream -> rho in 1..33, so each register's 2^(33-rho) term fits a bigint
+# and the register SUM is exact integer arithmetic (order-independent,
+# hash-gateable — the float harmonic mean happens once, on identical
+# operands, in both engines).
+HLLV_M = 256
+_HLLV_ALPHA = 0.7213 / (1.0 + 1.079 / HLLV_M)  # standard alpha_m for m>=128
+HLLV_CONST = _HLLV_ALPHA * HLLV_M * HLLV_M * 2.0**33  # alpha*m^2 / 2^-33
+HLLV_LC = 2.5 * HLLV_M  # linear-counting threshold
+HLLV_2P32 = 2.0**32  # large-range correction bound (32-bit stream)
+
+
+@_q(
+    "q_hll_verified",
+    f"""
+    WITH h AS (
+      SELECT o_orderpriority AS grp, o_custkey,
+             md5(CAST(o_custkey AS VARCHAR)) AS hx
+      FROM orders
+    ),
+    b AS (
+      SELECT grp, o_custkey,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS bucket,
+             substr(hx, 3, 8) AS s8,
+             length(regexp_extract(substr(hx, 3, 8), '^(0*)', 1)) AS z
+      FROM h
+    ),
+    r AS (
+      SELECT grp, bucket,
+             CASE WHEN z = 8 THEN 33
+                  ELSE 4 * z + 1 +
+                       CASE WHEN CAST(('0x' || substr(s8 || 'f', z + 1, 1)) AS BIGINT)
+                                 >= 8 THEN 0
+                            WHEN CAST(('0x' || substr(s8 || 'f', z + 1, 1)) AS BIGINT)
+                                 >= 4 THEN 1
+                            WHEN CAST(('0x' || substr(s8 || 'f', z + 1, 1)) AS BIGINT)
+                                 >= 2 THEN 2
+                            ELSE 3 END
+             END AS rho
+      FROM b
+    ),
+    regs AS (SELECT grp, bucket, max(rho) AS m_j FROM r GROUP BY 1, 2),
+    regs2 AS (
+      SELECT grp, m_j FROM regs
+      UNION ALL
+      SELECT 'ALL' AS grp, max(m_j) AS m_j FROM regs GROUP BY bucket
+    ),
+    per AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS registers_used,
+             sum(CAST(power(2, 33 - m_j) AS BIGINT)) AS s_present
+      FROM regs2 GROUP BY 1
+    ),
+    ex AS (
+      SELECT o_orderpriority AS grp,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT 'ALL' AS grp, CAST(count(DISTINCT o_custkey) AS BIGINT)
+      FROM orders
+    ),
+    est AS (
+      SELECT grp, registers_used,
+             floor((CASE
+               WHEN {HLLV_CONST!r} / (s_present + ({HLLV_M} - registers_used) * 8589934592)
+                      <= {HLLV_LC!r}
+                    AND {HLLV_M} - registers_used > 0
+                 THEN {float(HLLV_M)!r}
+                      * ln({float(HLLV_M)!r} / ({HLLV_M} - registers_used))
+               WHEN {HLLV_CONST!r} / (s_present + ({HLLV_M} - registers_used) * 8589934592)
+                      > {HLLV_2P32 / 30.0!r}
+                 THEN -{HLLV_2P32!r}
+                      * ln(1.0 - {HLLV_CONST!r}
+                                 / (s_present + ({HLLV_M} - registers_used) * 8589934592)
+                                 / {HLLV_2P32!r})
+               ELSE {HLLV_CONST!r} / (s_present + ({HLLV_M} - registers_used) * 8589934592)
+             END) * 10000.0 + 0.5) / 10000.0 AS est_hll
+      FROM per
+    )
+    SELECT e.grp, e.est_hll, x.exact_distinct,
+           floor(abs(e.est_hll - x.exact_distinct) / x.exact_distinct
+                 * 1000000.0 + 0.5) / 1000000.0 AS rel_err,
+           e.registers_used
+    FROM est e JOIN ex x ON x.grp = e.grp
+    """,
+)
+def q_hll_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated deterministic HyperLogLog (q_hll_sketch /
+    q_agg_approx_distinct's hash-gated mechanism twin — the
+    q_percentile_verified / q_minhash_union move applied to the last
+    ungated sketch family).
+
+    Mechanism (Flajolet et al. 2007, original 32-bit-stream HLL): md5 each
+    key; first 2 hex nibbles -> one of m={HLLV_M} registers (p=8); next 8
+    nibbles are the 32-bit stream whose leading-zero-count+1 is rho (1..33,
+    computed by exact string/CASE nibble arithmetic — no float log2
+    anywhere); register j keeps max(rho). The harmonic-mean estimate
+    alpha_m*m^2 / sum(2^-M_j) is evaluated as one double division of the
+    literal constant by the EXACT bigint sum(2^(33-M_j)) (+1 per empty
+    register), so summation order cannot perturb it; the standard small-
+    range (linear counting m*ln(m/V), fires at sf0.001 group sizes) and
+    large-range corrections are closed-form CASE branches. Every step is
+    integer/string/single-float-op deterministic, so DuckDB rebuilds the
+    registers AND the estimate bit-for-bit: the SKETCH is oracle-gated,
+    not just its output rows. Mergeability is gated too: the 'ALL' row
+    unions the five per-priority register sets via max-per-bucket — the
+    5-row reduce that replaces a second 100 TB scan. Measured relative
+    error vs the exact distinct count rides on the row (bound ~1.04/16).
+
+    100 TB shape: one narrow map pass (md5 + nibble math), then
+    groupBy(grp, bucket).max — map-side combinable, the shuffle carries at
+    most groups x {HLLV_M} register rows regardless of input size. Only the
+    TRUTH column (exact countDistinct) rescans keys — drop it in
+    production; it exists here to measure."""
+    o = load_table(spark, sf_dir, "orders")
+    hx = F.md5(F.col("o_custkey").cast("string").cast("binary"))
+    b = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_custkey",
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.substring(hx, 3, 8).alias("s8"),
+    ).withColumn(
+        "z", F.length(F.regexp_extract("s8", "^(0*)", 1)).cast("int")
+    )
+    fv = F.conv(
+        F.substr(F.col("s8"), F.col("z") + 1, F.lit(1)), 16, 10
+    ).cast("bigint")
+    rho = F.when(F.col("z") == 8, F.lit(33)).otherwise(
+        4 * F.col("z")
+        + 1
+        + F.when(fv >= 8, 0).when(fv >= 4, 1).when(fv >= 2, 2).otherwise(3)
+    )
+    regs = (
+        b.select("grp", "bucket", rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    regs2 = regs.select("grp", "m_j").unionByName(
+        regs.groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .select(F.lit("ALL").alias("grp"), "m_j")
+    )
+    per = regs2.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("registers_used"),
+        F.sum(F.pow(F.lit(2.0), 33 - F.col("m_j")).cast("bigint")).alias(
+            "s_present"
+        ),
+    )
+    s_all = F.col("s_present") + (
+        F.lit(HLLV_M) - F.col("registers_used")
+    ) * F.lit(2**33)
+    raw = F.lit(HLLV_CONST) / s_all
+    v_empty = F.lit(HLLV_M) - F.col("registers_used")
+    est = (
+        F.when(
+            (raw <= F.lit(HLLV_LC)) & (v_empty > 0),
+            F.lit(float(HLLV_M)) * F.log(F.lit(float(HLLV_M)) / v_empty),
+        )
+        .when(
+            raw > F.lit(HLLV_2P32 / 30.0),
+            F.lit(-HLLV_2P32) * F.log(F.lit(1.0) - raw / F.lit(HLLV_2P32)),
+        )
+        .otherwise(raw)
+    )
+    ests = per.select("grp", qround(est, 4).alias("est_hll"), "registers_used")
+    ex = (
+        o.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+        .unionByName(
+            o.agg(
+                F.countDistinct("o_custkey").alias("exact_distinct")
+            ).select(F.lit("ALL").alias("grp"), "exact_distinct")
+        )
+    )
+    return ests.join(ex, "grp").select(
+        "grp",
+        "est_hll",
+        "exact_distinct",
+        qround(
+            F.abs(F.col("est_hll") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+        "registers_used",
+    )
+
+
 _ROLLUP_ORACLE = """
     SELECT l_returnflag, l_linestatus,
            floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,

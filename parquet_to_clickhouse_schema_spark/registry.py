@@ -135,7 +135,8 @@ SWEEP_PRIORITY = (
     "q_variant_json",
     "q_video_thumbnail",
     # (a2) new r16 keys — never swept, get their first driver row here
-    # (slots filled as the keys land this round)
+    "q_hll_verified",
+    "q_bpe_train_verified",
     # (b) r10-era refresh, ledger (alphabetical) order (35 keys)
     "q_ann_recall_eval",
     "q_ann_verified_topk",

@@ -306,6 +306,7 @@ def write_partitioned(
     df: DataFrame,
     path: str,
     partition_cols: list[str],
+    *,
     files_per_value: int = 1,
     n_tasks: int | None = None,
     mode: str = "overwrite",
@@ -337,7 +338,13 @@ def write_partitioned(
     implicit task count, AQE's size-based coalescing may re-merge salt
     groups that come out tiny (desirable: it is exactly the small-files
     guard); pass `n_tasks` (~ |values| x k) to pin the task count — an
-    explicit repartition count is exempt from AQE coalescing."""
+    explicit repartition count is exempt from AQE coalescing.
+
+    The tuning knobs are keyword-only (ADVICE r15): r15 inserted
+    files_per_value/n_tasks ahead of `mode`, so a stale positional
+    `write_partitioned(df, path, cols, "append")` call would have fed a
+    string into files_per_value — the `*` makes any such call a loud
+    TypeError instead."""
     from pyspark.sql import functions as F
 
     keys = [F.col(c) for c in partition_cols]

@@ -1219,11 +1219,13 @@ def test_cli_drift_report_names_hive_partition_columns(tmp_path):
     assert "agree" in out
 
 
-def test_alter_warns_on_hive_partition_column_change(tmp_path):
-    """--diff-against across hive layouts: a partition column appearing
-    (or disappearing) cannot be migrated by ALTER — MergeTree's partition
-    key is immutable — so the emitted DDL carries a loud warning next to
-    the statement. Non-partition day-2 changes stay warning-free."""
+def test_alter_refuses_new_hive_partition_key_add(tmp_path):
+    """r16 (VERDICT r15 task #7): a NEW partition key appearing on the new
+    side (key added mid-tree) is REFUSED like a retype/drop — MergeTree
+    cannot ADD a partition key either; an ALTER ADD would create only a
+    plain data column with no pruning. No executable statement touches the
+    column, and the REBUILD banner leads the script. Non-partition day-2
+    changes stay warning-free and banner-free."""
     import pyarrow as pa
 
     from parquet_to_clickhouse_schema_spark.ddl import (
@@ -1241,12 +1243,26 @@ def test_alter_warns_on_hive_partition_column_change(tmp_path):
 
     ddl = schema_diff_to_clickhouse_alter(str(old), str(new), "t",
                                           primary_key="id")
-    # added as a PLAIN Nullable column — ALTER can never put it into the
-    # partition key, which is exactly what the warning says
-    assert "add column region Nullable(String)" in ddl
-    assert "WARNING: region is a hive partition column" in ddl
+    assert "-- REFUSED: add column region" in ddl
+    assert "cannot add a column into MergeTree's immutable partition key" in ddl
+    assert ddl.startswith("-- REBUILD REQUIRED")
+    live = [s for s in ddl.splitlines() if not s.startswith("--")]
+    assert not any("region" in s for s in live), live
 
-    # a plain data-column add on the same layouts carries no warning
+    # unpartitioned -> partitioned: same refusal shape
+    flat = tmp_path / "flat.parquet"
+    flat.mkdir()
+    _write_fragment(flat, "part-000.parquet",
+                    {"id": pa.array([1], pa.int64())})
+    ddl_up = schema_diff_to_clickhouse_alter(str(flat), str(old), "t",
+                                             primary_key="id")
+    assert "-- REFUSED: add column year" in ddl_up
+    assert ddl_up.startswith("-- REBUILD REQUIRED")
+    live_up = [s for s in ddl_up.splitlines() if not s.startswith("--")]
+    assert not any("year" in s for s in live_up), live_up
+
+    # a plain data-column add on the same layouts carries no warning and
+    # no banner
     newer = tmp_path / "newer.parquet"
     (newer / "year=2024").mkdir(parents=True)
     _write_fragment(newer / "year=2024", "part-000.parquet",
@@ -1255,7 +1271,45 @@ def test_alter_warns_on_hive_partition_column_change(tmp_path):
     ddl2 = schema_diff_to_clickhouse_alter(str(old), str(newer), "t",
                                            primary_key="id")
     assert "add column score Nullable(Float64)" in ddl2
-    assert "WARNING" not in ddl2
+    assert "WARNING" not in ddl2 and "REFUSED" not in ddl2
+    assert not ddl2.startswith("-- REBUILD")
+
+
+def test_alter_refuses_partition_key_membership_change(tmp_path):
+    """r16: a surviving column whose partition-key MEMBERSHIP flips between
+    the datasets (footer data column -> directory key, or directory key ->
+    footer data column) is refused even when its inferred type is stable —
+    `partition by` cannot be edited by ALTER in either direction. Before
+    r16 the promoted case emitted NOTHING (silent corruption risk)."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        schema_diff_to_clickhouse_alter,
+    )
+
+    # promoted: region is a footer data column on the old side, the
+    # directory key on the new side (same inferred string type)
+    old = tmp_path / "old.parquet"
+    old.mkdir()
+    _write_fragment(old, "part-000.parquet",
+                    {"id": pa.array([1], pa.int64()),
+                     "region": pa.array(["eu"])})
+    new = tmp_path / "new.parquet"
+    (new / "region=eu").mkdir(parents=True)
+    _write_fragment(new / "region=eu", "part-000.parquet",
+                    {"id": pa.array([1], pa.int64())})
+
+    ddl = schema_diff_to_clickhouse_alter(str(old), str(new), "t",
+                                          primary_key="id")
+    assert "-- REFUSED: column region became the `partition by` key" in ddl
+    assert ddl.startswith("-- REBUILD REQUIRED")
+
+    # demoted: directory key on the old side, footer data column on the new
+    ddl2 = schema_diff_to_clickhouse_alter(str(new), str(old), "t",
+                                           primary_key="id")
+    assert ("-- REFUSED: column region stopped being the `partition by` "
+            "key") in ddl2
+    assert ddl2.startswith("-- REBUILD REQUIRED")
 
 
 def test_alter_refuses_hive_partition_key_retype(tmp_path):
@@ -1692,6 +1746,21 @@ def test_incremental_drift_scan_root_mismatch_forces_rescan(tmp_path):
     assert [(r["column"], r["change"]) for r in s_b["report"]] == [
         ("id", "type_changed")
     ]
+    # r16 (ADVICE r15): the reset is VISIBLE in telemetry — alternating
+    # two datasets through one cache file thrashes on every run, and the
+    # telemetry key names the clobbered root so that's diagnosable
+    assert s_b["cache_reset_root_mismatch"] == os.path.abspath(str(a))
+    assert s_a["cache_reset_root_mismatch"] is None
+    # the marker is telemetry-only: it must not leak into the cache file
+    import json as _json
+
+    with open(cache) as fh:
+        persisted = _json.load(fh)
+    assert "_reset_from_root" not in persisted
+    # alternating back: reset again, visible again
+    s_a2 = incremental_drift_scan(str(a), cache)
+    assert s_a2["cache_reset_root_mismatch"] == os.path.abspath(str(b))
+    assert s_a2["footers_read"] == 2
 
 
 def test_cli_drift_report_with_cache(tmp_path, capsys):

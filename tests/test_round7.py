@@ -310,6 +310,61 @@ def test_bpe_train_matches_pure_python_reference(spark):
     assert got == ref
 
 
+def test_bpe_train_verified_equals_production_trainer(spark):
+    """q_bpe_train_verified (r16, oracle-gated): the unrolled declarative
+    twin's BPEV_ROUNDS merges must equal the production trainer's first
+    BPEV_ROUNDS merges exactly — closing the loop driver gate -> verified
+    twin == production path (same move as q_kmeans_verified)."""
+    from parquet_to_clickhouse_schema_spark.functions.text import BPEV_ROUNDS
+
+    twin = [
+        (r.left, r.right, r.pair_count)
+        for r in sorted(
+            Q["q_bpe_train_verified"](spark, SF_SMOKE).collect(),
+            key=lambda r: r.merge_rank,
+        )
+    ]
+    prod = [
+        (r.left, r.right, r.pair_count)
+        for r in sorted(
+            Q["q_bpe_train"](spark, SF_SMOKE).collect(), key=lambda r: r.merge_rank
+        )
+    ]
+    assert len(twin) == BPEV_ROUNDS
+    assert twin == prod[:BPEV_ROUNDS]
+
+
+def test_bpe_train_verified_merge_encoding_edge_cases(spark):
+    """The string-replace merge rule must implement left-to-right
+    non-overlapping BPE semantics on the known traps: runs of the merged
+    pair ('aaaa' + (a,a) -> [aa, aa], NOT [aa, a, a]) and symbol-prefix
+    collisions ((a,b) must not fire inside a word whose symbol is 'bx')."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    enc = F.expr(
+        "concat_ws('', transform(split(tok, ''), c -> concat(' ', c, ' ')))"
+    )
+    df = spark.createDataFrame([("aaaa",), ("aab",)], "tok string").select(
+        "tok", enc.alias("w")
+    )
+    merged = df.select(
+        "tok",
+        F.split(
+            F.trim(F.replace("w", F.lit(" a  a "), F.lit(" aa "))), "  "
+        ).alias("s"),
+    )
+    got = {r.tok: r.s for r in merged.collect()}
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aab"] == ["aa", "b"]
+    # prefix collision: merge (a, b) applied to symbols [a, bx] must not fire
+    df2 = spark.createDataFrame([([" a  bx "],)], "arr array<string>").select(
+        F.replace(
+            F.col("arr")[0], F.lit(" a  b "), F.lit(" ab ")
+        ).alias("w")
+    )
+    assert df2.collect()[0].w == " a  bx "
+
+
 def test_bpe_train_survives_word_collapse_under_ansi(spark):
     """Regression (ANSI mode): once a 2-char word fully merges into one
     symbol, later iterations must not index its 1-element array —

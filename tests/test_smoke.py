@@ -98,6 +98,81 @@ def test_percentile_verified_sketch_bounds(spark):
             assert getattr(r, fld) <= 1.0 / PV_M + 0.5 / r.n_rows, (flag, fld)
 
 
+def test_hll_verified_estimates_and_merge(spark):
+    """q_hll_verified (r16, oracle-gated): estimates must land within 3x
+    the m=256 analytic standard error (3*1.04/16 ~ 0.195) of exact, the
+    register count can never exceed m, and the merged 'ALL' register set
+    must dominate every per-group set (union = max per bucket)."""
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+        HLLV_M,
+        q_hll_verified,
+    )
+
+    rows = {r.grp: r for r in q_hll_verified(spark, SF_SMOKE).collect()}
+    assert "ALL" in rows and len(rows) == 6
+    for grp, r in rows.items():
+        assert 0 < r.registers_used <= HLLV_M, grp
+        assert r.est_hll > 0, grp
+        assert r.rel_err <= 3 * 1.04 / 16 + 0.01, (grp, r.rel_err)
+        assert r.exact_distinct <= rows["ALL"].exact_distinct
+        assert r.registers_used <= rows["ALL"].registers_used, grp
+
+
+def test_hll_verified_matches_pure_python_hll(spark):
+    """Third-implementation pin for the whole q_hll_verified mechanism:
+    rebuild the registers and the estimate from the raw parquet with
+    hashlib + pure Python (no Spark, no DuckDB) and demand EXACT equality
+    after the operator's own rounding. Catches any shared Spark/DuckDB
+    logic error the oracle gate alone cannot see (the two engines mirror
+    each other's CASE arithmetic by construction)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from parquet_to_clickhouse_schema_spark.operators.aggregation import (
+        HLLV_2P32,
+        HLLV_CONST,
+        HLLV_LC,
+        HLLV_M,
+        q_hll_verified,
+    )
+
+    t = pq.read_table(f"{SF_SMOKE}/orders.parquet", columns=["o_orderpriority", "o_custkey"])
+    regs: dict[str, dict[int, int]] = defaultdict(dict)
+    for grp, key in zip(
+        t.column("o_orderpriority").to_pylist(), t.column("o_custkey").to_pylist()
+    ):
+        h = hashlib.md5(str(int(key)).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        stream = int(h[2:10], 16)
+        rho = 33 if stream == 0 else 33 - stream.bit_length()
+        for g in (grp, "ALL"):
+            if rho > regs[g].get(bucket, 0):
+                regs[g][bucket] = rho
+
+    def estimate(reg: dict[int, int]) -> tuple[float, int]:
+        n_used = len(reg)
+        s = sum(2 ** (33 - m) for m in reg.values()) + (HLLV_M - n_used) * 2**33
+        raw = HLLV_CONST / s
+        v = HLLV_M - n_used
+        if raw <= HLLV_LC and v > 0:
+            est = float(HLLV_M) * math.log(float(HLLV_M) / v)
+        elif raw > HLLV_2P32 / 30.0:
+            est = -HLLV_2P32 * math.log(1.0 - raw / HLLV_2P32)
+        else:
+            est = raw
+        return math.floor(est * 10000.0 + 0.5) / 10000.0, n_used
+
+    rows = {r.grp: r for r in q_hll_verified(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(regs)
+    for grp, reg in regs.items():
+        est, n_used = estimate(reg)
+        assert rows[grp].est_hll == est, (grp, rows[grp].est_hll, est)
+        assert rows[grp].registers_used == n_used, grp
+
+
 def test_bloom_prune_no_false_negatives(spark):
     """q_bloom_prune (r15, oracle-gated): the pruned join must lose NO
     member key (Bloom filters have no false negatives — a nonzero count
