@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Measured micro-batch execution for the streaming path (VERDICT r15 #6).
+
+The streaming SEMANTICS are driver-gated through batch twins and parity
+tests; this script adds the missing wall-clock evidence: a real
+readStream -> session_window -> writeStream(noop) run over sf0.1-volume
+events, split into N_FILES micro-batches (maxFilesPerTrigger=1 +
+Trigger.AvailableNow), reporting rows/sec and per-batch trigger latency
+from the engine's own StreamingQueryProgress.
+
+Method follows the r15 noise protocol: a batch sentinel (q_topk) runs
+before and after to witness contention; REPS full streaming runs; medians
+reported. One JSON line on stdout:
+
+  {"metric": "stream_session_window", "rows_per_sec": N,
+   "batch_latency_ms_median": N, "batches": N, "rows": N,
+   "reps": [...], "sentinel_before_s": N, "sentinel_after_s": N}
+
+Usage: python scripts/stream_bench.py [sf_dir] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from parquet_to_clickhouse_schema_spark import registry  # noqa: E402
+from parquet_to_clickhouse_schema_spark.session import get_spark  # noqa: E402
+from parquet_to_clickhouse_schema_spark.sources.io import (  # noqa: E402
+    _normalize_nanos,
+)
+
+N_FILES = 10  # micro-batches per run (maxFilesPerTrigger=1)
+
+
+def _sentinel(spark, sf_dir: str) -> float:
+    t0 = time.monotonic()
+    registry.all_queries()["q_topk"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return round(time.monotonic() - t0, 3)
+
+
+def _one_rep(spark, src_dir: str, schema, work_dir: str, rep: int) -> dict:
+    ckpt = os.path.join(work_dir, f"ckpt_{rep}")
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src_dir)
+    )
+    ev = _normalize_nanos(raw)
+    if isinstance(ev.schema["ts"].dataType, T.TimestampNTZType):
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+    data_batches = [p for p in prog if p.get("numInputRows", 0) > 0]
+    rows = sum(p["numInputRows"] for p in data_batches)
+    trig_ms = [p["durationMs"]["triggerExecution"] for p in data_batches]
+    total_s = sum(trig_ms) / 1000.0
+    return {
+        "rows": rows,
+        "batches": len(data_batches),
+        "rows_per_sec": round(rows / total_s, 1) if total_s else None,
+        "batch_latency_ms_median": statistics.median(trig_ms) if trig_ms else None,
+        "batch_latency_ms_max": max(trig_ms) if trig_ms else None,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    spark = get_spark()
+    work_dir = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        # split the events table into N_FILES parts so the file source has
+        # real multi-micro-batch structure at exactly sf volume
+        src_dir = os.path.join(work_dir, "events_split")
+        base = spark.read.parquet(f"{sf_dir}/events.parquet")
+        base.repartition(N_FILES).write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        s_before = _sentinel(spark, sf_dir)
+        rep_stats = [
+            _one_rep(spark, src_dir, schema, work_dir, i) for i in range(reps)
+        ]
+        s_after = _sentinel(spark, sf_dir)
+
+        out = {
+            "metric": "stream_session_window",
+            "sf_dir": sf_dir,
+            "rows": rep_stats[0]["rows"],
+            "batches": rep_stats[0]["batches"],
+            "rows_per_sec": statistics.median(
+                r["rows_per_sec"] for r in rep_stats
+            ),
+            "batch_latency_ms_median": statistics.median(
+                r["batch_latency_ms_median"] for r in rep_stats
+            ),
+            "reps": rep_stats,
+            "sentinel_before_s": s_before,
+            "sentinel_after_s": s_after,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

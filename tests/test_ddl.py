@@ -1920,3 +1920,18 @@ def test_unified_schema_drift_cache(tmp_path, monkeypatch):
         str(d), "t", "id", unify=True, drift_cache=cache
     )
     assert "id Int64\n" in ddl and "partition by (year)" in ddl
+
+    # r16 (ADVICE r15): pointing the same cache file at a DIFFERENT
+    # dataset warns about the reset (thrash made visible) and the marker
+    # never persists into the cache file
+    import warnings as _warnings
+
+    other = tmp_path / "other.parquet"
+    other.mkdir()
+    _write_fragment(other, "part-000.parquet", {"id": pa.array([1], pa.int64())})
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        unified_parquet_schema(str(other), drift_cache=cache)
+    assert any("different dataset root" in str(w.message) for w in caught)
+    blob2 = _json.loads((tmp_path / "cache.json").read_text())
+    assert "_reset_from_root" not in blob2
