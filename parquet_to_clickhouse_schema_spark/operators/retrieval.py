@@ -319,49 +319,79 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized frame; the corpus-sized work stays in the shortlist
     scan. MMR's candidates-then-greedy split is exactly what makes it
     usable at scale."""
+    # r16 (VERDICT r15 #4): the relevance scan is ROW-LOCAL — the query
+    # vector is collected into one broadcast array row and the dot/norm
+    # are zip_with/aggregate folds over the embedding array (the llm.py
+    # cosine idiom), so the corpus-sized stage is a single scan feeding
+    # TakeOrdered(N). The r15 posexplode+groupBy form shuffled
+    # rows x dim exploded tuples to rebuild per-vector sums the array
+    # already holds; at 100 TB that shuffle IS the query. Fold order is d
+    # ascending in both forms (explode order == array order), so the
+    # qround(4)-gated values are bit-identical and the oracle unchanged.
     qv = _md5_unit_grid(spark, "mmr", 1, ANN_V_DIM).select("d", "val")
-    qn = qv.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("qn"))
-    ex = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
-        .withColumn("v", F.col("v").cast("double"))
+    q1 = qv.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "val"))),
+            lambda s: s["val"],
+        ).alias("qarr"),
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("qn"),
     )
-    rel = (
-        ex.join(F.broadcast(qv), "d")
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.col("v") * F.col("val")).alias("dot"),
-            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"),
-        )
-        .crossJoin(F.broadcast(qn))
-        .select(
-            "vec_id",
-            qround(F.col("dot") / (F.col("nrm") * F.col("qn")), 4).alias("qrel"),
-        )
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    scored = emb.crossJoin(F.broadcast(q1)).select(
+        "vec_id",
+        "v",
+        F.sqrt(fold_sum(F.transform("v", lambda x: x * x))).alias("nrm"),
+        qround(
+            fold_sum(F.zip_with("v", "qarr", lambda x, y: x * y))
+            / (
+                F.sqrt(fold_sum(F.transform("v", lambda x: x * x)))
+                * F.col("qn")
+            ),
+            4,
+        ).alias("qrel"),
     )
     # localCheckpoint (the graph.py iterative-op pattern, NOT .cache —
     # nothing pinned for the session) truncates lineage so the MMR_K
     # unrolled steps below reuse these MMR_N-row frames instead of
-    # re-scanning embeddings once per step (~15 scans -> 2 at sf0.1)
-    cand = rel.orderBy(F.col("qrel").desc(), "vec_id").limit(MMR_N).localCheckpoint()
-
-    cex = ex.join(F.broadcast(cand.select("vec_id")), "vec_id")
-    cn = cex.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    # re-scanning embeddings once per step
+    cand_full = (
+        scored.orderBy(F.col("qrel").desc(), "vec_id")
+        .limit(MMR_N)
+        .localCheckpoint()
     )
-    a = cex.select(F.col("vec_id").alias("a"), "d", F.col("v").alias("va"))
-    b = cex.select(F.col("vec_id").alias("b"), "d", F.col("v").alias("vb"))
+    cand = cand_full.select("vec_id", "qrel")
+
+    # pairwise sims among the N shortlist rows: an N x N broadcast
+    # crossJoin of array rows, each cosine a row-local fold (the N² frame
+    # is tiny by construction — N is the MMR shortlist, not the corpus)
+    ca = cand_full.select(
+        F.col("vec_id").alias("a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    cb = cand_full.select(
+        F.col("vec_id").alias("b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     sims = (
-        a.join(b, "d")
+        ca.crossJoin(F.broadcast(cb))
         .filter(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
-        .join(cn.select(F.col("vec_id").alias("a"), F.col("nrm").alias("na")), "a")
-        .join(cn.select(F.col("vec_id").alias("b"), F.col("nrm").alias("nb")), "b")
         .select(
             "a",
             "b",
-            qround(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("qsim"),
+            qround(
+                fold_sum(F.zip_with("va", "vb", lambda x, y: x * y))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("qsim"),
         )
         .localCheckpoint()
     )
