@@ -183,24 +183,37 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lex_rank"),
     )
 
+    # r16: row-local dense scoring (the q_mmr_diversify rewrite applied
+    # here too): the query vector travels as ONE broadcast array row and
+    # dot/norm are zip_with/aggregate folds — the corpus-sized stage is a
+    # single scan, not a rows x dim posexplode shuffle. Fold order equals
+    # explode order, so the qround(4)-gated values are unchanged.
     qv = _md5_unit_grid(spark, "rrf", 1, ANN_V_DIM).select("d", "val")
-    qn = qv.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("qn"))
-    ex = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
-        .withColumn("v", F.col("v").cast("double"))
+    q1 = qv.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "val"))),
+            lambda s: s["val"],
+        ).alias("qarr"),
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("qn"),
     )
-    vs = (
-        ex.join(F.broadcast(qv), "d")
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.col("v") * F.col("val")).alias("dot"),
-            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"),
-        )
-    )
-    cos = vs.crossJoin(F.broadcast(qn)).select(
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        qround(F.col("dot") / (F.col("nrm") * F.col("qn")), 4).alias("qcos"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cos = emb.crossJoin(F.broadcast(q1)).select(
+        "vec_id",
+        qround(
+            fold_sum(F.zip_with("v", "qarr", lambda x, y: x * y))
+            / (
+                F.sqrt(fold_sum(F.transform("v", lambda x: x * x)))
+                * F.col("qn")
+            ),
+            4,
+        ).alias("qcos"),
     )
     vecr = cos.select(
         F.col("vec_id").alias("doc_id"),
