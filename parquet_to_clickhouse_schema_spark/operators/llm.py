@@ -1948,11 +1948,10 @@ _ANN_VERIFIED_ORACLE = f"""
 """
 
 
-def _ann_v_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, band, bucket) LSH signatures from the md5-derived ±1
-    hyperplanes shared by q_ann_verified_topk and q_ann_recall_eval — both
-    engines rebuild the identical planes, so the banded buckets hash-match."""
-    planes = (
+def _ann_plane_grid(spark: SparkSession) -> DataFrame:
+    """(p, d, s) — the md5-derived ±1 hyperplane matrix both engines
+    rebuild (s = +1 iff the first hex nibble of md5('h:p:d') <= '7')."""
+    return (
         spark.range(ANN_V_PLANES)
         .select(F.col("id").alias("p"))
         .crossJoin(spark.range(ANN_V_DIM).select(F.col("id").alias("d")))
@@ -1979,6 +1978,95 @@ def _ann_v_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s"),
         )
     )
+
+
+def _ann_plane_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bits: array<string>) — each vector's full
+    {ANN_V_PLANES}-bit hyperplane signature, computed ROW-LOCALLY: the
+    plane matrix is aggregated into ONE broadcast array-of-arrays row
+    (p-major, d-ascending — the exact summation order of the
+    posexplode+groupBy form, so projections are bit-identical) and each
+    vector folds all P projections in a single scan stage.
+
+    The fold lambdas are INTERPRETED per element (not codegen'd), so this
+    form only wins when one fold pass feeds several consumers/layouts —
+    q_lsh_param_sweep (3 bandings, measured 3.87 -> 3.32 s interleaved
+    A/B). Single-layout consumers keep the codegen'd explode form
+    (_ann_v_signatures — measured the other way, see its docstring)."""
+    planes = _ann_plane_grid(spark)
+    planes_row = (
+        planes.groupBy("p")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "s"))),
+                lambda x: x["s"],
+            ).alias("sarr")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "sarr"))),
+                lambda x: x["sarr"],
+            ).alias("planes")
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    return emb.crossJoin(F.broadcast(planes_row)).select(
+        "vec_id",
+        F.transform(
+            "planes",
+            lambda pl: F.when(
+                F.aggregate(
+                    F.zip_with(F.col("v"), pl, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ).alias("bits"),
+    )
+
+
+def _band_buckets(bits_df: DataFrame, bits_per_band: int) -> DataFrame:
+    """(vec_id, band, bucket) from a _ann_plane_bits frame: slice the
+    P-bit array into P/bits_per_band band buckets, row-locally."""
+    n_bands = ANN_V_PLANES // bits_per_band
+    return bits_df.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.array_join(
+                        F.slice("bits", b * bits_per_band + 1, bits_per_band),
+                        "",
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _ann_v_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, bucket) LSH signatures from the md5-derived ±1
+    hyperplanes shared by q_ann_verified_topk and q_ann_recall_eval — both
+    engines rebuild the identical planes, so the banded buckets hash-match.
+
+    Deliberately the CODEGEN'D posexplode+groupBy form, NOT the row-local
+    _ann_plane_bits fold (r16 measured-and-rejected for the single-layout
+    consumers: higher-order-function lambdas are interpreted per element,
+    and the 64-plane x 64-dim fold costs more CPU than the whole-stage-
+    codegen explode + map-side-combined shuffle it avoids — interleaved
+    A/B at sf0.1: explode 2.15 s vs fold 2.94 s on q_ann_verified_topk,
+    2.06 vs 2.48 on q_ann_recall_eval. The fold form wins only when its
+    cost is amortized over several layouts: q_lsh_param_sweep keeps it)."""
+    planes = _ann_plane_grid(spark)
     ex = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.posexplode("embedding").alias("d", "v"))
@@ -3335,8 +3423,13 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection is one map-side-combined groupBy(vec_id, r) over the
     posexploded stream (n x dim rows in, n x {RP_K} out); norms collapse
     per vector. No shuffle carries anything wider than {RP_K} doubles per
-    vector. Float caveat: 64-term sums differ ~1e-15 cross-engine; outputs
-    quantized at 1e-6 / 1e-4."""
+    vector. Deliberately NOT the row-local array-fold form (r16
+    measured-and-rejected: interpreted HOF lambdas cost more than the
+    codegen'd explode + combine here — interleaved A/B at sf0.1: explode
+    0.61 s vs fold 1.02 s; the fold form pays {RP_K}x{ANN_V_DIM}
+    interpreted multiplies per row to avoid a shuffle the map-side
+    combine already made cheap). Float caveat: 64-term sums differ
+    ~1e-15 cross-engine; outputs quantized at 1e-6 / 1e-4."""
     grid = _md5_unit_grid(spark, "rp", RP_K, ANN_V_DIM)
     ex = (
         load_table(spark, sf_dir, "embeddings")
@@ -4925,51 +5018,19 @@ def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     end recall. All counts exact integers; one quantized ratio.
 
     Scale shape: one projection pass feeds all three layouts (banding is
-    a regrouping, not a recompute), and the cost axis is computed from
-    BUCKET SIZES alone — Σ C(s,2) over (band, bucket) groups, the exact
-    number of pair evaluations the banding generates — so measuring an
-    O(n²)-cost layout costs O(n). The first cut enumerated distinct pairs
-    to count them and measured 22.5× time at 10× data (97 s — paying the
-    quadratic cost to report it; docs/SCALE.md keeps the counterexample).
-    Query-side recall joins touch {RQ_N}×{RQ_K} rows."""
-    # one projection, three bandings
-    planes = (
-        spark.range(ANN_V_PLANES)
-        .select(F.col("id").alias("p"))
-        .crossJoin(spark.range(ANN_V_DIM).select(F.col("id").alias("d")))
-        .select(
-            "p",
-            "d",
-            F.when(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.lit("h"),
-                            F.col("p").cast("string"),
-                            F.col("d").cast("string"),
-                        ).cast("binary")
-                    ),
-                    1,
-                    1,
-                )
-                <= "7",
-                F.lit(1.0),
-            )
-            .otherwise(F.lit(-1.0))
-            .alias("s"),
-        )
-    )
+    a regrouping, not a recompute — r16: the shared row-local
+    _ann_plane_bits array, checkpointed once, sliced three ways with no
+    per-layout shuffle or collect_list), and the cost axis is computed
+    from BUCKET SIZES alone — Σ C(s,2) over (band, bucket) groups, the
+    exact number of pair evaluations the banding generates — so measuring
+    an O(n²)-cost layout costs O(n). The first cut enumerated distinct
+    pairs to count them and measured 22.5× time at 10× data (97 s —
+    paying the quadratic cost to report it; docs/SCALE.md keeps the
+    counterexample). Query-side recall joins touch {RQ_N}×{RQ_K} rows."""
+    # one row-local projection (P-bit signature array per vector),
+    # materialized once; three bandings slice it
+    bitsdf = _ann_plane_bits(spark, sf_dir).localCheckpoint()
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).withColumn(
-        "v", F.col("v").cast("double")
-    )
-    proj = (
-        ex.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("v") * F.col("s")).alias("proj"))
-        .localCheckpoint()
-    )
     qs = (
         emb.select("vec_id")
         .orderBy(
@@ -5007,30 +5068,12 @@ def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outs = []
     for bands, bits in LSH_SWEEP_CFGS:
-        sig = (
-            proj.select(
-                "vec_id",
-                (F.col("p") / bits).cast("int").alias("band"),
-                "p",
-                F.when(F.col("proj") >= 0, F.lit("1")).otherwise(F.lit("0")).alias(
-                    "bit"
-                ),
-            )
-            .groupBy("vec_id", "band")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("p", "bit"))),
-                        lambda x: x["bit"],
-                    ),
-                    "",
-                ).alias("bucket")
-            )
-            # each layout's signature feeds BOTH the cost count and the
-            # recall join — materialize once or the collect_list aggregate
-            # reruns per consumer (measured 74 s -> 9 s at 10x data)
-            .localCheckpoint()
-        )
+        # row-local slice of the checkpointed bit array; recomputing this
+        # narrow map per consumer is cheaper than materializing each
+        # layout's n x bands signature table (the r15 collect_list
+        # signature DID need its own localCheckpoint — 74 s -> 9 s at
+        # 10x data; the array slice replaces that aggregate outright)
+        sig = _band_buckets(bitsdf, bits)
         pairs = (
             sig.groupBy("band", "bucket")
             .agg(F.count("*").alias("s"))
