@@ -87,10 +87,11 @@ HEADLINE = [
     # tracked from birth
     "q_percentile_verified",
     "q_bloom_prune",
-    # r16 additions: the deterministic HLL twin and the unrolled BPE
-    # trainer twin, tracked from birth
+    # r16 additions: the deterministic HLL twin, the unrolled BPE trainer
+    # twin, and the DP count release, tracked from birth
     "q_hll_verified",
     "q_bpe_train_verified",
+    "q_dp_count_release",
 ]
 
 

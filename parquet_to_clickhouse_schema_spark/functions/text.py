@@ -505,6 +505,120 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic-noise DP release: epsilon sweep, string form pinned so the
+# md5 seed input is byte-identical cross-engine (no float-to-string drift)
+DP_EPSILONS = (("0.5", 0.5), ("1.0", 1.0), ("2.0", 2.0))
+_DP_2P60 = 1152921504606846976.0  # 2^60 as a double literal, both engines
+
+
+@_q(
+    "q_dp_count_release",
+    f"""
+    WITH cells AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS true_count
+      FROM documents GROUP BY source
+    ),
+    eps AS (SELECT * FROM (VALUES {", ".join(f"('{s}', {s})" for s, _ in DP_EPSILONS)}) e(eps_s, eps)),
+    seeded AS (
+      SELECT source, true_count, eps,
+             (CAST(('0x' || substr(md5('dp:' || source || ':' || eps_s),
+                                   1, 15)) AS BIGINT) + 0.5)
+               / {_DP_2P60!r} AS u
+      FROM cells CROSS JOIN eps
+    ),
+    noised AS (
+      SELECT source, true_count, eps,
+             -(1.0 / eps) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+               AS noise
+      FROM seeded
+    )
+    SELECT source, CAST(eps AS DOUBLE) AS epsilon,
+           floor((true_count + noise) * 1000000.0 + 0.5) / 1000000.0
+               AS released_count,
+           true_count,
+           floor(abs(noise) * 1000000.0 + 0.5) / 1000000.0 AS noise_abs
+    FROM noised
+    """,
+)
+def q_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism) over the
+    per-source corpus composition — the governance step between a private
+    training corpus and any published statistic about it (dataset cards,
+    mixture tables). Counts have L1 sensitivity 1, so Lap(1/ε) noise gives
+    ε-DP per cell; the ε sweep (0.5 / 1.0 / 2.0) emits the
+    privacy-utility frontier the release owner actually chooses from,
+    with the realized |noise| beside each released value (the
+    q_lsh_param_sweep / q_filter_sweep measured-frontier pattern applied
+    to privacy accounting).
+
+    Determinism caveat, stated loudly: a REAL release must draw fresh
+    randomness — here the Laplace draw is seeded from md5('dp:'||source
+    ||':'||ε) via inverse-CDF (u in (0,1) from the established '0x'||md5
+    60-bit idiom; noise = -(1/ε)·sign(u-½)·ln(1-2|u-½|)) so DuckDB
+    replays the identical noise and the mechanism itself — sensitivity,
+    scale, inverse-CDF shape, per-cell accounting — is hash-gated. Swap
+    the seed for a CSPRNG draw in production; everything else ships
+    as-is. TRUE counts ride on the row for the same reason
+    q_hll_verified carries exact_distinct: to measure (drop before an
+    actual release).
+
+    100 TB shape: one map-side-combined groupBy(source) — the shuffle
+    carries |sources| partial counts; the ε fan-out and noise arithmetic
+    touch |sources|×|ε| rows. Scan-bound, like every release-stats job
+    should be."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    eps = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(s).alias("eps_s"), F.lit(v).alias("eps"))
+                for s, v in DP_EPSILONS
+            ]
+        )
+    ).alias("e")
+    seeded = cells.select("source", "true_count", eps).select(
+        "source",
+        "true_count",
+        F.col("e.eps").alias("eps"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("dp:"),
+                                F.col("source"),
+                                F.lit(":"),
+                                F.col("e.eps_s"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                + F.lit(0.5)
+            )
+            / F.lit(_DP_2P60)
+        ).alias("u"),
+    )
+    noise = (
+        -(F.lit(1.0) / F.col("eps"))
+        * F.signum(F.col("u") - 0.5)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(F.col("u") - 0.5))
+    )
+    return seeded.select(
+        "source",
+        F.col("eps").cast("double").alias("epsilon"),
+        qround(F.col("true_count") + noise, 6).alias("released_count"),
+        "true_count",
+        qround(F.abs(noise), 6).alias("noise_abs"),
+    )
+
+
 @_q(
     "q_unigram_nll",
     """

@@ -116,8 +116,8 @@ CONTRACT_KEYS = (
 # After r15 the freshness backlog is: 13 keys whose latest row is r09 (the
 # r15 rotation's documented overflow tail) and 50 whose latest is r10. r16
 # leads with all 13 r09 keys (the r15 VERDICT's explicit order), then the
-# new never-swept r16 keys, then the first 35 r10-era keys in ledger
-# (alphabetical) order — exactly the ~50-key budget. The 15 r10 tail keys
+# new never-swept r16 keys, then the first 34 r10-era keys in ledger
+# (alphabetical) order — exactly the ~50-key budget. The 16 r10 tail keys
 # overflow to r17. Zero overlap with the r15 sweep set by construction.
 SWEEP_PRIORITY = (
     # (a) r9-era keys, VERDICT r15 task #2 (13 keys)
@@ -137,7 +137,8 @@ SWEEP_PRIORITY = (
     # (a2) new r16 keys — never swept, get their first driver row here
     "q_hll_verified",
     "q_bpe_train_verified",
-    # (b) r10-era refresh, ledger (alphabetical) order (35 keys)
+    "q_dp_count_release",
+    # (b) r10-era refresh, ledger (alphabetical) order (34 keys)
     "q_ann_recall_eval",
     "q_ann_verified_topk",
     "q_attribution",
@@ -172,9 +173,9 @@ SWEEP_PRIORITY = (
     "q_rfm_segments",
     "q_semdedup",
     "q_shard_plan",
-    "q_simhash_verified",
     # ---- ~50-budget line ----
     # (c) overflow: r10-era tail for r17
+    "q_simhash_verified",
     "q_skew_stats",
     "q_stats_agg",
     "q_subquery_corr",

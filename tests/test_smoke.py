@@ -173,6 +173,49 @@ def test_hll_verified_matches_pure_python_hll(spark):
         assert rows[grp].registers_used == n_used, grp
 
 
+def test_dp_count_release_mechanism(spark):
+    """q_dp_count_release (r16, oracle-gated): per (source, epsilon) cell
+    the released count must equal true_count ± the reported noise, the
+    noise must follow the Laplace(1/eps) seed exactly (pure-Python
+    hashlib inverse-CDF recomputation), and noise magnitudes must scale
+    with 1/eps on average across cells."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        _DP_2P60,
+        q_dp_count_release,
+    )
+
+    rows = q_dp_count_release(spark, SF_SMOKE).collect()
+    assert rows
+    by_eps = defaultdict(list)
+    for r in rows:
+        # released = true ± noise (after the same half-up quantization)
+        assert (
+            abs(abs(r.released_count - r.true_count) - r.noise_abs) <= 2e-6
+        ), r
+        # third-implementation pin: rebuild the seeded Laplace draw
+        eps_s = {0.5: "0.5", 1.0: "1.0", 2.0: "2.0"}[r.epsilon]
+        h = hashlib.md5(f"dp:{r.source}:{eps_s}".encode()).hexdigest()
+        u = (int(h[:15], 16) + 0.5) / _DP_2P60
+        noise = (
+            -(1.0 / r.epsilon)
+            * math.copysign(1.0, u - 0.5)
+            * math.log(1.0 - 2.0 * abs(u - 0.5))
+        )
+        if u == 0.5:
+            noise = 0.0
+        assert math.floor(abs(noise) * 1e6 + 0.5) / 1e6 == r.noise_abs, r
+        by_eps[r.epsilon].append(r.noise_abs)
+    means = {e: sum(v) / len(v) for e, v in by_eps.items()}
+    # E|Lap(1/eps)| = 1/eps; loose factor-of-3 band per tier
+    for e, m in means.items():
+        assert m < 3.0 / e, (e, m)
+    assert means[0.5] > means[2.0]  # the frontier points the right way
+
+
 def test_bloom_prune_no_false_negatives(spark):
     """q_bloom_prune (r15, oracle-gated): the pruned join must lose NO
     member key (Bloom filters have no false negatives — a nonzero count
