@@ -541,15 +541,17 @@ _DP_2P60 = 1152921504606846976.0  # 2^60 as a double literal, both engines
     """,
 )
 def q_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private count release (Laplace mechanism) over the
-    per-source corpus composition — the governance step between a private
-    training corpus and any published statistic about it (dataset cards,
-    mixture tables). Counts have L1 sensitivity 1, so Lap(1/ε) noise gives
-    ε-DP per cell; the ε sweep (0.5 / 1.0 / 2.0) emits the
+    """ε-SWEEP differentially-private count release (Laplace mechanism)
+    over the per-source corpus composition. The single-ε mechanism
+    certificate already exists (q_dp_histogram, dq.py — same md5-seeded
+    inverse-CDF Laplace arithmetic, gated since r12); this key is its
+    FRONTIER sibling: counts have L1 sensitivity 1, so Lap(1/ε) gives
+    ε-DP per cell, and the ε sweep (0.5 / 1.0 / 2.0) emits the
     privacy-utility frontier the release owner actually chooses from,
     with the realized |noise| beside each released value (the
     q_lsh_param_sweep / q_filter_sweep measured-frontier pattern applied
-    to privacy accounting).
+    to privacy accounting; seeds are ε-qualified so tiers draw
+    independent noise).
 
     Determinism caveat, stated loudly: a REAL release must draw fresh
     randomness — here the Laplace draw is seeded from md5('dp:'||source
