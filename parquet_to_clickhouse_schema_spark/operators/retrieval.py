@@ -36,6 +36,31 @@ from parquet_to_clickhouse_schema_spark.sources.io import load_table
 
 QUERIES, ORACLES, _q = new_registry()
 
+
+def _fold_sum(arr):
+    """Sequential array-order sum fold. Interpreted HOF (not codegen'd) —
+    see llm.py:_ann_plane_bits for when this wins vs the explode form.
+    LOAD-BEARING INVARIANT, carried once here for every consumer: the
+    fold accumulates element 0 -> n, which equals the accumulation order
+    of the posexplode+groupBy form these rewrites replaced, so every
+    qround-gated value stays bit-identical to its DuckDB oracle."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _query_vec_row(spark: SparkSession, tag: str) -> DataFrame:
+    """ONE broadcast row (qarr: d-ascending double array, qn: norm) from
+    the md5-derived query vector grid — the row-local cosine scaffold
+    shared by q_rank_fusion and q_mmr_diversify."""
+    qv = _md5_unit_grid(spark, tag, 1, ANN_V_DIM).select("d", "val")
+    return qv.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "val"))),
+            lambda s: s["val"],
+        ).alias("qarr"),
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("qn"),
+    )
+
+
 _BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 # The BM25 scoring CTEs, verbatim from q_bm25_score's oracle (text.py) —
@@ -185,31 +210,19 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r16: row-local dense scoring (the q_mmr_diversify rewrite applied
     # here too): the query vector travels as ONE broadcast array row and
-    # dot/norm are zip_with/aggregate folds — the corpus-sized stage is a
-    # single scan, not a rows x dim posexplode shuffle. Fold order equals
-    # explode order, so the qround(4)-gated values are unchanged.
-    qv = _md5_unit_grid(spark, "rrf", 1, ANN_V_DIM).select("d", "val")
-    q1 = qv.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "val"))),
-            lambda s: s["val"],
-        ).alias("qarr"),
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("qn"),
-    )
-
-    def fold_sum(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-
+    # dot/norm are zip_with/aggregate folds (_fold_sum carries the
+    # fold-order invariant) — the corpus-sized stage is a single scan,
+    # not a rows x dim posexplode shuffle.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    cos = emb.crossJoin(F.broadcast(q1)).select(
+    cos = emb.crossJoin(F.broadcast(_query_vec_row(spark, "rrf"))).select(
         "vec_id",
         qround(
-            fold_sum(F.zip_with("v", "qarr", lambda x, y: x * y))
+            _fold_sum(F.zip_with("v", "qarr", lambda x, y: x * y))
             / (
-                F.sqrt(fold_sum(F.transform("v", lambda x: x * x)))
+                F.sqrt(_fold_sum(F.transform("v", lambda x: x * x)))
                 * F.col("qn")
             ),
             4,
@@ -333,40 +346,33 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. MMR's candidates-then-greedy split is exactly what makes it
     usable at scale."""
     # r16 (VERDICT r15 #4): the relevance scan is ROW-LOCAL — the query
-    # vector is collected into one broadcast array row and the dot/norm
-    # are zip_with/aggregate folds over the embedding array (the llm.py
-    # cosine idiom), so the corpus-sized stage is a single scan feeding
-    # TakeOrdered(N). The r15 posexplode+groupBy form shuffled
-    # rows x dim exploded tuples to rebuild per-vector sums the array
-    # already holds; at 100 TB that shuffle IS the query. Fold order is d
-    # ascending in both forms (explode order == array order), so the
-    # qround(4)-gated values are bit-identical and the oracle unchanged.
-    qv = _md5_unit_grid(spark, "mmr", 1, ANN_V_DIM).select("d", "val")
-    q1 = qv.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "val"))),
-            lambda s: s["val"],
-        ).alias("qarr"),
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("qn"),
-    )
-
-    def fold_sum(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-
+    # vector is collected into one broadcast array row (_query_vec_row)
+    # and the dot/norm are zip_with/aggregate folds over the embedding
+    # array (the llm.py cosine idiom), so the corpus-sized stage is a
+    # single scan feeding TakeOrdered(N). The r15 posexplode+groupBy form
+    # shuffled rows x dim exploded tuples to rebuild per-vector sums the
+    # array already holds; at 100 TB that shuffle IS the query. The norm
+    # fold is computed ONCE in a chained select and reused in qrel's
+    # denominator — HOF folds are CodegenFallback, so whole-stage codegen
+    # cannot dedup the subexpression itself (review r16).
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    scored = emb.crossJoin(F.broadcast(q1)).select(
+    pre = emb.crossJoin(F.broadcast(_query_vec_row(spark, "mmr"))).select(
         "vec_id",
         "v",
-        F.sqrt(fold_sum(F.transform("v", lambda x: x * x))).alias("nrm"),
+        "qarr",
+        "qn",
+        F.sqrt(_fold_sum(F.transform("v", lambda x: x * x))).alias("nrm"),
+    )
+    scored = pre.select(
+        "vec_id",
+        "v",
+        "nrm",
         qround(
-            fold_sum(F.zip_with("v", "qarr", lambda x, y: x * y))
-            / (
-                F.sqrt(fold_sum(F.transform("v", lambda x: x * x)))
-                * F.col("qn")
-            ),
+            _fold_sum(F.zip_with("v", "qarr", lambda x, y: x * y))
+            / (F.col("nrm") * F.col("qn")),
             4,
         ).alias("qrel"),
     )
@@ -401,7 +407,7 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "b",
             qround(
-                fold_sum(F.zip_with("va", "vb", lambda x, y: x * y))
+                _fold_sum(F.zip_with("va", "vb", lambda x, y: x * y))
                 / (F.col("na") * F.col("nb")),
                 4,
             ).alias("qsim"),

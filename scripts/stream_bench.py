@@ -112,17 +112,26 @@ def main() -> None:
         ]
         s_after = _sentinel(spark, sf_dir)
 
+        # reps with no data batches report None metrics (deliberate in
+        # _one_rep); exclude them from the medians instead of crashing,
+        # and surface how many were degraded
+        good = [r for r in rep_stats if r["rows_per_sec"] is not None]
         out = {
             "metric": "stream_session_window",
             "sf_dir": sf_dir,
             "rows": rep_stats[0]["rows"],
             "batches": rep_stats[0]["batches"],
             "rows_per_sec": statistics.median(
-                r["rows_per_sec"] for r in rep_stats
-            ),
+                r["rows_per_sec"] for r in good
+            )
+            if good
+            else None,
             "batch_latency_ms_median": statistics.median(
-                r["batch_latency_ms_median"] for r in rep_stats
-            ),
+                r["batch_latency_ms_median"] for r in good
+            )
+            if good
+            else None,
+            "degraded_reps": len(rep_stats) - len(good),
             "reps": rep_stats,
             "sentinel_before_s": s_before,
             "sentinel_after_s": s_after,
