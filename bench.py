@@ -135,7 +135,21 @@ def main() -> None:
     # machine signal; a ratio somewhat under 1.0 is residual JIT, benign.
     for _ in range(8):
         canary_time()
-    sentinel_before = round(statistics.median([canary_time() for _ in range(3)]), 3)
+    # r17 (VERDICT r16 #4): BETWEEN-run host drift. Three same-day r16 runs
+    # on identical binaries spanned 66.5-75.9 s while the before/after
+    # sentinel stayed clean — the pair detects within-run contention but
+    # not the machine simply being ~1.3x slower all day. Fix: interleave
+    # the same canary through the suite (one sample after every 5th
+    # headline key, plus the boundary samples) and report every per-key
+    # median DIVIDED by the run's canary median alongside the raw seconds.
+    # Canary-units cancel whole-machine speed shifts, so r-over-r deltas in
+    # the normalized figure are plan signal, not host weather. Method and
+    # r16-backfill formula documented in BASELINE.md "cross-run noise
+    # calibration".
+    canary_samples: list[float] = []
+    before_samples = [canary_time() for _ in range(3)]
+    canary_samples.extend(before_samples)
+    sentinel_before = round(statistics.median(before_samples), 3)
     load_before = [round(x, 2) for x in os.getloadavg()]
 
     # the reference's core op: footer-only DDL (no Spark job expected)
@@ -145,7 +159,7 @@ def main() -> None:
         )
     )
 
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         # plan construction outside the timer; re-built per rep so no rep
         # benefits from a previous rep's materialized AQE plan
         def run(name=name):
@@ -153,11 +167,16 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
 
         times[name] = median_time(run)
+        if (i + 1) % 5 == 0:
+            canary_samples.append(canary_time())
 
-    sentinel_after = round(statistics.median([canary_time() for _ in range(3)]), 3)
+    after_samples = [canary_time() for _ in range(3)]
+    canary_samples.extend(after_samples)
+    sentinel_after = round(statistics.median(after_samples), 3)
     load_after = [round(x, 2) for x in os.getloadavg()]
 
     total = round(sum(times.values()), 3)
+    canary_median = statistics.median(canary_samples)
     print(
         json.dumps(
             {
@@ -167,6 +186,19 @@ def main() -> None:
                 "queries": times,
                 "reps": reps,
                 "sf": sf,
+                # drift-corrected figures (r17): raw seconds divided by
+                # this run's interleaved canary median. Compare THESE
+                # across rounds when the hosts may differ; raw seconds
+                # remain the BASELINE.md anchor currency on a clean host.
+                "normalized": {
+                    "canary_median_sec": round(canary_median, 4),
+                    "canary_samples": len(canary_samples),
+                    "value_canary_units": round(total / canary_median, 1),
+                    "queries_canary_units": {
+                        k: round(v / canary_median, 2)
+                        for k, v in times.items()
+                    },
+                },
                 "sentinel": {
                     "canary_query": "q_topk",
                     "before_sec": sentinel_before,

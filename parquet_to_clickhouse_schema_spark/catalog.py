@@ -38,6 +38,33 @@ _BIN_OPS = {
 }
 _UNARY_OPS = {ast.UAdd: operator.pos, ast.USub: operator.neg}
 
+# Machine-readable rows-only ↔ verified-twin mapping (r17, VERDICT r16
+# task #6). Every rows-only key (a queries() entry with no oracle_sql()
+# twin — approximate/iterative/string-artifact by design, SURVEY §2.3) is
+# accountable to EITHER an oracle-gated mechanism twin ("q_*": a
+# deterministic re-parameterization whose registers/picks/codes a DuckDB
+# oracle rebuilds bit-for-bit) OR a golden test ("golden:<path>": a
+# byte-exact artifact compare, used for the two DDL string emitters whose
+# output is a script, not a relation). This table previously lived only in
+# prose + docstrings; tests/test_contract_guards.py asserts it stays
+# complete and that every named twin really is oracle-gated.
+ROWS_ONLY_TWINS: dict[str, str] = {
+    "q_agg_approx_distinct": "q_hll_verified",
+    "q_ann_lsh_topk": "q_ann_verified_topk",
+    "q_bpe_train": "q_bpe_train_verified",
+    "q_ddl_clickhouse": "golden:tests/test_ddl.py",
+    "q_ddl_sparksql": "golden:tests/test_ddl.py",
+    "q_dedup_simhash": "q_simhash_verified",
+    "q_freq_topk_sketch": "q_freq_topk_exact",
+    "q_hll_sketch": "q_hll_verified",
+    "q_ivf_topk": "q_ivf_verified_topk",
+    "q_ivfpq_topk": "q_ivfpq_verified_topk",
+    "q_kmeans_clusters": "q_kmeans_verified",
+    "q_pagerank": "q_pagerank_ranks",
+    "q_percentile_approx": "q_percentile",
+    "q_pq_topk": "q_pq_verified_topk",
+}
+
 # Pow/LShift magnitude bound (ADVICE r13): docstrings are the surface most
 # likely to carry pasted external text, and a placeholder like {2**10**8}
 # would otherwise hang or memory-spike --list-queries. 64 covers every
@@ -148,8 +175,10 @@ def describe_queries(filter_substr: str | None = None) -> list[dict]:
 
     Fields: key, module (short name), description (first docstring
     sentence, placeholder-resolved), oracle (True when a DuckDB twin
-    hash-gates the key). `filter_substr` (case-insensitive) narrows on
-    key or description.
+    hash-gates the key), twin (for rows-only keys: the oracle-gated
+    mechanism twin key, or `golden:<test path>` for byte-exact string
+    artifacts — see ROWS_ONLY_TWINS; None for oracle-gated keys).
+    `filter_substr` (case-insensitive) narrows on key or description.
     """
     queries = registry.all_queries()
     oracles = registry.all_oracles()
@@ -162,6 +191,7 @@ def describe_queries(filter_substr: str | None = None) -> list[dict]:
             "module": fn.__module__.rsplit(".", 1)[-1],
             "description": first,
             "oracle": key in oracles,
+            "twin": None if key in oracles else ROWS_ONLY_TWINS.get(key),
         }
         if filter_substr:
             s = filter_substr.lower()
@@ -184,5 +214,6 @@ def format_catalog(rows: list[dict]) -> str:
         desc = r["description"]
         if len(desc) > 100:
             desc = desc[:97] + "..."
-        lines.append(f"{r['key']:32s} {mark}  [{r['module']}] {desc}")
+        twin = f" twin={r['twin']}" if r.get("twin") else ""
+        lines.append(f"{r['key']:32s} {mark}{twin}  [{r['module']}] {desc}")
     return "\n".join(lines) + "\n"

@@ -1384,8 +1384,8 @@ def schema_diff_to_clickhouse_alter(
     # Int32 both render Int32, but one stores days-since-epoch and the
     # other raw literals — silently mixing them corrupts the partition
     # key). The refusal is a comment, the column keeps its old type, and
-    # later MOVE statements render the OLD type so the emitted script
-    # stays internally consistent.
+    # step 3 emits NO executable MOVE for it (r17, ADVICE r16) — no
+    # executable statement touches a refused column anywhere.
     refused_types: set[str] = set()
     for f in new_schema.fields:
         if f.name in old_top:
@@ -1441,12 +1441,24 @@ def schema_diff_to_clickhouse_alter(
             layout.remove(name)
             layout.insert(i, name)
             pos = "first" if i == 0 else f"after {surv_target[i - 1]}"
+            # r17 (ADVICE r16): a column whose change was REFUSED in step 2
+            # gets NO executable statement here either — an executable MOVE
+            # on it would contradict the "no statement touches the column"
+            # intent of the add/drop refusal paths. The layout simulation
+            # above still advances (later anchors describe the post-rebuild
+            # target, which the REBUILD banner already declares), and a
+            # comment records the target position.
+            if name in refused_types:
+                stmts.append(
+                    f"-- (refused column {name} sits at `{pos}` in the "
+                    "post-rebuild target layout; no executable statement "
+                    "is emitted for it)"
+                )
+                continue
             warn_if_key(name)
-            # a refused partition-key retype keeps its OLD type in moves
-            src = old_top[name] if name in refused_types else new_top[name]
             stmts.append(
                 f"alter table {table_name} modify column {name} "
-                f"{render(src)} {pos};"
+                f"{render(new_top[name])} {pos};"
             )
 
     # 4. adds, anchored on the new footer's predecessor — by now either a

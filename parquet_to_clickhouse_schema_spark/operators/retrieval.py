@@ -41,10 +41,39 @@ def _fold_sum(arr):
     """Sequential array-order sum fold. Interpreted HOF (not codegen'd) —
     see llm.py:_ann_plane_bits for when this wins vs the explode form.
     LOAD-BEARING INVARIANT, carried once here for every consumer: the
-    fold accumulates element 0 -> n, which equals the accumulation order
-    of the posexplode+groupBy form these rewrites replaced, so every
-    qround-gated value stays bit-identical to its DuckDB oracle."""
+    fold accumulates element 0 -> n deterministically, while the
+    posexplode+groupBy form it replaced sums in partition/merge order —
+    Spark never guarantees that order matches element order. Cross-engine
+    bit-identity therefore rests on the qround quantization absorbing the
+    ~1e-15 reassociation drift between the two orders (and on quantized
+    values sitting far from the rounding boundary), NOT on matched
+    summation order (ADVICE r16)."""
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _emb_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings as (vec_id, v: array<double>) with a LOUD width guard:
+    zip_with pads a length mismatch with NULL, which poisons the dot fold
+    into a NULL cosine — under the r15 posexplode+join form a ragged row
+    yielded a partial sum, under the fold form it silently vanished from
+    the ranking (ADVICE r16). A malformed embedding now fails the job
+    with its vec_id instead."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(
+            F.size("embedding") == ANN_V_DIM,
+            F.transform("embedding", lambda x: x.cast("double")),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"embedding width != {ANN_V_DIM} for vec_id="),
+                    F.col("vec_id").cast("string"),
+                )
+            )
+        )
+        .alias("v"),
+    )
 
 
 def _query_vec_row(spark: SparkSession, tag: str) -> DataFrame:
@@ -212,11 +241,8 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here too): the query vector travels as ONE broadcast array row and
     # dot/norm are zip_with/aggregate folds (_fold_sum carries the
     # fold-order invariant) — the corpus-sized stage is a single scan,
-    # not a rows x dim posexplode shuffle.
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    # not a rows x dim posexplode shuffle. _emb_rows guards the width.
+    emb = _emb_rows(spark, sf_dir)
     cos = emb.crossJoin(F.broadcast(_query_vec_row(spark, "rrf"))).select(
         "vec_id",
         qround(
@@ -354,11 +380,9 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array already holds; at 100 TB that shuffle IS the query. The norm
     # fold is computed ONCE in a chained select and reused in qrel's
     # denominator — HOF folds are CodegenFallback, so whole-stage codegen
-    # cannot dedup the subexpression itself (review r16).
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    # cannot dedup the subexpression itself (review r16). _emb_rows
+    # guards the width so a ragged row fails loudly (ADVICE r16).
+    emb = _emb_rows(spark, sf_dir)
     pre = emb.crossJoin(F.broadcast(_query_vec_row(spark, "mmr"))).select(
         "vec_id",
         "v",

@@ -110,71 +110,17 @@ CONTRACT_KEYS = (
     "q_udf_pandas",
     "q_udaf_grouped",
 )
-# Round-16 sweep priority: the driver's correctness sweep checks the FIRST
+# Round-17 sweep priority: the driver's correctness sweep checks the FIRST
 # ~50 queries() keys each round. Rotation is rebuilt each round from the
 # evidence ledger (`python scripts/sweep_ledger.py`, docs/SWEEP_LEDGER.md).
-# After r15 the freshness backlog is: 13 keys whose latest row is r09 (the
-# r15 rotation's documented overflow tail) and 50 whose latest is r10. r16
-# leads with all 13 r09 keys (the r15 VERDICT's explicit order), then the
-# new never-swept r16 keys, then the first 34 r10-era keys in ledger
-# (alphabetical) order — exactly the ~50-key budget. The 16 r10 tail keys
-# overflow to r17. Zero overlap with the r15 sweep set by construction.
+# After r16 the freshness backlog is: 16 keys whose latest row is r10 (the
+# r16 rotation's documented overflow tail — VERDICT r16 task #3 names all
+# 16) and 50 whose latest is r11. r17 leads with all 16 r10 keys, then the
+# first 34 r11-era keys in ledger (alphabetical) order — exactly the
+# ~50-key budget. The 16 r11 tail keys overflow to r18. Zero overlap with
+# the r16 sweep set by construction.
 SWEEP_PRIORITY = (
-    # (a) r9-era keys, VERDICT r15 task #2 (13 keys)
-    "q_report_order_count_dist",
-    "q_report_returned_customers",
-    "q_report_revenue_delta",
-    "q_report_small_qty_revenue",
-    "q_report_top_orders",
-    "q_source_entropy",
-    "q_stream_stream_join",
-    "q_substring_dup",
-    "q_training_mix_report",
-    "q_udf_arrow",
-    "q_unigram_nll",
-    "q_variant_json",
-    "q_video_thumbnail",
-    # (a2) new r16 keys — never swept, get their first driver row here
-    "q_hll_verified",
-    "q_bpe_train_verified",
-    "q_dp_count_release",
-    # (b) r10-era refresh, ledger (alphabetical) order (34 keys)
-    "q_ann_recall_eval",
-    "q_ann_verified_topk",
-    "q_attribution",
-    "q_bigram_lm_score",
-    "q_bpe_encode",
-    "q_cluster_balanced_sample",
-    "q_corr_matrix",
-    "q_drift_psi",
-    "q_dsir_weights",
-    "q_feature_mi",
-    "q_freq_topk_exact",
-    "q_gini",
-    "q_hard_negatives",
-    "q_hill_tail_index",
-    "q_ht_estimate",
-    "q_image_decode_png",
-    "q_ivf_verified_topk",
-    "q_kmeans_verified",
-    "q_knn_eval",
-    "q_mask_plan",
-    "q_maxsim_colbert",
-    "q_mmr_diversify",
-    "q_nb_classifier",
-    "q_ngram_novelty",
-    "q_pagerank_ranks",
-    "q_parquet_meta",
-    "q_perplexity_buckets",
-    "q_pq_verified_topk",
-    "q_random_projection",
-    "q_rank_fusion",
-    "q_regression_ols",
-    "q_rfm_segments",
-    "q_semdedup",
-    "q_shard_plan",
-    # ---- ~50-budget line ----
-    # (c) overflow: r10-era tail for r17
+    # (a) r10-era tail, VERDICT r16 task #3 (16 keys)
     "q_simhash_verified",
     "q_skew_stats",
     "q_stats_agg",
@@ -191,6 +137,59 @@ SWEEP_PRIORITY = (
     "q_window_dist",
     "q_window_value",
     "q_winsorize",
+    # (b) r11-era refresh, ledger (alphabetical) order (34 keys)
+    "q_abc_classification",
+    "q_auc_marker",
+    "q_bitmap_distinct",
+    "q_boilerplate_ngrams",
+    "q_catalog_coverage",
+    "q_chunk_dedup_ratio",
+    "q_confidence_bins",
+    "q_content_chunks",
+    "q_coverage_curve",
+    "q_ctr_smoothing",
+    "q_cuped",
+    "q_dataset_card",
+    "q_delete_propagation",
+    "q_dp_histogram",
+    "q_effective_sample_size",
+    "q_embed_standardize",
+    "q_entropy_rate",
+    "q_forecast_baseline",
+    "q_gap_distribution",
+    "q_graph_triangles",
+    "q_group_split",
+    "q_ivfpq_verified_topk",
+    "q_join_pit",
+    "q_kanon_audit",
+    "q_km_survival",
+    "q_ks_test",
+    "q_late_data_report",
+    "q_lift_confidence",
+    "q_linear_probe",
+    "q_lsh_param_sweep",
+    "q_mann_whitney",
+    "q_map_eval",
+    "q_markov_stationary",
+    "q_matryoshka_eval",
+    # ---- ~50-budget line ----
+    # (c) overflow: r11-era tail for r18
+    "q_max_concurrency",
+    "q_mh_odds",
+    "q_minhash_union",
+    "q_mrr",
+    "q_ndcg",
+    "q_pareto_8020",
+    "q_pca_power",
+    "q_price_index",
+    "q_quantile_normalize",
+    "q_sequence_count",
+    "q_snapshot_diff",
+    "q_twap",
+    "q_weighted_quantile",
+    "q_window_funnel",
+    "q_wsample_es",
+    "q_zorder_preview",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -116,11 +116,16 @@ def main() -> None:
         # _one_rep); exclude them from the medians instead of crashing,
         # and surface how many were degraded
         good = [r for r in rep_stats if r["rows_per_sec"] is not None]
+        # headline rows/batches come from the first GOOD rep (ADVICE r16:
+        # if rep 0 is degraded it reports rows=0/batches=0 even when the
+        # medians come from later good reps); all-degraded falls back to
+        # rep 0 so the degradation stays visible
+        head = good[0] if good else rep_stats[0]
         out = {
             "metric": "stream_session_window",
             "sf_dir": sf_dir,
-            "rows": rep_stats[0]["rows"],
-            "batches": rep_stats[0]["batches"],
+            "rows": head["rows"],
+            "batches": head["batches"],
             "rows_per_sec": statistics.median(
                 r["rows_per_sec"] for r in good
             )

@@ -53,6 +53,31 @@ def test_oracles_are_subset_of_queries():
     assert len(qs) >= 79
 
 
+def test_rows_only_twin_mapping_is_complete_and_gated():
+    """r17 (VERDICT r16 task #6): the rows-only ↔ verified-twin convention
+    is machine-readable in catalog.ROWS_ONLY_TWINS, not prose. EVERY
+    rows-only key (registered query with no oracle) must name either an
+    oracle-gated mechanism twin or a golden:<path> artifact test, the
+    named twin must itself be oracle-gated, the golden path must exist,
+    and no oracle-gated key may appear in the mapping (it needs no twin)."""
+    import os
+
+    from parquet_to_clickhouse_schema_spark.catalog import ROWS_ONLY_TWINS
+
+    qs = set(registry.all_queries())
+    gated = set(registry.all_oracles())
+    rows_only = qs - gated
+    assert rows_only == set(ROWS_ONLY_TWINS), (
+        rows_only ^ set(ROWS_ONLY_TWINS)
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for key, twin in ROWS_ONLY_TWINS.items():
+        if twin.startswith("golden:"):
+            assert os.path.exists(os.path.join(repo, twin[7:])), (key, twin)
+        else:
+            assert twin in gated, (key, twin)
+
+
 def test_no_builtin_round_in_gated_oracles():
     """Gated float outputs must use the floor-quantize (qround/sql_qround);
     a bare round( in oracle SQL reintroduces the cross-engine divergence."""

@@ -1364,6 +1364,46 @@ def test_alter_refuses_hive_partition_key_retype(tmp_path):
     assert not any(" dt " in s for s in live2), live2
 
 
+def test_alter_refused_column_gets_no_move(tmp_path):
+    """r17 (ADVICE r16): a surviving column refused for a partition-key
+    membership change must not receive an executable step-3 MOVE either —
+    before r17, refused_types only swapped the rendered type, so a refused
+    column that changed relative position still got a live `modify column
+    ... first/after` statement, unlike the add/drop refusal paths which
+    emit nothing executable. Layout simulation still advances (the REBUILD
+    banner declares the post-rebuild framing); a comment records the slot."""
+    import pyarrow as pa
+
+    from parquet_to_clickhouse_schema_spark.ddl import (
+        schema_diff_to_clickhouse_alter,
+    )
+
+    # old: partitioned by region (schema order id, v, region — partition
+    # key appended last); new: flat footer with region in the MIDDLE
+    # (id, region, v) → region is demoted (refused) AND needs a reorder
+    old = tmp_path / "old.parquet"
+    (old / "region=eu").mkdir(parents=True)
+    _write_fragment(old / "region=eu", "part-000.parquet",
+                    {"id": pa.array([1], pa.int64()),
+                     "v": pa.array([1], pa.int32())})
+    new = tmp_path / "new.parquet"
+    new.mkdir()
+    _write_fragment(new, "part-000.parquet",
+                    {"id": pa.array([1], pa.int64()),
+                     "region": pa.array(["eu"]),
+                     "v": pa.array([1], pa.int32())})
+
+    ddl = schema_diff_to_clickhouse_alter(str(old), str(new), "t",
+                                          primary_key="id")
+    assert ("-- REFUSED: column region stopped being the `partition by` "
+            "key") in ddl
+    # NO executable statement may touch region — the step-3 reposition is
+    # a comment, not a live MOVE
+    live = [s for s in ddl.splitlines() if not s.startswith("--")]
+    assert not any("region" in s for s in live), live
+    assert "-- (refused column region sits at `after id`" in ddl
+
+
 def test_unified_schema_promotes_map_values(tmp_path):
     """Map value types widen through --unify too (int32+int64 value →
     Map(String, Int64)) — the container family test_unified_schema_nested

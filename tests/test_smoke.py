@@ -877,6 +877,34 @@ def test_mmr_diversify_picks_are_greedy_and_distinct(spark):
     assert all(rows[0].mmr_score >= r.mmr_score for r in rows[1:])
 
 
+def test_emb_rows_raises_on_ragged_embedding(spark, tmp_path):
+    """r17 (ADVICE r16): zip_with pads a width mismatch with NULL, which
+    would poison the cosine fold into a silent NULL — _emb_rows must make
+    a ragged embedding row fail LOUDLY (with its vec_id) instead of
+    letting it vanish from q_rank_fusion / q_mmr_diversify rankings."""
+    import pytest
+
+    from parquet_to_clickhouse_schema_spark.operators.llm import ANN_V_DIM
+    from parquet_to_clickhouse_schema_spark.operators.retrieval import (
+        _emb_rows,
+    )
+
+    sf = str(tmp_path)
+    good = [float(i) for i in range(ANN_V_DIM)]
+    spark.createDataFrame(
+        [(1, good), (2, good[:-1])],  # vec_id 2 is one element short
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    with pytest.raises(Exception, match="embedding width"):
+        _emb_rows(spark, sf).collect()
+
+    # a well-formed table passes through the guard untouched
+    spark.createDataFrame(
+        [(1, good)], "vec_id bigint, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    assert _emb_rows(spark, sf).count() == 1
+
+
 def test_cluster_balanced_sample_caps_every_cluster(spark):
     """q_cluster_balanced_sample (r10, oracle-gated): no cluster keeps more
     than CBS_CAP vectors, keep_rank is 1..cap dense per cluster, the cap
