@@ -92,6 +92,11 @@ HEADLINE = [
     "q_hll_verified",
     "q_bpe_train_verified",
     "q_dp_count_release",
+    # r17 additions: the inter-source shingle overlap matrix, the context
+    # budget sweep, and the tokenizer fertility report, tracked from birth
+    "q_source_jaccard_matrix",
+    "q_context_length_sweep",
+    "q_tokenizer_fertility",
 ]
 
 

@@ -1909,6 +1909,81 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fertility_oracle() -> str:
+    """Wraps q_bpe_encode's full oracle as a derived table (its own WITH
+    chain replays the learned merges), then aggregates per language."""
+    return f"""
+    SELECT lang,
+           CAST(sum(lfreq) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           {sql_qround("sum(lfreq * n_symbols) * 1.0 / sum(lfreq)", 6)}
+               AS fertility,
+           {sql_qround(
+               "sum(lfreq * len(tok)) * 1.0 / sum(lfreq * n_symbols)", 6
+           )} AS chars_per_symbol
+    FROM (
+      SELECT lang, tok, count(*) AS lfreq
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY lang, tok
+    ) lw
+    JOIN ({_bpe_encode_oracle()}) enc USING (tok)
+    GROUP BY lang
+    """
+
+
+@_q("q_tokenizer_fertility", _fertility_oracle())
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: average BPE symbols emitted per
+    corpus token (fertility) and characters compressed per symbol, under
+    the SAME learned tokenizer q_bpe_encode gates — THE standard
+    multilingual-tokenizer equity metric (a language with fertility 2×
+    another pays 2× the context budget for the same text, so mix weights
+    and per-language context budgets read this table first). Composes
+    the gated encoder end to end: q_bpe_encode learns the merge table
+    from corpus-weighted pair counts and encodes the vocabulary; this
+    weighs each word's symbol count by its per-language frequency.
+
+    Per lang: corpus token count, distinct word types, fertility
+    (Σ lfreq·n_symbols / Σ lfreq) and chars-per-symbol
+    (Σ lfreq·len(tok) / Σ lfreq·n_symbols) — exact integer sums, one
+    divide each, 1e-6-quantized. Scale shape: the (lang, tok) count is
+    map-side combined and Heaps'-bounded (~|langs|×1M rows at 100 TB);
+    the join key is the distinct word — both sides vocab-sized, the
+    corpus is touched once for the counts. The encoder's 24 chained
+    replaces run on the vocab table only (q_bpe_encode's plan)."""
+    d = load_table(spark, sf_dir, "documents")
+    lw = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("lfreq"))
+    )
+    enc = q_bpe_encode(spark, sf_dir).select("tok", "n_symbols")
+    return (
+        lw.join(enc, "tok")
+        .groupBy("lang")
+        .agg(
+            F.sum("lfreq").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            qround(
+                F.sum(F.col("lfreq") * F.col("n_symbols"))
+                * 1.0
+                / F.sum("lfreq"),
+                6,
+            ).alias("fertility"),
+            qround(
+                F.sum(F.col("lfreq") * F.length("tok"))
+                * 1.0
+                / F.sum(F.col("lfreq") * F.col("n_symbols")),
+                6,
+            ).alias("chars_per_symbol"),
+        )
+        .select(
+            "lang", "n_tokens", "n_types", "fertility", "chars_per_symbol"
+        )
+    )
+
+
 NB_BUCKETS = 256  # hashed-unigram feature space (shared shape with DSIR)
 
 

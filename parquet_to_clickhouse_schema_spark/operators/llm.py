@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_to_clickhouse_schema_spark._registry import new_registry
-from parquet_to_clickhouse_schema_spark.functions.compat import qround
+from parquet_to_clickhouse_schema_spark.functions.compat import qround, sql_qround
 from parquet_to_clickhouse_schema_spark.sources.io import load_table
 
 QUERIES, ORACLES, _q = new_registry()
@@ -1039,6 +1039,111 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pairs_cogroup, schema="vec_a long, vec_b long, cos_raw double")
     )
     return pairs.select("vec_a", "vec_b", qround(F.col("cos_raw"), 4).alias("cosine"))
+
+
+_SRC_JACCARD_ORACLE = f"""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (
+      SELECT source,
+             unnest([array_to_string(t[i:i+{SHINGLE_K - 1}], ' ')
+                     for i in range(1, greatest(len(t)-{SHINGLE_K - 1}, 1)+1)])
+               AS s
+      FROM toks
+    ),
+    sh AS (SELECT DISTINCT source, md5(s) AS dg FROM sh0),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.dg = b.dg AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT x.source AS source_a, y.source AS source_b
+      FROM srcs x JOIN srcs y ON x.source < y.source
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(coalesce(i.i, 0) AS BIGINT) AS n_inter,
+           {{jac}} AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
+"""
+
+
+@_q(
+    "q_source_jaccard_matrix",
+    _SRC_JACCARD_ORACLE.format(
+        jac=sql_qround(
+            "coalesce(i.i, 0) * 1.0 / (sa.n + sb.n - coalesce(i.i, 0))", 6
+        )
+    ),
+)
+def q_source_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-level inter-source overlap matrix: exact Jaccard of each
+    source pair's {SHINGLE_K}-word shingle SETS — the corpus-curation
+    number behind dataset-card overlap tables and mix-weight dedup
+    discounts. q_cross_source_dups (text.py) counts whole documents both
+    sources carry verbatim; this measures PARTIAL sharing (quoted
+    passages, boilerplate, syndicated fragments) that whole-doc identity
+    misses entirely — two crawls can share 40% of their shingles with
+    zero identical documents. Dense matrix (every pair emitted, zeros
+    included) with the exact intersection count beside the quantized
+    ratio.
+
+    Shingles are the SHINGLE_K definition shared with the minhash family
+    (shingle_array), digested to 16-byte md5 before any shuffle so raw
+    text never travels. Scale shape: the distinct (source, digest) table
+    is one map-side-combined distinct; per-digest fan-out in the
+    self-join is bounded by the SOURCE count (≤ C(|sources|, 2) pair
+    rows per digest, |sources| ~ 20 — catalog-sized, NOT corpus-sized),
+    so the join emits O(shared shingles × sources²), never all-pairs of
+    documents. Set sizes are a |sources|-row broadcast. Exact integers
+    end to end; the only float is the final ratio, quantized at 1e-6."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(shingle_array()).alias("s"),
+        )
+        .select("source", F.md5(F.col("s").cast("binary")).alias("dg"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    inter = (
+        sh.select(F.col("source").alias("source_a"), "dg")
+        .join(sh.select(F.col("source").alias("source_b"), "dg"), "dg")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("i"))
+    )
+    srcs = docs.select("source").distinct()
+    pairs = (
+        F.broadcast(srcs.select(F.col("source").alias("source_a")))
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("source_b"))))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    n_inter = F.coalesce(F.col("i"), F.lit(0))
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            n_inter.cast("bigint").alias("n_inter"),
+            qround(
+                n_inter * 1.0 / (F.col("na") + F.col("nb") - n_inter), 6
+            ).alias("jaccard"),
+        )
+    )
 
 
 # ------------------------------------------------------------ similarity ---

@@ -121,6 +121,96 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CTX_SWEEP = (32, 64, 96, 128)  # candidate context lengths (tokens)
+
+
+def _ctx_sweep_oracle() -> str:
+    from parquet_to_clickhouse_schema_spark.functions.compat import sql_qround
+
+    ls = ", ".join(str(x) for x in CTX_SWEEP)
+    kept = "sum(least(n, l))"
+    bins = f"ceil({kept} / (l * 1.0))"
+    return f"""
+    WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+    ls AS (SELECT unnest([{ls}]) AS l)
+    SELECT CAST(l AS INT) AS ctx_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > l THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_trunc_docs,
+           {sql_qround("sum(n - least(n, l)) * 1.0 / sum(n)", 6)}
+               AS trunc_token_frac,
+           CAST({bins} AS BIGINT) AS n_bins,
+           {sql_qround(f"({bins} * l - {kept}) * 1.0 / ({bins} * l)", 6)}
+               AS pad_frac
+    FROM t CROSS JOIN ls
+    GROUP BY l
+    """
+
+
+@_q("q_context_length_sweep", _ctx_sweep_oracle())
+def q_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length budget planning: for each candidate training
+    sequence length in {CTX_SWEEP}, the two numbers that trade against
+    each other when picking it — tokens LOST to truncation (docs longer
+    than the budget are cut) and capacity WASTED to padding (the bin
+    count is the q_pack_sequences model, ceil(kept_tokens/budget); waste
+    is the tail of the last bins). Per length: doc count, truncated-doc
+    count, truncated-token fraction, packed-bin count, padding fraction.
+    The table a pipeline reads before committing a context length to a
+    100 TB tokenization run — q_pack_sequences executes ONE budget; this
+    prices the alternatives first.
+
+    Plan: ONE corpus scan. All {len(CTX_SWEEP)} budgets are conditional
+    aggregates of the same per-doc token count (map-side combined to a
+    single row), then stack() pivots that row to one row per budget —
+    row multiplication happens AFTER the aggregate (4 rows), never on
+    the corpus (a naive lengths×corpus crossJoin would scan-equivalently
+    4× the input). Exact integers everywhere; the two fractions are
+    single divides of exact sums, 1e-6-quantized. ceil(kept/L) is safe
+    in IEEE double: kept ≤ 2^53 and a non-integer true quotient sits
+    ≥ 1/L from any integer, orders of magnitude beyond one ulp."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = d.select(F.size(F.split("text", " ")).alias("n"))
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("tot"),
+    ]
+    for length in CTX_SWEEP:
+        lit = F.lit(length)
+        aggs.append(
+            F.sum((F.col("n") > lit).cast("long")).alias(f"ntr_{length}")
+        )
+        aggs.append(F.sum(F.least(F.col("n"), lit)).alias(f"kept_{length}"))
+    one = tc.agg(*aggs)
+    stack_args = ", ".join(
+        f"{length}, ntr_{length}, kept_{length}" for length in CTX_SWEEP
+    )
+    rows = one.select(
+        "n_docs",
+        "tot",
+        F.expr(
+            f"stack({len(CTX_SWEEP)}, {stack_args}) "
+            "AS (ctx_len, n_trunc, kept)"
+        ),
+    )
+    bins = F.ceil(F.col("kept") / (F.col("ctx_len") * 1.0))
+    return rows.select(
+        F.col("ctx_len").cast("int"),
+        F.col("n_docs").cast("bigint"),
+        F.col("n_trunc").cast("bigint").alias("n_trunc_docs"),
+        qround((F.col("tot") - F.col("kept")) * 1.0 / F.col("tot"), 6).alias(
+            "trunc_token_frac"
+        ),
+        bins.cast("bigint").alias("n_bins"),
+        qround(
+            (bins * F.col("ctx_len") - F.col("kept"))
+            * 1.0
+            / (bins * F.col("ctx_len")),
+            6,
+        ).alias("pad_frac"),
+    )
+
+
 @_q(
     "q_data_split",
     """

@@ -116,8 +116,9 @@ CONTRACT_KEYS = (
 # After r16 the freshness backlog is: 16 keys whose latest row is r10 (the
 # r16 rotation's documented overflow tail — VERDICT r16 task #3 names all
 # 16) and 50 whose latest is r11. r17 leads with all 16 r10 keys, then the
-# first 34 r11-era keys in ledger (alphabetical) order — exactly the
-# ~50-key budget. The 16 r11 tail keys overflow to r18. Zero overlap with
+# three new r17 keys (never swept — first driver row here), then the
+# first 31 r11-era keys in ledger (alphabetical) order — exactly the
+# 50-key budget. The 19 r11 tail keys overflow to r18. Zero overlap with
 # the r16 sweep set by construction.
 SWEEP_PRIORITY = (
     # (a) r10-era tail, VERDICT r16 task #3 (16 keys)
@@ -137,7 +138,11 @@ SWEEP_PRIORITY = (
     "q_window_dist",
     "q_window_value",
     "q_winsorize",
-    # (b) r11-era refresh, ledger (alphabetical) order (34 keys)
+    # (a2) new r17 keys — never swept, get their first driver row here
+    "q_source_jaccard_matrix",
+    "q_context_length_sweep",
+    "q_tokenizer_fertility",
+    # (b) r11-era refresh, ledger (alphabetical) order through q_mann_whitney (31 keys)
     "q_abc_classification",
     "q_auc_marker",
     "q_bitmap_distinct",
@@ -169,11 +174,11 @@ SWEEP_PRIORITY = (
     "q_linear_probe",
     "q_lsh_param_sweep",
     "q_mann_whitney",
+    # ---- ~50-budget line ----
+    # (c) overflow: r11-era tail for r18
     "q_map_eval",
     "q_markov_stationary",
     "q_matryoshka_eval",
-    # ---- ~50-budget line ----
-    # (c) overflow: r11-era tail for r18
     "q_max_concurrency",
     "q_mh_odds",
     "q_minhash_union",

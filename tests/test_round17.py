@@ -1,0 +1,156 @@
+"""Round-17 operator tests: pure-Python third implementations of the three
+new keys (q_source_jaccard_matrix, q_context_length_sweep,
+q_tokenizer_fertility) — the same discipline as the BPE trainer's
+reference test: collect the small smoke-SF inputs, recompute the whole
+answer in plain Python, compare value-for-value. The DuckDB oracle gate
+proves Spark == DuckDB; these prove both == the definition.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from parquet_to_clickhouse_schema_spark import registry
+from parquet_to_clickhouse_schema_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+Q = registry.all_queries()
+
+
+def _q6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_source_jaccard_matrix_matches_pure_python(spark):
+    """Dense pair matrix == Python set-Jaccard of the same 3-word shingle
+    sets (clamped short-doc semantics included)."""
+    from parquet_to_clickhouse_schema_spark.operators.llm import SHINGLE_K
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "source", "text"
+    ).collect()
+    sets: dict[str, set] = defaultdict(set)
+    for r in docs:
+        t = r.text.split(" ")
+        n_sh = max(len(t) - (SHINGLE_K - 1), 1)
+        for i in range(n_sh):
+            sets[r.source].add(" ".join(t[i : i + SHINGLE_K]))
+    srcs = sorted(sets)
+    ref = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            ref[(a, b)] = (
+                inter,
+                _q6(inter / (len(sets[a]) + len(sets[b]) - inter)),
+            )
+    got = {
+        (r.source_a, r.source_b): (r.n_inter, r.jaccard)
+        for r in Q["q_source_jaccard_matrix"](spark, SF_SMOKE).collect()
+    }
+    assert got == ref
+    # the matrix is informative at smoke SF: some pair must overlap
+    assert any(v[0] > 0 for v in ref.values())
+
+
+def test_context_length_sweep_matches_pure_python(spark):
+    """Per-budget truncation/padding economics == the arithmetic applied
+    to the collected token counts."""
+    from parquet_to_clickhouse_schema_spark.operators.training import (
+        CTX_SWEEP,
+    )
+
+    ns = [
+        r.n
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    ]
+    tot = sum(ns)
+    ref = {}
+    for L in CTX_SWEEP:
+        kept = sum(min(n, L) for n in ns)
+        bins = math.ceil(kept / L)
+        ref[L] = (
+            len(ns),
+            sum(1 for n in ns if n > L),
+            _q6((tot - kept) / tot),
+            bins,
+            _q6((bins * L - kept) / (bins * L)),
+        )
+    rows = Q["q_context_length_sweep"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(CTX_SWEEP)
+    for r in rows:
+        assert (
+            r.n_docs,
+            r.n_trunc_docs,
+            r.trunc_token_frac,
+            r.n_bins,
+            r.pad_frac,
+        ) == ref[r.ctx_len], r.ctx_len
+    # monotonicity sanity: larger budgets truncate less and pad more bins
+    by_l = {r.ctx_len: r for r in rows}
+    ls = sorted(by_l)
+    assert all(
+        by_l[a].trunc_token_frac >= by_l[b].trunc_token_frac
+        for a, b in zip(ls, ls[1:])
+    )
+
+
+def test_tokenizer_fertility_matches_pure_python(spark):
+    """Per-lang fertility == a pure-Python replay of the gated encoder:
+    learn the top merges from the len>=2 word-pair counts, apply each as
+    BPE_ENC_PASSES literal space-joined replaces (str.replace is the same
+    single left-to-right non-overlapping pass as both engines' replace),
+    then frequency-weight symbol counts per language."""
+    from parquet_to_clickhouse_schema_spark.functions.text import (
+        BPE_ENC_MERGES,
+        BPE_ENC_PASSES,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "lang", "text"
+    ).collect()
+    wfreq: Counter = Counter()
+    lw: Counter = Counter()
+    for r in docs:
+        for tok in r.text.split(" "):
+            wfreq[tok] += 1
+            lw[(r.lang, tok)] += 1
+    pc: Counter = Counter()
+    for tok, f in wfreq.items():
+        if len(tok) < 2:
+            continue
+        for x, y in zip(tok, tok[1:]):
+            pc[(x, y)] += f
+    merges = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :BPE_ENC_MERGES
+    ]
+    n_syms = {}
+    for tok in wfreq:
+        s = " " + " ".join(tok) + " "
+        for (a, b), _ in merges:
+            for _ in range(BPE_ENC_PASSES):
+                s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        n_syms[tok] = len(s.strip().split(" "))
+    agg: dict[str, list] = defaultdict(lambda: [0, 0, 0, 0])
+    for (lang, tok), f in lw.items():
+        a = agg[lang]
+        a[0] += f
+        a[1] += 1
+        a[2] += f * n_syms[tok]
+        a[3] += f * len(tok)
+    got = {
+        r.lang: (r.n_tokens, r.n_types, r.fertility, r.chars_per_symbol)
+        for r in Q["q_tokenizer_fertility"](spark, SF_SMOKE).collect()
+    }
+    ref = {
+        lang: (a[0], a[1], _q6(a[2] / a[0]), _q6(a[3] / a[2]))
+        for lang, a in agg.items()
+    }
+    assert got == ref
+    # fertility >= 1 by construction (a word is at least one symbol)
+    assert all(v[2] >= 1.0 for v in got.values())
