@@ -51,8 +51,48 @@ def _sentinel(spark, sf_dir: str) -> float:
     return round(time.monotonic() - t0, 3)
 
 
-def _one_rep(spark, src_dir: str, schema, work_dir: str, rep: int) -> dict:
-    ckpt = os.path.join(work_dir, f"ckpt_{rep}")
+def _op_session_window(ev):
+    """readStream -> watermark -> session_window agg (the r16 headline op)."""
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+
+
+def _op_dedup(ev):
+    """Watermarked streaming dedup — the state-store op behind
+    q_stream_dedup's batch twin (dropDuplicatesWithinWatermark keeps
+    per-key state only inside the watermark horizon)."""
+    return ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def _op_tumbling_count(ev):
+    """Watermarked 1-hour tumbling count — q_tumbling_window's streaming
+    form."""
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select("event_type", F.col("w.start").alias("hour_start"), "n")
+    )
+
+
+# r17 (second measured streaming row, extending the r16 single-op bench):
+# each op runs REPS full micro-batch executions through the same
+# file-source split
+OPS = {
+    "session_window": _op_session_window,
+    "dedup": _op_dedup,
+    "tumbling_count": _op_tumbling_count,
+}
+
+
+def _one_rep(spark, src_dir: str, schema, work_dir: str, tag: str, op) -> dict:
+    ckpt = os.path.join(work_dir, f"ckpt_{tag}")
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -62,14 +102,9 @@ def _one_rep(spark, src_dir: str, schema, work_dir: str, rep: int) -> dict:
     ev = _normalize_nanos(raw)
     if isinstance(ev.schema["ts"].dataType, T.TimestampNTZType):
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
-        .agg(F.count("*").alias("n_events"))
-        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
-    )
     q = (
-        agg.writeStream.format("noop")
+        op(ev)
+        .writeStream.format("noop")
         .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(availableNow=True)
@@ -107,37 +142,43 @@ def main() -> None:
         schema = spark.read.parquet(src_dir).schema
 
         s_before = _sentinel(spark, sf_dir)
-        rep_stats = [
-            _one_rep(spark, src_dir, schema, work_dir, i) for i in range(reps)
-        ]
+        ops: dict[str, dict] = {}
+        for name, op in OPS.items():
+            rep_stats = [
+                _one_rep(spark, src_dir, schema, work_dir, f"{name}_{i}", op)
+                for i in range(reps)
+            ]
+            # reps with no data batches report None metrics (deliberate in
+            # _one_rep); exclude them from the medians instead of crashing,
+            # and surface how many were degraded
+            good = [r for r in rep_stats if r["rows_per_sec"] is not None]
+            # headline rows/batches come from the first GOOD rep (ADVICE
+            # r16: if rep 0 is degraded it reports rows=0/batches=0 even
+            # when the medians come from later good reps); all-degraded
+            # falls back to rep 0 so the degradation stays visible
+            head = good[0] if good else rep_stats[0]
+            ops[name] = {
+                "rows": head["rows"],
+                "batches": head["batches"],
+                "rows_per_sec": statistics.median(
+                    r["rows_per_sec"] for r in good
+                )
+                if good
+                else None,
+                "batch_latency_ms_median": statistics.median(
+                    r["batch_latency_ms_median"] for r in good
+                )
+                if good
+                else None,
+                "degraded_reps": len(rep_stats) - len(good),
+                "reps": rep_stats,
+            }
         s_after = _sentinel(spark, sf_dir)
 
-        # reps with no data batches report None metrics (deliberate in
-        # _one_rep); exclude them from the medians instead of crashing,
-        # and surface how many were degraded
-        good = [r for r in rep_stats if r["rows_per_sec"] is not None]
-        # headline rows/batches come from the first GOOD rep (ADVICE r16:
-        # if rep 0 is degraded it reports rows=0/batches=0 even when the
-        # medians come from later good reps); all-degraded falls back to
-        # rep 0 so the degradation stays visible
-        head = good[0] if good else rep_stats[0]
         out = {
-            "metric": "stream_session_window",
+            "metric": "stream_micro_batch",
             "sf_dir": sf_dir,
-            "rows": head["rows"],
-            "batches": head["batches"],
-            "rows_per_sec": statistics.median(
-                r["rows_per_sec"] for r in good
-            )
-            if good
-            else None,
-            "batch_latency_ms_median": statistics.median(
-                r["batch_latency_ms_median"] for r in good
-            )
-            if good
-            else None,
-            "degraded_reps": len(rep_stats) - len(good),
-            "reps": rep_stats,
+            "ops": ops,
             "sentinel_before_s": s_before,
             "sentinel_after_s": s_after,
         }
