@@ -97,6 +97,8 @@ HEADLINE = [
     "q_source_jaccard_matrix",
     "q_context_length_sweep",
     "q_tokenizer_fertility",
+    "q_source_js_divergence",
+    "q_image_dhash_dedup",
 ]
 
 

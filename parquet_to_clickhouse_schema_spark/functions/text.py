@@ -9,6 +9,8 @@ hash primitive is engine-specific (noted per query).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3403,5 +3405,85 @@ def q_source_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_langs"),
             qround(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+        )
+    )
+
+
+_SRC_JSD_ORACLE = f"""
+    WITH st AS (
+      SELECT source, tok, count(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    ),
+    sn AS (SELECT source, sum(c) AS n FROM st GROUP BY source),
+    mg AS (SELECT tok, sum(c) AS mc FROM st GROUP BY tok),
+    mt AS (SELECT sum(mc) AS n_all FROM mg),
+    terms AS (
+      SELECT st.source,
+             st.c * 1.0 / sn.n AS p,
+             mg.mc * 1.0 / mt.n_all AS q
+      FROM st
+      JOIN sn ON st.source = sn.source
+      JOIN mg ON st.tok = mg.tok
+      CROSS JOIN mt
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_types,
+           {sql_qround('''sum(0.5 * p * ln(p / ((p + q) / 2))
+                          + 0.5 * q * ln(q / ((p + q) / 2)))
+                          + 0.5 * ln(2) * (1 - sum(q))''', 6)} AS jsd_nats
+    FROM terms
+    GROUP BY source
+"""
+
+
+@_q("q_source_js_divergence", _SRC_JSD_ORACLE)
+def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content drift per source: Jensen-Shannon divergence (nats) between
+    each source's unigram TOKEN distribution and the corpus marginal —
+    the data-mixing literature's domain-similarity number (DoReMi/DSIR
+    -style mixes weight domains by distributional distance, and a crawl
+    whose token distribution walks away from the corpus is the first
+    thing a mix audit flags). q_source_mix_kl is the LANGUAGE-mix skew
+    (≤ |langs| cells); this is the content-level version over the full
+    vocabulary, and uses JS rather than KL so a token unique to one side
+    stays finite and the measure is symmetric and bounded by ln 2.
+
+    Sparse-support trick: only the source's OWN tokens are joined.
+    Where p=0 the pointwise term is 0.5·q·ln(q/(q/2)) = 0.5·q·ln 2, so
+    the whole absent-token mass folds into the closed form
+    0.5·ln 2·(1 − Σ_present q) — no dense vocab×sources frame ever
+    exists, in either engine. Scale shape: (source, token) counts are
+    map-side combined and Heaps'-bounded; the marginal is one
+    token-keyed aggregate joined back on the token key; per-source
+    totals and the grand total are broadcast scalars. Exact integer
+    counts feed identical IEEE expressions; one quantized sum per
+    source (the ~1e-15 reassociation drift across a vocab-sized sum is
+    absorbed by the 1e-6 quantization, the q_bm25_score convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    sn = st.groupBy("source").agg(F.sum("c").alias("n"))
+    mg = st.groupBy("tok").agg(F.sum("c").alias("mc"))
+    mt = mg.agg(F.sum("mc").alias("n_all"))
+    p = F.col("c") * 1.0 / F.col("n")
+    q = F.col("mc") * 1.0 / F.col("n_all")
+    m = (p + q) / 2
+    return (
+        st.join(F.broadcast(sn), "source")
+        .join(mg, "tok")
+        .crossJoin(F.broadcast(mt))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            qround(
+                F.sum(0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m))
+                + 0.5 * math.log(2) * (1 - F.sum(q)),
+                6,
+            ).alias("jsd_nats"),
         )
     )

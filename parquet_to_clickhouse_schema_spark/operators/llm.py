@@ -4512,6 +4512,77 @@ def q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DHASH_ORACLE = """
+    WITH px AS (
+      SELECT doc_id, i, ascii(substr(text, i, 1)) AS code
+      FROM documents, unnest(range(1, 97)) AS t(i)
+      WHERE length(text) >= 96
+    ),
+    gray AS (
+      SELECT doc_id, (i - 1) // 3 AS p, sum(code) AS g
+      FROM px GROUP BY doc_id, (i - 1) // 3
+    ),
+    bits AS (
+      SELECT a.doc_id, (a.p // 8) * 7 + (a.p % 8) AS idx,
+             CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+      FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      WHERE a.p % 8 <> 7
+    ),
+    h AS (
+      SELECT doc_id, CAST(sum((bit::BIGINT) << idx) AS BIGINT) AS dhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, dhash,
+           CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS bucket_size,
+           count(*) OVER (PARTITION BY dhash) > 1 AS is_dup
+    FROM h
+"""
+
+
+@_q("q_image_dhash_dedup", _DHASH_ORACLE)
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup, oracle-gated end to end: the q_image_decode
+    corpus (each long-enough doc's first 96 ASCII bytes as an 8x4 P6 PPM)
+    goes through the REAL image decoder inside mapInPandas, each decoded
+    pixel grid is reduced to a 28-bit dHash (difference hash: one bit per
+    horizontally-adjacent gray-sum ordering — multimodal.dhash_image),
+    and equal hashes bucket into near-dup groups. The LAION-style image
+    dedup move: byte-level identity misses re-encoded copies, but the
+    ordering-based signature survives encoding and uniform brightness
+    shifts. DuckDB independently rebuilds every hash from ascii() codes
+    (integer gray sums, the same strict-less bits, the same bit-index
+    layout), so the whole decode -> hash -> bucket path is hash-gated.
+    Exact-duplicate texts share their first 96 bytes, so real buckets
+    with bucket_size > 1 exist at every SF.
+
+    Scale shape: decode+hash are row-local Python (Arrow batches, no
+    shuffle); the only shuffle is the groupBy on the 28-bit hash — an
+    8-byte key, never pixels — and the bucket-size join is hash-keyed
+    the same way. At 100 TB this is the exact q_dedup_exact digest
+    pattern with a perceptual digest."""
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        DHASH_SCHEMA,
+        dhash_batches,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
+    header = F.lit(b"P6\n8 4\n255\n")
+    payload = F.concat(header, F.encode(F.substring("text", 1, 96), "utf-8"))
+    h = (
+        d.select("doc_id", payload.alias("payload"))
+        .mapInPandas(dhash_batches(), schema=DHASH_SCHEMA)
+        .filter(F.col("dhash_ok"))
+        .select("doc_id", "dhash")
+    )
+    sizes = h.groupBy("dhash").agg(F.count("*").alias("bucket_size"))
+    return h.join(sizes, "dhash").select(
+        "doc_id",
+        "dhash",
+        F.col("bucket_size").cast("bigint").alias("bucket_size"),
+        (F.col("bucket_size") > 1).alias("is_dup"),
+    )
+
+
 @_q(
     "q_image_resize",
     """

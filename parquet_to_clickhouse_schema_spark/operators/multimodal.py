@@ -402,6 +402,54 @@ def decode_payload_batches(fake: bool = True):
     return fn
 
 
+DHASH_SCHEMA = "doc_id long, dhash long, dhash_ok boolean"
+
+
+def dhash_image(payload: bytes) -> int:
+    """Difference hash (dHash) of a decoded image: one bit per
+    horizontally-adjacent pixel pair, bit = 1 when the left pixel's
+    integer gray sum (r+g+b — exact, no /3 rounding for two engines to
+    disagree on) is strictly less than the right's; bit index is
+    row-major over the (h, w-1) comparison grid (row*(w-1)+col). The
+    standard perceptual near-dup signature: identical-content images
+    collapse regardless of byte-level encoding, and uniform
+    brightness/contrast shifts preserve the orderings, which exact md5
+    identity cannot survive."""
+    import numpy as np
+
+    img = decode_image(payload)
+    gray = img.astype(np.int32).sum(axis=2)  # (h, w) exact integer sums
+    bits = (gray[:, :-1] < gray[:, 1:]).reshape(-1)
+    idx = np.arange(bits.size, dtype=np.int64)
+    return int((bits.astype(np.int64) << idx).sum())
+
+
+def dhash_batches():
+    """mapInPandas iterator: (doc_id, payload) in, (doc_id, dhash,
+    dhash_ok) out — decode + hash are row-local in the Python worker,
+    Arrow-batched, nothing collected driver-side."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, ok = [], []
+            for payload in pdf["payload"]:
+                try:
+                    hashes.append(dhash_image(bytes(payload)))
+                    ok.append(True)
+                except Exception:  # noqa: BLE001 — corrupt payload marks
+                    hashes.append(0)  # the row, never the job
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": pd.array(hashes, dtype="int64"),
+                    "dhash_ok": ok,
+                }
+            )
+
+    return fn
+
+
 def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents re-shaped into the multimodal layout: payload + meta struct."""
     d = load_table(spark, sf_dir, "documents")

@@ -116,9 +116,9 @@ CONTRACT_KEYS = (
 # After r16 the freshness backlog is: 16 keys whose latest row is r10 (the
 # r16 rotation's documented overflow tail — VERDICT r16 task #3 names all
 # 16) and 50 whose latest is r11. r17 leads with all 16 r10 keys, then the
-# three new r17 keys (never swept — first driver row here), then the
-# first 31 r11-era keys in ledger (alphabetical) order — exactly the
-# 50-key budget. The 19 r11 tail keys overflow to r18. Zero overlap with
+# five new r17 keys (never swept — first driver row here), then the
+# first 29 r11-era keys in ledger (alphabetical) order — exactly the
+# 50-key budget. The 21 r11 tail keys overflow to r18. Zero overlap with
 # the r16 sweep set by construction.
 SWEEP_PRIORITY = (
     # (a) r10-era tail, VERDICT r16 task #3 (16 keys)
@@ -142,7 +142,9 @@ SWEEP_PRIORITY = (
     "q_source_jaccard_matrix",
     "q_context_length_sweep",
     "q_tokenizer_fertility",
-    # (b) r11-era refresh, ledger (alphabetical) order through q_mann_whitney (31 keys)
+    "q_source_js_divergence",
+    "q_image_dhash_dedup",
+    # (b) r11-era refresh, ledger (alphabetical) order through q_linear_probe (29 keys)
     "q_abc_classification",
     "q_auc_marker",
     "q_bitmap_distinct",
@@ -172,10 +174,10 @@ SWEEP_PRIORITY = (
     "q_late_data_report",
     "q_lift_confidence",
     "q_linear_probe",
-    "q_lsh_param_sweep",
-    "q_mann_whitney",
     # ---- ~50-budget line ----
     # (c) overflow: r11-era tail for r18
+    "q_lsh_param_sweep",
+    "q_mann_whitney",
     "q_map_eval",
     "q_markov_stationary",
     "q_matryoshka_eval",

@@ -100,6 +100,77 @@ def test_context_length_sweep_matches_pure_python(spark):
     )
 
 
+def test_source_js_divergence_matches_pure_python(spark):
+    """Per-source JSD == the textbook formula computed over Python
+    Counters (dense over the union vocab — independently exercising the
+    sparse-support + closed-form-absent-mass algebra both engines use)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "source", "text"
+    ).collect()
+    per: dict[str, Counter] = defaultdict(Counter)
+    marg: Counter = Counter()
+    for r in docs:
+        for tok in r.text.split(" "):
+            per[r.source][tok] += 1
+            marg[tok] += 1
+    n_all = sum(marg.values())
+    got = {
+        r.source: (r.n_types, r.jsd_nats)
+        for r in Q["q_source_js_divergence"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(per)
+    for src, cnt in per.items():
+        n = sum(cnt.values())
+        jsd = 0.0
+        for tok, mc in marg.items():  # DENSE union-vocab loop
+            p = cnt.get(tok, 0) / n
+            q = mc / n_all
+            m = (p + q) / 2
+            if p:
+                jsd += 0.5 * p * math.log(p / m)
+            if q:
+                jsd += 0.5 * q * math.log(q / m)
+        assert got[src][0] == len(cnt)
+        # dense-loop float accumulation differs in order from both
+        # engines' sparse sums; compare to the shared 1e-6 grid with a
+        # one-ulp-of-grid tolerance instead of exact equality
+        assert abs(got[src][1] - jsd) < 2e-6, (src, got[src][1], jsd)
+        assert 0.0 <= got[src][1] <= math.log(2) + 1e-9
+
+
+def test_image_dhash_dedup_matches_pure_python(spark):
+    """Per-doc dHash == hashing the first-96-byte pixel grid directly in
+    Python (no numpy, no decoder) — and exact-duplicate texts must land
+    in a shared bucket."""
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    ref = {}
+    for r in docs:
+        if len(r.text) < 96:
+            continue
+        codes = [ord(c) for c in r.text[:96]]
+        gray = [
+            [sum(codes[(row * 8 + col) * 3 : (row * 8 + col) * 3 + 3])
+             for col in range(8)]
+            for row in range(4)
+        ]
+        h = 0
+        for row in range(4):
+            for col in range(7):
+                if gray[row][col] < gray[row][col + 1]:
+                    h |= 1 << (row * 7 + col)
+        ref[r.doc_id] = h
+    rows = Q["q_image_dhash_dedup"](spark, SF_SMOKE).collect()
+    got = {r.doc_id: r.dhash for r in rows}
+    assert got == ref
+    # bucket sizes are consistent with the hashes
+    sizes = Counter(got.values())
+    for r in rows:
+        assert r.bucket_size == sizes[r.dhash]
+        assert r.is_dup == (sizes[r.dhash] > 1)
+
+
 def test_tokenizer_fertility_matches_pure_python(spark):
     """Per-lang fertility == a pure-Python replay of the gated encoder:
     learn the top merges from the len>=2 word-pair counts, apply each as
