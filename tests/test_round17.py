@@ -171,6 +171,58 @@ def test_image_dhash_dedup_matches_pure_python(spark):
         assert r.is_dup == (sizes[r.dhash] > 1)
 
 
+def test_dhash_brightness_invariance_property():
+    """THE property that makes dHash a perceptual (not cryptographic)
+    signature: a uniform brightness shift adds the same constant to every
+    gray sum, preserving all adjacent-pair orderings — the hash is
+    unchanged. Exercised over hypothesis-generated 8x4 P6 payloads (no
+    Spark needed; dhash_image is the exact kernel the operator ships)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        dhash_image,
+    )
+
+    header = b"P6\n8 4\n255\n"
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(0, 155), min_size=96, max_size=96),
+        st.integers(1, 100),
+    )
+    def check(pixels, shift):
+        base = header + bytes(pixels)
+        shifted = header + bytes(p + shift for p in pixels)  # never clips
+        assert dhash_image(base) == dhash_image(shifted)
+        assert 0 <= dhash_image(base) < (1 << 28)
+
+    check()
+
+
+def test_source_divergence_degenerate_cases(spark, tmp_path):
+    """Single-source corpus: the source IS the marginal, so JSD must be
+    exactly 0 and the shingle self-matrix is empty (no pairs). Two
+    identical sources: Jaccard must be exactly 1."""
+    sf = str(tmp_path)
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7}", "en", "only", 10) for i in range(20)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+    jsd = Q["q_source_js_divergence"](spark, sf).collect()
+    assert len(jsd) == 1 and jsd[0].jsd_nats == 0.0
+    assert Q["q_source_jaccard_matrix"](spark, sf).count() == 0
+
+    # two sources carrying the identical text set -> Jaccard exactly 1
+    twin = [(i, f"w{i % 5} w{(i + 2) % 5} w{(i + 4) % 5}", "en", s, 10)
+            for s in ("a", "b") for i in range(10)]
+    spark.createDataFrame(
+        twin, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    m = Q["q_source_jaccard_matrix"](spark, sf).collect()
+    assert len(m) == 1 and m[0].jaccard == 1.0
+
+
 def test_tokenizer_fertility_matches_pure_python(spark):
     """Per-lang fertility == a pure-Python replay of the gated encoder:
     learn the top merges from the len>=2 word-pair counts, apply each as
