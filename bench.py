@@ -99,6 +99,7 @@ HEADLINE = [
     "q_tokenizer_fertility",
     "q_source_js_divergence",
     "q_image_dhash_dedup",
+    "q_audio_fingerprint_dedup",
 ]
 
 

@@ -4786,6 +4786,85 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AFP_ORACLE = """
+    WITH px AS (
+      SELECT doc_id, i, ascii(substr(text, i, 1)) - 128 AS a
+      FROM documents, unnest(range(1, 97)) AS t(i)
+      WHERE length(text) >= 96
+    ),
+    fr AS (
+      SELECT doc_id, (i - 1) // 4 AS f, sum(a * a) AS e
+      FROM px GROUP BY doc_id, (i - 1) // 4
+    ),
+    bits AS (
+      SELECT x.doc_id, x.f AS idx,
+             CASE WHEN x.e < y.e THEN 1 ELSE 0 END AS bit
+      FROM fr x JOIN fr y ON x.doc_id = y.doc_id AND y.f = x.f + 1
+    ),
+    h AS (
+      SELECT doc_id, CAST(sum((bit::BIGINT) << idx) AS BIGINT) AS afp
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, afp,
+           CAST(count(*) OVER (PARTITION BY afp) AS BIGINT) AS bucket_size,
+           count(*) OVER (PARTITION BY afp) > 1 AS is_dup
+    FROM h
+"""
+
+
+@_q("q_audio_fingerprint_dedup", _AFP_ORACLE)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup, oracle-gated end to end — q_image_dhash_
+    dedup's audio sibling, completing near-dup coverage across all three
+    payload modalities (text: minhash/simhash; image: dHash; audio:
+    this). Each long-enough document's 96-sample 8-bit PCM WAV (the
+    q_audio_decode corpus) goes through the REAL stdlib wave parser in
+    mapInPandas, the sample stream is cut into 24 four-sample frames,
+    and the 23 adjacent-frame ENERGY orderings form the fingerprint
+    (multimodal.audio_fingerprint — the Chromaprint family's
+    deterministic core). Frame energies are exact integer sums of
+    squared raw amplitudes, so both engines compare identical integers;
+    DuckDB rebuilds every fingerprint from ascii() codes. Uniform gain
+    preserves all orderings (property-tested), so re-gained copies
+    collapse into one bucket while byte-level identity misses them.
+
+    Scale shape: decode + fingerprint are row-local Python (Arrow
+    batches, no shuffle); the dedup shuffle carries the 8-byte
+    fingerprint — the q_dedup_exact digest pattern with a perceptual
+    digest."""
+    import struct as _struct
+
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        AFP_SCHEMA,
+        afp_batches,
+    )
+
+    hdr = (
+        b"RIFF"
+        + _struct.pack("<I", 36 + 96)
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + _struct.pack("<I", 96)
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
+    payload = F.concat(F.lit(hdr), F.encode(F.substring("text", 1, 96), "utf-8"))
+    h = (
+        d.select("doc_id", payload.alias("payload"))
+        .mapInPandas(afp_batches(), schema=AFP_SCHEMA)
+        .filter(F.col("afp_ok"))
+        .select("doc_id", "afp")
+    )
+    sizes = h.groupBy("afp").agg(F.count("*").alias("bucket_size"))
+    return h.join(sizes, "afp").select(
+        "doc_id",
+        "afp",
+        F.col("bucket_size").cast("bigint").alias("bucket_size"),
+        (F.col("bucket_size") > 1).alias("is_dup"),
+    )
+
+
 @_q(
     "q_video_thumbnail",
     """

@@ -450,6 +450,59 @@ def dhash_batches():
     return fn
 
 
+AFP_FRAME = 4  # samples per energy frame (96 samples -> 24 frames -> 23 bits)
+AFP_SCHEMA = "doc_id long, afp long, afp_ok boolean"
+
+
+def audio_fingerprint(payload: bytes) -> int:
+    """Energy-ordering audio fingerprint (the Chromaprint family reduced
+    to its deterministic core): decode the WAV, cut the sample stream
+    into AFP_FRAME-sample frames, compute each frame's INTEGER energy
+    (sum of squared raw 8-bit amplitudes — exact, so no float parity
+    surface exists), and emit one bit per adjacent-frame ordering
+    (strict less). Uniform gain scales every energy by the same factor
+    and preserves all orderings — re-gained copies collapse, which
+    byte identity cannot survive."""
+    import numpy as np
+
+    samples, _rate = decode_wav(payload)
+    mono = samples[:, 0]
+    # samples are (u8 - 128)/128 — recover the exact integer amplitudes
+    amps = np.rint(mono * 128.0).astype(np.int64)
+    n_frames = amps.size // AFP_FRAME
+    e = (amps[: n_frames * AFP_FRAME] ** 2).reshape(n_frames, AFP_FRAME).sum(
+        axis=1
+    )
+    bits = e[:-1] < e[1:]
+    idx = np.arange(bits.size, dtype=np.int64)
+    return int((bits.astype(np.int64) << idx).sum())
+
+
+def afp_batches():
+    """mapInPandas iterator: (doc_id, payload) in, (doc_id, afp, afp_ok)
+    out — decode + fingerprint are row-local, Arrow-batched."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps, ok = [], []
+            for payload in pdf["payload"]:
+                try:
+                    fps.append(audio_fingerprint(bytes(payload)))
+                    ok.append(True)
+                except Exception:  # noqa: BLE001 — corrupt payload marks
+                    fps.append(0)  # the row, never the job
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "afp": pd.array(fps, dtype="int64"),
+                    "afp_ok": ok,
+                }
+            )
+
+    return fn
+
+
 def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents re-shaped into the multimodal layout: payload + meta struct."""
     d = load_table(spark, sf_dir, "documents")

@@ -116,9 +116,9 @@ CONTRACT_KEYS = (
 # After r16 the freshness backlog is: 16 keys whose latest row is r10 (the
 # r16 rotation's documented overflow tail — VERDICT r16 task #3 names all
 # 16) and 50 whose latest is r11. r17 leads with all 16 r10 keys, then the
-# five new r17 keys (never swept — first driver row here), then the
-# first 29 r11-era keys in ledger (alphabetical) order — exactly the
-# 50-key budget. The 21 r11 tail keys overflow to r18. Zero overlap with
+# six new r17 keys (never swept — first driver row here), then the
+# first 28 r11-era keys in ledger (alphabetical) order — exactly the
+# 50-key budget. The 22 r11 tail keys overflow to r18. Zero overlap with
 # the r16 sweep set by construction.
 SWEEP_PRIORITY = (
     # (a) r10-era tail, VERDICT r16 task #3 (16 keys)
@@ -144,7 +144,8 @@ SWEEP_PRIORITY = (
     "q_tokenizer_fertility",
     "q_source_js_divergence",
     "q_image_dhash_dedup",
-    # (b) r11-era refresh, ledger (alphabetical) order through q_linear_probe (29 keys)
+    "q_audio_fingerprint_dedup",
+    # (b) r11-era refresh, ledger (alphabetical) order through q_lift_confidence (28 keys)
     "q_abc_classification",
     "q_auc_marker",
     "q_bitmap_distinct",
@@ -173,9 +174,9 @@ SWEEP_PRIORITY = (
     "q_ks_test",
     "q_late_data_report",
     "q_lift_confidence",
-    "q_linear_probe",
     # ---- ~50-budget line ----
     # (c) overflow: r11-era tail for r18
+    "q_linear_probe",
     "q_lsh_param_sweep",
     "q_mann_whitney",
     "q_map_eval",

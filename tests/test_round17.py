@@ -223,6 +223,69 @@ def test_source_divergence_degenerate_cases(spark, tmp_path):
     assert len(m) == 1 and m[0].jaccard == 1.0
 
 
+def test_audio_fingerprint_matches_pure_python(spark):
+    """Per-doc audio fingerprint == hashing the first-96-byte amplitude
+    stream directly in Python (no numpy, no wave parser)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    ref = {}
+    for r in docs:
+        if len(r.text) < 96:
+            continue
+        amps = [ord(c) - 128 for c in r.text[:96]]
+        e = [sum(a * a for a in amps[f * 4 : f * 4 + 4]) for f in range(24)]
+        h = 0
+        for f in range(23):
+            if e[f] < e[f + 1]:
+                h |= 1 << f
+        ref[r.doc_id] = h
+    rows = Q["q_audio_fingerprint_dedup"](spark, SF_SMOKE).collect()
+    got = {r.doc_id: r.afp for r in rows}
+    assert got == ref
+    sizes = Counter(got.values())
+    for r in rows:
+        assert r.bucket_size == sizes[r.afp]
+        assert r.is_dup == (sizes[r.afp] > 1)
+
+
+def test_audio_fingerprint_gain_invariance_property():
+    """THE property that makes the fingerprint perceptual: uniform gain
+    scales every frame energy by the same factor, preserving all
+    orderings — the fingerprint is unchanged (hypothesis-generated
+    amplitude streams, integer gain, no clipping by construction)."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    def wav(amps):
+        hdr = (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(amps))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data"
+            + struct.pack("<I", len(amps))
+        )
+        return hdr + bytes(a + 128 for a in amps)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(-42, 42), min_size=96, max_size=96),
+           st.integers(2, 3))
+    def check(amps, gain):
+        scaled = [a * gain for a in amps]  # |a*3| <= 126: never clips
+        assert audio_fingerprint(wav(amps)) == audio_fingerprint(wav(scaled))
+        assert 0 <= audio_fingerprint(wav(amps)) < (1 << 23)
+
+    check()
+
+
 def test_tokenizer_fertility_matches_pure_python(spark):
     """Per-lang fertility == a pure-Python replay of the gated encoder:
     learn the top merges from the len>=2 word-pair counts, apply each as
