@@ -185,43 +185,70 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     canary_median = statistics.median(canary_samples)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "reps": reps,
-                "sf": sf,
-                # drift-corrected figures (r17): raw seconds divided by
-                # this run's interleaved canary median. Compare THESE
-                # across rounds when the hosts may differ; raw seconds
-                # remain the BASELINE.md anchor currency on a clean host.
-                "normalized": {
-                    "canary_median_sec": round(canary_median, 4),
-                    "canary_samples": len(canary_samples),
-                    "value_canary_units": round(total / canary_median, 1),
-                    "queries_canary_units": {
-                        k: round(v / canary_median, 2)
-                        for k, v in times.items()
-                    },
-                },
-                "sentinel": {
-                    "canary_query": "q_topk",
-                    "before_sec": sentinel_before,
-                    "after_sec": sentinel_after,
-                    "drift_ratio": round(sentinel_after / max(sentinel_before, 1e-9), 3),
-                    # the signal this sentinel exists for: ANOTHER process
-                    # ate the machine mid-suite. Ratios under 1.0 are
-                    # residual JIT warm-down and carry no meaning.
-                    "contended": sentinel_after / max(sentinel_before, 1e-9) > 1.3,
-                    "loadavg_before": load_before,
-                    "loadavg_after": load_after,
-                },
-            }
-        )
+    drift_ratio = round(sentinel_after / max(sentinel_before, 1e-9), 3)
+    # Full payload — per-key canary units, sentinel detail, load averages —
+    # goes to a FILE, not stdout. The driver captures only the last ~2000
+    # chars of stdout, and r17's combined raw+normalized line overflowed it
+    # (BENCH_r17.json parsed: null — VERDICT r17 What's-wrong #1). The
+    # normalized per-key figures are still first-class: compare
+    # BENCH_NORMALIZED.json canary units across rounds when hosts may
+    # differ; raw seconds remain the BASELINE.md anchor currency.
+    full = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "reps": reps,
+        "sf": sf,
+        "normalized": {
+            "canary_median_sec": round(canary_median, 4),
+            "canary_samples": len(canary_samples),
+            "value_canary_units": round(total / canary_median, 1),
+            "queries_canary_units": {
+                k: round(v / canary_median, 2) for k, v in times.items()
+            },
+        },
+        "sentinel": {
+            "canary_query": "q_topk",
+            "before_sec": sentinel_before,
+            "after_sec": sentinel_after,
+            "drift_ratio": drift_ratio,
+            # the signal this sentinel exists for: ANOTHER process ate the
+            # machine mid-suite. Ratios under 1.0 are residual JIT
+            # warm-down and carry no meaning.
+            "contended": drift_ratio > 1.3,
+            "loadavg_before": load_before,
+            "loadavg_after": load_after,
+        },
+    }
+    norm_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_NORMALIZED.json"
     )
+    with open(norm_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    # Compact machine line LAST, sized well under the driver's capture
+    # budget: raw per-key seconds at 2 decimals, scalar normalized summary,
+    # and a pointer to the full normalized block.
+    compact = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "reps": reps,
+        "sf": sf,
+        "canary_median_sec": round(canary_median, 4),
+        "value_canary_units": round(total / canary_median, 1),
+        "drift_ratio": drift_ratio,
+        "contended": drift_ratio > 1.3,
+        "normalized_file": "BENCH_NORMALIZED.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never overflow the capture again
+        compact.pop("queries")
+        compact["queries_file"] = "BENCH_NORMALIZED.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1506,21 +1506,26 @@ def schema_diff_to_clickhouse_alter(
 
     # Any REFUSED change means the emitted script is NOT incrementally
     # applicable: the refusal's simulation still advances the layout, so
-    # the surviving executable statements describe the POST-REBUILD target
-    # order, not a safe edit of the live table (ADVICE r15: partial
-    # application would produce a column order matching neither side).
-    # One loud banner up top makes that unmissable.
+    # the surviving statements describe the POST-REBUILD target order, not
+    # a safe edit of the live table (ADVICE r15: partial application would
+    # produce a column order matching neither side). r18 (ADVICE r17): the
+    # banner alone still left live-LOOKING statements to cherry-pick —
+    # applying only the executable MOVEs/ADDs anchors positions that assume
+    # the refused column already sits in its target slot. So the whole
+    # script is commented out: with any refusal present there is NOTHING
+    # here that is safe to run against the live table.
     if any(s.startswith("-- REFUSED") for s in stmts):
         stmts = [
             "-- REBUILD REQUIRED: one or more changes below are REFUSED "
             "(MergeTree",
-            "-- partition keys are immutable). The executable statements "
-            "below describe",
-            "-- the POST-REBUILD target layout — do NOT apply them to the "
-            "live table;",
-            "-- recreate it instead (CREATE from the new dataset + INSERT "
-            "SELECT).",
-        ] + stmts
+            "-- partition keys are immutable). EVERY statement below is "
+            "commented out:",
+            "-- they describe the POST-REBUILD target layout, not a safe "
+            "edit of the",
+            "-- live table — nothing here may be cherry-picked. Recreate "
+            "the table",
+            "-- instead (CREATE from the new dataset + INSERT SELECT).",
+        ] + [s if s.startswith("--") else f"-- {s}" for s in stmts]
 
     ddl = (
         "\n".join(stmts) + "\n"

@@ -12,7 +12,7 @@ hash-partitioned join, the standard blocking strategy at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_to_clickhouse_schema_spark._registry import new_registry
@@ -4512,6 +4512,54 @@ def q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ascii96_payload(header: Column) -> Column:
+    """First-96-chars media payload with both perceptual-dedup invariants
+    made LOUD (ADVICE r17, the _emb_rows pattern):
+
+    - single-byte prefix: F.substring counts CHARACTERS and the UTF-8
+      encode then multiplies bytes for non-ASCII, while the DuckDB oracle's
+      ascii() reads code points — a non-ASCII doc would silently become an
+      unattributable hash/row-count gate failure. The octet-length guard
+      turns it into a job failure naming the doc_id instead.
+    """
+    prefix = F.encode(F.substring("text", 1, 96), "utf-8")
+    return F.concat(
+        header,
+        F.when(F.octet_length(prefix) == 96, prefix).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "non-single-byte char in first 96 chars of doc_id="
+                    ),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        ),
+    )
+
+
+def _loud_hash(ok_col: str, hash_col: str, what: str) -> Column:
+    """Decode-failure guard for the perceptual dedup keys (ADVICE r17):
+    the generic dhash_batches/afp_batches iterators mark corrupt payloads
+    with ok=False for tolerant consumers, but the DEDUP oracles hash every
+    length>=96 doc, so silently dropping a failed row would surface as an
+    unattributed row-count mismatch. Here a failed decode fails the job
+    with its doc_id — on this corpus every payload is constructed valid,
+    so any failure is a real bug, not data weather."""
+    return (
+        F.when(F.col(ok_col), F.col(hash_col))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{what} decode failed for doc_id="),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        )
+        .alias(hash_col)
+    )
+
+
 _DHASH_ORACLE = """
     WITH px AS (
       SELECT doc_id, i, ascii(substr(text, i, 1)) AS code
@@ -4566,13 +4614,11 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
-    header = F.lit(b"P6\n8 4\n255\n")
-    payload = F.concat(header, F.encode(F.substring("text", 1, 96), "utf-8"))
+    payload = _ascii96_payload(F.lit(b"P6\n8 4\n255\n"))
     h = (
         d.select("doc_id", payload.alias("payload"))
         .mapInPandas(dhash_batches(), schema=DHASH_SCHEMA)
-        .filter(F.col("dhash_ok"))
-        .select("doc_id", "dhash")
+        .select("doc_id", _loud_hash("dhash_ok", "dhash", "image"))
     )
     sizes = h.groupBy("dhash").agg(F.count("*").alias("bucket_size"))
     return h.join(sizes, "dhash").select(
@@ -4849,12 +4895,11 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _struct.pack("<I", 96)
     )
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
-    payload = F.concat(F.lit(hdr), F.encode(F.substring("text", 1, 96), "utf-8"))
+    payload = _ascii96_payload(F.lit(hdr))
     h = (
         d.select("doc_id", payload.alias("payload"))
         .mapInPandas(afp_batches(), schema=AFP_SCHEMA)
-        .filter(F.col("afp_ok"))
-        .select("doc_id", "afp")
+        .select("doc_id", _loud_hash("afp_ok", "afp", "audio"))
     )
     sizes = h.groupBy("afp").agg(F.count("*").alias("bucket_size"))
     return h.join(sizes, "afp").select(

@@ -193,6 +193,12 @@ def q_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (ctx_len, n_trunc, kept)"
         ),
     )
+    # Empty-corpus guard (ADVICE r17): the global agg always yields one
+    # row, so stack() would emit len(CTX_SWEEP) rows of NULL fractions on
+    # an empty documents table while the oracle's CROSS JOIN + GROUP BY
+    # yields 0 rows. Dropping the n_docs=0 row makes both engines return
+    # 0 rows on degenerate input and removes the tot=NULL division.
+    rows = rows.filter(F.col("n_docs") > 0)
     bins = F.ceil(F.col("kept") / (F.col("ctx_len") * 1.0))
     return rows.select(
         F.col("ctx_len").cast("int"),

@@ -110,72 +110,15 @@ CONTRACT_KEYS = (
     "q_udf_pandas",
     "q_udaf_grouped",
 )
-# Round-17 sweep priority: the driver's correctness sweep checks the FIRST
-# ~50 queries() keys each round. Rotation is rebuilt each round from the
-# evidence ledger (`python scripts/sweep_ledger.py`, docs/SWEEP_LEDGER.md).
-# After r16 the freshness backlog is: 16 keys whose latest row is r10 (the
-# r16 rotation's documented overflow tail — VERDICT r16 task #3 names all
-# 16) and 50 whose latest is r11. r17 leads with all 16 r10 keys, then the
-# six new r17 keys (never swept — first driver row here), then the
-# first 28 r11-era keys in ledger (alphabetical) order — exactly the
-# 50-key budget. The 22 r11 tail keys overflow to r18. Zero overlap with
-# the r16 sweep set by construction.
+# Round-18 sweep priority: the driver checks the FIRST ~50 queries() keys.
+# After r17 the freshness backlog is exactly the 22 keys whose latest row
+# is r11 (the r17 rotation's documented overflow tail — VERDICT r17 task
+# #1 names all 22); every other key is r12+. r18 leads with those 22, then
+# any new r18 keys (first driver row), then the first 28 r12-era keys in
+# ledger (alphabetical) order — the 50-key budget. The remaining 22 r12
+# keys overflow to r19. Zero overlap with the r17 sweep set.
 SWEEP_PRIORITY = (
-    # (a) r10-era tail, VERDICT r16 task #3 (16 keys)
-    "q_simhash_verified",
-    "q_skew_stats",
-    "q_stats_agg",
-    "q_subquery_corr",
-    "q_subquery_in",
-    "q_subquery_scalar",
-    "q_text_stats",
-    "q_token_burstiness",
-    "q_udaf_grouped",
-    "q_udf_pandas",
-    "q_udf_python",
-    "q_unpivot",
-    "q_vocab_overlap",
-    "q_window_dist",
-    "q_window_value",
-    "q_winsorize",
-    # (a2) new r17 keys — never swept, get their first driver row here
-    "q_source_jaccard_matrix",
-    "q_context_length_sweep",
-    "q_tokenizer_fertility",
-    "q_source_js_divergence",
-    "q_image_dhash_dedup",
-    "q_audio_fingerprint_dedup",
-    # (b) r11-era refresh, ledger (alphabetical) order through q_lift_confidence (28 keys)
-    "q_abc_classification",
-    "q_auc_marker",
-    "q_bitmap_distinct",
-    "q_boilerplate_ngrams",
-    "q_catalog_coverage",
-    "q_chunk_dedup_ratio",
-    "q_confidence_bins",
-    "q_content_chunks",
-    "q_coverage_curve",
-    "q_ctr_smoothing",
-    "q_cuped",
-    "q_dataset_card",
-    "q_delete_propagation",
-    "q_dp_histogram",
-    "q_effective_sample_size",
-    "q_embed_standardize",
-    "q_entropy_rate",
-    "q_forecast_baseline",
-    "q_gap_distribution",
-    "q_graph_triangles",
-    "q_group_split",
-    "q_ivfpq_verified_topk",
-    "q_join_pit",
-    "q_kanon_audit",
-    "q_km_survival",
-    "q_ks_test",
-    "q_late_data_report",
-    "q_lift_confidence",
-    # ---- ~50-budget line ----
-    # (c) overflow: r11-era tail for r18
+    # (a) r11-era tail, VERDICT r17 "What's missing" #2 (22 keys)
     "q_linear_probe",
     "q_lsh_param_sweep",
     "q_mann_whitney",
@@ -198,6 +141,37 @@ SWEEP_PRIORITY = (
     "q_window_funnel",
     "q_wsample_es",
     "q_zorder_preview",
+    # (b) new r18 keys — never swept — are inserted here when added
+    # (c) r12-era refresh, ledger (alphabetical) order (28 keys)
+    "q_ab_srm_check",
+    "q_agg_collect",
+    "q_agg_distinct_twophase",
+    "q_bloom_fpr_plan",
+    "q_chunk_docs",
+    "q_churn_features",
+    "q_class_weights",
+    "q_cosine_topk",
+    "q_cross_source_dups",
+    "q_data_split",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_ngram",
+    "q_doc_fingerprint",
+    "q_dup_cluster_sizes",
+    "q_embed_centroid",
+    "q_explode_pos",
+    "q_freq_topk_sketch",
+    "q_funnel",
+    "q_gapfill_ffill",
+    "q_islands",
+    "q_join_full",
+    "q_lang_id",
+    "q_lateral_join",
+    "q_map_funcs",
+    "q_negative_sampling_freq",
+    "q_neyman_allocation",
+    # ---- ~50-budget line ----
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

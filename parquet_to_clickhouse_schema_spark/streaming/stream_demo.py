@@ -194,6 +194,22 @@ def stream_upsert_foreachbatch(
     external store — foreachBatch hands you a plain batch DataFrame, so
     everything in the batch toolbox (including operators/merge.py) applies.
     trigger(availableNow) drains the bounded source then stops."""
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(keep_latest_merge_batch(target))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def keep_latest_merge_batch(target: str):
+    """The foreachBatch body behind stream_upsert_foreachbatch, factored
+    out (r18) so scripts/stream_bench.py measures the exact same merge the
+    parity test gates: per-batch keep-latest reduction, key-wise merge with
+    the stored state (batch wins ties via prio so replay converges), atomic
+    staged-parquet swap."""
     import os
     import shutil
 
@@ -237,14 +253,7 @@ def stream_upsert_foreachbatch(
         else:
             updates.write.mode("overwrite").parquet(target)
 
-    q = (
-        read_events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    return merge_batch
 
 
 def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:

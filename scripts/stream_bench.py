@@ -81,18 +81,58 @@ def _op_tumbling_count(ev):
     )
 
 
-# r17 (second measured streaming row, extending the r16 single-op bench):
-# each op runs REPS full micro-batch executions through the same
-# file-source split
+def _op_stream_stream_join(mk):
+    """Stream-stream interval join (stream_demo.stream_stream_join's shape):
+    purchases joined to the same user's clicks from the preceding hour,
+    watermarks on BOTH sides so join state is bounded. Two independent
+    file-source streams over the same split — each trigger ingests one file
+    per side, so numInputRows counts both sides."""
+    ev_p, ev_c = mk(), mk()
+    purchases = (
+        ev_p.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        ev_c.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
+
+
+# r17 (second measured streaming row, extending the r16 single-op bench);
+# r18 adds the stream-stream interval join and the foreachBatch keep-latest
+# upsert (VERDICT r17 task #7) — 5 measured operators. Each op runs REPS
+# full micro-batch executions through the same file-source split. Values
+# are (build, sink): build takes a fresh-stream factory (the join needs two
+# independent source nodes), sink is "noop" or "upsert" (foreachBatch into
+# a parquet target via stream_demo.keep_latest_merge_batch — the exact
+# merge the parity test gates).
 OPS = {
-    "session_window": _op_session_window,
-    "dedup": _op_dedup,
-    "tumbling_count": _op_tumbling_count,
+    "session_window": (lambda mk: _op_session_window(mk()), "noop"),
+    "dedup": (lambda mk: _op_dedup(mk()), "noop"),
+    "tumbling_count": (lambda mk: _op_tumbling_count(mk()), "noop"),
+    "stream_stream_join": (_op_stream_stream_join, "noop"),
+    "upsert_foreachbatch": (lambda mk: mk(), "upsert"),
 }
 
 
-def _one_rep(spark, src_dir: str, schema, work_dir: str, tag: str, op) -> dict:
-    ckpt = os.path.join(work_dir, f"ckpt_{tag}")
+def _mk_stream(spark, src_dir: str, schema):
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -102,11 +142,25 @@ def _one_rep(spark, src_dir: str, schema, work_dir: str, tag: str, op) -> dict:
     ev = _normalize_nanos(raw)
     if isinstance(ev.schema["ts"].dataType, T.TimestampNTZType):
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
+
+
+def _one_rep(
+    spark, src_dir: str, schema, work_dir: str, tag: str, build, sink: str
+) -> dict:
+    from parquet_to_clickhouse_schema_spark.streaming.stream_demo import (
+        keep_latest_merge_batch,
+    )
+
+    ckpt = os.path.join(work_dir, f"ckpt_{tag}")
+    df = build(lambda: _mk_stream(spark, src_dir, schema))
+    if sink == "upsert":
+        target = os.path.join(work_dir, f"target_{tag}")
+        writer = df.writeStream.foreachBatch(keep_latest_merge_batch(target))
+    else:
+        writer = df.writeStream.format("noop").outputMode("append")
     q = (
-        op(ev)
-        .writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
+        writer.option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -143,9 +197,11 @@ def main() -> None:
 
         s_before = _sentinel(spark, sf_dir)
         ops: dict[str, dict] = {}
-        for name, op in OPS.items():
+        for name, (build, sink) in OPS.items():
             rep_stats = [
-                _one_rep(spark, src_dir, schema, work_dir, f"{name}_{i}", op)
+                _one_rep(
+                    spark, src_dir, schema, work_dir, f"{name}_{i}", build, sink
+                )
                 for i in range(reps)
             ]
             # reps with no data batches report None metrics (deliberate in

@@ -1346,8 +1346,13 @@ def test_alter_refuses_hive_partition_key_retype(tmp_path):
     # no EXECUTABLE statement may touch dt; the accompanying data-column
     # retype still migrates normally
     live = [s for s in ddl.splitlines() if not s.startswith("--")]
-    assert not any(" dt " in s for s in live), live
+    # r18 (ADVICE r17): with ANY refusal present the ENTIRE script is
+    # commented out — no executable statement exists to cherry-pick, not
+    # even the ordinary data-column retype, which survives as a comment
+    # describing the post-rebuild target.
+    assert not live, live
     assert "alter table t modify column v Nullable(Int64);" in ddl
+    assert "-- alter table t modify column v Nullable(Int64);" in ddl
 
     # DROPPING the partition key (new side unpartitioned) is refused the
     # same way — ClickHouse rejects ALTER DROP on a partition-key column
