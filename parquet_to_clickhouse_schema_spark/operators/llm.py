@@ -1,6351 +1,68 @@
-"""LLM-data-pipeline operators: dedup (exact + MinHash near-dup), similarity
-search (brute-force cosine top-k + LSH-bucketed scale path), text analysis,
-multimodal column handling.
+"""Facade for the LLM-data-pipeline operator family, split in r18 into five
+themed modules (VERDICT r17 task #5 — operators/llm.py had grown to 6,350
+lines / ~60 operators, 3.7x the next-largest operator file):
 
-These are the operators a 100 TB training-data pipeline needs; each is
-expressed as DataFrame transforms so Catalyst/AQE own the physical plan.
-The near-dup and ANN operators are the only places where the naive algorithm
-is O(n²): both carry an LSH-banded path that restricts candidate pairs via an
-equi-join on bucket ids — turning the quadratic comparison into a
-hash-partitioned join, the standard blocking strategy at scale.
+- llm_dedup   — text dedup: exact, MinHash/LSH, SimHash, n-gram, clusters,
+                pipeline, embedding near-dup, source Jaccard matrix
+- llm_ann     — similarity search: cosine top-k, LSH/IVF/PQ/IVF-PQ + their
+                verified twins, recall eval, distributed Lloyd's k-means
+- llm_cluster — clustering + corpus quality: SemDeDup, hard negatives,
+                random projection, text stats, fuzzy pairs, keep-best,
+                substring dedup, quantization, containment
+- llm_media   — multimodal decode + perceptual dedup (dHash, audio
+                fingerprint, video frames/thumbnails)
+- llm_eval    — retrieval/embedding evaluation: kNN, LSH sweep, Matryoshka,
+                PCA, linear probe, NDCG/MRR/MAP
+
+A mechanical move with zero behavior change: statements kept verbatim in
+their original order within each module. This facade re-exports every name
+so existing imports (`from ...operators.llm import X`) keep working; the
+registry merges the five split modules directly, so nothing here
+double-registers.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from parquet_to_clickhouse_schema_spark._registry import new_registry
-from parquet_to_clickhouse_schema_spark.functions.compat import qround, sql_qround
-from parquet_to_clickhouse_schema_spark.sources.io import load_table
-
-QUERIES, ORACLES, _q = new_registry()
-
-
-# ----------------------------------------------------------------- dedup ---
-
-
-@_q(
-    "q_dedup_exact",
-    """
-    SELECT min(doc_id) AS rep_doc_id,
-           CAST(count(*) AS BIGINT) AS n_copies,
-           CAST(min(n_chars) AS BIGINT) AS rep_chars
-    FROM documents
-    GROUP BY lower(trim(text))
-    """,
+from parquet_to_clickhouse_schema_spark.operators import (
+    llm_ann,
+    llm_cluster,
+    llm_dedup,
+    llm_eval,
+    llm_media,
 )
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by normalized text: hash-groupBy on a fixed-width DIGEST
-    of the normalization key, not the text itself — the shuffle carries 32
-    bytes per row instead of whole documents (at 100 TB that is the
-    difference between shuffling ~the corpus and shuffling ~0.03% of it).
-    sha2-256 collisions are cryptographically negligible, so grouping by
-    digest partitions rows exactly like grouping by the normalized text and
-    the output (which never exposes the key) is identical — the DuckDB twin
-    keeps the semantic GROUP BY lower(trim(text)) as the specification."""
-    d = load_table(spark, sf_dir, "documents")
-    digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
-    return (
-        d.groupBy(digest.alias("text_digest"))
-        .agg(
-            F.min("doc_id").alias("rep_doc_id"),
-            F.count("*").alias("n_copies"),
-            F.min("n_chars").alias("rep_chars"),
-        )
-        .drop("text_digest")
-    )
+from parquet_to_clickhouse_schema_spark.operators.llm_dedup import *  # noqa: F401,F403
+from parquet_to_clickhouse_schema_spark.operators.llm_ann import *  # noqa: F401,F403
+from parquet_to_clickhouse_schema_spark.operators.llm_cluster import *  # noqa: F401,F403
+from parquet_to_clickhouse_schema_spark.operators.llm_media import *  # noqa: F401,F403
+from parquet_to_clickhouse_schema_spark.operators.llm_eval import *  # noqa: F401,F403
 
-
-N_HASHES = 16
-N_BANDS = 4  # 4 rows per band
-SHINGLE_K = 3
-
-
-def shingle_array(text_col: str = "text"):
-    """Column expression: the SHINGLE_K-word shingles of a space-split
-    text column (non-distinct; wrap in array_distinct for set semantics).
-    slice() clamps at the array end, so documents shorter than SHINGLE_K
-    tokens yield one short shingle instead of an ANSI INVALID_ARRAY_INDEX
-    (element_at past the end throws under Spark 4's default ANSI mode).
-    Shared by minhash_signatures and the exact-Jaccard verification so
-    candidates and verification always see the same shingle definition."""
-    toks = F.split(F.col(text_col), " ")
-    n_sh = F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_K)),
-    )
-
-
-def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + minhash: array of N_HASHES min-hashed shingle values.
-
-    Pure JVM pipeline: split → k-word shingles (transform over sequence) →
-    ONE string xxhash64 per shingle → N_HASHES long-input xxhash64(h, seed)
-    → array_min per seed. Hashing the 64-bit base hash with per-seed
-    re-hashes is a standard universal family (added collision mass is
-    ~n_shingles²/2⁶⁴, negligible), and hashing 8-byte longs 16× is much
-    cheaper than hashing ~20-char strings 16× — A/B at sf0.1: 2.2 s → 1.8 s
-    warm for the signature stage. Deterministic across runs/partitions
-    (no rand()), which is what makes near-dedup reproducible at scale.
-
-    The repartition between shingling and hashing is a materialization
-    barrier, not a distribution choice: Catalyst collapses adjacent
-    projections, and interpreted higher-order functions get no common-
-    subexpression elimination — without the barrier the shingle+base-hash
-    construction is re-inlined into all N_HASHES minhash transforms and
-    runs 16x (measured 97s -> ~10s at sf0.1).
-
-    (An explode + 16-way min hash-aggregate variant — the form that wins
-    for simhash's bit votes — was A/B-measured ~10% SLOWER here: the
-    explode adds per-row overhead, so the array form stands.)
-    """
-    return minhash_sig_from_base(minhash_base(docs, text_col))
-
-
-def minhash_base(
-    docs: DataFrame, text_col: str = "text", extra_cols: tuple = ()
-) -> DataFrame:
-    """doc_id (+ extra_cols) + ``hs``: the xxhash64-per-shingle base array —
-    the shared input of BOTH the minhash signature and the exact-Jaccard
-    verify set. Split out of minhash_signatures (r14) so LSH queries can
-    localCheckpoint this ONE tokenize→shingle→hash pass and derive
-    signatures, band tables and verify shingle-sets from it instead of
-    re-running the pass per consumer (the band self-join alone consumes
-    signatures twice). The repartition is the materialization barrier
-    documented in minhash_signatures."""
-    base = F.transform(shingle_array(text_col), lambda s: F.xxhash64(s))
-    return docs.select(
-        "doc_id", *extra_cols, base.alias("hs")
-    ).repartition("doc_id")
-
-
-def minhash_sig_from_base(hashed: DataFrame) -> DataFrame:
-    """doc_id + sig from a minhash_base frame (N_HASHES seeded re-hash
-    minima per doc — see minhash_signatures for the family argument)."""
-    sig = F.array(
-        *[
-            F.array_min(F.transform("hs", lambda h: F.xxhash64(h, F.lit(seed))))
-            for seed in range(N_HASHES)
-        ]
-    )
-    return hashed.select("doc_id", sig.alias("sig"))
-
-
-@_q(
-    "q_near_dedup_minhash",
-    """
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    sh AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(t[i:i+2], ' ')
-                            for i in range(1, greatest(len(t)-2, 1)+1)]) AS shset
-      FROM toks
-    ),
-    ex AS (SELECT doc_id, unnest(shset) AS s, len(shset) AS nsh FROM sh),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i,
-             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           floor((i * 1.0 / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0
-               AS jaccard
-    FROM inter
-    WHERE i * 1.0 / (na + nb - i) >= 0.5
-    """,
+# Underscore-prefixed names star-import skips but tests/scripts import:
+from parquet_to_clickhouse_schema_spark.operators.llm_ann import (  # noqa: F401
+    _IVF_GRID_SQL,
+    _as_double_vec,
+    _md5_unit_grid,
+    _train_coarse_centroids,
 )
-def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs via MinHash + LSH banding, VERIFIED by exact
-    shingle-set Jaccard — the standard industrial candidate/verify split.
-
-    Candidate generation never compares all pairs: each doc emits N_BANDS
-    band keys (hash of 4 consecutive signature values); docs sharing a band
-    key meet in an equi-join on (band, band_hash). That join is
-    hash-partitioned — at 100 TB it shuffles O(n * bands) small keys, and
-    only colliding buckets produce comparisons. Each candidate pair is then
-    verified with the EXACT Jaccard over the docs' distinct shingle sets
-    (array_intersect/size, JVM-side; the tiny candidate set joins back to
-    the shingle table, AQE broadcasts it), and only pairs with exact
-    J >= 0.5 survive. Verification makes precision exact by construction;
-    recall is the one LSH-dependent quantity, and the DuckDB oracle — the
-    full all-pairs shingle-join Jaccard at the same threshold — pins it:
-    a hash-match driver row PROVES banding missed zero qualifying pairs at
-    that SF (measured: 25/25 at sf0.01, 256/256 at sf0.1 — the corpus has
-    a clean similarity gap, pairs sit at J >= 0.8 or J < 0.3, where the
-    (1-J^4)^4 miss probability is ~2e-4; VERDICT r8 #6 promotion from
-    rows-only). Cross-engine the jaccard value is one IEEE double division
-    of identical integer counts — bit-identical — then half-up qround(6)
-    on both sides.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    # NO localCheckpoint here (r14 measured-and-rejected): AQE's
-    # ReusedExchange already dedups the identical signature subplan across
-    # the band self-join's two sides, so a checkpoint of the base-hash
-    # table only adds block-manager storage of the full corpus — 20×
-    # interleaved A/B: old [9.0, 6.4, 6.5] vs checkpointed [21.8, 5.9,
-    # 6.1] s (cold materialization 2.4× WORSE, warm a wash), sf0.1
-    # bench-style 2.85 vs 2.69 s (noise). Contrast
-    # q_incremental_near_dedup, where the checkpoint replaces THREE
-    # genuinely distinct pipelines and wins 2.8× cold.
-    sigs = minhash_signatures(d)
-
-    rows_per_band = N_HASHES // N_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("bh"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh")
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-
-    # shingles travel as xxhash64 longs in the verify arrays (r13, the
-    # q_dedup_ngram precedent): intersect/union over 8-byte longs, and the
-    # candidate join ships narrow arrays — jaccard is unchanged modulo the
-    # minhash ~n²/2⁶⁴ collision mass; the raw-shingle DuckDB oracle pins it
-    shs = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(shingle_array("text"), lambda s: F.xxhash64(s))
-        ).alias("shset"),
-    )
-    sa = shs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
-    sb = shs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("i", inter)
-        .withColumn("u", union)
-        .filter(F.col("i") / F.col("u") >= 0.5)
-        .select(
-            "doc_a",
-            "doc_b",
-            qround(F.col("i") / F.col("u"), 6).alias("jaccard"),
-        )
-    )
-
-
-@_q(
-    "q_incremental_near_dedup",
-    """
-    WITH toks AS (
-      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
-    ),
-    sh AS (
-      SELECT doc_id, source,
-             list_distinct([array_to_string(t[i:i+2], ' ')
-                            for i in range(1, greatest(len(t)-2, 1)+1)]) AS shset
-      FROM toks
-    ),
-    ex AS (
-      SELECT doc_id, source, unnest(shset) AS s, len(shset) AS nsh FROM sh
-    ),
-    inter AS (
-      SELECT b.doc_id AS batch_doc, h.doc_id AS history_doc, count(*) AS i,
-             any_value(b.nsh) AS nb, any_value(h.nsh) AS nh
-      FROM ex b JOIN ex h ON b.s = h.s
-      WHERE CAST(substr(b.source, 4) AS INT) >= 10
-        AND CAST(substr(h.source, 4) AS INT) < 10
-      GROUP BY b.doc_id, h.doc_id
-    )
-    SELECT batch_doc, history_doc,
-           floor((i * 1.0 / (nb + nh - i)) * 1000000.0 + 0.5) / 1000000.0
-               AS jaccard
-    FROM inter
-    WHERE i * 1.0 / (nb + nh - i) >= 0.5
-    """,
+from parquet_to_clickhouse_schema_spark.operators.llm_media import (  # noqa: F401
+    _ascii96_payload,
+    _loud_hash,
 )
-def q_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental NEAR-dup screening — the companion to training.py's
-    exact q_incremental_dedup: a new batch (sources src10+) is checked for
-    near-duplicates against the already-ingested history (src0..src9)
-    without ever comparing history to itself. Candidates come from the
-    SAME banded-LSH signatures as q_near_dedup_minhash, but the pair join
-    is batch x history only — at production scale the history side's band
-    table is a standing index (append-only, written once per ingest), so
-    each daily batch costs O(batch bands + collisions), not O(corpus²) or
-    even O(corpus). Candidates are verified with exact shingle-set Jaccard
-    (same shared `shingle_array` definition) and pairs with J >= 0.5
-    survive; the DuckDB oracle computes the full cross-split all-pairs
-    answer, so a hash match pins banding recall on the batch-history cut.
 
-    Scale shape: signature build is row-local JVM; the band join is an
-    equi-join with the batch side small by construction; verification
-    joins the tiny candidate set back to the shingle table (AQE
-    broadcasts it)."""
-    d = load_table(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("int")
-    # ONE checkpointed tokenize→shingle→hash pass carrying the split flag:
-    # batch/hist band tables AND the verify shingle-sets all derive from
-    # it. Unlike q_near_dedup_minhash (where AQE exchange reuse already
-    # dedups the identical self-join subplans and a checkpoint was
-    # measured-and-rejected), the three consumers here are genuinely
-    # DISTINCT pipelines (different filters/projections), so the
-    # materialization replaces two full corpus passes — r14 20× probe:
-    # 14.8 → 5.4 s cold (2.8×), sf0.1 a wash. The storage cost is the
-    # base-hash table once; the production form keeps the history side as
-    # a standing index anyway (docstring).
-    hashed = minhash_base(
-        d, extra_cols=((src_num >= 10).alias("_is_batch"),)
-    ).localCheckpoint(eager=False)
-
-    rows_per_band = N_HASHES // N_BANDS
-
-    def band_table(docs, id_alias):
-        sigs = minhash_sig_from_base(docs)
-        return sigs.select(
-            F.col("doc_id").alias(id_alias),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ]
-                            ).alias("bh"),
-                        )
-                        for b in range(N_BANDS)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(id_alias, "bk.band", "bk.bh")
-
-    cand = (
-        band_table(hashed.filter("_is_batch"), "batch_doc")
-        .join(
-            band_table(hashed.filter(~F.col("_is_batch")), "history_doc"),
-            ["band", "bh"],
-        )
-        .select("batch_doc", "history_doc")
-        .distinct()
-    )
-
-    # shingles travel as xxhash64 longs in the verify arrays (r13, the
-    # q_dedup_ngram precedent): intersect/union over 8-byte longs, and the
-    # candidate join ships narrow arrays — jaccard is unchanged modulo the
-    # minhash ~n²/2⁶⁴ collision mass; the raw-shingle DuckDB oracle pins it.
-    # The verify sets distinct the SAME checkpointed base hashes.
-    shs = hashed.select("doc_id", F.array_distinct("hs").alias("shset"))
-    sb = shs.select(F.col("doc_id").alias("batch_doc"), F.col("shset").alias("sb"))
-    sh = shs.select(F.col("doc_id").alias("history_doc"), F.col("shset").alias("sh"))
-    inter = F.size(F.array_intersect("sb", "sh"))
-    union = F.size("sb") + F.size("sh") - inter
-    return (
-        cand.join(sb, "batch_doc")
-        .join(sh, "history_doc")
-        .withColumn("i", inter)
-        .withColumn("u", union)
-        .filter(F.col("i") / F.col("u") >= 0.5)
-        .select(
-            "batch_doc",
-            "history_doc",
-            qround(F.col("i") / F.col("u"), 6).alias("jaccard"),
-        )
-    )
-
-
-@_q("q_dedup_simhash")  # rows-only: xxhash64 bit arithmetic has no portable SQL twin
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature where bit b is the sign of the sum
-    of (+1/-1) votes from each token's hash bit b. Documents within Hamming
-    distance 3 are near-duplicate candidates.
-
-    Candidate generation uses the standard pigeonhole blocking: split the
-    signature into 4 disjoint 16-bit blocks; any pair within Hamming
-    distance 3 agrees on at least one whole block, so an equi-join per block
-    finds all such pairs without O(n²) comparison — the same
-    join-not-crossjoin shape as MinHash banding. The 16-bit width is the
-    scale knob: 65,536 distinct block values keep the expected bucket size
-    at n/65536 (r2's 8-bit blocks gave only 256 buckets — n/256 rows per
-    bucket and a quadratic within-bucket join at corpus scale). At 100 TB,
-    widen the signature (e.g. 128-bit via two longs) and the blocks with
-    it, keeping d+1 blocks for Hamming ≤ d.
-
-    The 64 per-bit votes are computed as one EXPLODE + whole-stage-codegen
-    hash aggregate (64 conditional sums over the token-hash column, one
-    xxhash64 per token via codegen subexpression elimination) — the
-    interpreted-HOF formulation this replaces (64 F.aggregate passes over
-    a hash array per document) was ~6x slower for identical output; see
-    the ann_lsh_topk rebuild for the same pitfall. Partial aggregation
-    shrinks the shuffle to one 64-int row per document.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    bits = 64
-    block_bits = 16
-
-    ex = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
-    h = F.xxhash64("tok")
-    votes = ex.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ]
-    )
-    # pack votes into one long signature (bit b of the hash votes for
-    # signature bit 63-b, MSB-first like the original bit array).
-    # shiftleft|or, NOT arithmetic: +2^63 overflows under ANSI mode, while
-    # the bit form wraps into the sign bit silently — hamming is XOR +
-    # bit_count, sign-agnostic, so the wrap is harmless
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        bit = F.when(F.col(f"v{b}") >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig.bitwiseOR(F.shiftleft(bit, bits - 1 - b))
-    # pigeonhole blocks are 16-bit slices of the packed long (mask after
-    # the arithmetic shiftright: it sign-extends past bit 63)
-    packed = votes.select(
-        "doc_id",
-        sig.alias("simhash"),
-        *[
-            F.shiftright(sig, bits - block_bits * (blk + 1))
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias(f"blk{blk}")
-            for blk in range(bits // block_bits)
-        ],
-    )
-    pairs = None
-    for blk in range(bits // block_bits):
-        a = packed.alias("a")
-        b = packed.alias("b")
-        p = (
-            a.join(b, F.col(f"a.blk{blk}") == F.col(f"b.blk{blk}"))
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.bit_count(
-                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-                ).alias("hamming"),
-            )
-        )
-        pairs = p if pairs is None else pairs.unionAll(p)
-    return pairs.filter(F.col("hamming") <= 3).distinct()
-
-
-# ------------------------------------------------- verified SimHash (r10) ---
-# Same promotion move as q_ann_verified_topk: q_dedup_simhash is rows-only
-# because xxhash64 has no DuckDB twin — but md5 does, and a 64-bit token
-# hash read off md5's hex nibbles is just as uniform. With that one swap
-# the whole SimHash pipeline (votes -> signature -> pigeonhole block join
-# -> Hamming verify) becomes bit-portable and driver-gated.
-
-SIMHASH_V_BITS = 64
-SIMHASH_V_BLOCK_BITS = 16
-SIMHASH_V_HAMMING = 3
-
-_SIMHASH_V_ORACLE = f"""
-    WITH ex AS (
-      SELECT doc_id, md5(tok) AS h
-      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-            FROM documents)
-    ),
-    bitsrc AS (
-      SELECT doc_id, b.b AS b,
-             (strpos('0123456789abcdef', substr(h, b.b // 4 + 1, 1)) - 1)
-               // CAST(pow(2, 3 - b.b % 4) AS INT) % 2 AS bit
-      FROM ex, (SELECT unnest(range(0, {SIMHASH_V_BITS})) AS b) b
-    ),
-    votes AS (
-      SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
-      FROM bitsrc GROUP BY doc_id, b
-    ),
-    sig AS (
-      SELECT doc_id,
-             string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY b)
-               AS sig
-      FROM votes GROUP BY doc_id
-    ),
-    blocks AS (
-      SELECT doc_id, blk.k AS blk,
-             substr(sig, blk.k * {SIMHASH_V_BLOCK_BITS} + 1,
-                    {SIMHASH_V_BLOCK_BITS}) AS bucket,
-             sig
-      FROM sig,
-           (SELECT unnest(range(0, {SIMHASH_V_BITS // SIMHASH_V_BLOCK_BITS}))
-              AS k) blk
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.sig AS sig_a, b.sig AS sig_b
-      FROM blocks a JOIN blocks b
-        ON a.blk = b.blk AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
-    ham AS (
-      SELECT doc_a, doc_b,
-             CAST((SELECT count(*) FROM unnest(range(1, {SIMHASH_V_BITS + 1}))
-                     t(i)
-                   WHERE substr(sig_a, i, 1) <> substr(sig_b, i, 1))
-               AS INT) AS hamming
-      FROM cand
-    )
-    SELECT doc_a, doc_b, hamming FROM ham
-    WHERE hamming <= {SIMHASH_V_HAMMING}
-"""
-
-
-@_q("q_simhash_verified", _SIMHASH_V_ORACLE)
-def q_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dedup with a FULL oracle gate (r10): identical
-    pipeline to q_dedup_simhash but the 64-bit token hash is the first 16
-    hex nibbles of md5(token) — a function both engines share — so DuckDB
-    independently rebuilds the per-bit votes, the signature, the
-    pigeonhole 16-bit block join, AND the Hamming verification, and the
-    driver's hash check covers the whole path (q_dedup_simhash stays as
-    the faster xxhash64 production variant; its blocking recall is pinned
-    in tests, its arithmetic now certified through this twin).
-
-    Scale shape: votes are one groupBy(doc_id) with 64 codegen
-    conditional sums over the distinct-token stream (the nibble values
-    are common subexpressions — 16 instr() calls per token, not 64);
-    shuffle carries one 64-int row per doc; blocking is the same d+1
-    pigeonhole equi-join as the production variant; the Hamming verify
-    is a 64-term fold over the CANDIDATE pairs only."""
-    d = load_table(spark, sf_dir, "documents")
-    bits, block_bits = SIMHASH_V_BITS, SIMHASH_V_BLOCK_BITS
-
-    ex = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok").cast("binary")))
-    nib = [
-        F.expr(f"instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1")
-        for j in range(bits // 4)
-    ]
-    votes = ex.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(nib[b // 4].cast("int"), 3 - b % 4).bitwiseAND(
-                        F.lit(1)
-                    )
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ]
-    )
-    sig = F.concat(
-        *[
-            F.when(F.col(f"v{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for b in range(bits)
-        ]
-    )
-    packed = votes.select(
-        "doc_id",
-        sig.alias("sig"),
-        *[
-            F.substring(sig, blk * block_bits + 1, block_bits).alias(f"blk{blk}")
-            for blk in range(bits // block_bits)
-        ],
-    )
-    pairs = None
-    for blk in range(bits // block_bits):
-        a, b = packed.alias("a"), packed.alias("b")
-        p = (
-            a.join(b, F.col(f"a.blk{blk}") == F.col(f"b.blk{blk}"))
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.sig").alias("sig_a"),
-                F.col("b.sig").alias("sig_b"),
-            )
-        )
-        pairs = p if pairs is None else pairs.unionAll(p)
-    ham = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(bits)),
-            lambda i: F.when(
-                F.col("sig_a").substr(i, F.lit(1))
-                == F.col("sig_b").substr(i, F.lit(1)),
-                0,
-            ).otherwise(1),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        pairs.distinct()
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_V_HAMMING)
-    )
-
-
-@_q(
-    "q_dedup_ngram",
-    """
-    WITH tok AS (
-      SELECT doc_id, lang, source,
-             list_distinct(string_split(text, ' ')) AS toks,
-             floor(len(list_distinct(string_split(text, ' '))) / 32.0) AS szbkt
-      FROM documents
-    )
-    SELECT least(a.doc_id, b.doc_id) AS doc_a,
-           greatest(a.doc_id, b.doc_id) AS doc_b,
-           floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.toks, b.toks)))) * 10000.0 + 0.5)
-               / 10000.0 AS jaccard
-    FROM tok a JOIN tok b
-      ON a.lang = b.lang AND a.source = b.source
-     AND ((a.szbkt = b.szbkt AND a.doc_id < b.doc_id)
-          OR a.szbkt + 1 = b.szbkt)
-    """,
-)
-def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard similarity over blocked candidate pairs.
-
-    Blocking key = (lang, source, size-bucket): the exact-Jaccard verify
-    step that follows MinHash candidate generation in a real pipeline. The
-    size bucket (distinct-token count div 32) is the second key that keeps
-    blocks bounded at corpus scale — (lang, source) alone makes a popular
-    (en, web) block corpus-sized and per-block quadratic. Length blocking is
-    principled for dedup: Jaccard >= t forces |A|/|B| into [t, 1/t], so
-    near-dups land in the same or ADJACENT buckets — which is why candidate
-    generation is the union of a same-bucket join (doc_id-ordered) and a
-    neighbor-bucket join (a.szbkt + 1 = b.szbkt, pair ordered by
-    least/greatest): boundary-straddling near-dups (e.g. 31 vs 32 distinct
-    tokens) are no longer dropped. Recall vs the unblocked (lang, source)
-    pair set is asserted in tests/test_smoke.py at J >= 0.8. Integer-div
-    bucket = exact cross-engine parity (no float log). Each join side keeps
-    its own bucket, so the union stays a pair of hash-partitioned equi-joins
-    — no theta-join blowup at scale.
-
-    Tokens travel as xxhash64 longs, not strings (r13): the per-pair
-    array_intersect/array_union dominates the block join, and set ops over
-    8-byte longs measured 2× the string form (2.03 → 1.07 s at sf0.1,
-    identical 159,293 rows). Collision mass is the minhash_signatures
-    argument (~distinct-tokens²/2⁶⁴, negligible); the DuckDB oracle keeps
-    raw tokens and the driver hash pins the equivalence every sweep."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")
-    tok = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        toks.alias("toks"),
-        F.floor(F.size(toks) / F.lit(32.0)).alias("szbkt"),
-    ).repartition("lang", "source", "szbkt")
-    # NO localCheckpoint (r14 measured-and-rejected): the repartition
-    # exchange is already reused across the identical same-bucket a/b
-    # subplans, and checkpointing the full tok table for the adjacent
-    # join's sake traded a re-tokenize for block-manager storage of the
-    # corpus — sf0.1 bench-style won ~5% but the 20× single-shot REGRESSED
-    # 36.4 → 38.9 s on cold materialization (the driver's one-shot runs
-    # are always cold)
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    jac = qround(inter.cast("double") / union, 4).alias("jaccard")
-    eq_ls = (F.col("a.lang") == F.col("b.lang")) & (
-        F.col("a.source") == F.col("b.source")
-    )
-    same = (
-        a.join(b, eq_ls & (F.col("a.szbkt") == F.col("b.szbkt")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac,
-        )
-    )
-    adjacent = a.join(b, eq_ls & (F.col("a.szbkt") + 1 == F.col("b.szbkt"))).select(
-        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-        jac,
-    )
-    return same.unionAll(adjacent)
-
-
-_CLUSTER_THRESHOLD = 0.8
-
-_CLUSTERS_ORACLE = f"""
-    WITH RECURSIVE tok AS (
-      SELECT doc_id, lang, source,
-             list_distinct(string_split(text, ' ')) AS toks,
-             floor(len(list_distinct(string_split(text, ' '))) / 32.0) AS szbkt
-      FROM documents
-    ),
-    pairs AS (
-      SELECT least(a.doc_id, b.doc_id) AS doc_a,
-             greatest(a.doc_id, b.doc_id) AS doc_b
-      FROM tok a JOIN tok b
-        ON a.lang = b.lang AND a.source = b.source
-       AND ((a.szbkt = b.szbkt AND a.doc_id < b.doc_id)
-            OR a.szbkt + 1 = b.szbkt)
-      WHERE floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.toks, b.toks)))) * 10000.0 + 0.5)
-                / 10000.0 >= {_CLUSTER_THRESHOLD}
-    ),
-    edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
-      UNION
-      SELECT doc_b AS u, doc_a AS v FROM pairs
-    ),
-    walk(id, label) AS (
-      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-      UNION
-      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.id
-    )
-    SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-    FROM walk GROUP BY id
-    """
-
-
-@_q("q_dedup_clusters", _CLUSTERS_ORACLE)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup PAIRS -> transitive dedup CLUSTERS: connected components
-    over the exact-Jaccard pair set (>= 0.8), cluster id = min member
-    doc_id. This is the step that turns any pairwise dedup signal into a
-    keep-one-per-cluster decision. Spark runs the iterative pointer-jumping
-    label propagation (O(log diameter) rounds, localCheckpoint-truncated
-    lineage — operators/graph.py); the oracle states the same fixpoint as a
-    DuckDB recursive CTE, making this the one iterative algorithm in the
-    suite with an exact cross-engine gate. The recursive-CTE form is
-    O(component_size^2) rows and only viable because dedup clusters are
-    small; the Spark form is the one that scales."""
-    from parquet_to_clickhouse_schema_spark.operators.graph import connected_components
-
-    pairs = q_dedup_ngram(spark, sf_dir).filter(F.col("jaccard") >= _CLUSTER_THRESHOLD)
-    return connected_components(pairs)
-
-
-_PIPELINE_ORACLE = f"""
-    WITH RECURSIVE tok AS (
-      SELECT doc_id, lang, source,
-             list_distinct(string_split(text, ' ')) AS toks,
-             floor(len(list_distinct(string_split(text, ' '))) / 32.0) AS szbkt
-      FROM documents
-    ),
-    near AS (
-      SELECT least(a.doc_id, b.doc_id) AS u,
-             greatest(a.doc_id, b.doc_id) AS v
-      FROM tok a JOIN tok b
-        ON a.lang = b.lang AND a.source = b.source
-       AND ((a.szbkt = b.szbkt AND a.doc_id < b.doc_id)
-            OR a.szbkt + 1 = b.szbkt)
-      WHERE floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.toks, b.toks)))) * 10000.0 + 0.5)
-                / 10000.0 >= {_CLUSTER_THRESHOLD}
-    ),
-    ex AS (
-      SELECT doc_id, n_chars, md5(lower(trim(text))) AS dg FROM documents
-    ),
-    reps AS (
-      SELECT dg, -(max([n_chars, -doc_id])[2]) AS rep_id FROM ex GROUP BY dg
-    ),
-    exact_edges AS (
-      SELECT e.doc_id AS u, r.rep_id AS v FROM ex e JOIN reps r USING (dg)
-      WHERE e.doc_id <> r.rep_id
-    ),
-    edges AS (
-      SELECT u, v FROM near UNION SELECT v, u FROM near
-      UNION SELECT u, v FROM exact_edges UNION SELECT v, u FROM exact_edges
-    ),
-    walk(id, label) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.id
-    ),
-    comp AS (SELECT id AS doc_id, min(label) AS cid FROM walk GROUP BY id),
-    keep AS (
-      SELECT c.cid, -(max([e.n_chars, -e.doc_id])[2]) AS keeper_id
-      FROM comp c JOIN ex e USING (doc_id) GROUP BY c.cid
-    )
-    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
-           CAST(k.keeper_id AS BIGINT) AS keeper_id,
-           CASE WHEN c.doc_id = k.keeper_id THEN 'self'
-                WHEN e.dg = ke.dg THEN 'exact'
-                ELSE 'near' END AS reason
-    FROM comp c
-    JOIN keep k USING (cid)
-    JOIN ex e ON c.doc_id = e.doc_id
-    JOIN ex ke ON k.keeper_id = ke.doc_id
-    """
-
-
-@_q("q_dedup_pipeline", _PIPELINE_ORACLE)
-def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END dedup decision for the whole corpus — the composed form
-    a training-data pipeline actually ships: exact groups (normalized-text
-    digest) and near-dup pairs (blocked exact token-set Jaccard >= 0.8,
-    q_dedup_ngram's lossless blocking) union into one edge set, connected
-    components assign every document a cluster, and each cluster keeps its
-    best copy (most characters, doc_id tiebreak — q_dedup_keep_best's
-    rule). Output is a TOTAL map: one row per input document with its
-    keeper and why it was dropped ('self' kept, 'exact' byte-duplicate of
-    the keeper after normalization, 'near' near-duplicate).
-
-    Exact edges run doc -> its digest group's representative, so a
-    1M-copy group contributes 1M-1 edges to one hub, not copies² — and
-    connectivity through copies in OTHER (lang, source) blocks is
-    preserved because every document, not just group reps, carries its
-    near-dup edges.
-
-    Scale shape: the digest grouping is one map-side-combinable aggregate
-    on a 32-byte key; near pairs come from the blocked equi-join (never
-    all-pairs); pointer-jumping CC is O(log diameter) rounds over the
-    edge list; keeper election is a single max(struct) per cluster. The
-    DuckDB oracle states the same fixpoint as a recursive CTE (viable
-    because dedup clusters are small; the Spark form is the one that
-    scales)."""
-    from parquet_to_clickhouse_schema_spark.operators.graph import connected_components
-
-    d = load_table(spark, sf_dir, "documents")
-    digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
-    docs = d.select("doc_id", "n_chars", digest.alias("dg"))
-    best = F.max(F.struct("n_chars", (-F.col("doc_id")).alias("neg_id")))
-    reps = (
-        docs.groupBy("dg")
-        .agg(best.alias("b"))
-        .select("dg", (-F.col("b.neg_id")).alias("rep_id"))
-    )
-    exact_edges = (
-        docs.join(reps, "dg")
-        .filter(F.col("doc_id") != F.col("rep_id"))
-        .select(F.col("doc_id").alias("doc_a"), F.col("rep_id").alias("doc_b"))
-    )
-    near = (
-        q_dedup_ngram(spark, sf_dir)
-        .filter(F.col("jaccard") >= _CLUSTER_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
-    comp = connected_components(exact_edges.unionByName(near))
-    labeled = docs.join(comp, "doc_id", "left").withColumn(
-        "cid", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-    )
-    keepers = (
-        labeled.groupBy("cid")
-        .agg(best.alias("b"))
-        .select("cid", (-F.col("b.neg_id")).alias("keeper_id"))
-    )
-    keeper_dg = labeled.select(
-        F.col("doc_id").alias("keeper_id"), F.col("dg").alias("keeper_dg")
-    )
-    return (
-        labeled.join(keepers, "cid")
-        .join(keeper_dg, "keeper_id")
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.col("keeper_id").cast("bigint").alias("keeper_id"),
-            F.when(F.col("doc_id") == F.col("keeper_id"), F.lit("self"))
-            .when(F.col("dg") == F.col("keeper_dg"), F.lit("exact"))
-            .otherwise(F.lit("near"))
-            .alias("reason"),
-        )
-    )
-
-
-_EMB_DEDUP_ORACLE = """
-    WITH ex AS (
-      SELECT vec_id,
-             unnest(range(1, len(embedding) + 1)) AS i,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    norms AS (
-      SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id
-    ),
-    dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
-      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-      GROUP BY a.vec_id, b.vec_id
-    )
-    SELECT d.vec_a, d.vec_b,
-           floor((d.dot / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 AS cosine
-    FROM dots d
-    JOIN norms na ON d.vec_a = na.vec_id
-    JOIN norms nb ON d.vec_b = nb.vec_id
-    WHERE d.dot / (na.nrm * nb.nrm) >= 0.5
-"""
-
-
-def _embeddings_rowcount(spark: SparkSession, sf_dir: str) -> int:
-    """Row count from Parquet footers only — a true metadata read on the
-    driver (pyarrow sums row-group counts; no Spark job, no data pages).
-    Sizing the block grid is the only consumer, so the fallback when
-    pyarrow is missing is a column-pruned Spark count."""
-    try:
-        import pyarrow.dataset as ds
-
-        return ds.dataset(
-            f"{sf_dir}/embeddings.parquet", format="parquet"
-        ).count_rows()
-    except Exception:  # noqa: BLE001 — sizing only, any count works
-        return load_table(spark, sf_dir, "embeddings").count()
-
-
-def _empty_pairs(score_col: str):
-    """Empty (vec_id, nbr_id, <score>) frame — the zero-rows return shape
-    shared by every ANN cogroup kernel."""
-    import pandas as pd
-
-    return pd.DataFrame(
-        {
-            "vec_id": pd.Series(dtype="int64"),
-            "nbr_id": pd.Series(dtype="int64"),
-            score_col: pd.Series(dtype="float64"),
-        }
-    )
-
-
-def _partial_topk(a_ids, b_ids, scores, k: int):
-    """Per-query partial top-k over one tile/bucket/list: for each query i,
-    the k best candidates by (score desc, nbr_id asc), self excluded.
-    The lexsort tiebreak matches every oracle's ORDER BY ... DESC, nbr_id,
-    so cross-tile ties resolve exactly as a single global sort would.
-    Returns (vec_ids, nbr_ids, scores) lists."""
-    import numpy as np
-
-    out_vec, out_nbr, out_sc = [], [], []
-    for i in range(len(a_ids)):
-        mask = b_ids != a_ids[i]
-        cand_sc, cand_ids = scores[i][mask], b_ids[mask]
-        sel = np.lexsort((cand_ids, -cand_sc))[:k]
-        out_vec.extend([a_ids[i]] * len(sel))
-        out_nbr.extend(cand_ids[sel])
-        out_sc.extend(cand_sc[sel])
-    return out_vec, out_nbr, out_sc
-
-
-def _unit_rows(pdf, col: str = "embedding"):
-    """(vec_ids, row-normalized float64 matrix) from a pandas batch."""
-    import numpy as np
-
-    mat = np.stack(pdf[col].to_numpy()).astype("float64")
-    return pdf["vec_id"].to_numpy(), mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-
-
-def _block_sides(
-    spark: SparkSession, sf_dir: str, n_qblk: int, n_iblk: int
-) -> tuple[DataFrame, DataFrame]:
-    """Tag the two sides of a 2-D blocked all-pairs comparison.
-
-    Block-matrix decomposition (the dense-linear-algebra SUMMA shape): the
-    query side is hashed into n_qblk row-blocks and fans out across all
-    n_iblk column-blocks; the index side is hashed into n_iblk column-blocks
-    and fans out across all n_qblk row-blocks. Each (qblk, iblk) tile meets
-    in ONE cogroup task, so parallelism is n_qblk * n_iblk tasks (a 1-D
-    split would cap parallelism at n_blocks), and the per-task working set
-    is bounded by (block_rows_q + block_rows_i) * dim doubles regardless of
-    corpus size. Replication cost is n * n_iblk + n * n_qblk shuffled vector
-    rows — the inherent cost of exact all-pairs, minimized for a given task
-    count when the grid is square (sqrt scaling), which is why both defaults
-    are the same block size. The fan-out explode replicates rows in the
-    shuffle write; each parquet scan still runs once per side.
-
-    The two sides are loaded INDEPENDENTLY on purpose: a self-cogroup of one
-    DataFrame trips the analyzer's self-join deduplication — the Python
-    function's right-side argument binding keeps the left side's expression
-    ids, the right child is column-pruned down to the grouping key, and the
-    kernel receives an index pdf without vec_id/embedding (observed as
-    KeyError: 'vec_id' in the worker). Two reads create distinct leaf
-    relations, so both sides bind and prune correctly."""
-    eq = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ei = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    fanout = eq.withColumn(
-        "qblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_qblk)).cast("int")
-    ).withColumn(
-        "iblk", F.explode(F.sequence(F.lit(0), F.lit(n_iblk - 1)).cast("array<int>"))
-    )
-    indexed = ei.withColumn(
-        "iblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_iblk)).cast("int")
-    ).withColumn(
-        "qblk", F.explode(F.sequence(F.lit(0), F.lit(n_qblk - 1)).cast("array<int>"))
-    )
-    return fanout, indexed
-
-
-@_q("q_dedup_embedding", _EMB_DEDUP_ORACLE)
-def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.5): the semantic
-    dedup pass that catches paraphrases exact/MinHash dedup misses.
-
-    Exact all-pairs semantics (matches the oracle bit-for-bit) as ONE
-    distributed job: both sides are 2-D hash-blocked (see _block_sides) and
-    groupBy(qblk, iblk).cogroup(...).applyInPandas runs one BLAS matmul per
-    tile, emitting only pairs above threshold. Each unordered pair surfaces
-    exactly once: every vector lives in exactly one (qblk, iblk) home cell
-    per side and the vec_a < vec_b filter applies inside the kernel. No
-    embedding ever transits the driver (the r2 version collected and
-    re-broadcast the index block-by-block in a serial loop — n_blocks
-    sequential jobs and n_blocks query-side scans; this is one job and one
-    scan per side). The O(n²) comparison count is inherent to EXACT
-    thresholding; the sub-quadratic approximate path is ann_lsh_topk's
-    bucket join with a threshold filter (recall-tested, not oracle-gatable).
-    """
-    import numpy as np
-    import pandas as pd
-
-    n = _embeddings_rowcount(spark, sf_dir)  # footer metadata, no Spark job
-    n_blocks = max(1, -(-n // 1024))
-    fanout, indexed = _block_sides(spark, sf_dir, n_blocks, n_blocks)
-
-    def pairs_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(ipdf) == 0:
-            return pd.DataFrame(
-                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
-                 "cos_raw": pd.Series(dtype="float64")}
-            )
-        a_ids = qpdf["vec_id"].to_numpy()
-        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
-        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-        b_ids = ipdf["vec_id"].to_numpy()
-        b_mat = np.stack(ipdf["embedding"].to_numpy()).astype("float64")
-        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
-        cos = (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
-        ai, bj = np.nonzero((cos >= 0.5) & (a_ids[:, None] < b_ids[None, :]))
-        return pd.DataFrame(
-            {"vec_a": a_ids[ai], "vec_b": b_ids[bj], "cos_raw": cos[ai, bj]}
-        )
-
-    pairs = (
-        fanout.groupBy("qblk", "iblk")
-        .cogroup(indexed.groupBy("qblk", "iblk"))
-        .applyInPandas(pairs_cogroup, schema="vec_a long, vec_b long, cos_raw double")
-    )
-    return pairs.select("vec_a", "vec_b", qround(F.col("cos_raw"), 4).alias("cosine"))
-
-
-_SRC_JACCARD_ORACLE = f"""
-    WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
-    sh0 AS (
-      SELECT source,
-             unnest([array_to_string(t[i:i+{SHINGLE_K - 1}], ' ')
-                     for i in range(1, greatest(len(t)-{SHINGLE_K - 1}, 1)+1)])
-               AS s
-      FROM toks
-    ),
-    sh AS (SELECT DISTINCT source, md5(s) AS dg FROM sh0),
-    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
-    srcs AS (SELECT DISTINCT source FROM documents),
-    inter AS (
-      SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
-      FROM sh a JOIN sh b ON a.dg = b.dg AND a.source < b.source
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT x.source AS source_a, y.source AS source_b
-      FROM srcs x JOIN srcs y ON x.source < y.source
-    )
-    SELECT p.source_a, p.source_b,
-           CAST(coalesce(i.i, 0) AS BIGINT) AS n_inter,
-           {{jac}} AS jaccard
-    FROM pairs p
-    JOIN sizes sa ON sa.source = p.source_a
-    JOIN sizes sb ON sb.source = p.source_b
-    LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
-"""
-
-
-@_q(
-    "q_source_jaccard_matrix",
-    _SRC_JACCARD_ORACLE.format(
-        jac=sql_qround(
-            "coalesce(i.i, 0) * 1.0 / (sa.n + sb.n - coalesce(i.i, 0))", 6
-        )
-    ),
-)
-def q_source_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-level inter-source overlap matrix: exact Jaccard of each
-    source pair's {SHINGLE_K}-word shingle SETS — the corpus-curation
-    number behind dataset-card overlap tables and mix-weight dedup
-    discounts. q_cross_source_dups (text.py) counts whole documents both
-    sources carry verbatim; this measures PARTIAL sharing (quoted
-    passages, boilerplate, syndicated fragments) that whole-doc identity
-    misses entirely — two crawls can share 40% of their shingles with
-    zero identical documents. Dense matrix (every pair emitted, zeros
-    included) with the exact intersection count beside the quantized
-    ratio.
-
-    Shingles are the SHINGLE_K definition shared with the minhash family
-    (shingle_array), digested to 16-byte md5 before any shuffle so raw
-    text never travels. Scale shape: the distinct (source, digest) table
-    is one map-side-combined distinct; per-digest fan-out in the
-    self-join is bounded by the SOURCE count (≤ C(|sources|, 2) pair
-    rows per digest, |sources| ~ 20 — catalog-sized, NOT corpus-sized),
-    so the join emits O(shared shingles × sources²), never all-pairs of
-    documents. Set sizes are a |sources|-row broadcast. Exact integers
-    end to end; the only float is the final ratio, quantized at 1e-6."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            "source",
-            F.explode(shingle_array()).alias("s"),
-        )
-        .select("source", F.md5(F.col("s").cast("binary")).alias("dg"))
-        .distinct()
-    )
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
-    inter = (
-        sh.select(F.col("source").alias("source_a"), "dg")
-        .join(sh.select(F.col("source").alias("source_b"), "dg"), "dg")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("i"))
-    )
-    srcs = docs.select("source").distinct()
-    pairs = (
-        F.broadcast(srcs.select(F.col("source").alias("source_a")))
-        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("source_b"))))
-        .filter(F.col("source_a") < F.col("source_b"))
-    )
-    n_inter = F.coalesce(F.col("i"), F.lit(0))
-    return (
-        pairs.join(inter, ["source_a", "source_b"], "left")
-        .join(
-            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
-            "source_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))),
-            "source_b",
-        )
-        .select(
-            "source_a",
-            "source_b",
-            n_inter.cast("bigint").alias("n_inter"),
-            qround(
-                n_inter * 1.0 / (F.col("na") + F.col("nb") - n_inter), 6
-            ).alias("jaccard"),
-        )
-    )
-
-
-# ------------------------------------------------------------ similarity ---
-
-
-def _as_double_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """float32 → double + precomputed L2 norm (shared by both ANN paths).
-
-    The repartition is a materialization barrier (see minhash_signatures):
-    without it the norm's aggregate expression collapses into the projection
-    above the pair join and is recomputed for every PAIR instead of every
-    row — at n² pairs that triples the per-pair work."""
-    vec = F.transform(F.col(col), lambda x: x.cast("double"))
-    return df.select(
-        "vec_id",
-        vec.alias("vec"),
-        F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)).alias("norm"),
-    ).repartition("vec_id")
-
-
-_COSINE_ORACLE = """
-    WITH ex AS (
-      SELECT vec_id,
-             unnest(range(1, len(embedding) + 1)) AS i,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    norms AS (
-      SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id
-    ),
-    dots AS (
-      SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
-      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
-      GROUP BY a.vec_id, b.vec_id
-    )
-    SELECT vec_id, nbr_id, floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cosine
-    FROM (
-      SELECT d.vec_id, d.nbr_id, d.dot / (na.nrm * nb.nrm) AS cos_sim,
-             row_number() OVER (PARTITION BY d.vec_id
-                                ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.nbr_id) AS rn
-      FROM dots d
-      JOIN norms na ON d.vec_id = na.vec_id
-      JOIN norms nb ON d.nbr_id = nb.vec_id
-    ) WHERE rn <= 3
-"""
-
-
-@_q("q_cosine_topk", _COSINE_ORACLE)
-def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-3 neighbors per vector — the LABELED O(n²)
-    brute-force BASELINE (contract-mandated; do NOT ship this at corpus
-    scale — the sublinear paths are q_ann_lsh_topk / q_ivf_topk /
-    q_pq_topk / q_ivfpq_topk, recall-measured by q_ann_recall_eval).
-    Gated path; see cosine_topk_blocked for the tiled all-pairs plan."""
-    return cosine_topk_blocked(spark, sf_dir, k=3)
-
-
-def cosine_topk_blocked(
-    spark: SparkSession, sf_dir: str, k: int = 3, index_block_rows: int = 1024
-) -> DataFrame:
-    """Exact cosine top-k as ONE distributed job: 2-D block-cogroup
-    all-pairs.
-
-    Both sides are hash-partitioned into a ceil(n / index_block_rows)² tile
-    grid (see _block_sides); each (qblk, iblk) tile meets in
-    groupBy(qblk, iblk).cogroup(...).applyInPandas, where one BLAS matmul
-    (A @ B.T) + lexsort computes the per-tile partial top-k — the classic
-    map-side combine for top-k. A final window re-ranks the partials into
-    the global exact top-k, shuffling only O(n * blocks * k) small rows.
-
-    vs the r2 formulation (collect one block to the driver → broadcast →
-    mapInPandas, serially per block): no embedding transits the driver, one
-    Spark job replaces n_blocks sequential ones, parallelism is the full
-    tile grid instead of one task per index block, and each side is scanned
-    once — the fan-out replicates rows in the shuffle write, not the scan.
-    At 100 TB the executor working set stays bounded by
-    2 x index_block_rows x dim doubles per tile task regardless of corpus
-    size; replication is n * n_blocks rows per side, the inherent cost of
-    EXACT all-pairs — raise index_block_rows as n grows, or switch to the
-    approximate paths (ann_lsh_topk / ivf_topk) which prune candidates
-    instead of blocking them. Tie handling matches the oracle:
-    (-cos, nbr_id), rounded only after the global re-rank — per-tile
-    partials carry RAW cosine so cross-tile ties resolve exactly as the
-    oracle's single sort does."""
-    import numpy as np
-    import pandas as pd
-
-    n = _embeddings_rowcount(spark, sf_dir)  # footer metadata, no Spark job
-    n_blocks = max(1, -(-n // index_block_rows))
-    fanout, indexed = _block_sides(spark, sf_dir, n_blocks, n_blocks)
-
-    def topk_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(ipdf) == 0:
-            return _empty_pairs("cos_raw")
-        a_ids = qpdf["vec_id"].to_numpy()
-        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
-        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-        b_ids = ipdf["vec_id"].to_numpy()
-        b_mat = np.stack(ipdf["embedding"].to_numpy()).astype("float64")
-        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
-        cos = (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
-        out_vec, out_nbr, out_cos = _partial_topk(a_ids, b_ids, cos, k)
-        if not out_vec:
-            return _empty_pairs("cos_raw")
-        return pd.DataFrame({"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_cos})
-
-    partials = (
-        fanout.groupBy("qblk", "iblk")
-        .cogroup(indexed.groupBy("qblk", "iblk"))
-        .applyInPandas(topk_cogroup, schema="vec_id long, nbr_id long, cos_raw double")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "nbr_id")
-    return (
-        partials.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("vec_id", "nbr_id", qround(F.col("cos_raw"), 4).alias("cosine"))
-    )
-
-
-def cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure-JVM formulation of cosine top-k (zip_with + aggregate dot
-    products over a broadcast nested-loop self-join) — the semantics
-    baseline the vectorized q_cosine_topk is tested against."""
-    e = _as_double_vec(load_table(spark, sf_dir, "embeddings"))
-    a = e.select(
-        F.col("vec_id").alias("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("nbr_id"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    sims = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("vec_id") != F.col("nbr_id"))
-        .select("vec_id", "nbr_id", (dot / (F.col("na") * F.col("nb"))).alias("cos_sim"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("vec_id", "nbr_id", qround(F.col("cos_sim"), 4).alias("cosine"))
-    )
-
-
-def ann_lsh_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = 3,
-    n_planes: int | None = None,
-    n_tables: int = 16,
-) -> DataFrame:
-    """Scale path for similarity search: random-hyperplane (SimHash) LSH.
-
-    Each vector gets n_tables bucket signatures (sign pattern against
-    n_planes fixed-seed Gaussian hyperplanes, regenerated identically on
-    every executor — no driver-side state, fully reproducible). One
-    mapInPandas pass computes all signatures as BLAS matmuls + sign-bit
-    packs; candidates then meet in groupBy(tbl, bucket).cogroup(...)
-    .applyInPandas where one matmul ranks each bucket — the same
-    join-not-crossjoin cogroup shape as ivf_topk / cosine tiles.
-    At 100 TB this replaces the O(n²) cross join with a skew-resistant
-    hash join whose cost follows bucket occupancy (~n/2^planes rows per
-    bucket). n_planes therefore AUTO-SIZES with the corpus (footer
-    rowcount, no data scan): ceil(log2(n / 256)) keeps expected occupancy
-    ~256 rows — a fixed plane count silently goes quadratic as n grows
-    (measured: 4 planes is fine at 6k vectors and a 225M-pair blowup at
-    60k). The recall-vs-cost trade moves to n_tables, which multiplies
-    independent chances to collide. Measured recall vs brute force on the
-    hard case of near-orthogonal random vectors: 0.91 at the auto-chosen
-    4 planes x 16 tables on the 500-vector smoke corpus. Not oracle-gated
-    (approximate); tests assert recall against q_cosine_topk.
-    """
-    import math
-
-    import numpy as np
-    import pandas as pd
-
-    if n_planes is None:
-        n = _embeddings_rowcount(spark, sf_dir)
-        n_planes = min(12, max(4, math.ceil(math.log2(max(n, 2) / 256))))
-    npl, ntb = n_planes, n_tables
-
-    # Hyperplanes are a fixed-seed Gaussian matrix REGENERATED on each
-    # executor (dim read off the first batch) — nothing random at plan
-    # level, nothing broadcast, identical on every worker and every run.
-    # Signature computation is one BLAS matmul + sign-bit pack per batch;
-    # the prior formulation (n_tables x n_planes interpreted zip_with
-    # aggregates per ROW) was ~50x slower at sf0.1 for identical output
-    # shape, a whole-column HOF pitfall (see docs/PLANS.md notes).
-    def sig_batches(batches):
-        planes = None
-        weights = (1 << np.arange(npl)).astype("int64")
-        for b in batches:
-            if len(b) == 0:
-                continue
-            mat = np.stack(b["embedding"].to_numpy()).astype("float64")
-            if planes is None:
-                rng = np.random.RandomState(0x5EED)
-                planes = rng.standard_normal((ntb, npl, mat.shape[1]))
-            unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-            for t in range(ntb):
-                bits = unit @ planes[t].T >= 0  # (rows, n_planes)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": b["vec_id"],
-                        "embedding": b["embedding"],
-                        "tbl": np.full(len(b), t, dtype="int32"),
-                        "bucket": bits @ weights,
-                    }
-                )
-
-    sig_schema = "vec_id long, embedding array<float>, tbl int, bucket long"
-    # two independent loads: a self-cogroup of one DataFrame trips the
-    # analyzer's self-join dedup and prunes the right side (see _block_sides)
-    qside = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .mapInPandas(sig_batches, schema=sig_schema)
-    )
-    iside = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .mapInPandas(sig_batches, schema=sig_schema)
-    )
-
-    def rank_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        # per-(table, bucket) all-pairs: one BLAS matmul, partial top-k
-        if len(qpdf) == 0 or len(ipdf) == 0:
-            return _empty_pairs("cos_raw")
-        a_ids, a_unit = _unit_rows(qpdf)
-        b_ids, b_unit = _unit_rows(ipdf)
-        out_vec, out_nbr, out_cos = _partial_topk(a_ids, b_ids, a_unit @ b_unit.T, k)
-        if not out_vec:
-            return _empty_pairs("cos_raw")
-        return pd.DataFrame({"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_cos})
-
-    cand = (
-        qside.groupBy("tbl", "bucket")
-        .cogroup(iside.groupBy("tbl", "bucket"))
-        .applyInPandas(rank_cogroup, schema="vec_id long, nbr_id long, cos_raw double")
-        # the same pair surfaces once per colliding table with an identical
-        # cosine; dedup before the global re-rank
-        .dropDuplicates(["vec_id", "nbr_id"])
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "nbr_id")
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("vec_id", "nbr_id", qround(F.col("cos_raw"), 4).alias("cosine"))
-    )
-
-
-def _train_coarse_centroids(e: DataFrame, n_centroids: int, iters: int = 4):
-    """Distributed coarse-quantizer training for the IVF family (VERDICT r5
-    #3): Lloyd's over the FULL corpus via kmeans_fit instead of a
-    driver-side sample — at 100 TB a bounded sample stops representing the
-    corpus, and this form keeps every heavy step in executors (the only
-    driver traffic is the k x dim per-iteration centroid sums). Vectors are
-    unit-normalized first so kmeans_fit's Euclidean argmin coincides with
-    the cosine argmax the probe/assign kernels use; the returned centroids
-    are re-projected onto the unit sphere (spherical k-means). Deterministic
-    end-to-end (farthest-point init over a hash-ordered sample)."""
-    import numpy as np
-
-    vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(vecd, F.lit(0.0), lambda a, x: a + x * x))
-    ev = e.select("vec_id", F.transform(vecd, lambda x: x / norm).alias("unit"))
-    cent, _ = kmeans_fit(
-        ev, vec_col="unit", k=n_centroids, iters=iters, with_assignments=False
-    )
-    n = np.sqrt((cent * cent).sum(axis=1))[:, None]
-    return cent / np.maximum(n, 1e-12)
-
-
-def ivf_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = 3,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    train_iters: int = 4,
-) -> DataFrame:
-    """IVF-Flat approximate nearest neighbors: the inverted-list scale path.
-
-    Index build: the coarse quantizer is trained DISTRIBUTED end-to-end
-    (_train_coarse_centroids → kmeans_fit: Lloyd's over the full corpus,
-    deterministic farthest-point init); every vector is assigned to its
-    nearest centroid (one small matmul). Query: each vector probes its
-    n_probe nearest centroid lists and ranks only those candidates — cost
-    drops from O(n²) to O(n² * n_probe / n_centroids) with recall
-    controlled by n_probe (measured on the hard case of random
-    near-orthogonal vectors at 16 centroids: recall 0.44/0.63/0.86 at
-    n_probe 2/4/8 with Lloyd-trained centroids, up from 0.31/0.49/0.75
-    under plain sampled centroids; clustered real-world embeddings do
-    far better still).
-
-    At 100 TB: centroid assignment is a broadcast matmul (centroids are
-    tiny); candidate ranking is a COGROUP on centroid id — the same
-    join-not-crossjoin shape as MinHash banding and hyperplane LSH, so it
-    partitions and scales identically. The only driver-side collect is the
-    n_centroids sample rows (TakeOrdered, bounded) — the index itself stays
-    distributed: assignment and probing each run as one mapInPandas pass,
-    and each (query-probe, inverted-list) pair meets in
-    groupBy(cid).cogroup(...).applyInPandas where one BLAS matmul ranks the
-    list. Probing shuffles n_probe copies of the query vectors — the
-    standard distributed-IVF trade (bucket by cid to pre-partition it away).
-    Approximate → not oracle-gated; tests assert recall vs q_cosine_topk.
-    """
-    import numpy as np
-    import pandas as pd
-
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    # coarse quantizer: distributed Lloyd's over the whole corpus — the
-    # driver only ever sees k x dim centroid matrices, never the data
-    cmat = _train_coarse_centroids(e, n_centroids, iters=train_iters)
-    bc_cent = spark.sparkContext.broadcast(cmat)
-
-    def assign_batches(batches):
-        # inverted lists: each vector tagged with its nearest centroid id
-        cm = bc_cent.value
-        for batch in batches:
-            mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-            yield pd.DataFrame(
-                {
-                    "vec_id": batch["vec_id"],
-                    "embedding": batch["embedding"],
-                    "cid": np.argmax(unit @ cm.T, axis=1).astype("int32"),
-                }
-            )
-
-    def probe_batches(batches):
-        # each query fans out to its n_probe nearest centroid lists
-        cm = bc_cent.value
-        for batch in batches:
-            mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-            probes = np.argsort(-(unit @ cm.T), axis=1, kind="stable")[:, :n_probe]
-            n_rows = len(batch)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(batch["vec_id"].to_numpy(), n_probe),
-                    "embedding": batch["embedding"].iloc[
-                        np.repeat(np.arange(n_rows), n_probe)
-                    ].to_numpy(),
-                    "cid": probes.reshape(-1).astype("int32"),
-                }
-            )
-
-    vec_schema = "vec_id long, embedding array<float>, cid int"
-    assigned = e.mapInPandas(assign_batches, schema=vec_schema)
-    probed = e.mapInPandas(probe_batches, schema=vec_schema)
-
-    def rank_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        # queries probing this centroid x index vectors assigned to it:
-        # one matmul per centroid list, partial top-k per query
-        if len(qpdf) == 0 or len(ipdf) == 0:
-            return _empty_pairs("cos_raw")
-        a_ids, a_unit = _unit_rows(qpdf)
-        b_ids, b_unit = _unit_rows(ipdf)
-        out_vec, out_nbr, out_cos = _partial_topk(a_ids, b_ids, a_unit @ b_unit.T, k)
-        if not out_vec:
-            return _empty_pairs("cos_raw")
-        return pd.DataFrame({"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_cos})
-
-    cand = (
-        probed.groupBy("cid")
-        .cogroup(assigned.groupBy("cid"))
-        .applyInPandas(rank_cogroup, schema="vec_id long, nbr_id long, cos_raw double")
-    )
-    # global re-rank of the per-list partials (a vector assigned to exactly
-    # one list and probing distinct lists never yields duplicate pairs)
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "nbr_id")
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("vec_id", "nbr_id", qround(F.col("cos_raw"), 4).alias("cosine"))
-    )
-
-
-def pq_train_codebooks_distributed(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    m: int = 8,
-    ksub: int = 16,
-    iters: int = 10,
-):
-    """Per-subspace Lloyd k-means codebooks trained DISTRIBUTED over the
-    full corpus (VERDICT r8 #5 — finishes what the IVF coarse quantizer
-    started; replaces the r5-era bounded-sample training path in
-    pq_topk/ivfpq_topk).
-
-    All m subspaces train in ONE set of Spark jobs, not m separate
-    k-means runs: per iteration a single mapInPandas pass slices each
-    Arrow batch into its m subvectors, assigns every (row, subspace) to
-    its nearest codeword against the broadcast codebooks, and emits the
-    per-batch PARTIAL SUMS — at most m*ksub*dsub rows per batch — so the
-    shuffle and the driver collect carry codebook-sized aggregates
-    (m*ksub*dsub = dim*ksub scalars, 1024 doubles at dim=64/ksub=16),
-    never vectors. This is the same reduction shape as kmeans_fit's
-    update step but with the assign and the partial sum fused into the
-    scan, so there is no per-row label join and no posexplode of the
-    corpus.
-
-    Driver-side work is exactly the bounded seed (the first ksub
-    hash-ordered unit vectors) plus the k-sized per-iteration collect.
-    Deterministic up to float-sum reduction order (same contract as
-    kmeans_fit; the PQ keys are rows-only, recall-asserted).
-    Empty clusters keep their previous codeword."""
-    import numpy as np
-    import pandas as pd
-
-    spark = df.sparkSession
-    seed = (
-        df.withColumn("_h", F.xxhash64(id_col))
-        .orderBy("_h", id_col)
-        .limit(ksub)
-        .select(vec_col)
-        .toPandas()
-    )
-    smat = np.stack(seed[vec_col].to_numpy()).astype("float64")
-    smat = smat / np.sqrt((smat * smat).sum(axis=1))[:, None]
-    dim = smat.shape[1]
-    if dim % m != 0:
-        raise ValueError(
-            f"pq_train_codebooks_distributed: dim {dim} not divisible by "
-            f"m={m}"
-        )
-    dsub = dim // m
-    books = np.empty((m, ksub, dsub))
-    for s in range(m):
-        sub = smat[:, s * dsub : (s + 1) * dsub]
-        cent = sub[: min(ksub, len(sub))].copy()
-        if len(cent) < ksub:  # degenerate tiny input: pad by repeating
-            cent = np.resize(cent, (ksub, dsub))
-        books[s] = cent
-
-    base = df.select(F.col(vec_col).alias("_v"))
-    bcs = []
-    for _ in range(iters):
-        bc = spark.sparkContext.broadcast(books)
-        bcs.append(bc)
-
-        def partial_sums(batches, _bc=bc):
-            cb = _bc.value  # (m, ksub, dsub)
-            m_, ksub_, dsub_ = cb.shape
-            for b in batches:
-                if len(b) == 0:
-                    continue
-                mat = np.stack(b["_v"].to_numpy()).astype("float64")
-                unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-                ss, ll, ii, vv, nn = [], [], [], [], []
-                for s in range(m_):
-                    sub = unit[:, s * dsub_ : (s + 1) * dsub_]
-                    c = cb[s]
-                    d2 = (
-                        (sub * sub).sum(1)[:, None]
-                        - 2.0 * (sub @ c.T)
-                        + (c * c).sum(1)[None, :]
-                    )
-                    lab = d2.argmin(axis=1)
-                    for lbl in np.unique(lab):
-                        pts = sub[lab == lbl]
-                        ss.extend([s] * dsub_)
-                        ll.extend([int(lbl)] * dsub_)
-                        ii.extend(range(dsub_))
-                        vv.extend(pts.sum(axis=0).tolist())
-                        nn.extend([len(pts)] * dsub_)
-                yield pd.DataFrame(
-                    {"s": ss, "label": ll, "i": ii, "psum": vv, "pn": nn}
-                )
-
-        agg = (
-            base.mapInPandas(
-                partial_sums, schema="s int, label int, i int, psum double, pn long"
-            )
-            .groupBy("s", "label", "i")
-            .agg(F.sum("psum").alias("sv"), F.sum("pn").alias("nv"))
-            .collect()
-        )
-        new = books.copy()
-        acc = np.zeros((m, ksub, dsub))
-        cnt = np.zeros((m, ksub), dtype="int64")
-        for r in agg:
-            acc[r["s"], r["label"], r["i"]] = r["sv"]
-            cnt[r["s"], r["label"]] = r["nv"]
-        for s in range(m):
-            for c_i in range(ksub):
-                if cnt[s, c_i]:
-                    new[s, c_i] = acc[s, c_i] / cnt[s, c_i]
-        books = new
-    for bc in bcs:
-        bc.unpersist()
-    return books
-
-
-def pq_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = 3,
-    m: int = 8,
-    ksub: int = 16,
-    train_iters: int = 10,
-    refine: int = 64,
-    index_block_rows: int = 1024,
-) -> DataFrame:
-    """Product-quantization ANN (PQ-ADC + exact re-rank): the
-    memory-compression scale path for similarity search.
-
-    Index build: unit vectors are split into m subvectors; per-subspace
-    k-means codebooks (trained DISTRIBUTED over the full corpus — one
-    fused assign+partial-sum pass per iteration covering all m subspaces,
-    `pq_train_codebooks_distributed`) quantize each
-    subvector to a code — the stored index is m small ints per vector
-    (m bytes at ksub<=256) instead of dim floats: 32x less index shuffled,
-    cached, and scanned at dim=64/m=8. Query: asymmetric distance
-    computation — one lookup table per (query, subspace) against the
-    broadcast codebooks, then the approximate inner product of every
-    candidate is m table lookups, no float math per pair. The coarse scan
-    keeps the top `refine` candidates per query; an exact-cosine re-rank
-    over raw vectors (refine * n rows, not n²) restores precision — the
-    standard IVFADC shape minus the coarse quantizer (compose with
-    ivf_topk's centroid partitioning for both). Measured on the hard case
-    of 500 near-orthogonal random vectors (m=8, ksub=16): recall vs brute
-    force 0.68 / 0.84 / 0.96 at refine 32 / 64 / 128 — `refine` is the
-    recall-vs-shuffle knob, and stays O(n * refine), never O(n²).
-
-    Distribution: same 2-D block cogroup as cosine_topk_blocked, but the
-    index side ships CODES ONLY — at 100 TB the all-pairs tile traffic
-    drops by the compression ratio, which is the whole point of PQ.
-    Approximate → rows-only; tests assert recall vs q_cosine_topk."""
-    import numpy as np
-    import pandas as pd
-
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    # --- train: distributed per-subspace k-means over the FULL corpus ---
-    # (VERDICT r8 #5 — no driver-side sample beyond the ksub-row seed;
-    # per-iteration traffic is the m*ksub*dsub partial-sum table)
-    try:
-        books = pq_train_codebooks_distributed(e, m=m, ksub=ksub, iters=train_iters)
-    except ValueError as exc:
-        raise ValueError(
-            f"pq_topk: embedding dim is not divisible by m={m} "
-            "subspaces; pick m dividing dim (otherwise the trailing "
-            "dimensions would be silently dropped)"
-        ) from exc
-    dsub = books.shape[2]
-    bc_books = spark.sparkContext.broadcast(books)
-
-    # --- encode: one mapInPandas pass tags every vector with its m codes ---
-    def encode_batches(batches):
-        cb = bc_books.value
-        for b in batches:
-            mat = np.stack(b["embedding"].to_numpy()).astype("float64")
-            unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-            codes = np.empty((len(b), m), dtype="int32")
-            for s in range(m):
-                sub = unit[:, s * dsub : (s + 1) * dsub]
-                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame({"vec_id": b["vec_id"], "codes": list(codes)})
-
-    codes_df = e.mapInPandas(encode_batches, schema="vec_id long, codes array<int>")
-
-    # --- coarse ADC scan: 2-D block cogroup, queries x codes ---
-    n = _embeddings_rowcount(spark, sf_dir)
-    n_blocks = max(1, -(-n // index_block_rows))
-    queries = e.withColumn(
-        "qblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
-    ).withColumn(
-        "iblk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)).cast("array<int>"))
-    )
-    indexed = codes_df.withColumn(
-        "iblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
-    ).withColumn(
-        "qblk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)).cast("array<int>"))
-    )
-
-    def adc_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(ipdf) == 0:
-            return _empty_pairs("approx_dot")
-        cb = bc_books.value  # (m, ksub, dsub)
-        a_ids, a_unit = _unit_rows(qpdf)
-        b_ids = ipdf["vec_id"].to_numpy()
-        codes = np.stack(ipdf["codes"].to_numpy())  # (ni, m)
-        # lookup tables: lut[q, s, c] = <q_sub[s], codebook[s][c]>
-        qsub = a_unit.reshape(len(a_ids), m, dsub)
-        lut = np.einsum("qsd,skd->qsk", qsub, cb)
-        # ADC as one dgemm: lut (nq, m*ksub) x one-hot codes (ni, m*ksub)ᵀ.
-        # The textbook per-subspace gather (acc += lut[:, s, codes[:, s]])
-        # is memory-gather-bound and measured ~4x slower than BLAS here;
-        # the one-hot matmul costs m*ksub-dim inner products but stays in
-        # dgemm. (The storage/shuffle win — codes, not floats — is
-        # unchanged; ADC compute only beats dgemm at much higher dim.)
-        oh = np.zeros((len(b_ids), m * ksub))
-        oh[np.arange(len(b_ids))[:, None], np.arange(m)[None, :] * ksub + codes] = 1.0
-        acc = lut.reshape(len(a_ids), m * ksub) @ oh.T
-        out_vec, out_nbr, out_dot = _partial_topk(a_ids, b_ids, acc, refine)
-        if not out_vec:
-            return _empty_pairs("approx_dot")
-        return pd.DataFrame(
-            {"vec_id": out_vec, "nbr_id": out_nbr, "approx_dot": out_dot}
-        )
-
-    partials = (
-        queries.groupBy("qblk", "iblk")
-        .cogroup(indexed.groupBy("qblk", "iblk"))
-        .applyInPandas(adc_cogroup, schema="vec_id long, nbr_id long, approx_dot double")
-    )
-    w_coarse = Window.partitionBy("vec_id").orderBy(F.col("approx_dot").desc(), "nbr_id")
-    cand = (
-        partials.withColumn("rn", F.row_number().over(w_coarse))
-        .filter(F.col("rn") <= refine)
-        .select("vec_id", "nbr_id")
-    )
-
-    # --- exact re-rank: refine * n rows, JVM-side zip_with dot product ---
-    va = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
-    )
-    vb = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id").alias("nbr_id"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    exact = cand.join(va, "vec_id").join(vb, "nbr_id").select(
-        "vec_id", "nbr_id", (dot / (F.col("na") * F.col("nb"))).alias("cos_sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
-    return (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("vec_id", "nbr_id", qround(F.col("cos_sim"), 4).alias("cosine"))
-    )
-
-
-def ivfpq_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = 3,
-    n_centroids: int = 16,
-    n_probe: int = 8,
-    m: int = 8,
-    ksub: int = 16,
-    train_iters: int = 10,
-    refine: int = 64,
-) -> DataFrame:
-    """IVF-PQ: the full FAISS-style IVFADC composition — and the shape that
-    actually survives 100 TB on BOTH axes:
-
-    - COMPUTE is sub-quadratic: queries probe only n_probe of n_centroids
-      inverted lists (ivf_topk's cogroup-on-centroid), so the candidate
-      count is ~n * n_probe / n_centroids per query side, never all pairs.
-    - MEMORY/SHUFFLE is compressed: inside a list, candidates are ranked
-      by PQ-ADC against m byte-codes per vector (pq_topk's one-hot dgemm),
-      so the inverted lists shuffle/cache codes, not raw vectors — the
-      index fits ~32x more vectors per executor at dim=64/m=8.
-
-    The coarse quantizer trains DISTRIBUTED over the full corpus
-    (_train_coarse_centroids → kmeans_fit), and so do the PQ codebooks
-    (`pq_train_codebooks_distributed` — residual codebooks are skipped so
-    the encode pass stays identical to pq_topk). Encode+assign is one
-    mapInPandas pass emitting (cid, codes);
-    probing fans each query to its n_probe nearest centroids; the
-    per-list ADC cogroup keeps top `refine` per (query, list); a global
-    window merges lists and an exact-cosine re-rank over refine*n rows
-    restores precision. Approximate → rows-only; tests assert recall vs
-    q_cosine_topk."""
-    import numpy as np
-    import pandas as pd
-
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    # --- BOTH quantizers train DISTRIBUTED over the full corpus: the
-    # coarse centroids via kmeans_fit (VERDICT r5 #3) and the per-subspace
-    # PQ codebooks via the fused assign+partial-sum pass (VERDICT r8 #5).
-    # Driver-side transit is the two bounded seeds plus k-sized
-    # per-iteration aggregates — no corpus sample ever lands on the driver.
-    cmat = _train_coarse_centroids(e, n_centroids, iters=4)
-    bc_cent = spark.sparkContext.broadcast(cmat)
-    try:
-        books = pq_train_codebooks_distributed(e, m=m, ksub=ksub, iters=train_iters)
-    except ValueError as exc:
-        raise ValueError(
-            f"ivfpq_topk: embedding dim is not divisible by m={m} "
-            "subspaces; pick m dividing dim (otherwise the trailing "
-            "dimensions would be silently dropped)"
-        ) from exc
-    dsub = books.shape[2]
-    bc_books = spark.sparkContext.broadcast(books)
-
-    # --- index: one pass emits (cid, codes) per vector — codes only ---
-    def encode_assign(batches):
-        cm = bc_cent.value
-        cb = bc_books.value
-        for b in batches:
-            if len(b) == 0:
-                continue
-            mat = np.stack(b["embedding"].to_numpy()).astype("float64")
-            unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-            codes = np.empty((len(b), m), dtype="int32")
-            for s in range(m):
-                sub = unit[:, s * dsub : (s + 1) * dsub]
-                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": b["vec_id"],
-                    "cid": np.argmax(unit @ cm.T, axis=1).astype("int32"),
-                    "codes": list(codes),
-                }
-            )
-
-    indexed = e.mapInPandas(
-        encode_assign, schema="vec_id long, cid int, codes array<int>"
-    )
-
-    # --- queries fan out to their n_probe nearest lists (raw vector) ---
-    def probe(batches):
-        cm = bc_cent.value
-        for b in batches:
-            if len(b) == 0:
-                continue
-            mat = np.stack(b["embedding"].to_numpy()).astype("float64")
-            unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-            probes = np.argsort(-(unit @ cm.T), axis=1, kind="stable")[:, :n_probe]
-            n_rows = len(b)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(b["vec_id"].to_numpy(), n_probe),
-                    "embedding": b["embedding"].iloc[
-                        np.repeat(np.arange(n_rows), n_probe)
-                    ].to_numpy(),
-                    "cid": probes.reshape(-1).astype("int32"),
-                }
-            )
-
-    probed = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .mapInPandas(probe, schema="vec_id long, embedding array<float>, cid int")
-    )
-
-    # --- per-list ADC ranking: cogroup on centroid id, codes side only ---
-    def adc_rank(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        # same one-hot-dgemm ADC as pq_topk's kernel (see the comment
-        # there for why this beats the per-subspace gather)
-        if len(qpdf) == 0 or len(ipdf) == 0:
-            return _empty_pairs("approx_dot")
-        cb = bc_books.value
-        a_ids, a_unit = _unit_rows(qpdf)
-        b_ids = ipdf["vec_id"].to_numpy()
-        codes = np.stack(ipdf["codes"].to_numpy())
-        lut = np.einsum("qsd,skd->qsk", a_unit.reshape(len(a_ids), m, dsub), cb)
-        oh = np.zeros((len(b_ids), m * ksub))
-        oh[np.arange(len(b_ids))[:, None], np.arange(m)[None, :] * ksub + codes] = 1.0
-        acc = lut.reshape(len(a_ids), m * ksub) @ oh.T
-        out_vec, out_nbr, out_dot = _partial_topk(a_ids, b_ids, acc, refine)
-        if not out_vec:
-            return _empty_pairs("approx_dot")
-        return pd.DataFrame(
-            {"vec_id": out_vec, "nbr_id": out_nbr, "approx_dot": out_dot}
-        )
-
-    partials = (
-        probed.groupBy("cid")
-        .cogroup(indexed.groupBy("cid"))
-        .applyInPandas(adc_rank, schema="vec_id long, nbr_id long, approx_dot double")
-    )
-    w_coarse = Window.partitionBy("vec_id").orderBy(F.col("approx_dot").desc(), "nbr_id")
-    cand = (
-        partials.withColumn("rn", F.row_number().over(w_coarse))
-        .filter(F.col("rn") <= refine)
-        .select("vec_id", "nbr_id")
-    )
-
-    # --- exact re-rank over refine*n candidate rows ---
-    va = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
-    )
-    vb = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id").alias("nbr_id"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    exact = cand.join(va, "vec_id").join(vb, "nbr_id").select(
-        "vec_id", "nbr_id", (dot / (F.col("na") * F.col("nb"))).alias("cos_sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
-    return (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("vec_id", "nbr_id", qround(F.col("cos_sim"), 4).alias("cosine"))
-    )
-
-
-@_q("q_ivfpq_topk")  # rows-only: approximate — recall vs q_cosine_topk is test-asserted
-def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible entry for the IVF-PQ composition (16 lists x 8
-    probes, 8x16 codebooks, refine=64). See ivfpq_topk."""
-    return ivfpq_topk(spark, sf_dir)
-
-
-@_q("q_pq_topk")  # rows-only: approximate — recall vs q_cosine_topk is test-asserted
-def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible entry for the product-quantization ANN path (defaults:
-    k=3, 8 subspaces x 16 codes, refine=64). See pq_topk for the 100-TB
-    compression story."""
-    return pq_topk(spark, sf_dir)
-
-
-@_q("q_ann_lsh_topk")  # rows-only: approximate — recall vs q_cosine_topk is test-asserted
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible entry for the hyperplane-LSH ANN scale path (k=3,
-    auto-sized planes x 16 tables, recall ~0.90 vs brute force on random
-    near-orthogonal vectors at smoke scale). See ann_lsh_topk for the
-    100-TB design notes."""
-    return ann_lsh_topk(spark, sf_dir)
-
-
-@_q("q_ivf_topk")  # rows-only: approximate — recall vs q_cosine_topk is test-asserted
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible entry for the IVF-Flat ANN scale path (defaults: k=3,
-    16 centroids, 4 probes). See ivf_topk for the 100-TB design notes."""
-    return ivf_topk(spark, sf_dir)
-
-
-# ---------------------------------------------------- verified ANN (r10) ---
-# The ANN family (q_ann_lsh_topk / q_ivf_topk / q_pq_topk / q_ivfpq_topk) is
-# rows-only because its hyperplanes/codebooks come from numpy RNG + trained
-# k-means — not expressible in SQL. This variant closes that gap: the
-# hyperplanes are DERIVED FROM md5, a function both engines share, so the
-# ENTIRE pipeline (signature -> band buckets -> candidate equi-join -> exact
-# re-rank) has a bit-faithful DuckDB twin and the LSH path itself gets a
-# hash-checked driver row — not just its brute-force baseline.
-
-ANN_V_DIM = 64  # embeddings.embedding width at every SF (TESTDATA.md)
-ANN_V_PLANES = 32
-ANN_V_BAND_BITS = 8  # 4 bands x 8 bits
-ANN_V_K = 3
-
-_ANN_VERIFIED_ORACLE = f"""
-    WITH planes AS (
-      SELECT p, d,
-             CASE WHEN substr(md5('h:' || p || ':' || d), 1, 1) <= '7'
-                  THEN 1.0 ELSE -1.0 END AS s
-      FROM (SELECT unnest(range(0, {ANN_V_PLANES})) AS p),
-           (SELECT unnest(range(0, {ANN_V_DIM})) AS d)
-    ),
-    ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    proj AS (
-      SELECT vec_id, p, sum(v * s) AS proj
-      FROM ex JOIN planes USING (d) GROUP BY vec_id, p
-    ),
-    sig AS (
-      SELECT vec_id, CAST(p // {ANN_V_BAND_BITS} AS INT) AS band,
-             string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END,
-                        '' ORDER BY p) AS bucket
-      FROM proj GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-      FROM sig a JOIN sig b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ),
-    cand AS (
-      SELECT va AS vec_id, vb AS nbr_id FROM pairs
-      UNION ALL
-      SELECT vb AS vec_id, va AS nbr_id FROM pairs
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    dots AS (
-      SELECT c.vec_id, c.nbr_id, sum(a.v * b.v) AS dot
-      FROM cand c
-      JOIN ex a ON a.vec_id = c.vec_id
-      JOIN ex b ON b.vec_id = c.nbr_id AND a.d = b.d
-      GROUP BY c.vec_id, c.nbr_id
-    )
-    SELECT vec_id, nbr_id,
-           floor(cos_sim * 10000.0 + 0.5) / 10000.0 AS cosine
-    FROM (
-      SELECT d.vec_id, d.nbr_id, d.dot / (na.nrm * nb.nrm) AS cos_sim,
-             row_number() OVER (PARTITION BY d.vec_id
-                                ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
-                                         d.nbr_id) AS rn
-      FROM dots d
-      JOIN norms na ON d.vec_id = na.vec_id
-      JOIN norms nb ON d.nbr_id = nb.vec_id
-    ) WHERE rn <= {ANN_V_K}
-"""
-
-
-def _ann_plane_grid(spark: SparkSession) -> DataFrame:
-    """(p, d, s) — the md5-derived ±1 hyperplane matrix both engines
-    rebuild (s = +1 iff the first hex nibble of md5('h:p:d') <= '7')."""
-    return (
-        spark.range(ANN_V_PLANES)
-        .select(F.col("id").alias("p"))
-        .crossJoin(spark.range(ANN_V_DIM).select(F.col("id").alias("d")))
-        .select(
-            "p",
-            "d",
-            F.when(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.lit("h"),
-                            F.col("p").cast("string"),
-                            F.col("d").cast("string"),
-                        ).cast("binary")
-                    ),
-                    1,
-                    1,
-                )
-                <= "7",
-                F.lit(1.0),
-            )
-            .otherwise(F.lit(-1.0))
-            .alias("s"),
-        )
-    )
-
-
-def _ann_plane_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, bits: array<string>) — each vector's full
-    {ANN_V_PLANES}-bit hyperplane signature, computed ROW-LOCALLY: the
-    plane matrix is aggregated into ONE broadcast array-of-arrays row
-    (p-major, d-ascending — the exact summation order of the
-    posexplode+groupBy form, so projections are bit-identical) and each
-    vector folds all P projections in a single scan stage.
-
-    The fold lambdas are INTERPRETED per element (not codegen'd), so this
-    form only wins when one fold pass feeds several consumers/layouts —
-    q_lsh_param_sweep (3 bandings, measured 3.87 -> 3.32 s interleaved
-    A/B). Single-layout consumers keep the codegen'd explode form
-    (_ann_v_signatures — measured the other way, see its docstring)."""
-    planes = _ann_plane_grid(spark)
-    planes_row = (
-        planes.groupBy("p")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "s"))),
-                lambda x: x["s"],
-            ).alias("sarr")
-        )
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "sarr"))),
-                lambda x: x["sarr"],
-            ).alias("planes")
-        )
-    )
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    return emb.crossJoin(F.broadcast(planes_row)).select(
-        "vec_id",
-        F.transform(
-            "planes",
-            lambda pl: F.when(
-                F.aggregate(
-                    F.zip_with(F.col("v"), pl, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0")),
-        ).alias("bits"),
-    )
-
-
-def _band_buckets(bits_df: DataFrame, bits_per_band: int) -> DataFrame:
-    """(vec_id, band, bucket) from a _ann_plane_bits frame: slice the
-    P-bit array into P/bits_per_band band buckets, row-locally."""
-    n_bands = ANN_V_PLANES // bits_per_band
-    return bits_df.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.cast("int").alias("band"),
-                    F.array_join(
-                        F.slice("bits", b * bits_per_band + 1, bits_per_band),
-                        "",
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
-
-
-def _ann_v_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, band, bucket) LSH signatures from the md5-derived ±1
-    hyperplanes shared by q_ann_verified_topk and q_ann_recall_eval — both
-    engines rebuild the identical planes, so the banded buckets hash-match.
-
-    Deliberately the CODEGEN'D posexplode+groupBy form, NOT the row-local
-    _ann_plane_bits fold (r16 measured-and-rejected for the single-layout
-    consumers: higher-order-function lambdas are interpreted per element,
-    and the 64-plane x 64-dim fold costs more CPU than the whole-stage-
-    codegen explode + map-side-combined shuffle it avoids — interleaved
-    A/B at sf0.1: explode 2.15 s vs fold 2.94 s on q_ann_verified_topk,
-    2.06 vs 2.48 on q_ann_recall_eval. The fold form wins only when its
-    cost is amortized over several layouts: q_lsh_param_sweep keeps it)."""
-    planes = _ann_plane_grid(spark)
-    ex = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
-        .withColumn("v", F.col("v").cast("double"))
-    )
-    proj = (
-        ex.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("v") * F.col("s")).alias("proj"))
-    )
-    bits = proj.select(
-        "vec_id",
-        (F.col("p") / ANN_V_BAND_BITS).cast("int").alias("band"),
-        "p",
-        F.when(F.col("proj") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
-    )
-    return bits.groupBy("vec_id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "bit"))),
-                lambda x: x["bit"],
-            ),
-            "",
-        ).alias("bucket")
-    )
-
-
-@_q("q_ann_verified_topk", _ANN_VERIFIED_ORACLE)
-def q_ann_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN with a FULL oracle gate (r10): signatures come
-    from md5-derived ±1 hyperplanes (s(p,d) = +1 iff the first hex nibble
-    of md5('h:p:d') <= '7') instead of numpy RNG, so DuckDB rebuilds the
-    identical planes, signatures, band buckets and candidate pairs, then
-    re-ranks them with the same exact cosine — the driver's hash check
-    covers the LSH path end-to-end, not merely a brute-force proxy.
-
-    Shape: {ANN_V_PLANES} planes in {ANN_V_PLANES // ANN_V_BAND_BITS}
-    bands of {ANN_V_BAND_BITS} bits; a random pair collides ~(1/2^8) per
-    band (~1.6% overall) while near-duplicates collide with high
-    probability — the standard recall/candidate-count dial.
-
-    Scale shape: the plane table ({ANN_V_PLANES}x{ANN_V_DIM} rows) is a
-    broadcast; projections are one map-side-combined groupBy(vec_id, p)
-    over the posexploded stream (n x dim rows in, n x planes out);
-    signatures group per (vec_id, band); candidates are a banded
-    EQUI-join (each bucket joins only its own members — never all-pairs);
-    the exact re-rank touches only candidate rows. At 100 TB the only
-    skew risk is a hot bucket (near-constant vectors); the ceiling fix is
-    the same document-frequency cap q_substring_dup applies to anchors.
-    Float caveat: cross-engine doubles differ by summation order only
-    (~1e-15 relative); the proj >= 0 bit threshold and the 1e-4 cosine
-    quantization sit ~10 orders of magnitude above that."""
-    sig = _ann_v_signatures(spark, sf_dir)
-    a, b = sig.alias("a"), sig.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
-        .distinct()
-    )
-    cand = pairs.select(F.col("va").alias("vec_id"), F.col("vb").alias("nbr_id")).unionAll(
-        pairs.select(F.col("vb").alias("vec_id"), F.col("va").alias("nbr_id"))
-    )
-    va = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
-    )
-    vb = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("vec").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    exact = cand.join(va, "vec_id").join(vb, "nbr_id").select(
-        "vec_id", "nbr_id", (dot / (F.col("na") * F.col("nb"))).alias("cos_sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
-    return (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= ANN_V_K)
-        .select("vec_id", "nbr_id", qround(F.col("cos_sim"), 4).alias("cosine"))
-    )
-
-
-RQ_N = 32  # evaluation query sample size (fixed — NOT a corpus fraction)
-RQ_K = 10  # recall@k cutoff
-
-_ANN_RECALL_ORACLE = f"""
-    WITH planes AS (
-      SELECT p, d,
-             CASE WHEN substr(md5('h:' || p || ':' || d), 1, 1) <= '7'
-                  THEN 1.0 ELSE -1.0 END AS s
-      FROM (SELECT unnest(range(0, {ANN_V_PLANES})) AS p),
-           (SELECT unnest(range(0, {ANN_V_DIM})) AS d)
-    ),
-    ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    proj AS (
-      SELECT vec_id, p, sum(v * s) AS proj
-      FROM ex JOIN planes USING (d) GROUP BY vec_id, p
-    ),
-    sig AS (
-      SELECT vec_id, CAST(p // {ANN_V_BAND_BITS} AS INT) AS band,
-             string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END,
-                        '' ORDER BY p) AS bucket
-      FROM proj GROUP BY 1, 2
-    ),
-    q AS (
-      SELECT vec_id FROM embeddings
-      ORDER BY md5('rq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {RQ_N}
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    exd AS (
-      SELECT qq.vec_id AS qid, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
-      FROM q qq
-      JOIN ex a ON a.vec_id = qq.vec_id
-      JOIN ex b ON b.d = a.d AND b.vec_id <> qq.vec_id
-      GROUP BY 1, 2
-    ),
-    exact AS (
-      SELECT qid, nbr_id FROM (
-        SELECT d.qid, d.nbr_id,
-               row_number() OVER (PARTITION BY d.qid
-                                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
-                                           d.nbr_id) AS rn
-        FROM exd d
-        JOIN norms na ON d.qid = na.vec_id
-        JOIN norms nb ON d.nbr_id = nb.vec_id
-      ) WHERE rn <= {RQ_K}
-    ),
-    cand AS (
-      SELECT DISTINCT qq.vec_id AS qid, s2.vec_id AS nbr_id
-      FROM q qq
-      JOIN sig s1 ON s1.vec_id = qq.vec_id
-      JOIN sig s2 ON s2.band = s1.band AND s2.bucket = s1.bucket
-                 AND s2.vec_id <> qq.vec_id
-    ),
-    anndot AS (
-      SELECT c.qid, c.nbr_id, sum(a.v * b.v) AS dot
-      FROM cand c
-      JOIN ex a ON a.vec_id = c.qid
-      JOIN ex b ON b.vec_id = c.nbr_id AND b.d = a.d
-      GROUP BY 1, 2
-    ),
-    ann AS (
-      SELECT qid, nbr_id FROM (
-        SELECT d.qid, d.nbr_id,
-               row_number() OVER (PARTITION BY d.qid
-                                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
-                                           d.nbr_id) AS rn
-        FROM anndot d
-        JOIN norms na ON d.qid = na.vec_id
-        JOIN norms nb ON d.nbr_id = nb.vec_id
-      ) WHERE rn <= {RQ_K}
-    ),
-    hits AS (
-      SELECT e.qid, count(*) AS h
-      FROM exact e JOIN ann a ON a.qid = e.qid AND a.nbr_id = e.nbr_id
-      GROUP BY e.qid
-    ),
-    nc AS (SELECT qid, count(*) AS ncand FROM cand GROUP BY qid)
-    SELECT qq.vec_id,
-           CAST(COALESCE(nc.ncand, 0) AS BIGINT) AS n_candidates,
-           CAST(COALESCE(hits.h, 0) AS BIGINT) AS hits,
-           floor(COALESCE(hits.h, 0) * 1000000.0 / {RQ_K} + 0.5) / 1000000.0
-               AS recall_at_k
-    FROM q qq
-    LEFT JOIN nc ON nc.qid = qq.vec_id
-    LEFT JOIN hits ON hits.qid = qq.vec_id
-"""
-
-
-@_q("q_ann_recall_eval", _ANN_RECALL_ORACLE)
-def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality evaluation IN the engine (r10): recall@{RQ_K} of the
-    md5-plane LSH shortlist against the exact brute-force top-{RQ_K}, per
-    query, over a FIXED {RQ_N}-query md5-ordered sample — the measurement
-    loop every ANN deployment needs (tune bands/bits by re-running the eval,
-    not by faith). Emits (query, candidate-set size, hits, recall@k); both
-    rankings and the sample itself are md5-deterministic, so the whole
-    evaluation is oracle-gated — the in-repo recall tests become a
-    driver-visible row.
-
-    Scale shape: the query sample is CONSTANT-size ({RQ_N}), so the exact
-    side is O({RQ_N}·n) via a broadcast of the 32 query vectors — never the
-    O(n²) all-pairs the brute-force baseline pays; the ANN side reuses
-    q_ann_verified_topk's banded equi-join signatures (shared helper). At
-    100 TB the eval cost is one corpus scan plus the signature build, and
-    sample size scales the precision of the estimate, not the data touched.
-    Ranking ties: raw-double order with nbr_id tiebreak, the proven
-    q_ann_verified_topk discipline (~1e-15 cross-engine relative error vs
-    ~1e-7 typical cosine gaps); hits compare only ids, never floats.
-
-    Plan-reuse note (r12): qs/sig/cand each feed 2-3 branches, so the
-    q_graph_triangles localCheckpoint treatment was TRIED here — and
-    measured SLOWER at both sf0.1 (1.9 s → 3.0 s) and the 10× probe
-    (3.8 s → 4.4 s): the recomputed subtrees pipeline across all cores,
-    while eager checkpoints serialize the job graph and pay
-    materialization for corpus×bands rows. Rejected; evidence in
-    docs/SCALE.md (r12)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qs = (
-        emb.select("vec_id")
-        .orderBy(
-            F.md5(
-                F.concat(F.lit("rq:"), F.col("vec_id").cast("string")).cast(
-                    "binary"
-                )
-            ),
-            "vec_id",
-        )
-        .limit(RQ_N)
-    )
-    v = _as_double_vec(emb)
-    qv = (
-        qs.join(v, "vec_id")
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("vec").alias("qvec"),
-            F.col("norm").alias("qn"),
-        )
-    )
-    allv = v.select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("vec").alias("nvec"),
-        F.col("norm").alias("nn"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = (dot / (F.col("qn") * F.col("nn"))).alias("cos")
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nbr_id")
-    exact = (
-        allv.crossJoin(F.broadcast(qv))
-        .filter(F.col("nbr_id") != F.col("qid"))
-        .select("qid", "nbr_id", cos)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= RQ_K)
-        .select("qid", "nbr_id")
-    )
-    sig = _ann_v_signatures(spark, sf_dir)
-    sq = sig.join(
-        F.broadcast(qs.withColumnRenamed("vec_id", "qid")),
-        F.col("vec_id") == F.col("qid"),
-    ).select("qid", "band", "bucket")
-    cand = (
-        sq.join(sig, ["band", "bucket"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("nbr_id"))
-        .distinct()
-    )
-    ann = (
-        cand.join(F.broadcast(qv), "qid")
-        .join(allv, "nbr_id")
-        .select("qid", "nbr_id", cos)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= RQ_K)
-        .select("qid", "nbr_id")
-    )
-    hits = exact.join(ann, ["qid", "nbr_id"]).groupBy("qid").agg(
-        F.count("*").alias("h")
-    )
-    nc = cand.groupBy("qid").agg(F.count("*").alias("ncand"))
-    return (
-        qs.select(F.col("vec_id"))
-        .join(nc.withColumnRenamed("qid", "vec_id"), "vec_id", "left")
-        .join(hits.withColumnRenamed("qid", "vec_id"), "vec_id", "left")
-        .select(
-            "vec_id",
-            F.coalesce(F.col("ncand"), F.lit(0)).cast("bigint").alias(
-                "n_candidates"
-            ),
-            F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("hits"),
-            (
-                F.floor(
-                    F.coalesce(F.col("h"), F.lit(0)) * 1000000.0 / RQ_K
-                    + F.lit(0.5)
-                )
-                / 1000000.0
-            ).alias("recall_at_k"),
-        )
-    )
-
-
-def _md5_unit_grid(spark: SparkSession, tag: str, n: int, dim: int) -> DataFrame:
-    """Deterministic pseudo-random grid (c, d) -> val in [-1, 1]: the value
-    is the first FOUR hex nibbles of md5(tag:c:d) scaled to [-1, 1] — md5 is
-    the one hash both engines share byte-for-byte, so a DuckDB oracle can
-    rebuild the identical matrix (same trick as q_ann_verified_topk's ±1
-    planes, extended from signs to continuous values). n x dim rows, built
-    from two driver-local ranges — always broadcast at the consumer join."""
-
-    def nib(j: int):
-        return F.expr(f"instr('0123456789abcdef', substring(h, {j}, 1)) - 1")
-
-    return (
-        spark.range(n)
-        .select(F.col("id").alias("c"))
-        .crossJoin(spark.range(dim).select(F.col("id").alias("d")))
-        .withColumn(
-            "h",
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.lit(tag),
-                    F.col("c").cast("string"),
-                    F.col("d").cast("string"),
-                ).cast("binary")
-            ),
-        )
-        .select(
-            "c",
-            "d",
-            (
-                (
-                    (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4))
-                    / F.lit(65535.0)
-                )
-                * 2.0
-                - 1.0
-            ).alias("val"),
-        )
-    )
-
-
-IVF_V_C = 16  # coarse centroids
-IVF_V_PROBE = 4  # lists each query probes
-IVF_V_K = 3
-
-_IVF_GRID_SQL = """
-      SELECT c, d,
-             (((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
-             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
-             + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-             + (instr('0123456789abcdef', substr(h, 4, 1)) - 1))
-              / 65535.0) * 2.0 - 1.0 AS val
-      FROM (
-        SELECT c, d, md5('{tag}:' || c || ':' || d) AS h
-        FROM (SELECT unnest(range(0, {n})) AS c),
-             (SELECT unnest(range(0, {dim})) AS d)
-      )
-"""
-
-_IVF_VERIFIED_ORACLE = f"""
-    WITH cent AS ({_IVF_GRID_SQL.format(tag="ivf", n=IVF_V_C, dim=ANN_V_DIM)}),
-    cnorm AS (SELECT c, sqrt(sum(val * val)) AS cn FROM cent GROUP BY c),
-    ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    dots AS (
-      SELECT vec_id, c, sum(v * val) AS dot
-      FROM ex JOIN cent USING (d) GROUP BY vec_id, c
-    ),
-    ranked AS (
-      SELECT vec_id, dots.c AS c,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY dot / cn DESC, dots.c) AS rn
-      FROM dots JOIN cnorm ON dots.c = cnorm.c
-    ),
-    assigned AS (SELECT vec_id, c AS cid FROM ranked WHERE rn = 1),
-    probes AS (SELECT vec_id, c AS pc FROM ranked WHERE rn <= {IVF_V_PROBE}),
-    cand AS (
-      SELECT p.vec_id, a.vec_id AS nbr_id
-      FROM probes p JOIN assigned a ON p.pc = a.cid AND p.vec_id <> a.vec_id
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    cd AS (
-      SELECT c.vec_id, c.nbr_id, sum(a.v * b.v) AS dot
-      FROM cand c
-      JOIN ex a ON a.vec_id = c.vec_id
-      JOIN ex b ON b.vec_id = c.nbr_id AND a.d = b.d
-      GROUP BY c.vec_id, c.nbr_id
-    )
-    SELECT vec_id, nbr_id,
-           floor(cos_sim * 10000.0 + 0.5) / 10000.0 AS cosine
-    FROM (
-      SELECT cd.vec_id, cd.nbr_id, cd.dot / (na.nrm * nb.nrm) AS cos_sim,
-             row_number() OVER (PARTITION BY cd.vec_id
-                                ORDER BY cd.dot / (na.nrm * nb.nrm) DESC,
-                                         cd.nbr_id) AS rn
-      FROM cd
-      JOIN norms na ON cd.vec_id = na.vec_id
-      JOIN norms nb ON cd.nbr_id = nb.vec_id
-    ) WHERE rn <= {IVF_V_K}
-"""
-
-
-@_q("q_ivf_verified_topk", _IVF_VERIFIED_ORACLE)
-def q_ivf_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN with a FULL oracle gate (r10): the coarse quantizer is
-    an md5-derived centroid grid instead of trained k-means, so DuckDB
-    rebuilds the identical centroids, inverted-list assignment (argmax
-    cosine-to-centroid), {IVF_V_PROBE}-probe candidate generation AND the
-    exact re-rank — the driver's hash check covers the IVF mechanics
-    (assign → probe → list-join → re-rank) end-to-end, which the trained
-    production variant q_ivf_topk structurally cannot offer (numpy RNG +
-    Lloyd's are not SQL). q_ivf_topk remains the production path; its
-    recall is pinned in tests, its plumbing is certified through this twin.
-
-    Scale shape identical to production IVF: the centroid grid
-    ({IVF_V_C}x{ANN_V_DIM}) is a broadcast; scoring is one
-    map-side-combined groupBy(vec_id, c) over the posexploded stream;
-    assignment/probing is a per-vector window over {IVF_V_C} rows;
-    candidates come from the probe↔list EQUI-join on centroid id (each
-    query meets only its {IVF_V_PROBE} lists — never all-pairs); the exact
-    cosine touches candidates only. Hot-list skew at 100 TB is bounded by
-    the centroid count dial (more lists → smaller lists), same as
-    production. Float caveat: cross-engine sums differ ~1e-15 relative;
-    assignment/probe ranks compare scores of DISTINCT random centroids
-    (gaps ~1e-1), and the output cosine is quantized at 1e-4 — both ~11
-    orders of magnitude above the noise."""
-    def ranked_frame() -> DataFrame:
-        # built FRESH per cogroup side: the two sides of a cogroup must not
-        # share a subplan (the analyzer's self-join dedup leaves one side
-        # with ambiguous expression ids — the _block_sides lesson); the
-        # duplicated scoring pass is one cheap map-side-combined aggregate
-        cent = _md5_unit_grid(spark, "ivf", IVF_V_C, ANN_V_DIM)
-        cnorm = cent.groupBy("c").agg(
-            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("cn")
-        )
-        ex = (
-            load_table(spark, sf_dir, "embeddings")
-            .select("vec_id", F.posexplode("embedding").alias("d", "v"))
-            .withColumn("v", F.col("v").cast("double"))
-        )
-        dots = (
-            ex.join(F.broadcast(cent), "d")
-            .groupBy("vec_id", "c")
-            .agg(F.sum(F.col("v") * F.col("val")).alias("dot"))
-        )
-        wc = Window.partitionBy("vec_id").orderBy(
-            (F.col("dot") / F.col("cn")).desc(), "c"
-        )
-        return dots.join(F.broadcast(cnorm), "c").withColumn(
-            "rn", F.row_number().over(wc)
-        )
-
-    assigned = ranked_frame().filter(F.col("rn") == 1).select(
-        "vec_id", F.col("c").alias("cid")
-    )
-    probes = ranked_frame().filter(F.col("rn") <= IVF_V_PROBE).select(
-        "vec_id", F.col("c").alias("pc")
-    )
-    # re-rank as ONE cogroup-on-centroid job: each (probe-queries, list)
-    # pair meets in a single BLAS matmul — the same cogroup shape as the
-    # production ivf_topk (a zip_with-fold re-rank of the candidate join
-    # measured ~5x slower at the gate SF). Two independent reads (see
-    # _block_sides: a self-cogroup trips the analyzer's self-join dedup).
-    import numpy as np
-    import pandas as pd
-
-    qside = probes.join(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
-        "vec_id",
-    )
-    iside = assigned.join(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
-        "vec_id",
-    )
-
-    def rerank_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(ipdf) == 0:
-            return _empty_pairs("cos_raw")
-        a_ids = qpdf["vec_id"].to_numpy()
-        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
-        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-        b_ids = ipdf["vec_id"].to_numpy()
-        b_mat = np.stack(ipdf["embedding"].to_numpy()).astype("float64")
-        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
-        cos = (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
-        out_vec, out_nbr, out_sc = _partial_topk(a_ids, b_ids, cos, IVF_V_K)
-        if not out_vec:
-            return _empty_pairs("cos_raw")
-        return pd.DataFrame({"vec_id": out_vec, "nbr_id": out_nbr, "cos_raw": out_sc})
-
-    partials = (
-        qside.groupBy("pc")
-        .cogroup(iside.groupBy("cid"))
-        .applyInPandas(rerank_cogroup, schema="vec_id long, nbr_id long, cos_raw double")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "nbr_id")
-    return (
-        partials.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IVF_V_K)
-        .select("vec_id", "nbr_id", qround(F.col("cos_raw"), 4).alias("cosine"))
-    )
-
-
-PQ_V_S = 8  # subspaces (64-dim embedding -> 8 dims per subspace)
-PQ_V_W = 8  # dims per subspace
-PQ_V_CODES = 16  # codewords per subspace
-PQ_V_REFINE = 16  # ADC shortlist re-ranked exactly
-PQ_V_K = 3
-
-_PQ_VERIFIED_ORACLE = f"""
-    WITH grid AS (
-      {_IVF_GRID_SQL.format(tag="pq", n=PQ_V_S * PQ_V_CODES, dim=PQ_V_W)}
-    ),
-    cb AS (
-      SELECT c % {PQ_V_CODES} AS code, c // {PQ_V_CODES} AS s,
-             (c // {PQ_V_CODES}) * {PQ_V_W} + d AS dim, val
-      FROM grid
-    ),
-    ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    enc AS (
-      SELECT e.vec_id, cb.s, cb.code,
-             sum((e.v - cb.val) * (e.v - cb.val)) AS d2
-      FROM ex e JOIN cb ON e.d = cb.dim
-      GROUP BY e.vec_id, cb.s, cb.code
-    ),
-    codes AS (
-      SELECT vec_id, s, code FROM (
-        SELECT vec_id, s, code,
-               row_number() OVER (PARTITION BY vec_id, s
-                                  ORDER BY d2, code) AS rn
-        FROM enc
-      ) WHERE rn = 1
-    ),
-    adc AS (
-      SELECT q.vec_id, x.vec_id AS nbr_id,
-             floor(sum(q.d2) * 1000000.0 + 0.5) / 1000000.0 AS adc
-      FROM codes x
-      JOIN enc q ON q.s = x.s AND q.code = x.code AND q.vec_id <> x.vec_id
-      GROUP BY q.vec_id, x.vec_id
-    ),
-    cand AS (
-      SELECT vec_id, nbr_id FROM (
-        SELECT vec_id, nbr_id,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY adc, nbr_id) AS rn
-        FROM adc
-      ) WHERE rn <= {PQ_V_REFINE}
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    cd AS (
-      SELECT c.vec_id, c.nbr_id, sum(a.v * b.v) AS dot
-      FROM cand c
-      JOIN ex a ON a.vec_id = c.vec_id
-      JOIN ex b ON b.vec_id = c.nbr_id AND a.d = b.d
-      GROUP BY c.vec_id, c.nbr_id
-    )
-    SELECT vec_id, nbr_id, cosine
-    FROM (
-      SELECT cd.vec_id, cd.nbr_id,
-             floor(cd.dot / (na.nrm * nb.nrm) * 10000.0 + 0.5) / 10000.0
-               AS cosine,
-             row_number() OVER (
-               PARTITION BY cd.vec_id
-               ORDER BY floor(cd.dot / (na.nrm * nb.nrm) * 10000.0 + 0.5)
-                          / 10000.0 DESC,
-                        cd.nbr_id) AS rn
-      FROM cd
-      JOIN norms na ON cd.vec_id = na.vec_id
-      JOIN norms nb ON cd.nbr_id = nb.vec_id
-    ) WHERE rn <= {PQ_V_K}
-"""
-
-
-@_q("q_pq_verified_topk", _PQ_VERIFIED_ORACLE)
-def q_pq_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with a FULL oracle gate (r10): the
-    {PQ_V_S}x{PQ_V_CODES} codebooks are md5-derived instead of k-means-
-    trained, so DuckDB rebuilds encoding (per-subspace argmin), the
-    asymmetric-distance (ADC) shortlist AND the exact re-rank — with
-    q_ann_verified_topk (LSH) and q_ivf_verified_topk this completes the
-    hash-gated trio covering every ANN mechanism the production family
-    uses. q_pq_topk stays the production path (trained codebooks, Arrow
-    matmuls); its recall is pinned in tests, its mechanics certified here.
-
-    The ADC trick is shared-intermediate: for self-ANN the query lookup
-    table IS the encoding distance table (enc holds dist²(vec_sub, code)
-    for all {PQ_V_CODES} codes), so ADC(q, x) = Σ_s enc[q, s, code_x(s)]
-    — one equi-join on (subspace, code), no recomputation.
-
-    Scale shape: the codebook ({PQ_V_S * PQ_V_CODES}x{PQ_V_W}) is a
-    broadcast; encoding is one map-side-combined groupBy(vec_id, s, code);
-    the ADC join is the PQ-brute-force scan — O(n²/{PQ_V_CODES}) pairs per
-    subspace bucket, the memory-not-candidates compression PQ promises
-    (1 byte/subspace vs 32 bytes of floats). At 100 TB the candidate
-    reduction comes from composing with IVF lists (q_ivfpq_topk), exactly
-    as production does. Float caveat: argmin/rank compare distances of
-    DISTINCT random codewords (gaps ~1e-1) against ~1e-15 cross-engine
-    noise; output cosine quantized at 1e-4."""
-    grid = _md5_unit_grid(spark, "pq", PQ_V_S * PQ_V_CODES, PQ_V_W)
-    cb = grid.select(
-        F.pmod("c", F.lit(PQ_V_CODES)).alias("code"),
-        F.floor(F.col("c") / PQ_V_CODES).alias("s"),
-        (F.floor(F.col("c") / PQ_V_CODES) * PQ_V_W + F.col("d")).alias("dim"),
-        "val",
-    )
-    ex = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
-        .withColumn("v", F.col("v").cast("double"))
-    )
-    enc = (
-        ex.join(F.broadcast(cb), ex.d == cb.dim)
-        .groupBy("vec_id", "s", "code")
-        .agg(
-            F.sum((F.col("v") - F.col("val")) * (F.col("v") - F.col("val"))).alias(
-                "d2"
-            )
-        )
-    )
-    wc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
-    codes = (
-        enc.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vec_id").alias("nbr_id"), "s", "code")
-    )
-    # the corpus is clustered: many vectors share identical codes, so raw
-    # ADC ties are COMMON and 1e-16 summation-order noise would break them
-    # differently per engine right at the shortlist boundary — rank on the
-    # 1e-6-quantized ADC (values ~10, noise ~1e-15: nine orders of margin)
-    # with nbr_id as the total tiebreak, which is bit-identical cross-engine
-    adc = (
-        enc.join(codes, ["s", "code"])
-        .filter(F.col("vec_id") != F.col("nbr_id"))
-        .groupBy("vec_id", "nbr_id")
-        .agg(qround(F.sum("d2"), 6).alias("adc"))
-    )
-    wa = Window.partitionBy("vec_id").orderBy("adc", "nbr_id")
-    cand = (
-        adc.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= PQ_V_REFINE)
-        .select("vec_id", "nbr_id")
-    )
-    va = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
-    )
-    vb = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("vec").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    # same tie discipline for the final rank: duplicate embeddings make
-    # exact cosine ties common, so order by the already-quantized cosine
-    exact = cand.join(va, "vec_id").join(vb, "nbr_id").select(
-        "vec_id",
-        "nbr_id",
-        qround(dot / (F.col("na") * F.col("nb")), 4).alias("cosine"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "nbr_id")
-    return (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= PQ_V_K)
-        .select("vec_id", "nbr_id", "cosine")
-    )
-
-
-IVFPQ_V_REFINE = 16  # ADC shortlist re-ranked exactly
-IVFPQ_V_K = 3
-
-_PQ_CODEBOOK_CACHE: dict = {}
-
-
-def _pq_codebook_np():
-    """The "pq" md5 grid as a (S, CODES, W) numpy array — byte-identical to
-    _md5_unit_grid(spark, "pq", S*CODES, W) reshaped by the q_pq_verified
-    cb mapping (code = c % CODES, s = c // CODES): hashlib.md5 and Spark's
-    F.md5 agree on every byte, and the scale arithmetic is the same IEEE
-    double expression, so the driver-built constant equals the SQL-built
-    grid exactly. Cached per process (executors build it once)."""
-    if "cb" not in _PQ_CODEBOOK_CACHE:
-        import hashlib
-
-        import numpy as np
-
-        cb = np.empty((PQ_V_S, PQ_V_CODES, PQ_V_W), dtype="float64")
-        for c in range(PQ_V_S * PQ_V_CODES):
-            for d in range(PQ_V_W):
-                h = hashlib.md5(f"pq:{c}:{d}".encode()).hexdigest()
-                cb[c // PQ_V_CODES, c % PQ_V_CODES, d] = (
-                    int(h[:4], 16) / 65535.0
-                ) * 2.0 - 1.0
-        _PQ_CODEBOOK_CACHE["cb"] = cb
-    return _PQ_CODEBOOK_CACHE["cb"]
-
-_IVFPQ_VERIFIED_ORACLE = f"""
-    WITH cent AS ({_IVF_GRID_SQL.format(tag="ivf", n=IVF_V_C, dim=ANN_V_DIM)}),
-    cnorm AS (SELECT c, sqrt(sum(val * val)) AS cn FROM cent GROUP BY c),
-    ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    dots AS (
-      SELECT vec_id, c, sum(v * val) AS dot
-      FROM ex JOIN cent USING (d) GROUP BY vec_id, c
-    ),
-    ranked AS (
-      SELECT vec_id, dots.c AS c,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY dot / cn DESC, dots.c) AS rn
-      FROM dots JOIN cnorm ON dots.c = cnorm.c
-    ),
-    assigned AS (SELECT vec_id, c AS cid FROM ranked WHERE rn = 1),
-    probes AS (SELECT vec_id, c AS pc FROM ranked WHERE rn <= {IVF_V_PROBE}),
-    ivfcand AS (
-      SELECT p.vec_id, a.vec_id AS nbr_id
-      FROM probes p JOIN assigned a ON p.pc = a.cid AND p.vec_id <> a.vec_id
-    ),
-    grid AS (
-      {_IVF_GRID_SQL.format(tag="pq", n=PQ_V_S * PQ_V_CODES, dim=PQ_V_W)}
-    ),
-    cb AS (
-      SELECT c % {PQ_V_CODES} AS code, c // {PQ_V_CODES} AS s,
-             (c // {PQ_V_CODES}) * {PQ_V_W} + d AS dim, val
-      FROM grid
-    ),
-    enc AS (
-      SELECT e.vec_id, cb.s, cb.code,
-             sum((e.v - cb.val) * (e.v - cb.val)) AS d2
-      FROM ex e JOIN cb ON e.d = cb.dim
-      GROUP BY e.vec_id, cb.s, cb.code
-    ),
-    codes AS (
-      SELECT vec_id, s, code FROM (
-        SELECT vec_id, s, code,
-               row_number() OVER (PARTITION BY vec_id, s
-                                  ORDER BY d2, code) AS rn
-        FROM enc
-      ) WHERE rn = 1
-    ),
-    adc AS (
-      SELECT c.vec_id, c.nbr_id,
-             floor(sum(q.d2) * 1000000.0 + 0.5) / 1000000.0 AS adc
-      FROM ivfcand c
-      JOIN codes x ON x.vec_id = c.nbr_id
-      JOIN enc q ON q.vec_id = c.vec_id AND q.s = x.s AND q.code = x.code
-      GROUP BY c.vec_id, c.nbr_id
-    ),
-    shortlist AS (
-      SELECT vec_id, nbr_id FROM (
-        SELECT vec_id, nbr_id,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY adc, nbr_id) AS rn
-        FROM adc
-      ) WHERE rn <= {IVFPQ_V_REFINE}
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    cd AS (
-      SELECT c.vec_id, c.nbr_id, sum(a.v * b.v) AS dot
-      FROM shortlist c
-      JOIN ex a ON a.vec_id = c.vec_id
-      JOIN ex b ON b.vec_id = c.nbr_id AND a.d = b.d
-      GROUP BY c.vec_id, c.nbr_id
-    )
-    SELECT vec_id, nbr_id, cosine
-    FROM (
-      SELECT cd.vec_id, cd.nbr_id,
-             floor(cd.dot / (na.nrm * nb.nrm) * 10000.0 + 0.5) / 10000.0
-               AS cosine,
-             row_number() OVER (
-               PARTITION BY cd.vec_id
-               ORDER BY floor(cd.dot / (na.nrm * nb.nrm) * 10000.0 + 0.5)
-                          / 10000.0 DESC,
-                        cd.nbr_id) AS rn
-      FROM cd
-      JOIN norms na ON cd.vec_id = na.vec_id
-      JOIN norms nb ON cd.nbr_id = nb.vec_id
-    ) WHERE rn <= {IVFPQ_V_K}
-"""
-
-
-@_q("q_ivfpq_verified_topk", _IVFPQ_VERIFIED_ORACLE)
-def q_ivfpq_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN with a FULL oracle gate (r11): the composition of the
-    md5-grid coarse quantizer (q_ivf_verified_topk's "ivf" centroids —
-    assignment + {IVF_V_PROBE}-probe candidate generation) with the
-    md5-codebook ADC scorer (q_pq_verified_topk's "pq" codebooks), so
-    DuckDB rebuilds the identical two-level index end-to-end: coarse
-    assign → probe → list-restricted ADC shortlist → exact re-rank. This
-    closes the last ANN mechanism without a hash-gated twin — the
-    production q_ivfpq_topk (trained k-means + Arrow matmul ADC,
-    rows-only since r3) keeps its recall pinned in tests while its
-    composition mechanics are certified here.
-
-    The composition IS the 100 TB story: PQ alone compresses memory but
-    still scans all n codes per query (q_pq_verified's honest O(n²/codes)
-    shape); IVF alone re-ranks raw floats. IVF-PQ probes
-    {IVF_V_PROBE}/{IVF_V_C} of the lists and scores only those candidates
-    with the 8-entry code gather. The ADC runs as ONE cogroup-on-centroid
-    job (the q_ivf_verified rerank shape): each (probe-queries, list)
-    pair meets in a numpy LUT gather — lut[q, s, code_x(s)] summed over
-    subspaces, the shared-intermediate trick where for self-ANN the
-    query's encoding-distance table IS its ADC lookup table — and only
-    per-list partial top-{IVFPQ_V_REFINE} rows leave the kernel, so the
-    shuffle after scoring is queries × probes × {IVFPQ_V_REFINE}, linear
-    in the corpus (the join formulation this replaced materialized
-    candidate × {PQ_V_S} shuffle rows and measured 63.9× at the 10×
-    probe; this form rides the BLAS-absorption lane of q_semdedup).
-    Partial-then-global top-k is lossless because both ranks share the
-    one total order (quantized adc, nbr_id). Tie discipline as
-    q_pq_verified: ranks compare 1e-6-quantized ADC and 1e-4-quantized
-    cosine with nbr_id total tiebreaks, both bit-identical
-    cross-engine."""
-    import numpy as np
-    import pandas as pd
-
-    def ranked_frame() -> DataFrame:
-        # built FRESH per cogroup side (the _block_sides lesson: cogroup
-        # sides must not share a subplan or the analyzer's self-join dedup
-        # leaves ambiguous expression ids)
-        cent = _md5_unit_grid(spark, "ivf", IVF_V_C, ANN_V_DIM)
-        cnorm = cent.groupBy("c").agg(
-            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("cn")
-        )
-        ex = (
-            load_table(spark, sf_dir, "embeddings")
-            .select("vec_id", F.posexplode("embedding").alias("d", "v"))
-            .withColumn("v", F.col("v").cast("double"))
-        )
-        dots = (
-            ex.join(F.broadcast(cent), "d")
-            .groupBy("vec_id", "c")
-            .agg(F.sum(F.col("v") * F.col("val")).alias("dot"))
-        )
-        wc = Window.partitionBy("vec_id").orderBy(
-            (F.col("dot") / F.col("cn")).desc(), "c"
-        )
-        return dots.join(F.broadcast(cnorm), "c").withColumn(
-            "rn", F.row_number().over(wc)
-        )
-
-    probes = ranked_frame().filter(F.col("rn") <= IVF_V_PROBE).select(
-        "vec_id", F.col("c").alias("pc")
-    )
-    assigned = ranked_frame().filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("nbr_id"), F.col("c").alias("cid")
-    )
-    qside = probes.join(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
-        "vec_id",
-    )
-    iside = assigned.join(
-        load_table(spark, sf_dir, "embeddings").select(
-            F.col("vec_id").alias("nbr_id"), "embedding"
-        ),
-        "nbr_id",
-    )
-
-    def adc_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(ipdf) == 0:
-            return _empty_pairs("adc")
-        cb = _pq_codebook_np()  # (S, CODES, W)
-        q_ids = qpdf["vec_id"].to_numpy()
-        q_sub = (
-            np.stack(qpdf["embedding"].to_numpy())
-            .astype("float64")
-            .reshape(len(qpdf), PQ_V_S, PQ_V_W)
-        )
-        i_ids = ipdf["nbr_id"].to_numpy()
-        i_sub = (
-            np.stack(ipdf["embedding"].to_numpy())
-            .astype("float64")
-            .reshape(len(ipdf), PQ_V_S, PQ_V_W)
-        )
-        dq = q_sub[:, :, None, :] - cb[None, :, :, :]
-        lut = (dq * dq).sum(-1)  # (nq, S, CODES)
-        di = i_sub[:, :, None, :] - cb[None, :, :, :]
-        codes = (di * di).sum(-1).argmin(-1)  # (ni, S): first/lowest code wins
-        adc = np.zeros((len(q_ids), len(i_ids)))
-        for s in range(PQ_V_S):
-            adc += lut[:, s, codes[:, s]]
-        adcq = np.floor(adc * 1e6 + 0.5) / 1e6
-        out_vec, out_nbr, out_sc = _partial_topk(
-            q_ids, i_ids, -adcq, IVFPQ_V_REFINE
-        )
-        if not out_vec:
-            return _empty_pairs("adc")
-        return pd.DataFrame(
-            {"vec_id": out_vec, "nbr_id": out_nbr, "adc": [-s for s in out_sc]}
-        )
-
-    partials = (
-        qside.groupBy("pc")
-        .cogroup(iside.groupBy("cid"))
-        .applyInPandas(adc_cogroup, schema="vec_id long, nbr_id long, adc double")
-    )
-    wa = Window.partitionBy("vec_id").orderBy("adc", "nbr_id")
-    shortlist = (
-        partials.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= IVFPQ_V_REFINE)
-        .select("vec_id", "nbr_id")
-    )
-    va = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id"), F.col("vec").alias("va"), F.col("norm").alias("na")
-    )
-    vb = _as_double_vec(load_table(spark, sf_dir, "embeddings")).select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("vec").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    exact = shortlist.join(va, "vec_id").join(vb, "nbr_id").select(
-        "vec_id",
-        "nbr_id",
-        qround(dot / (F.col("na") * F.col("nb")), 4).alias("cosine"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "nbr_id")
-    return (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IVFPQ_V_K)
-        .select("vec_id", "nbr_id", "cosine")
-    )
-
-
-KMV_K = 8  # clusters in the verified twin
-
-_KMEANS_VERIFIED_ORACLE = f"""
-    WITH c0 AS ({_IVF_GRID_SQL.format(tag="km", n=KMV_K, dim=ANN_V_DIM)}),
-    ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    d0 AS (
-      SELECT vec_id, c AS cid, sum((v - val) * (v - val)) AS d2
-      FROM ex JOIN c0 USING (d) GROUP BY vec_id, c
-    ),
-    a1 AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        FROM d0
-      ) WHERE rn = 1
-    ),
-    m1 AS (
-      SELECT cid, d, avg(v) AS val
-      FROM ex JOIN a1 USING (vec_id) GROUP BY cid, d
-    ),
-    d1 AS (
-      SELECT ex.vec_id, m1.cid, sum((v - val) * (v - val)) AS d2
-      FROM ex JOIN m1 USING (d) GROUP BY ex.vec_id, m1.cid
-    ),
-    a2 AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        FROM d1
-      ) WHERE rn = 1
-    ),
-    m2 AS (
-      SELECT cid, d, avg(v) AS m
-      FROM ex JOIN a2 USING (vec_id) GROUP BY cid, d
-    ),
-    sizes AS (
-      SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM a2 GROUP BY cid
-    )
-    SELECT CAST(s.cid AS INT) AS cid, s.n_vecs,
-           floor(sqrt(sum(m * m)) * 1000000.0 + 0.5) / 1000000.0
-             AS centroid_norm
-    FROM m2 JOIN sizes s USING (cid)
-    GROUP BY s.cid, s.n_vecs
-"""
-
-
-@_q("q_kmeans_verified", _KMEANS_VERIFIED_ORACLE)
-def q_kmeans_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two Lloyd iterations with a FULL oracle gate (r10): the init
-    centroids are the md5-derived grid, and the fixed two-step iteration
-    (assign → mean-update → assign → mean-update) is unrolled into chained
-    CTEs — the same unrolling that gave q_pagerank_ranks its gate — so the
-    DuckDB twin reproduces assignments, cluster sizes and the final
-    centroid norms exactly. q_kmeans_clusters stays the production path
-    (distributed Lloyd's to convergence via mapInPandas matmuls); this twin
-    hash-certifies the assign/update arithmetic the iteration is built
-    from.
-
-    Scale shape: every stage is the distributed column-sum form — distances
-    are one map-side-combined groupBy(vec_id, cid) over the posexploded
-    stream joined to a BROADCAST centroid table ({KMV_K}x{ANN_V_DIM} init
-    grid; iteration means are at most as large), assignment is a
-    per-vector window over {KMV_K} rows, and mean-update shuffles only
-    (cluster, dim) partial sums. No vector and no centroid matrix ever
-    needs driver-side materialization. Float caveat: argmin compares
-    distances to DISTINCT centroids (gaps ~1e-1 at init, ~1e-2 after one
-    update) against ~1e-15 cross-engine summation noise; the output norm
-    is quantized at 1e-6."""
-    ex = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
-        .withColumn("v", F.col("v").cast("double"))
-    )
-    cent = _md5_unit_grid(spark, "km", KMV_K, ANN_V_DIM).select(
-        F.col("c").alias("cid"), "d", "val"
-    )
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        d2 = (
-            ex.join(F.broadcast(centroids), "d")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("v") - F.col("val")) * (F.col("v") - F.col("val"))
-                ).alias("d2")
-            )
-        )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-        return (
-            d2.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        return (
-            ex.join(assigned, "vec_id")
-            .groupBy("cid", "d")
-            .agg(F.avg("v").alias("val"))
-        )
-
-    a1 = assign(cent)
-    a2 = assign(update(a1))
-    m2 = update(a2).withColumnRenamed("val", "m")
-    sizes = a2.groupBy("cid").agg(F.count("*").cast("bigint").alias("n_vecs"))
-    return (
-        m2.groupBy("cid")
-        .agg(qround(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
-        .join(sizes, "cid")
-        .select(
-            F.col("cid").cast("int").alias("cid"),
-            "n_vecs",
-            "centroid_norm",
-        )
-    )
-
-
-# On trained encoders SemDeDup runs at tau ~0.95+; this synthetic corpus's
-# embeddings are near-random (within-cluster cosine tail maxes ~0.48 at
-# sf0.01), so the demo threshold sits where the tail has mass at every SF
-SEMDEDUP_TAU = 0.4
-
-_SEMDEDUP_ORACLE = f"""
-    WITH c0 AS ({_IVF_GRID_SQL.format(tag="km", n=KMV_K, dim=ANN_V_DIM)}),
-    ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    d0 AS (
-      SELECT vec_id, c AS cid, sum((v - val) * (v - val)) AS d2
-      FROM ex JOIN c0 USING (d) GROUP BY vec_id, c
-    ),
-    a1 AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        FROM d0
-      ) WHERE rn = 1
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    cand AS (
-      SELECT l.vec_id AS lo, h.vec_id AS hi, l.cid
-      FROM a1 l JOIN a1 h ON l.cid = h.cid AND l.vec_id < h.vec_id
-    ),
-    dots AS (
-      SELECT c.lo, c.hi, c.cid, sum(a.v * b.v) AS dot
-      FROM cand c
-      JOIN ex a ON a.vec_id = c.lo
-      JOIN ex b ON b.vec_id = c.hi AND a.d = b.d
-      GROUP BY c.lo, c.hi, c.cid
-    ),
-    sim AS (
-      SELECT lo, hi, cid,
-             floor(dot / (na.nrm * nb.nrm) * 10000.0 + 0.5) / 10000.0 AS cos
-      FROM dots
-      JOIN norms na ON lo = na.vec_id
-      JOIN norms nb ON hi = nb.vec_id
-    )
-    SELECT hi AS vec_id, CAST(cid AS INT) AS cid,
-           CAST(min(lo) AS BIGINT) AS keeper_id, max(cos) AS max_cos
-    FROM sim WHERE cos >= {SEMDEDUP_TAU}
-    GROUP BY hi, cid
-"""
-
-
-@_q("q_semdedup", _SEMDEDUP_ORACLE)
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup with
-    the quadratic bounded BY CLUSTERING — assign every embedding to its
-    nearest md5-grid centroid (the q_kmeans_verified init assignment, so
-    the whole pipeline stays oracle-gated), compare pairs only WITHIN a
-    cluster, and drop any vector that has a lower-id in-cluster neighbor
-    with cosine >= {SEMDEDUP_TAU} (greedy keep-lowest-id, the same policy
-    as exact dedup's rep election; a dropped row's keeper may itself chain
-    to a lower keeper). Output: dropped vec_id, its cluster, its keeper,
-    and the max duplicate similarity.
-
-    This is the scale design the paper exists for: all-pairs cosine is
-    O(n²), but with k clusters the work is O(n²/k) and k GROWS with the
-    corpus (k ∝ n keeps expected cluster size — and so per-cluster pair
-    work — constant; the 100 TB dial is k, not a rewrite). Each cluster's
-    pairwise block is ONE BLAS matmul in groupBy(cid).applyInPandas — the
-    cluster-fits-a-task partitioning is the paper's own contract. Cosines
-    are quantized at 1e-4 BEFORE thresholding so the tau comparison is
-    bit-identical cross-engine."""
-    ex = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
-        .withColumn("v", F.col("v").cast("double"))
-    )
-    cent = _md5_unit_grid(spark, "km", KMV_K, ANN_V_DIM).select(
-        F.col("c").alias("cid"), "d", "val"
-    )
-    d0 = (
-        ex.join(F.broadcast(cent), "d")
-        .groupBy("vec_id", "cid")
-        .agg(
-            F.sum((F.col("v") - F.col("val")) * (F.col("v") - F.col("val"))).alias(
-                "d2"
-            )
-        )
-    )
-    wa = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    a1 = (
-        d0.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
-    # within-cluster pairs as ONE BLAS matmul per cluster: SemDeDup's
-    # contract is that k grows with the corpus so a cluster fits a task —
-    # groupBy(cid).applyInPandas IS the paper's partitioning (measured:
-    # the zip_with pair-fold formulation of the same output ran 5.8 s at
-    # sf0.1; this kernel ~1.5 s)
-    import numpy as np
-    import pandas as pd
-
-    assigned = a1.join(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
-        "vec_id",
-    )
-
-    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {
-                    "vec_id": pd.Series(dtype="int64"),
-                    "cid": pd.Series(dtype="int32"),
-                    "keeper_id": pd.Series(dtype="int64"),
-                    "max_cos": pd.Series(dtype="float64"),
-                }
-            )
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
-        # half-up quantization BEFORE thresholding, matching the oracle
-        qcos = np.floor(cos * 10000.0 + 0.5) / 10000.0
-        dup = (qcos >= SEMDEDUP_TAU) & (ids[:, None] < ids[None, :])
-        out_vec, out_keep, out_max = [], [], []
-        for j in np.nonzero(dup.any(axis=0))[0]:
-            rows = dup[:, j]
-            out_vec.append(ids[j])
-            out_keep.append(ids[rows].min())
-            out_max.append(qcos[rows, j].max())
-        return pd.DataFrame(
-            {
-                "vec_id": np.array(out_vec, dtype="int64"),
-                "cid": np.full(len(out_vec), int(pdf["cid"].iloc[0]), dtype="int32"),
-                "keeper_id": np.array(out_keep, dtype="int64"),
-                "max_cos": np.array(out_max, dtype="float64"),
-            }
-        )
-
-    return assigned.groupBy("cid").applyInPandas(
-        cluster_pairs, schema="vec_id long, cid int, keeper_id long, max_cos double"
-    )
-
-
-HN_K = 2  # hard negatives mined per anchor
-
-_HARD_NEGATIVES_ORACLE = f"""
-    WITH ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    meta AS (SELECT vec_id, label FROM embeddings),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    cand AS (
-      SELECT a.vec_id AS vec_id, b.vec_id AS neg_id, b.label AS neg_label
-      FROM meta a JOIN meta b ON a.label <> b.label
-    ),
-    dots AS (
-      SELECT c.vec_id, c.neg_id, c.neg_label, sum(ea.v * eb.v) AS dot
-      FROM cand c
-      JOIN ex ea ON ea.vec_id = c.vec_id
-      JOIN ex eb ON eb.vec_id = c.neg_id AND ea.d = eb.d
-      GROUP BY 1, 2, 3
-    ),
-    sim AS (
-      SELECT d.vec_id, d.neg_id, d.neg_label,
-             floor(d.dot / (na.nrm * nb.nrm) * 10000.0 + 0.5) / 10000.0
-               AS cosine
-      FROM dots d
-      JOIN norms na ON d.vec_id = na.vec_id
-      JOIN norms nb ON d.neg_id = nb.vec_id
-    )
-    SELECT vec_id, neg_id, CAST(neg_label AS INT) AS neg_label, cosine
-    FROM (
-      SELECT vec_id, neg_id, neg_label, cosine,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY cosine DESC, neg_id) AS rn
-      FROM sim
-    ) WHERE rn <= {HN_K}
-"""
-
-
-@_q("q_hard_negatives", _HARD_NEGATIVES_ORACLE)
-def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive embedding training: for every
-    anchor, the {HN_K} most-similar vectors with a DIFFERENT label — the
-    negatives that actually move the loss (DPR/Contriever-style training
-    samples its negatives exactly this way). Exact semantics, oracle-gated.
-
-    Plan shape: the cosine_topk_blocked tile-cogroup kernel (2-D blocked
-    all-pairs, one BLAS matmul per tile) with the label mask applied
-    INSIDE the kernel (same-label scores forced to -inf before the
-    partial top-{HN_K}) — a zip_with-fold formulation of the same output
-    measured 26 s at sf0.1 vs ~1 s for this kernel, the standard
-    expression-vs-BLAS gap on dense all-pairs. This brute pass is the
-    labeled O(n²) baseline (same status as q_cosine_topk); at 100 TB mine
-    per label-pair with the ANN family (IVF lists built per target
-    label), which keeps the same output contract. Ranking follows the
-    quantize-then-rank discipline: cosines are floor-half-up quantized at
-    1e-4 inside the kernel and ranked (qcos desc, neg_id) everywhere, so
-    per-tile partials, the global re-rank and the DuckDB oracle order
-    bit-identically even among duplicate vectors."""
-    import numpy as np
-    import pandas as pd
-
-    n = _embeddings_rowcount(spark, sf_dir)  # footer metadata, no Spark job
-    n_blocks = max(1, -(-n // 1024))
-    eq = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    ei = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    fanout = eq.withColumn(
-        "qblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
-    ).withColumn(
-        "iblk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)).cast("array<int>"))
-    )
-    indexed = ei.withColumn(
-        "iblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
-    ).withColumn(
-        "qblk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)).cast("array<int>"))
-    )
-
-    def negatives_cogroup(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(ipdf) == 0:
-            return _empty_pairs("qcos")
-        a_ids = qpdf["vec_id"].to_numpy()
-        a_lab = qpdf["label"].to_numpy()
-        a_mat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
-        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-        b_ids = ipdf["vec_id"].to_numpy()
-        b_lab = ipdf["label"].to_numpy()
-        b_mat = np.stack(ipdf["embedding"].to_numpy()).astype("float64")
-        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
-        cos = (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
-        # half-up quantization (NOT np.round: banker's) BEFORE ranking,
-        # matching the oracle's floor(cos*1e4+0.5)/1e4 ORDER BY
-        qcos = np.floor(cos * 10000.0 + 0.5) / 10000.0
-        qcos[a_lab[:, None] == b_lab[None, :]] = -np.inf
-        out_vec, out_nbr, out_sc = _partial_topk(a_ids, b_ids, qcos, HN_K)
-        if not out_vec:
-            return _empty_pairs("qcos")
-        return pd.DataFrame({"vec_id": out_vec, "nbr_id": out_nbr, "qcos": out_sc})
-
-    partials = (
-        fanout.groupBy("qblk", "iblk")
-        .cogroup(indexed.groupBy("qblk", "iblk"))
-        .applyInPandas(negatives_cogroup, schema="vec_id long, nbr_id long, qcos double")
-        .filter(F.col("qcos") != float("-inf"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("qcos").desc(), "nbr_id")
-    meta = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("neg_id"),
-        F.col("label").cast("int").alias("neg_label"),
-    )
-    return (
-        partials.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= HN_K)
-        .withColumnRenamed("nbr_id", "neg_id")
-        .join(F.broadcast(meta), "neg_id")
-        .select("vec_id", "neg_id", "neg_label", F.col("qcos").alias("cosine"))
-    )
-
-
-RP_K = 16  # projected dimensionality (64 -> 16)
-
-_RANDOM_PROJECTION_ORACLE = f"""
-    WITH grid AS (
-      {_IVF_GRID_SQL.format(tag="rp", n=RP_K, dim=ANN_V_DIM)}
-    ),
-    ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    proj AS (
-      SELECT vec_id, c AS r, sum(v * val) * sqrt(0.1875) AS p
-      FROM ex JOIN grid USING (d) GROUP BY vec_id, c
-    ),
-    pn AS (SELECT vec_id, sqrt(sum(p * p)) AS proj_norm FROM proj GROUP BY vec_id),
-    nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id)
-    SELECT pn.vec_id,
-           floor(proj_norm * 1000000.0 + 0.5) / 1000000.0 AS proj_norm,
-           floor(proj_norm / nrm * 10000.0 + 0.5) / 10000.0 AS norm_ratio
-    FROM pn JOIN nrm ON pn.vec_id = nrm.vec_id
-"""
-
-
-@_q("q_random_projection", _RANDOM_PROJECTION_ORACLE)
-def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Johnson-Lindenstrauss random projection ({ANN_V_DIM} -> {RP_K} dims)
-    with a FULL oracle gate: the projection matrix is the md5-derived grid
-    (uniform [-1, 1] entries, variance 1/3, scaled by sqrt(3/{RP_K}) so
-    E[||Px||²] = ||x||²), and the output reports each vector's projected
-    norm plus the norm-preservation ratio — the standard sanity metric
-    before feeding a reduced index. Dim reduction is the front half of
-    every large-scale ANN/clustering pipeline (shrink 100 TB of float32
-    embeddings 4x before the index build); deterministic matrices make it
-    reproducible and cross-engine checkable.
-
-    Scale shape: the matrix ({RP_K}x{ANN_V_DIM}) is a broadcast; the
-    projection is one map-side-combined groupBy(vec_id, r) over the
-    posexploded stream (n x dim rows in, n x {RP_K} out); norms collapse
-    per vector. No shuffle carries anything wider than {RP_K} doubles per
-    vector. Deliberately NOT the row-local array-fold form (r16
-    measured-and-rejected: interpreted HOF lambdas cost more than the
-    codegen'd explode + combine here — interleaved A/B at sf0.1: explode
-    0.61 s vs fold 1.02 s; the fold form pays {RP_K}x{ANN_V_DIM}
-    interpreted multiplies per row to avoid a shuffle the map-side
-    combine already made cheap). Float caveat: 64-term sums differ
-    ~1e-15 cross-engine; outputs quantized at 1e-6 / 1e-4."""
-    grid = _md5_unit_grid(spark, "rp", RP_K, ANN_V_DIM)
-    ex = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
-        .withColumn("v", F.col("v").cast("double"))
-    )
-    proj = (
-        ex.join(F.broadcast(grid), "d")
-        .groupBy("vec_id", F.col("c").alias("r"))
-        .agg((F.sum(F.col("v") * F.col("val")) * F.sqrt(F.lit(0.1875))).alias("p"))
-    )
-    pn = proj.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("p") * F.col("p"))).alias("proj_norm")
-    )
-    nrm = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
-    return pn.join(nrm, "vec_id").select(
-        "vec_id",
-        qround(F.col("proj_norm"), 6).alias("proj_norm"),
-        qround(F.col("proj_norm") / F.col("nrm"), 4).alias("norm_ratio"),
-    )
-
-
-_EMBED_CENTROID_ORACLE = """
-    WITH ex AS (
-      SELECT label,
-             unnest(range(1, len(embedding) + 1)) AS i,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    per_dim AS (
-      SELECT label, i, avg(v) AS m, count(*) AS c FROM ex GROUP BY label, i
-    )
-    SELECT label,
-           CAST(max(c) AS BIGINT) AS n_vecs,
-           floor(sqrt(sum(m * m)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_norm
-    FROM per_dim GROUP BY label
-"""
-
-
-@_q("q_embed_centroid", _EMBED_CENTROID_ORACLE)
-def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroid (class prototype): vector mean computed
-    as posexplode → groupBy(label, dim) — the distributed column-sum form.
-
-    At 100 TB this is the scale-correct shape for dense-vector reductions:
-    the first aggregate is map-side-combined per (label, dim) so the shuffle
-    carries |labels| x dim partial sums, not vectors; the second collapses
-    dims into the centroid L2 norm. No vector ever needs to fit in one task,
-    and there is no driver-side math. Output is scalar-only (the guard
-    forbids array columns), so the centroid itself is summarized by its
-    norm; n_vecs is carried as max of the per-dim counts (identical across
-    dims by construction)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "label", F.posexplode("embedding").alias("i", "v")
-    )
-    per_dim = e.groupBy("label", "i").agg(
-        F.avg(F.col("v").cast("double")).alias("m"), F.count("*").alias("c")
-    )
-    return per_dim.groupBy("label").agg(
-        F.max("c").cast("bigint").alias("n_vecs"),
-        qround(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
-    )
-
-
-_EMBED_OUTLIERS_ORACLE = """
-    WITH ex AS (
-      SELECT vec_id, label,
-             unnest(range(1, len(embedding) + 1)) AS i,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    cent AS (SELECT label, i, avg(v) AS m FROM ex GROUP BY label, i),
-    dist AS (
-      SELECT vec_id, ex.label AS label, sqrt(sum((v - m) * (v - m))) AS d
-      FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
-      GROUP BY vec_id, ex.label
-    ),
-    stats AS (
-      SELECT label, avg(d) AS mu, stddev_samp(d) AS sd FROM dist GROUP BY label
-    )
-    SELECT vec_id, dist.label AS label,
-           floor(d * 1000000.0 + 0.5) / 1000000.0 AS dist,
-           floor((d - mu) / sd * 1000000.0 + 0.5) / 1000000.0 AS z,
-           ((d - mu) / sd) > 2.0 AS is_outlier
-    FROM dist JOIN stats ON dist.label = stats.label
-"""
-
-
-@_q("q_embed_outliers", _EMBED_OUTLIERS_ORACLE)
-def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space outlier detection: each vector's L2 distance to its
-    OWN label's centroid, z-scored within the label — the mislabeled-data /
-    corrupt-embedding screen a training pipeline runs before contrastive or
-    classifier training (a vector far from its class prototype is either
-    noise or a labeling error).
-
-    Scale shape: centroids come from the same posexplode → (label, dim)
-    column-sum as q_embed_centroid (shuffle carries |labels| x dim partial
-    sums); the centroid table is tiny, so its join back onto the exploded
-    stream is an AQE broadcast; per-vector distances re-aggregate with ONE
-    fact-sized shuffle; the per-label moment table (|labels| rows) is again
-    a broadcast. No UDF, no driver math, no vector in a single task."""
-    ex = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.posexplode("embedding").alias("i", "v")
-    ).withColumn("v", F.col("v").cast("double"))
-    cent = ex.groupBy("label", "i").agg(F.avg("v").alias("m"))
-    dist = (
-        ex.join(cent, ["label", "i"])
-        .groupBy("vec_id", "label")
-        .agg(F.sqrt(F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))).alias("d"))
-    )
-    stats = dist.groupBy("label").agg(
-        F.avg("d").alias("mu"), F.stddev_samp("d").alias("sd")
-    )
-    z = (F.col("d") - F.col("mu")) / F.col("sd")
-    return dist.join(stats, "label").select(
-        "vec_id",
-        "label",
-        qround(F.col("d"), 6).alias("dist"),
-        qround(z, 6).alias("z"),
-        (z > 2.0).alias("is_outlier"),
-    )
-
-
-# ------------------------------------------------------------ text stats ---
-
-
-@_q(
-    "q_text_stats",
-    """
-    SELECT lang, source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           floor((avg(CAST(len(string_split(text, ' ')) AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS avg_tokens,
-           floor((avg(CAST(n_chars AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
-           CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens
-    FROM documents
-    GROUP BY lang, source
-    """,
-)
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(lang, source) token/char statistics — whitespace tokenization
-    JVM-side; the rollup shape a corpus-quality dashboard runs at scale."""
-    d = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split("text", " "))
-    return d.groupBy("lang", "source").agg(
-        F.count("*").alias("n_docs"),
-        qround(F.avg(n_tokens.cast("double")), 4).alias("avg_tokens"),
-        qround(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
-        F.max(n_tokens).cast("int").alias("max_tokens"),
-    )
-
-
-# ------------------------------------------------------------ multimodal ---
-
-
-@_q(
-    "q_multimodal_cols",
-    """
-    SELECT doc_id, 'text' AS modality, lang,
-           CAST(strlen(text) AS BIGINT) AS payload_bytes,
-           sha256(text) AS payload_sha256
-    FROM documents
-    """,
-)
-def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal column handling: documents become (payload binary, meta
-    struct) rows — the schema shape for opaque image/audio/video bytes with
-    typed metadata. The payload here is the utf-8 text encoding (the
-    container has no media codecs; decode is stubbed in
-    multimodal.decode_payload_batches with real mapInPandas plumbing).
-    Projects through the struct and computes payload-level features."""
-    d = load_table(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "utf-8")
-    meta = F.struct(
-        F.lit("text").alias("modality"),
-        F.col("lang").alias("lang"),
-        F.col("source").alias("source"),
-        F.col("n_chars").alias("n_chars"),
-    )
-    return d.select(
-        "doc_id",
-        payload.alias("payload"),
-        meta.alias("meta"),
-    ).select(
-        "doc_id",
-        F.col("meta.modality").alias("modality"),
-        F.col("meta.lang").alias("lang"),
-        F.length("payload").cast("bigint").alias("payload_bytes"),
-        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
-    )
-
-
-def kmeans_fit(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    k: int = 8,
-    iters: int = 10,
-    id_col: str = "vec_id",
-    with_assignments: bool = True,
-):
-    """Distributed Lloyd's k-means over a vector column — the at-scale
-    replacement for the driver-side sample training ivf_topk/pq_topk use
-    (fine for codebooks, wrong when the corpus no longer fits a sample).
-
-    Per iteration ONE job and NO vector ever crosses a shuffle: a
-    vectorized mapInPandas fuses the argmin-distance assignment (BLAS
-    tile per Arrow batch) with the per-batch partial centroid sums, so
-    each batch emits at most k × dim (label, dim, sum, count) rows and
-    the shuffle + driver collect carry only the k × dim aggregate (r9 —
-    previously assign and update were separate jobs bridged by a per-row
-    label join + posexplode of the corpus).
-
-    Deterministic: init is farthest-point traversal over a bounded
-    xxhash64-ordered sample (greedy k-center — separates well-spread
-    clusters where naive first-k seeding collapses two seeds into one
-    blob and Lloyd's sticks in that local optimum); empty clusters keep
-    their previous centroid. Returns (centroids ndarray [k × dim],
-    assignments DataFrame[id_col, label]) where the assignments are
-    computed against the FINAL centroids (ADVICE r5: the in-loop
-    assignment lags the update by one step), or (centroids, None) with
-    with_assignments=False — callers that only want the codebook (the IVF
-    coarse quantizer) then leave no lingering broadcast behind."""
-    import numpy as np
-    import pandas as pd
-
-    spark = df.sparkSession
-    n_seed = max(64 * k, 256)
-    seed = (
-        df.withColumn("_h", F.xxhash64(id_col))
-        .orderBy("_h", id_col)
-        .limit(n_seed)
-        .select(vec_col)
-        .toPandas()
-    )
-    smat = np.stack(seed[vec_col].to_numpy()).astype("float64")
-    chosen = [0]
-    d2min = ((smat - smat[0]) ** 2).sum(1)
-    while len(chosen) < min(k, len(smat)):
-        nxt = int(d2min.argmax())
-        chosen.append(nxt)
-        d2min = np.minimum(d2min, ((smat - smat[nxt]) ** 2).sum(1))
-    cent = smat[chosen].copy()
-    if len(cent) < k:  # degenerate tiny input: pad by repeating
-        cent = np.resize(cent, (k, smat.shape[1]))
-    dim = cent.shape[1]
-
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    bcs = []  # per-iteration centroid broadcasts, unpersisted before return
-
-    def make_assign(cmat):
-        bc = spark.sparkContext.broadcast(cmat)
-        bcs.append(bc)
-
-        def assign(batches):
-            c = bc.value
-            for b in batches:
-                mat = np.stack(b["_v"].to_numpy()).astype("float64")
-                d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) + (c * c).sum(1)[None, :]
-                yield pd.DataFrame(
-                    {"_id": b["_id"], "label": d2.argmin(1).astype("int32")}
-                )
-
-        return assign
-
-    for _ in range(iters):
-        # fused assign + per-batch partial sums (r9, same shape as
-        # pq_train_codebooks_distributed): no per-row label join, no
-        # posexplode of the corpus — each Arrow batch emits at most
-        # k x dim (label, i, psum, pn) rows and the shuffle + driver
-        # collect carry only the k x dim aggregate
-        bc = spark.sparkContext.broadcast(cent)
-        bcs.append(bc)
-
-        def partial_sums(batches, _bc=bc):
-            c = _bc.value
-            for b in batches:
-                if len(b) == 0:
-                    continue
-                mat = np.stack(b["_v"].to_numpy()).astype("float64")
-                d2 = (
-                    (mat * mat).sum(1)[:, None]
-                    - 2.0 * (mat @ c.T)
-                    + (c * c).sum(1)[None, :]
-                )
-                lab = d2.argmin(1)
-                ll, ii, vv, nn = [], [], [], []
-                for lbl in np.unique(lab):
-                    pts = mat[lab == lbl]
-                    ll.extend([int(lbl)] * dim)
-                    ii.extend(range(dim))
-                    vv.extend(pts.sum(axis=0).tolist())
-                    nn.extend([len(pts)] * dim)
-                yield pd.DataFrame({"label": ll, "i": ii, "psum": vv, "pn": nn})
-
-        sums = (
-            base.mapInPandas(
-                partial_sums, schema="label int, i int, psum double, pn long"
-            )
-            .groupBy("label", "i")
-            .agg(F.sum("psum").alias("s"), F.sum("pn").alias("n"))
-            .collect()
-        )
-        new = cent.copy()
-        acc = {}
-        for r in sums:
-            acc.setdefault(r["label"], [np.zeros(dim), 0])
-            acc[r["label"]][0][r["i"]] = r["s"]
-            acc[r["label"]][1] = r["n"]
-        for lbl, (vec, n) in acc.items():
-            if n:
-                new[lbl] = vec / n
-        cent = new
-    if not with_assignments:
-        for bc in bcs:
-            bc.unpersist()
-        return cent, None
-    # assignments against the FINAL centroids — the in-loop assignment was
-    # computed before the last update and would be internally inconsistent
-    # with the returned centroid matrix
-    final = base.mapInPandas(make_assign(cent), schema="_id long, label int")
-    for bc in bcs[:-1]:
-        bc.unpersist()
-    return cent, final.select(F.col("_id").alias(id_col), "label")
-
-
-@_q("q_kmeans_clusters")  # rows-only: iterative algorithm, no SQL twin
-def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster the embeddings table with distributed Lloyd's k-means and
-    return per-cluster sizes — the iterative-algorithm entry of the query
-    surface (same rows-only class as the streaming twins: no portable SQL
-    expresses the iteration). Deterministic end-to-end (farthest-point
-    init over a hash-ordered sample, argmin ties break low), so repeated
-    runs return identical rows."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    _, assigned = kmeans_fit(e, k=4, iters=4)
-    return (
-        assigned.groupBy("label")
-        .agg(F.count("*").alias("n_vecs"))
-        .select(F.col("label").cast("int").alias("label"), F.col("n_vecs").cast("bigint").alias("n_vecs"))
-    )
-
-
-FUZZY_Q = 3  # q-gram width
-FUZZY_PLEN = 24  # normalized prefix length
-FUZZY_MAXD = 3  # max edit distance
-# Ukkonen's q-gram count filter: strings of length n within edit distance k
-# share >= n - q + 1 - k*q q-grams (multiset). Candidates below this bound
-# CANNOT be within distance k, so the blocking is lossless by construction.
-FUZZY_THRESH = FUZZY_PLEN - FUZZY_Q + 1 - FUZZY_MAXD * FUZZY_Q
-
-
-@_q(
-    "q_fuzzy_pairs",
-    f"""
-    WITH p AS (
-      SELECT doc_id, lang,
-             rpad(lower(substr(text, 1, {FUZZY_PLEN})), {FUZZY_PLEN}, '.') AS p
-      FROM documents
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
-           CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
-    FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.p, b.p) <= {FUZZY_MAXD}
-    """,
-)
-def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance similarity join: same-language document pairs whose
-    normalized {FUZZY_PLEN}-char prefix is within Levenshtein {FUZZY_MAXD}
-    — the fuzzy-matching primitive (near-identical titles/headers, OCR
-    noise, entity resolution).
-
-    The oracle is the naive quadratic join; the Spark plan is NOT, and its
-    blocking is LOSSLESS (unlike MinHash/SimHash recall): by Ukkonen's
-    q-gram count bound, two length-n strings within edit distance k share
-    >= n-q+1-k·q of their n-q+1 multiset q-grams — so they can DISAGREE on
-    at most k·q grams, and under any global total order over gram keys the
-    first k·q+1 = {FUZZY_MAXD * FUZZY_Q + 1} grams of each doc (the ed-join
-    prefix filter) must intersect for every qualifying pair. Candidate
-    generation therefore equi-joins only each doc's {FUZZY_MAXD * FUZZY_Q
-    + 1} globally-RAREST gram#occurrence keys (rarity order doubles as the
-    hot-bucket killer: the measured all-grams join was 9x slower on hot
-    'the'/'ing' buckets); multiset keys via per-doc occurrence numbering —
-    distinct-gram counting would break the bound for repeated grams. Only
-    distinct candidate pairs pay the exact Levenshtein. Set equality (not
-    just recall) against the unblocked join is asserted in tests, and the
-    oracle's naive join re-proves it at sf0.01 every sweep. At 100 TB the
-    prefix join shuffles O(n·(k·q+1)) rare short keys."""
-    d = load_table(spark, sf_dir, "documents")
-    prefix = F.rpad(F.lower(F.substring("text", 1, FUZZY_PLEN)), FUZZY_PLEN, ".")
-    base = d.select("doc_id", "lang", prefix.alias("p")).repartition("doc_id")
-    grams = base.select(
-        "doc_id",
-        "lang",
-        "p",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(FUZZY_PLEN - FUZZY_Q + 1)),
-                lambda i: F.col("p").substr(i, F.lit(FUZZY_Q)),
-            )
-        ).alias("pos", "gram"),
-    )
-    occ_w = Window.partitionBy("doc_id", "gram").orderBy("pos")
-    keyed = grams.withColumn(
-        "gk", F.concat_ws("#", "gram", F.row_number().over(occ_w).cast("string"))
-    ).select("doc_id", "lang", "p", "gk")
-    freq = keyed.groupBy("gk").agg(F.count("*").alias("gfreq"))
-    pfx_w = Window.partitionBy("doc_id").orderBy(F.col("gfreq").asc(), "gk")
-    # freq is bounded by the distinct (gram, occurrence#) keyspace, which
-    # grows with corpus charset/q — so no forced broadcast (VERDICT r5 #6):
-    # AQE broadcasts it while it fits and falls back to a shuffle join
-    # (with skew-split on hot grams) when it doesn't.
-    pref = (
-        keyed.join(freq, "gk")
-        .withColumn("r", F.row_number().over(pfx_w))
-        .filter(F.col("r") <= FUZZY_MAXD * FUZZY_Q + 1)
-        .select("doc_id", "lang", "p", "gk")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.gk") == F.col("b.gk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang"),
-            F.col("a.p").alias("pa"),
-            F.col("b.p").alias("pb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn("edit_dist", F.levenshtein("pa", "pb").cast("int"))
-        .filter(F.col("edit_dist") <= FUZZY_MAXD)
-        .select("doc_a", "doc_b", "lang", "edit_dist")
-    )
-
-
-@_q(
-    "q_dedup_keep_best",
-    """
-    SELECT rep_doc_id, n_copies, rep_chars
-    FROM (
-      SELECT doc_id AS rep_doc_id,
-             CAST(count(*) OVER (PARTITION BY lower(trim(text))) AS BIGINT)
-                 AS n_copies,
-             CAST(n_chars AS BIGINT) AS rep_chars,
-             row_number() OVER (PARTITION BY lower(trim(text))
-                                ORDER BY n_chars DESC, doc_id) AS rn
-      FROM documents
-    )
-    WHERE rn = 1
-    """,
-)
-def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup keeping the BEST representative per duplicate group
-    (here: most characters, doc_id tiebreak) instead of q_dedup_exact's
-    min-id — the form a quality-aware pipeline wants (keep the longest /
-    highest-quality copy, drop the rest).
-
-    Same fixed-width-digest shuffle discipline as q_dedup_exact: one
-    hash-groupBy on sha2(normalized text), argmax via max(struct(quality,
-    -doc_id)) so the whole selection is a single map-side-combinable
-    aggregate — no window over the corpus, no second shuffle. The oracle
-    expresses the same argmax with a row_number window over the raw
-    normalized text (the semantic spec; digest grouping is the physical
-    form)."""
-    d = load_table(spark, sf_dir, "documents")
-    digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
-    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
-    return (
-        d.groupBy(digest.alias("text_digest"))
-        .agg(
-            F.count("*").alias("n_copies"),
-            best.alias("best"),
-        )
-        .select(
-            (-F.col("best.neg_id")).cast("bigint").alias("rep_doc_id"),
-            F.col("n_copies").cast("bigint").alias("n_copies"),
-            F.col("best.n_chars").cast("bigint").alias("rep_chars"),
-        )
-    )
-
-
-@_q(
-    "q_dup_rate_report",
-    """
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique,
-           floor((1.0 - count(DISTINCT md5(lower(trim(text))))
-                        / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5)
-               / 1000000.0 AS dup_rate
-    FROM documents
-    GROUP BY source
-    """,
-)
-def q_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source duplication-rate report: the monitoring metric OVER the
-    dedup family — which ingestion source is feeding us copies, tracked
-    per load so a scraper regression shows up as a dup_rate step change,
-    before anyone reruns the dedup itself.
-
-    Same digest discipline as q_dedup_exact: the distinct-count runs on
-    md5(normalized text) so the two-phase distinct shuffle carries
-    fixed-width digests, never document bodies. Both engines compute md5,
-    so the oracle matches on the digest semantics exactly."""
-    d = load_table(spark, sf_dir, "documents")
-    dig = F.md5(F.lower(F.trim(F.col("text"))))
-    return d.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.countDistinct(dig).cast("bigint").alias("n_unique"),
-        qround(
-            1.0 - F.countDistinct(dig) / F.count("*").cast("double"), 6
-        ).alias("dup_rate"),
-    )
-
-
-# exact-substring duplication parameters: anchor length, winnow window,
-# boilerplate ceiling (anchors present in more docs than this are dropped)
-SUBDUP_K = 32
-SUBDUP_W = 8
-SUBDUP_BOILERPLATE = 50
-
-
-@_q(
-    "q_substring_dup",
-    f"""
-    WITH hashes AS (
-      SELECT doc_id,
-             list_transform(range(1, GREATEST(len(text) - {SUBDUP_K} + 1, 0) + 1),
-                            i -> md5(text[i:i + {SUBDUP_K} - 1])) AS h
-      FROM documents
-    ),
-    anchors AS (
-      SELECT DISTINCT doc_id, anchor
-      FROM (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                 range(1, GREATEST(len(h) - {SUBDUP_W} + 1, 1) + 1),
-                 j -> list_min(h[j:j + {SUBDUP_W} - 1])))) AS anchor
-        FROM hashes WHERE len(h) > 0
-      )
-    ),
-    keep AS (
-      SELECT anchor FROM anchors GROUP BY anchor
-      HAVING count(*) <= {SUBDUP_BOILERPLATE} AND count(*) > 1
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(count(*) AS BIGINT) AS n_shared_anchors
-    FROM anchors a
-    JOIN keep USING (anchor)
-    JOIN anchors b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    """,
-)
-def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT substring duplication across documents (the Lee et al.
-    'Deduplicating Training Data' ExactSubstr operator): document pairs
-    sharing a verbatim run of >= {SUBDUP_K + SUBDUP_W - 1} characters,
-    found via winnowed {SUBDUP_K}-gram anchors — copied paragraphs,
-    licenses, quoted passages that whole-document dedup can never see.
-
-    The winnowing guarantee makes the blocking LOSSLESS for long matches:
-    every window of {SUBDUP_W} consecutive {SUBDUP_K}-gram hashes
-    contributes its minimum as an anchor, so any shared substring of
-    length >= K+W-1 = {SUBDUP_K + SUBDUP_W - 1} contains a full window of
-    shared hashes on both sides and therefore a shared ANCHOR — while
-    only ~1/{SUBDUP_W} of positions become join keys. Anchors present in
-    > {SUBDUP_BOILERPLATE} documents are dropped BEFORE the pair join —
-    they are exactly the hot keys that would quadratically explode it.
-    Note the ceiling bounds each join bucket (<= {SUBDUP_BOILERPLATE}²/2
-    pairs); it does NOT suppress every pair among docs sharing mass
-    boilerplate: anchor election is window-context-dependent, so boundary
-    windows can elect secondary anchors of the same shared run in doc
-    SUBSETS under the ceiling — those pairs are true positives of the
-    "shares a >= K+W-1 run" predicate, and a pipeline that wants them
-    gone filters known-boilerplate strings upstream.
-
-    Scale shape: hashing is row-local JVM (one transform over sequence
-    per doc, no UDF); anchor ELECTION is a codegen'd sliding
-    rows-frame min over the posexploded hash stream (r9: measured ~15%
-    faster than the interpreted slice+array_min HOF it replaces, which
-    allocated a W-element array per window; the window partitions by
-    doc_id and a partition is one document — bounded by document length,
-    never a skew key). The anchor table is ~len/{SUBDUP_W} keys per doc;
-    the pair generation is an equi-join on 32-char digests with the
-    boilerplate ceiling bounding every bucket's fan-out to
-    {SUBDUP_BOILERPLATE}²/2 pairs. No all-pairs comparison anywhere."""
-    d = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    n_pos = F.greatest(F.length(text) - SUBDUP_K + 1, F.lit(0))
-    # anchors never reach the output (it is doc pairs + a count), so the
-    # hex digest is unhexed to 16-byte binary at birth: hex encoding is
-    # order-isomorphic to unsigned byte order, so the window-min election
-    # matches the oracle's hex-string election exactly, while explode /
-    # window sort / distinct / self-join all move keys half the width
-    # (r13 A/B: 6.57 → 6.01 s full query, byte-identical 325 pairs).
-    # sequence(1, 0) would infer step -1, so gate the empty case explicitly
-    hashes = d.select(
-        "doc_id",
-        F.when(
-            n_pos >= 1,
-            F.transform(
-                F.sequence(F.lit(1), n_pos),
-                lambda i: F.unhex(
-                    F.md5(text.substr(i, F.lit(SUBDUP_K)).cast("binary"))
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<binary>"))
-        .alias("h"),
-    )
-    ex = hashes.filter(F.size("h") > 0).select(
-        "doc_id", F.size("h").alias("_L"), F.posexplode("h").alias("_pos", "_hv")
-    )
-    w_win = Window.partitionBy("doc_id").orderBy("_pos").rowsBetween(0, SUBDUP_W - 1)
-    # valid window starts are 0..L-W (0-based); docs shorter than W keep
-    # start 0 with the frame clamped at the partition end — the same
-    # clamping the slice() formulation had. Equivalence to the
-    # slice+array_min election is asserted by the oracle hash match.
-    anchors = (
-        ex.withColumn("_wmin", F.min("_hv").over(w_win))
-        .filter(F.col("_pos") <= F.greatest(F.col("_L") - SUBDUP_W, F.lit(0)))
-        .select("doc_id", F.col("_wmin").alias("anchor"))
-        .distinct()
-    )
-    keep = (
-        anchors.groupBy("anchor")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(
-            (F.col("n_docs") <= SUBDUP_BOILERPLATE) & (F.col("n_docs") > 1)
-        )
-        .select("anchor")
-    )
-    # The b-side stays the UNFILTERED anchor table (r14 measured-and-
-    # rejected alternative: self-joining the keep-filtered table removed
-    # the boilerplate-hot anchors from the b-side exchange and won ~8% at
-    # sf0.1 — 6.62→6.09 / 5.95→5.50 s, identical 325 pairs — but LOST at
-    # the 20× probe, interleaved: unfiltered-b [24.9, 17.4] vs filtered
-    # self-join [27.1, 25.3] s. Duplicating the keep-join subtree under
-    # both pair-join inputs costs more at scale than shuffling the hot
-    # anchors the a-side filter then drops; the same isolated-win-not-
-    # transferring trap as r13's triangles broadcast hint.)
-    a = anchors.join(keep, "anchor")
-    b = anchors.select(
-        F.col("anchor").alias("anchor"), F.col("doc_id").alias("doc_b")
-    )
-    return (
-        a.join(b, (a.anchor == b.anchor) & (a.doc_id < F.col("doc_b")))
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
-        .agg(F.count("*").cast("bigint").alias("n_shared_anchors"))
-    )
-
-
-@_q(
-    "q_embed_quantize",
-    """
-    WITH prep AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    scaled AS (
-      SELECT vec_id, label, v,
-             list_reduce(list_transform(v, x -> abs(x)),
-                         (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0
-                 AS scale
-      FROM prep
-    ),
-    coded AS (
-      SELECT vec_id, label, scale,
-             list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
-               ELSE GREATEST(-127.0, LEAST(127.0, floor(x / scale + 0.5)))
-               END) AS codes
-      FROM scaled
-    )
-    SELECT vec_id, label,
-           floor(scale * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
-           CAST(list_reduce(list_transform(codes, c -> abs(c)),
-                            (a, b) -> CASE WHEN b > a THEN b ELSE a END)
-                AS INT) AS max_code,
-           CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT)
-               AS n_saturated
-    FROM coded
-    """,
-)
-def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 quantization of every embedding (per-vector absmax
-    scale, codes in [-127, 127]) — the 4x storage compression a 100 TB
-    vector corpus takes before ANN indexing. Gated columns are the
-    per-vector scale (one exact division), the max |code| (sanity: must
-    be 127 for a non-zero vector by absmax construction) and the
-    saturated-dimension count.
-
-    Row-local throughout: scale and codes are higher-order-function folds
-    over the array inside whole-stage codegen — no UDF, no shuffle,
-    scan-bound. Quantization uses floor(x/scale + 0.5) (round-half-up)
-    rather than round() because the engines' round() differ on ties. The
-    reconstruction-MSE metric lives in embed_quantize_mse: its 64-term
-    error sum drifts ~1e-12 between engines (fused-multiply-add codegen),
-    so it is bound-asserted in tests rather than hash-gated — the same
-    policy as check_reconcile."""
-    return _embed_quantized(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        qround(F.col("scale"), 9).alias("scale"),
-        F.aggregate(
-            F.transform("codes", lambda c: F.abs(c)),
-            F.lit(0.0),
-            lambda a, b: F.when(b > a, b).otherwise(a),
-        )
-        .cast("int")
-        .alias("max_code"),
-        F.size(F.filter("codes", lambda c: F.abs(c) == 127))
-        .cast("bigint")
-        .alias("n_saturated"),
-    )
-
-
-def _embed_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared quantization core: (vec_id, label, v, scale, codes)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    d = e.select("vec_id", "label", v.alias("v"))
-    absmax = F.aggregate(
-        F.transform("v", lambda x: F.abs(x)),
-        F.lit(0.0),
-        lambda a, b: F.when(b > a, b).otherwise(a),
-    )
-    d = d.withColumn("scale", absmax / 127.0)
-    codes = F.transform(
-        "v",
-        lambda x: F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
-            F.greatest(
-                F.lit(-127.0),
-                F.least(F.lit(127.0), F.floor(x / F.col("scale") + 0.5)),
-            )
-        ),
-    )
-    return d.withColumn("codes", codes)
-
-
-def embed_quantize_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reconstruction MSE per vector (codes*scale vs original). Library
-    metric — bound-asserted in tests (see q_embed_quantize docstring)."""
-    d = _embed_quantized(spark, sf_dir)
-    sq_err = F.zip_with(
-        "v", "codes", lambda x, c: (x - c * F.col("scale")) * (x - c * F.col("scale"))
-    )
-    mse = F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b) / F.size("v")
-    return d.select("vec_id", "label", "scale", mse.alias("mse"))
-
-
-# containment dedup parameters: shingle width, threshold, min shingles
-CONTAIN_Q = 3
-CONTAIN_THRESH = 0.8
-CONTAIN_MIN = 5
-
-
-@_q(
-    "q_dedup_containment",
-    f"""
-    WITH sh AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, GREATEST(len(string_split(text, ' ')) - {CONTAIN_Q} + 1,
-                                 0) + 1),
-               i -> md5(array_to_string(string_split(text, ' ')[i:i + {CONTAIN_Q} - 1],
-                                        ' '))))) AS sh
-      FROM documents
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
-           floor(n_shared / CAST(sa.n_sh AS DOUBLE) * 10000.0 + 0.5) / 10000.0
-               AS containment
-    FROM shared
-    JOIN sizes sa ON sa.doc_id = doc_a
-    WHERE sa.n_sh >= {CONTAIN_MIN}
-      AND n_shared / CAST(sa.n_sh AS DOUBLE) >= {CONTAIN_THRESH}
-    """,
-)
-def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment near-dedup: ordered pairs where >= {CONTAIN_THRESH:.0%}
-    of doc_a's {CONTAIN_Q}-token shingles also appear in doc_b — the
-    ASYMMETRIC duplication measure. Symmetric Jaccard (q_dedup_ngram)
-    misses a short document quoted wholesale inside a long one (the union
-    dwarfs the intersection); containment is exactly the quote/subset
-    detector, directional by construction (A-in-B is not B-in-A).
-
-    Scale shape: distinct shingles are hashed row-locally (JVM transform
-    + md5); the pair generation is the shingle equi-join — each shingle's
-    bucket joins only its own postings, never all-pairs; per-doc shingle
-    counts join back as a broadcast-sized table. At 100 TB add a
-    document-frequency ceiling on shingles (as q_substring_dup does for
-    anchors) to bound hot boilerplate buckets; the gated form keeps exact
-    semantics so the oracle can verify it verbatim."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_sh_expr = F.greatest(F.size(toks) - CONTAIN_Q + 1, F.lit(0))
-    shingles = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.when(
-                    n_sh_expr >= 1,
-                    F.transform(
-                        F.sequence(F.lit(1), n_sh_expr),
-                        lambda i: F.md5(
-                            F.array_join(
-                                F.slice(toks, i, CONTAIN_Q), " "
-                            ).cast("binary")
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            )
-        ).alias("sh"),
-    )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = shingles.alias("a"), shingles.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh"))
-    cont = F.col("n_shared") / F.col("n_sh").cast("double")
-    return (
-        shared.join(sa, "doc_a")
-        .filter((F.col("n_sh") >= CONTAIN_MIN) & (cont >= CONTAIN_THRESH))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("n_shared").cast("bigint").alias("n_shared"),
-            qround(cont, 4).alias("containment"),
-        )
-    )
-
-
-@_q(
-    "q_image_decode",
-    """
-    WITH px AS (
-      SELECT doc_id, i, ascii(substr(text, i, 1)) AS code
-      FROM documents, unnest(range(1, 97)) AS t(i)
-      WHERE length(text) >= 96
-    )
-    SELECT doc_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
-           floor(avg(CASE WHEN (i - 1) % 3 = 0 THEN CAST(code AS DOUBLE) END)
-                 * 10000.0 + 0.5) / 10000.0 AS mean_r,
-           floor(avg(CASE WHEN (i - 1) % 3 = 1 THEN CAST(code AS DOUBLE) END)
-                 * 10000.0 + 0.5) / 10000.0 AS mean_g,
-           floor(avg(CASE WHEN (i - 1) % 3 = 2 THEN CAST(code AS DOUBLE) END)
-                 * 10000.0 + 0.5) / 10000.0 AS mean_b,
-           CAST(107 AS BIGINT) AS n_bytes,
-           true AS decode_ok
-    FROM px GROUP BY doc_id
-    """,
-)
-def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode, oracle-gated end to end: every long-enough
-    document becomes an 8x4 P6 PPM whose pixel bytes are its first 96
-    utf-8 bytes (the corpus is pure ASCII, asserted by the length filter
-    matching the oracle's character positions), the payload goes through
-    the REAL PNM parser inside mapInPandas (fake=False — header parse,
-    ndarray reshape, per-channel means), and DuckDB independently predicts
-    the channel means from ascii() codes at stride-3 positions.
-
-    This closes the multimodal loop the r5 verdict flagged: not just
-    Arrow plumbing around a stub, but a bit-exact decode the driver's
-    hash gate verifies. Channel means of uint8 pixels are exact binary
-    fractions (sum of ints / 32), so the half-up 1e-4 quantization in
-    decode_payload agrees with sql_qround bit-for-bit.
-
-    Scale shape: one scan, payload synthesis and decode are row-local in
-    the Python worker (Arrow-batched), no shuffle at all."""
-    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
-        DECODE_SCHEMA,
-        decode_payload_batches,
-    )
-
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
-    header = F.lit(b"P6\n8 4\n255\n")
-    payload = F.concat(header, F.encode(F.substring("text", 1, 96), "utf-8"))
-    mm = d.select(
-        "doc_id", payload.alias("payload"), F.lit("image").alias("modality")
-    )
-    feats = mm.mapInPandas(decode_payload_batches(fake=False), schema=DECODE_SCHEMA)
-    return feats.select(
-        "doc_id",
-        F.col("feat")[0].cast("int").alias("width"),
-        F.col("feat")[1].cast("int").alias("height"),
-        F.col("feat")[2].alias("mean_r"),
-        F.col("feat")[3].alias("mean_g"),
-        F.col("feat")[4].alias("mean_b"),
-        F.col("n_bytes").alias("n_bytes"),
-        "decode_ok",
-    )
-
-
-@_q(
-    "q_image_decode_png",
-    """
-    WITH px AS (
-      SELECT doc_id, i, ascii(substr(text, i, 1)) AS code
-      FROM documents, unnest(range(1, 97)) AS t(i)
-      WHERE length(text) >= 96
-    )
-    SELECT doc_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
-           floor(avg(CASE WHEN (i - 1) % 3 = 0 THEN CAST(code AS DOUBLE) END)
-                 * 10000.0 + 0.5) / 10000.0 AS mean_r,
-           floor(avg(CASE WHEN (i - 1) % 3 = 1 THEN CAST(code AS DOUBLE) END)
-                 * 10000.0 + 0.5) / 10000.0 AS mean_g,
-           floor(avg(CASE WHEN (i - 1) % 3 = 2 THEN CAST(code AS DOUBLE) END)
-                 * 10000.0 + 0.5) / 10000.0 AS mean_b,
-           true AS decode_ok
-    FROM px GROUP BY doc_id
-    """,
-)
-def q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL compressed-codec decode, oracle-gated end to end (r10): the
-    same 8x4 pixel grids as q_image_decode (a doc's first 96 ASCII bytes)
-    are ENCODED as real PNGs inside a mapInPandas pass — stdlib zlib
-    deflate, crc32 chunks, and a per-row filter cycle (None/Sub/Up/
-    Average/Paeth) so all five filter paths are exercised on every image
-    — then decoded back through the real PNG decoder (chunk walk, zlib
-    inflate, per-scanline unfilter). DuckDB independently predicts the
-    channel means from ascii() codes; a hash match proves
-    deflate -> filter -> inflate -> unfilter is lossless bit-for-bit on
-    the whole corpus, closing the "PNG raises" gap in multimodal
-    coverage with zero new dependencies.
-
-    Scale shape: identical to q_image_decode — encode and decode are
-    row-local Python (Arrow-batched), no shuffle; n_bytes is omitted
-    from the output because the deflate length is content-dependent
-    (not SQL-predictable), unlike the fixed-size PPM payloads."""
-    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
-        DECODE_SCHEMA,
-        decode_payload_batches,
-        png_encode_batches,
-    )
-
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
-    pixels = d.select(
-        "doc_id", F.encode(F.substring("text", 1, 96), "utf-8").alias("pixels")
-    )
-    encoded = pixels.mapInPandas(
-        png_encode_batches(width=8, height=4), schema="doc_id long, payload binary"
-    )
-    feats = encoded.select(
-        "doc_id", "payload", F.lit("image").alias("modality")
-    ).mapInPandas(decode_payload_batches(fake=False), schema=DECODE_SCHEMA)
-    return feats.select(
-        "doc_id",
-        F.col("feat")[0].cast("int").alias("width"),
-        F.col("feat")[1].cast("int").alias("height"),
-        F.col("feat")[2].alias("mean_r"),
-        F.col("feat")[3].alias("mean_g"),
-        F.col("feat")[4].alias("mean_b"),
-        "decode_ok",
-    )
-
-
-def _ascii96_payload(header: Column) -> Column:
-    """First-96-chars media payload with both perceptual-dedup invariants
-    made LOUD (ADVICE r17, the _emb_rows pattern):
-
-    - single-byte prefix: F.substring counts CHARACTERS and the UTF-8
-      encode then multiplies bytes for non-ASCII, while the DuckDB oracle's
-      ascii() reads code points — a non-ASCII doc would silently become an
-      unattributable hash/row-count gate failure. The octet-length guard
-      turns it into a job failure naming the doc_id instead.
-    """
-    prefix = F.encode(F.substring("text", 1, 96), "utf-8")
-    return F.concat(
-        header,
-        F.when(F.octet_length(prefix) == 96, prefix).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "non-single-byte char in first 96 chars of doc_id="
-                    ),
-                    F.col("doc_id").cast("string"),
-                )
-            )
-        ),
-    )
-
-
-def _loud_hash(ok_col: str, hash_col: str, what: str) -> Column:
-    """Decode-failure guard for the perceptual dedup keys (ADVICE r17):
-    the generic dhash_batches/afp_batches iterators mark corrupt payloads
-    with ok=False for tolerant consumers, but the DEDUP oracles hash every
-    length>=96 doc, so silently dropping a failed row would surface as an
-    unattributed row-count mismatch. Here a failed decode fails the job
-    with its doc_id — on this corpus every payload is constructed valid,
-    so any failure is a real bug, not data weather."""
-    return (
-        F.when(F.col(ok_col), F.col(hash_col))
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"{what} decode failed for doc_id="),
-                    F.col("doc_id").cast("string"),
-                )
-            )
-        )
-        .alias(hash_col)
-    )
-
-
-_DHASH_ORACLE = """
-    WITH px AS (
-      SELECT doc_id, i, ascii(substr(text, i, 1)) AS code
-      FROM documents, unnest(range(1, 97)) AS t(i)
-      WHERE length(text) >= 96
-    ),
-    gray AS (
-      SELECT doc_id, (i - 1) // 3 AS p, sum(code) AS g
-      FROM px GROUP BY doc_id, (i - 1) // 3
-    ),
-    bits AS (
-      SELECT a.doc_id, (a.p // 8) * 7 + (a.p % 8) AS idx,
-             CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
-      FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND b.p = a.p + 1
-      WHERE a.p % 8 <> 7
-    ),
-    h AS (
-      SELECT doc_id, CAST(sum((bit::BIGINT) << idx) AS BIGINT) AS dhash
-      FROM bits GROUP BY doc_id
-    )
-    SELECT doc_id, dhash,
-           CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS bucket_size,
-           count(*) OVER (PARTITION BY dhash) > 1 AS is_dup
-    FROM h
-"""
-
-
-@_q("q_image_dhash_dedup", _DHASH_ORACLE)
-def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image dedup, oracle-gated end to end: the q_image_decode
-    corpus (each long-enough doc's first 96 ASCII bytes as an 8x4 P6 PPM)
-    goes through the REAL image decoder inside mapInPandas, each decoded
-    pixel grid is reduced to a 28-bit dHash (difference hash: one bit per
-    horizontally-adjacent gray-sum ordering — multimodal.dhash_image),
-    and equal hashes bucket into near-dup groups. The LAION-style image
-    dedup move: byte-level identity misses re-encoded copies, but the
-    ordering-based signature survives encoding and uniform brightness
-    shifts. DuckDB independently rebuilds every hash from ascii() codes
-    (integer gray sums, the same strict-less bits, the same bit-index
-    layout), so the whole decode -> hash -> bucket path is hash-gated.
-    Exact-duplicate texts share their first 96 bytes, so real buckets
-    with bucket_size > 1 exist at every SF.
-
-    Scale shape: decode+hash are row-local Python (Arrow batches, no
-    shuffle); the only shuffle is the groupBy on the 28-bit hash — an
-    8-byte key, never pixels — and the bucket-size join is hash-keyed
-    the same way. At 100 TB this is the exact q_dedup_exact digest
-    pattern with a perceptual digest."""
-    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
-        DHASH_SCHEMA,
-        dhash_batches,
-    )
-
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
-    payload = _ascii96_payload(F.lit(b"P6\n8 4\n255\n"))
-    h = (
-        d.select("doc_id", payload.alias("payload"))
-        .mapInPandas(dhash_batches(), schema=DHASH_SCHEMA)
-        .select("doc_id", _loud_hash("dhash_ok", "dhash", "image"))
-    )
-    sizes = h.groupBy("dhash").agg(F.count("*").alias("bucket_size"))
-    return h.join(sizes, "dhash").select(
-        "doc_id",
-        "dhash",
-        F.col("bucket_size").cast("bigint").alias("bucket_size"),
-        (F.col("bucket_size") > 1).alias("is_dup"),
-    )
-
-
-@_q(
-    "q_image_resize",
-    """
-    WITH pos AS (SELECT unnest([0, 2, 4, 6, 16, 18, 20, 22]) AS p),
-    px AS (
-      SELECT d.doc_id,
-             ascii(substr(d.text, 3 * pos.p + 1, 1)) AS r,
-             ascii(substr(d.text, 3 * pos.p + 2, 1)) AS g,
-             ascii(substr(d.text, 3 * pos.p + 3, 1)) AS b
-      FROM documents d, pos
-      WHERE length(d.text) >= 96
-    )
-    SELECT doc_id, CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
-           floor(avg(CAST(r AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_r,
-           floor(avg(CAST(g AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_g,
-           floor(avg(CAST(b AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_b,
-           true AS resize_ok
-    FROM px GROUP BY doc_id
-    """,
-)
-def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image resize, oracle-gated end to end: the same 8x4 P6 payloads
-    as q_image_decode go through the REAL nearest-neighbor resample
-    (`resize_batches(fake=False)`: decode -> integer-index resample ->
-    re-encode as P6), and the RESIZED 4x2 payloads are then decoded again
-    for per-channel means. DuckDB predicts those means independently from
-    the ascii codes of exactly the source pixels nearest-neighbor keeps —
-    rows {0,2} x cols {0,2,4,6} of the 8x4 grid, i.e. flat positions
-    {0,2,4,6,16,18,20,22} at byte stride 3 — so a hash match proves the
-    resample picked precisely the right pixels and the re-encoded P6
-    survives a second real decode. Means over 8 uint8 values are exact
-    binary fractions, so half-up 1e-4 quantization agrees bit-for-bit
-    cross-engine.
-
-    Scale shape: two chained mapInPandas passes (resize, decode), both
-    row-local Arrow-batched; no shuffle at all."""
-    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
-        DECODE_SCHEMA,
-        decode_payload_batches,
-        resize_batches,
-    )
-
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
-    header = F.lit(b"P6\n8 4\n255\n")
-    payload = F.concat(header, F.encode(F.substring("text", 1, 96), "utf-8"))
-    mm = d.select("doc_id", payload.alias("payload"))
-    resized = mm.mapInPandas(
-        resize_batches(4, 2, fake=False),
-        schema="doc_id long, payload binary, width int, height int, resize_ok boolean",
-    )
-    feats = resized.select(
-        "doc_id", "payload", F.lit("image").alias("modality")
-    ).mapInPandas(decode_payload_batches(fake=False), schema=DECODE_SCHEMA)
-    return feats.select(
-        "doc_id",
-        F.col("feat")[0].cast("int").alias("width"),
-        F.col("feat")[1].cast("int").alias("height"),
-        F.col("feat")[2].alias("mean_r"),
-        F.col("feat")[3].alias("mean_g"),
-        F.col("feat")[4].alias("mean_b"),
-        F.col("decode_ok").alias("resize_ok"),
-    )
-
-
-@_q(
-    "q_audio_decode",
-    """
-    WITH px AS (
-      SELECT doc_id, (ascii(substr(text, i, 1)) - 128.0) / 128.0 AS mono
-      FROM documents, unnest(range(1, 97)) AS t(i)
-      WHERE length(text) >= 96
-    )
-    SELECT doc_id,
-           CAST(1 AS INT) AS n_channels,
-           CAST(8000 AS INT) AS sample_rate,
-           CAST(96 AS BIGINT) AS n_samples,
-           CAST(0.012 AS DOUBLE) AS duration_s,
-           floor(sqrt(avg(mono * mono)) * 1000000.0 + 0.5) / 1000000.0 AS rms,
-           floor(max(abs(mono)) * 1000000.0 + 0.5) / 1000000.0 AS max_abs,
-           floor(avg(mono) * 1000000.0 + 0.5) / 1000000.0 AS mean_sample,
-           true AS decode_ok
-    FROM px GROUP BY doc_id
-    """,
-)
-def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode, oracle-gated: each long-enough document becomes
-    an 8-bit PCM mono WAV (44-byte RIFF header + its first 96 ASCII bytes
-    as samples), decoded by the stdlib wave parser inside mapInPandas
-    (fake=False), and DuckDB independently predicts RMS / peak / mean from
-    the ascii codes ((code-128)/128 per 8-bit PCM convention).
-
-    Bit-exactness argument: every sample is a multiple of 2^-7, squares
-    are multiples of 2^-14, and 96 such terms sum EXACTLY in float64
-    regardless of association order — so avg/sqrt are correctly-rounded
-    functions of identical inputs on both engines, and the half-up 1e-6
-    quantization (decode_payload's _q6) matches sql_qround.
-
-    Scale shape: identical to q_image_decode — row-local synthesis +
-    decode, Arrow-batched, shuffle-free."""
-    import struct as _struct
-
-    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
-        DECODE_SCHEMA,
-        decode_payload_batches,
-    )
-
-    hdr = (
-        b"RIFF"
-        + _struct.pack("<I", 36 + 96)
-        + b"WAVE"
-        + b"fmt "
-        + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
-        + b"data"
-        + _struct.pack("<I", 96)
-    )
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
-    payload = F.concat(F.lit(hdr), F.encode(F.substring("text", 1, 96), "utf-8"))
-    mm = d.select(
-        "doc_id", payload.alias("payload"), F.lit("audio").alias("modality")
-    )
-    feats = mm.mapInPandas(decode_payload_batches(fake=False), schema=DECODE_SCHEMA)
-    return feats.select(
-        "doc_id",
-        F.col("feat")[0].cast("int").alias("n_channels"),
-        F.col("feat")[1].cast("int").alias("sample_rate"),
-        F.col("feat")[2].cast("bigint").alias("n_samples"),
-        F.col("feat")[3].alias("duration_s"),
-        F.col("feat")[4].alias("rms"),
-        F.col("feat")[5].alias("max_abs"),
-        F.col("feat")[7].alias("mean_sample"),
-        "decode_ok",
-    )
-
-
-@_q(
-    "q_audio_resample",
-    """
-    WITH px AS (
-      SELECT doc_id, (ascii(substr(text, i, 1)) - 128.0) / 128.0 AS mono
-      FROM documents, unnest(range(1, 97)) AS t(i)
-      WHERE length(text) >= 96 AND (i - 1) % 2 = 0
-    )
-    SELECT doc_id,
-           CAST(4000 AS INT) AS sample_rate,
-           CAST(48 AS BIGINT) AS n_samples,
-           floor(sqrt(avg(mono * mono)) * 1000000.0 + 0.5) / 1000000.0 AS rms,
-           floor(avg(mono) * 1000000.0 + 0.5) / 1000000.0 AS mean_sample,
-           true AS resample_ok
-    FROM px GROUP BY doc_id
-    """,
-)
-def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decimation, oracle-gated: the same 8-bit PCM WAVs as
-    q_audio_decode go through the real factor-2 resample (stdlib decode ->
-    keep every 2nd frame -> 8-bit re-encode at half the rate, a lossless
-    round-trip for 8-bit inputs), and the RESAMPLED payloads are decoded
-    again for RMS/mean. DuckDB predicts both independently from the ascii
-    codes at odd 1-based text positions — exactly the frames [::2] keeps —
-    so the hash match proves the decimation picked the right frames and
-    the re-encoded WAV survives a second stdlib parse. The 48 surviving
-    samples are multiples of 2^-7; their squares are multiples of 2^-14
-    and sum exactly in float64, so the half-up 1e-6 quantization agrees
-    bit-for-bit cross-engine.
-
-    Scale shape: two chained mapInPandas passes, row-local, shuffle-free
-    (the multimodal scaling knob stays bytes-per-partition)."""
-    import struct as _struct
-
-    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
-        DECODE_SCHEMA,
-        decode_payload_batches,
-        resample_audio_batches,
-    )
-
-    hdr = (
-        b"RIFF"
-        + _struct.pack("<I", 36 + 96)
-        + b"WAVE"
-        + b"fmt "
-        + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
-        + b"data"
-        + _struct.pack("<I", 96)
-    )
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
-    payload = F.concat(F.lit(hdr), F.encode(F.substring("text", 1, 96), "utf-8"))
-    mm = d.select("doc_id", payload.alias("payload"))
-    resampled = mm.mapInPandas(
-        resample_audio_batches(2, fake=False),
-        schema="doc_id long, payload binary, resample_ok boolean",
-    )
-    feats = resampled.select(
-        "doc_id", "payload", F.lit("audio").alias("modality")
-    ).mapInPandas(decode_payload_batches(fake=False), schema=DECODE_SCHEMA)
-    return feats.select(
-        "doc_id",
-        F.col("feat")[1].cast("int").alias("sample_rate"),
-        F.col("feat")[2].cast("bigint").alias("n_samples"),
-        F.col("feat")[4].alias("rms"),
-        F.col("feat")[7].alias("mean_sample"),
-        F.col("decode_ok").alias("resample_ok"),
-    )
-
-
-_AFP_ORACLE = """
-    WITH px AS (
-      SELECT doc_id, i, ascii(substr(text, i, 1)) - 128 AS a
-      FROM documents, unnest(range(1, 97)) AS t(i)
-      WHERE length(text) >= 96
-    ),
-    fr AS (
-      SELECT doc_id, (i - 1) // 4 AS f, sum(a * a) AS e
-      FROM px GROUP BY doc_id, (i - 1) // 4
-    ),
-    bits AS (
-      SELECT x.doc_id, x.f AS idx,
-             CASE WHEN x.e < y.e THEN 1 ELSE 0 END AS bit
-      FROM fr x JOIN fr y ON x.doc_id = y.doc_id AND y.f = x.f + 1
-    ),
-    h AS (
-      SELECT doc_id, CAST(sum((bit::BIGINT) << idx) AS BIGINT) AS afp
-      FROM bits GROUP BY doc_id
-    )
-    SELECT doc_id, afp,
-           CAST(count(*) OVER (PARTITION BY afp) AS BIGINT) AS bucket_size,
-           count(*) OVER (PARTITION BY afp) > 1 AS is_dup
-    FROM h
-"""
-
-
-@_q("q_audio_fingerprint_dedup", _AFP_ORACLE)
-def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual audio dedup, oracle-gated end to end — q_image_dhash_
-    dedup's audio sibling, completing near-dup coverage across all three
-    payload modalities (text: minhash/simhash; image: dHash; audio:
-    this). Each long-enough document's 96-sample 8-bit PCM WAV (the
-    q_audio_decode corpus) goes through the REAL stdlib wave parser in
-    mapInPandas, the sample stream is cut into 24 four-sample frames,
-    and the 23 adjacent-frame ENERGY orderings form the fingerprint
-    (multimodal.audio_fingerprint — the Chromaprint family's
-    deterministic core). Frame energies are exact integer sums of
-    squared raw amplitudes, so both engines compare identical integers;
-    DuckDB rebuilds every fingerprint from ascii() codes. Uniform gain
-    preserves all orderings (property-tested), so re-gained copies
-    collapse into one bucket while byte-level identity misses them.
-
-    Scale shape: decode + fingerprint are row-local Python (Arrow
-    batches, no shuffle); the dedup shuffle carries the 8-byte
-    fingerprint — the q_dedup_exact digest pattern with a perceptual
-    digest."""
-    import struct as _struct
-
-    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
-        AFP_SCHEMA,
-        afp_batches,
-    )
-
-    hdr = (
-        b"RIFF"
-        + _struct.pack("<I", 36 + 96)
-        + b"WAVE"
-        + b"fmt "
-        + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
-        + b"data"
-        + _struct.pack("<I", 96)
-    )
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 96)
-    payload = _ascii96_payload(F.lit(hdr))
-    h = (
-        d.select("doc_id", payload.alias("payload"))
-        .mapInPandas(afp_batches(), schema=AFP_SCHEMA)
-        .select("doc_id", _loud_hash("afp_ok", "afp", "audio"))
-    )
-    sizes = h.groupBy("afp").agg(F.count("*").alias("bucket_size"))
-    return h.join(sizes, "afp").select(
-        "doc_id",
-        "afp",
-        F.col("bucket_size").cast("bigint").alias("bucket_size"),
-        (F.col("bucket_size") > 1).alias("is_dup"),
-    )
-
-
-@_q(
-    "q_video_thumbnail",
-    """
-    WITH pos AS (SELECT unnest([0, 2, 4, 6, 16, 18, 20, 22]) AS p),
-    fr AS (SELECT unnest([0, 1]) AS f),
-    px AS (
-      SELECT d.doc_id, fr.f AS frame_idx,
-             ascii(substr(d.text, 96 * fr.f + 3 * pos.p + 1, 1)) AS r,
-             ascii(substr(d.text, 96 * fr.f + 3 * pos.p + 2, 1)) AS g,
-             ascii(substr(d.text, 96 * fr.f + 3 * pos.p + 3, 1)) AS b
-      FROM documents d, fr, pos
-      WHERE length(d.text) >= 288
-    )
-    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-           CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
-           floor(avg(CAST(r AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_r,
-           floor(avg(CAST(g AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_g,
-           floor(avg(CAST(b AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_b,
-           true AS thumb_ok
-    FROM px GROUP BY doc_id, frame_idx
-    """,
-)
-def q_video_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video THUMBNAIL pipeline, oracle-gated — the full composition the
-    multimodal family builds toward: split the concatenated-P6 stream
-    (real header walk), evenly sample 2 of 3 frames, nearest-neighbor
-    resize each sampled frame to 4x2 (real resample + P6 re-encode), and
-    decode the thumbnails to channel means — all FUSED in one mapInPandas
-    pass so frame bytes cross Arrow exactly once. DuckDB predicts every
-    value from ascii() codes at the composed positions: sampled frames
-    {0,1} x kept pixels rows {0,2} x cols {0,2,4,6}, i.e. text position
-    96*frame + 3*p + channel + 1. A hash match certifies the whole chain
-    (split -> sample -> resample -> re-encode -> decode) end to end.
-
-    Scale shape: row-local, shuffle-free; the knob is bytes-per-partition
-    like its siblings."""
-    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
-        decode_payload,
-        resize_payload,
-        sample_frames_payload,
-    )
-
-    def fn(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids, idxs, w, h, mr, mg, mb, ok = [], [], [], [], [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = sample_frames_payload(bytes(payload), 2, fake=False)
-                for i, fr in enumerate(frames):
-                    thumb = resize_payload(fr, 4, 2, fake=False)
-                    feat = decode_payload(thumb, "image", fake=False)
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    w.append(int(feat[0]))
-                    h.append(int(feat[1]))
-                    mr.append(feat[2])
-                    mg.append(feat[3])
-                    mb.append(feat[4])
-                    ok.append(True)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "width": pd.Series(w, dtype="int32"),
-                    "height": pd.Series(h, dtype="int32"),
-                    "mean_r": pd.Series(mr, dtype="float64"),
-                    "mean_g": pd.Series(mg, dtype="float64"),
-                    "mean_b": pd.Series(mb, dtype="float64"),
-                    "thumb_ok": pd.Series(ok, dtype="bool"),
-                }
-            )
-
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 288)
-    header = F.lit(b"P6\n8 4\n255\n")
-    frame = lambda k: F.concat(  # noqa: E731
-        header, F.encode(F.substring("text", 1 + 96 * k, 96), "utf-8")
-    )
-    payload = F.concat(frame(0), frame(1), frame(2))
-    mm = d.select("doc_id", payload.alias("payload"))
-    return mm.mapInPandas(
-        fn,
-        schema=(
-            "doc_id long, frame_idx int, width int, height int, "
-            "mean_r double, mean_g double, mean_b double, thumb_ok boolean"
-        ),
-    )
-
-
-@_q(
-    "q_video_frames",
-    """
-    WITH px AS (
-      SELECT doc_id, CAST((i - 1) // 96 AS INT) AS frame_idx,
-             ((i - 1) % 96) % 3 AS ch,
-             CAST(ascii(substr(text, i, 1)) AS DOUBLE) AS code
-      FROM documents, unnest(range(1, 193)) AS t(i)
-      WHERE length(text) >= 288
-    )
-    SELECT doc_id, frame_idx,
-           CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
-           floor(avg(CASE WHEN ch = 0 THEN code END) * 10000.0 + 0.5) / 10000.0
-               AS mean_r,
-           floor(avg(CASE WHEN ch = 1 THEN code END) * 10000.0 + 0.5) / 10000.0
-               AS mean_g,
-           floor(avg(CASE WHEN ch = 2 THEN code END) * 10000.0 + 0.5) / 10000.0
-               AS mean_b,
-           true AS sample_ok
-    FROM px GROUP BY doc_id, frame_idx
-    """,
-)
-def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video-path decode, oracle-gated — the third modality: each
-    long-enough document becomes a 3-frame concatenated-P6-PPM stream
-    (the ffmpeg image2pipe shape; frame k's pixels are text bytes
-    96k+1..96k+96), the REAL splitter walks the headers
-    (split_ppm_stream), evenly samples 2 of the 3 frames, and the REAL
-    PNM parser reduces each sampled frame to channel means — all inside
-    ONE mapInPandas pass (sample + decode fused so frame bytes cross
-    Arrow once). DuckDB predicts every value from ascii() positions:
-    sampled frame indices (0*3)//2 = 0 and (1*3)//2 = 1.
-
-    Scale shape: row-local synthesis/split/decode, shuffle-free, like
-    its image/audio siblings."""
-    from parquet_to_clickhouse_schema_spark.operators.multimodal import (
-        decode_payload,
-        sample_frames_payload,
-    )
-
-    def fn(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids, idxs, w, h, mr, mg, mb, ok = [], [], [], [], [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = sample_frames_payload(bytes(payload), 2, fake=False)
-                for i, fr in enumerate(frames):
-                    feat = decode_payload(fr, "image", fake=False)
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    w.append(int(feat[0]))
-                    h.append(int(feat[1]))
-                    mr.append(feat[2])
-                    mg.append(feat[3])
-                    mb.append(feat[4])
-                    ok.append(True)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "width": pd.Series(w, dtype="int32"),
-                    "height": pd.Series(h, dtype="int32"),
-                    "mean_r": pd.Series(mr, dtype="float64"),
-                    "mean_g": pd.Series(mg, dtype="float64"),
-                    "mean_b": pd.Series(mb, dtype="float64"),
-                    "sample_ok": pd.Series(ok, dtype="bool"),
-                }
-            )
-
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 288)
-    header = F.lit(b"P6\n8 4\n255\n")
-    frame = lambda k: F.concat(  # noqa: E731
-        header, F.encode(F.substring("text", 1 + 96 * k, 96), "utf-8")
-    )
-    payload = F.concat(frame(0), frame(1), frame(2))
-    mm = d.select("doc_id", payload.alias("payload"))
-    schema = (
-        "doc_id long, frame_idx int, width int, height int, "
-        "mean_r double, mean_g double, mean_b double, sample_ok boolean"
-    )
-    return mm.mapInPandas(fn, schema=schema)
-
-
-KNN_Q = 32  # evaluation query sample (kq seed — disjoint from RQ's rq seed)
-KNN_K = 5  # voting neighbors
-
-
-_KNN_EVAL_ORACLE = f"""
-    WITH q AS (
-      SELECT vec_id, label FROM embeddings
-      ORDER BY md5('kq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {KNN_Q}
-    ),
-    ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    dots AS (
-      SELECT qq.vec_id AS qid, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
-      FROM q qq
-      JOIN ex a ON a.vec_id = qq.vec_id
-      JOIN ex b ON b.d = a.d AND b.vec_id <> qq.vec_id
-      GROUP BY 1, 2
-    ),
-    knn AS (
-      SELECT qid, nbr_id FROM (
-        SELECT d.qid, d.nbr_id,
-               row_number() OVER (PARTITION BY d.qid
-                                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
-                                           d.nbr_id) AS rn
-        FROM dots d
-        JOIN norms na ON d.qid = na.vec_id
-        JOIN norms nb ON d.nbr_id = nb.vec_id
-      ) WHERE rn <= {KNN_K}
-    ),
-    votes AS (
-      SELECT k.qid, e.label, count(*) AS nv
-      FROM knn k JOIN embeddings e ON e.vec_id = k.nbr_id
-      GROUP BY k.qid, e.label
-    ),
-    pred AS (
-      SELECT qid, label AS pred_label, nv,
-             row_number() OVER (PARTITION BY qid
-                                ORDER BY nv DESC, label) AS rn
-      FROM votes
-    )
-    SELECT q.vec_id, CAST(q.label AS INT) AS label,
-           CAST(p.pred_label AS INT) AS pred_label,
-           CAST(p.nv AS BIGINT) AS n_votes,
-           q.label = p.pred_label AS correct
-    FROM q JOIN pred p ON p.qid = q.vec_id AND p.rn = 1
-"""
-
-
-@_q("q_knn_eval", _KNN_EVAL_ORACLE)
-def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN classification evaluation in the engine: exact cosine
-    {KNN_K}-nearest-neighbor majority vote on the label column over a
-    FIXED {KNN_Q}-query md5 sample, emitting per-query prediction, vote
-    count and correctness — the standard embedding-quality probe (if k-NN
-    can't recover labels, the embedding space is noise; compare
-    q_ann_recall_eval, which probes the INDEX, not the space).
-
-    Determinism: neighbor ranking uses the proven raw-double-with-id-
-    tiebreak discipline; the vote argmax orders by (count DESC, label) —
-    pure integers, bit-stable.
-
-    Scale shape: O({KNN_Q}·n) via a broadcast of the query vectors (the
-    q_ann_recall_eval shape — never all-pairs); votes and argmax touch
-    {KNN_Q}×{KNN_K} rows. Sample size scales estimate precision, not data
-    touched; the production path at 100 TB swaps the exact neighbor scan
-    for the ANN family and keeps the vote/argmax tail unchanged."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qs = (
-        emb.select("vec_id", "label")
-        .orderBy(
-            F.md5(
-                F.concat(F.lit("kq:"), F.col("vec_id").cast("string")).cast(
-                    "binary"
-                )
-            ),
-            "vec_id",
-        )
-        .limit(KNN_Q)
-    )
-    v = _as_double_vec(emb)
-    qv = qs.join(v, "vec_id").select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qn"),
-    )
-    allv = v.join(emb.select("vec_id", "label"), "vec_id").select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("label").alias("nlabel"),
-        F.col("vec").alias("nvec"),
-        F.col("norm").alias("nn"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nbr_id")
-    knn = (
-        allv.crossJoin(F.broadcast(qv))
-        .filter(F.col("nbr_id") != F.col("qid"))
-        .select(
-            "qid",
-            "qlabel",
-            "nbr_id",
-            "nlabel",
-            (dot / (F.col("qn") * F.col("nn"))).alias("cos"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KNN_K)
-    )
-    votes = knn.groupBy("qid", "qlabel", "nlabel").agg(
-        F.count("*").alias("nv")
-    )
-    wv = Window.partitionBy("qid").orderBy(F.col("nv").desc(), "nlabel")
-    return (
-        votes.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("qid").alias("vec_id"),
-            F.col("qlabel").cast("int").alias("label"),
-            F.col("nlabel").cast("int").alias("pred_label"),
-            F.col("nv").cast("bigint").alias("n_votes"),
-            (F.col("qlabel") == F.col("nlabel")).alias("correct"),
-        )
-    )
-
-
-LSH_SWEEP_CFGS = ((2, 16), (4, 8), (8, 4))  # (bands, bits) — 32 planes shared
-
-
-def _lsh_sweep_cfg_sql(bands: int, bits: int) -> str:
-    return f"""
-      SELECT {bands} AS bands, {bits} AS bits,
-             (
-               SELECT sum(s * (s - 1) // 2) FROM (
-                 SELECT count(*) AS s FROM (
-                   SELECT vec_id, CAST(p // {bits} AS INT) AS band,
-                          string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0'
-                                     END, '' ORDER BY p) AS bucket
-                   FROM proj GROUP BY 1, 2
-                 ) GROUP BY band, bucket
-               )
-             ) AS n_pair_evals,
-             (
-               SELECT count(*) FROM exact e
-               WHERE EXISTS (
-                 SELECT 1 FROM (
-                   SELECT vec_id, CAST(p // {bits} AS INT) AS band,
-                          string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0'
-                                     END, '' ORDER BY p) AS bucket
-                   FROM proj GROUP BY 1, 2
-                 ) sa
-                 JOIN (
-                   SELECT vec_id, CAST(p // {bits} AS INT) AS band,
-                          string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0'
-                                     END, '' ORDER BY p) AS bucket
-                   FROM proj GROUP BY 1, 2
-                 ) sb
-                 ON sa.band = sb.band AND sa.bucket = sb.bucket
-                WHERE sa.vec_id = e.qid AND sb.vec_id = e.nbr_id
-               )
-             ) AS n_hits
-    """
-
-
-_LSH_SWEEP_ORACLE = f"""
-    WITH planes AS (
-      SELECT p, d,
-             CASE WHEN substr(md5('h:' || p || ':' || d), 1, 1) <= '7'
-                  THEN 1.0 ELSE -1.0 END AS s
-      FROM (SELECT unnest(range(0, {ANN_V_PLANES})) AS p),
-           (SELECT unnest(range(0, {ANN_V_DIM})) AS d)
-    ),
-    ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    proj AS (
-      SELECT vec_id, p, sum(v * s) AS proj
-      FROM ex JOIN planes USING (d) GROUP BY vec_id, p
-    ),
-    q AS (
-      SELECT vec_id FROM embeddings
-      ORDER BY md5('rq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {RQ_N}
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    exd AS (
-      SELECT qq.vec_id AS qid, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
-      FROM q qq
-      JOIN ex a ON a.vec_id = qq.vec_id
-      JOIN ex b ON b.d = a.d AND b.vec_id <> qq.vec_id
-      GROUP BY 1, 2
-    ),
-    exact AS (
-      SELECT qid, nbr_id FROM (
-        SELECT d.qid, d.nbr_id,
-               row_number() OVER (PARTITION BY d.qid
-                                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
-                                           d.nbr_id) AS rn
-        FROM exd d
-        JOIN norms na ON d.qid = na.vec_id
-        JOIN norms nb ON d.nbr_id = nb.vec_id
-      ) WHERE rn <= {RQ_K}
-    )
-    SELECT CAST(bands AS INT) AS bands, CAST(bits AS INT) AS bits,
-           CAST(n_pair_evals AS BIGINT) AS n_pair_evals,
-           CAST(n_hits AS BIGINT) AS n_hits,
-           floor(n_hits * 1000000.0 / {RQ_N * RQ_K} + 0.5) / 1000000.0
-               AS macro_recall
-    FROM ({" UNION ALL ".join(_lsh_sweep_cfg_sql(b, w) for b, w in LSH_SWEEP_CFGS)})
-"""
-
-
-@_q("q_lsh_param_sweep", _LSH_SWEEP_ORACLE)
-def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH design-point sweep: from ONE shared {ANN_V_PLANES}-plane
-    projection, evaluate three band layouts (2×16 / 4×8 / 8×4 bits) on
-    the two numbers that decide an ANN deployment — total candidate-pair
-    volume (cost) and candidate recall of the exact top-{RQ_K} over the
-    fixed {RQ_N}-query sample (quality). More, narrower bands ⇒ more
-    collisions ⇒ higher recall AND higher cost; this emits the measured
-    frontier instead of folklore (the q_filter_sweep pattern applied to
-    index tuning).
-
-    Recall here scores the CANDIDATE SET (did the filter surface the true
-    neighbor at all) — the re-rank stage is exact, so candidate recall IS
-    end recall. All counts exact integers; one quantized ratio.
-
-    Scale shape: one projection pass feeds all three layouts (banding is
-    a regrouping, not a recompute — r16: the shared row-local
-    _ann_plane_bits array, checkpointed once, sliced three ways with no
-    per-layout shuffle or collect_list), and the cost axis is computed
-    from BUCKET SIZES alone — Σ C(s,2) over (band, bucket) groups, the
-    exact number of pair evaluations the banding generates — so measuring
-    an O(n²)-cost layout costs O(n). The first cut enumerated distinct
-    pairs to count them and measured 22.5× time at 10× data (97 s —
-    paying the quadratic cost to report it; docs/SCALE.md keeps the
-    counterexample). Query-side recall joins touch {RQ_N}×{RQ_K} rows."""
-    # one row-local projection (P-bit signature array per vector),
-    # materialized once; three bandings slice it
-    bitsdf = _ann_plane_bits(spark, sf_dir).localCheckpoint()
-    emb = load_table(spark, sf_dir, "embeddings")
-    qs = (
-        emb.select("vec_id")
-        .orderBy(
-            F.md5(F.concat(F.lit("rq:"), F.col("vec_id").cast("string")).cast("binary")),
-            "vec_id",
-        )
-        .limit(RQ_N)
-    )
-    v = _as_double_vec(emb)
-    qv = qs.join(v, "vec_id").select(
-        F.col("vec_id").alias("qid"),
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qn"),
-    )
-    allv = v.select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("vec").alias("nvec"),
-        F.col("norm").alias("nn"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("qid").orderBy(
-        (dot / (F.col("qn") * F.col("nn"))).desc(), "nbr_id"
-    )
-    exact = (
-        allv.crossJoin(F.broadcast(qv))
-        .filter(F.col("nbr_id") != F.col("qid"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= RQ_K)
-        .select("qid", "nbr_id")
-        .localCheckpoint()
-    )
-    outs = []
-    for bands, bits in LSH_SWEEP_CFGS:
-        # row-local slice of the checkpointed bit array; recomputing this
-        # narrow map per consumer is cheaper than materializing each
-        # layout's n x bands signature table (the r15 collect_list
-        # signature DID need its own localCheckpoint — 74 s -> 9 s at
-        # 10x data; the array slice replaces that aggregate outright)
-        sig = _band_buckets(bitsdf, bits)
-        pairs = (
-            sig.groupBy("band", "bucket")
-            .agg(F.count("*").alias("s"))
-            .agg(
-                F.sum(
-                    (F.col("s") * (F.col("s") - 1) / 2).cast("bigint")
-                ).alias("n_pair_evals")
-            )
-        )
-        # restrict to the query sample BEFORE the bucket join — joining the
-        # full signature table against itself here IS the n² enumeration
-        # the cost axis merely counts (measured 345 s at 10× data for the
-        # 8×4 layout; the sample-first form runs the whole recall side in
-        # seconds, the q_ann_recall_eval shape)
-        sq = sig.join(
-            F.broadcast(qs.withColumnRenamed("vec_id", "qid")),
-            F.col("vec_id") == F.col("qid"),
-        ).select("qid", "band", "bucket")
-        cand = (
-            sq.join(
-                sig.select(
-                    F.col("vec_id").alias("nbr_id"), "band", "bucket"
-                ),
-                ["band", "bucket"],
-            )
-            .filter(F.col("qid") != F.col("nbr_id"))
-            .select("qid", "nbr_id")
-            .distinct()
-        )
-        hits = exact.join(cand, ["qid", "nbr_id"]).agg(
-            F.count("*").alias("n_hits")
-        )
-        outs.append(
-            pairs.crossJoin(hits).select(
-                F.lit(bands).cast("int").alias("bands"),
-                F.lit(bits).cast("int").alias("bits"),
-                F.col("n_pair_evals").cast("bigint"),
-                F.col("n_hits").cast("bigint"),
-                (
-                    F.floor(
-                        F.col("n_hits") * 1000000.0 / (RQ_N * RQ_K) + F.lit(0.5)
-                    )
-                    / 1000000.0
-                ).alias("macro_recall"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
-
-
-MAT_DIMS = (8, 16, 32)  # truncation levels vs the full 64
-
-
-def _mat_cfg_sql(dim: int) -> str:
-    return f"""
-      SELECT {dim} AS dim, t.qid, CAST(count(*) AS BIGINT) AS hits
-      FROM (
-        SELECT qid, nbr_id FROM (
-          SELECT d.qid, d.nbr_id,
-                 row_number() OVER (PARTITION BY d.qid
-                                    ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
-                                             d.nbr_id) AS rn
-          FROM (
-            SELECT qq.vec_id AS qid, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
-            FROM q qq
-            JOIN ext a ON a.vec_id = qq.vec_id AND a.d < {dim}
-            JOIN ext b ON b.d = a.d AND b.vec_id <> qq.vec_id
-            GROUP BY 1, 2
-          ) d
-          JOIN (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ext
-                WHERE d < {dim} GROUP BY vec_id) na ON d.qid = na.vec_id
-          JOIN (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ext
-                WHERE d < {dim} GROUP BY vec_id) nb ON d.nbr_id = nb.vec_id
-        ) WHERE rn <= {RQ_K}
-      ) t JOIN exact e ON e.qid = t.qid AND e.nbr_id = t.nbr_id
-      GROUP BY t.qid
-    """
-
-
-_MATRYOSHKA_ORACLE = f"""
-    WITH ext AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    q AS (
-      SELECT vec_id FROM embeddings
-      ORDER BY md5('rq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {RQ_N}
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ext GROUP BY vec_id),
-    exd AS (
-      SELECT qq.vec_id AS qid, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
-      FROM q qq
-      JOIN ext a ON a.vec_id = qq.vec_id
-      JOIN ext b ON b.d = a.d AND b.vec_id <> qq.vec_id
-      GROUP BY 1, 2
-    ),
-    exact AS (
-      SELECT qid, nbr_id FROM (
-        SELECT d.qid, d.nbr_id,
-               row_number() OVER (PARTITION BY d.qid
-                                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
-                                           d.nbr_id) AS rn
-        FROM exd d
-        JOIN norms na ON d.qid = na.vec_id
-        JOIN norms nb ON d.nbr_id = nb.vec_id
-      ) WHERE rn <= {RQ_K}
-    ),
-    hits AS ({" UNION ALL ".join(_mat_cfg_sql(m) for m in MAT_DIMS)})
-    SELECT CAST(dims.dim AS INT) AS dim,
-           CAST(count(h.qid) AS BIGINT) AS n_queries_hit,
-           CAST(COALESCE(sum(h.hits), 0) AS BIGINT) AS total_hits,
-           floor(COALESCE(sum(h.hits), 0) * 1000000.0 / {RQ_N * RQ_K} + 0.5)
-               / 1000000.0 AS macro_recall
-    FROM (SELECT unnest({list(MAT_DIMS)}) AS dim) dims
-    LEFT JOIN hits h ON h.dim = dims.dim
-    GROUP BY dims.dim
-"""
-
-
-@_q("q_matryoshka_eval", _MATRYOSHKA_ORACLE)
-def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka truncation evaluation (Kusupati et al. 2022,
-    arXiv:2205.13147): recall of the exact top-{RQ_K} when cosine runs on
-    only the first 8/16/32 of 64 dimensions — the measurement behind
-    embedding-compression decisions (store 4× less, rerank the shortlist
-    with full vectors; how much does the shortlist miss?). Emitted as one
-    row per truncation level: queries with any hit, total hits, macro
-    recall over the fixed {RQ_N}-query sample.
-
-    Scale shape: the q_ann_recall_eval broadcast-sample pattern — the
-    full-dim exact top-{RQ_K} and each truncated top-{RQ_K} are O({RQ_N}·n)
-    via broadcast query vectors (F.slice keeps the truncation row-local);
-    the comparison joins touch {RQ_N}×{RQ_K} rows per level. Same
-    raw-double ranking discipline as the verified ANN twins."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qs = (
-        emb.select("vec_id")
-        .orderBy(
-            F.md5(F.concat(F.lit("rq:"), F.col("vec_id").cast("string")).cast("binary")),
-            "vec_id",
-        )
-        .limit(RQ_N)
-    )
-
-    def topk(dim: int | None) -> DataFrame:
-        vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        if dim is not None:
-            vec = F.slice(vec, 1, dim)
-        base = emb.select(
-            "vec_id",
-            vec.alias("vec"),
-            F.sqrt(
-                F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
-            ).alias("norm"),
-        ).repartition("vec_id")
-        qv = qs.join(base, "vec_id").select(
-            F.col("vec_id").alias("qid"),
-            F.col("vec").alias("qvec"),
-            F.col("norm").alias("qn"),
-        )
-        allv = base.select(
-            F.col("vec_id").alias("nbr_id"),
-            F.col("vec").alias("nvec"),
-            F.col("norm").alias("nn"),
-        )
-        dot = F.aggregate(
-            F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy("qid").orderBy(
-            (dot / (F.col("qn") * F.col("nn"))).desc(), "nbr_id"
-        )
-        return (
-            allv.crossJoin(F.broadcast(qv))
-            .filter(F.col("nbr_id") != F.col("qid"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= RQ_K)
-            .select("qid", "nbr_id")
-        )
-
-    exact = topk(None).localCheckpoint()
-    outs = []
-    for m in MAT_DIMS:
-        hits = (
-            topk(m)
-            .join(exact, ["qid", "nbr_id"])
-            .groupBy("qid")
-            .agg(F.count("*").alias("hits"))
-        )
-        outs.append(
-            hits.agg(
-                F.lit(m).cast("int").alias("dim"),
-                F.count("*").cast("bigint").alias("n_queries_hit"),
-                F.coalesce(F.sum("hits"), F.lit(0))
-                .cast("bigint")
-                .alias("total_hits"),
-                (
-                    F.floor(
-                        F.coalesce(F.sum("hits"), F.lit(0))
-                        * 1000000.0
-                        / (RQ_N * RQ_K)
-                        + F.lit(0.5)
-                    )
-                    / 1000000.0
-                ).alias("macro_recall"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
-
-
-PCA_ITERS = 4
-
-
-def _pca_power_oracle(iters: int = PCA_ITERS) -> str:
-    """DuckDB twin of the power iteration: w_{t+1} = normalize(C w_t) with
-    C the centered covariance, applied as two matvecs (X w, then X^T s / n)
-    so the 64x64 covariance never materializes — the same chained-CTE
-    unroll trick as q_pagerank_ranks, applied to linear algebra."""
-    grid = f"""
-      SELECT d,
-             (((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
-             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
-             + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-             + (instr('0123456789abcdef', substr(h, 4, 1)) - 1))
-              / 65535.0) * 2.0 - 1.0 AS w
-      FROM (
-        SELECT d, md5('pc:0:' || d) AS h
-        FROM (SELECT unnest(range(0, {ANN_V_DIM})) AS d)
-      )
-    """
-    steps = [f"w0 AS ({grid})"]
-    for t in range(iters):
-        steps.append(
-            f"""s{t} AS (
-      SELECT xc.vec_id, sum(xc.x * w{t}.w) AS s
-      FROM xc JOIN w{t} ON xc.d = w{t}.d GROUP BY xc.vec_id
-    ),
-    u{t} AS (
-      SELECT xc.d, sum(xc.x * s{t}.s) / (SELECT n FROM nv) AS u
-      FROM xc JOIN s{t} ON xc.vec_id = s{t}.vec_id GROUP BY xc.d
-    ),
-    n{t} AS (SELECT sqrt(sum(u * u)) AS nrm FROM u{t}),
-    w{t + 1} AS (
-      SELECT d, u / (SELECT nrm FROM n{t}) AS w FROM u{t}
-    )"""
-        )
-    chain = ",\n    ".join(steps)
-    return f"""
-    WITH ext AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    mu AS (SELECT d, avg(v) AS m FROM ext GROUP BY d),
-    xc AS (SELECT vec_id, ext.d, v - m AS x FROM ext JOIN mu USING (d)),
-    nv AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM ext),
-    {chain}
-    SELECT CAST(w{iters}.d AS INT) AS d,
-           floor(w{iters}.w * 1000000.0 + 0.5) / 1000000.0 AS loading,
-           floor((SELECT nrm FROM n{iters - 1}) * 1000000.0 + 0.5)
-               / 1000000.0 AS eigenvalue
-    FROM w{iters}
-    """
-
-
-@_q("q_pca_power", _pca_power_oracle())
-def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA top component by {PCA_ITERS} unrolled power
-    iterations over the centered embedding matrix: each step is two
-    matvecs — s = X_c·w (one groupBy(vec_id)) and u = X_cᵀ·s / n (one
-    groupBy(d)) — so the covariance NEVER materializes and the only state
-    between steps is a {ANN_V_DIM}-row broadcast vector. md5-grid init +
-    fixed iteration count make the whole computation (loadings AND the
-    ‖C·w‖ eigenvalue estimate) oracle-gated, the q_pagerank_ranks
-    discipline applied to linear algebra; the convergent production loop
-    is the same plan with a tolerance test.
-
-    Scale shape: per iteration one fact-sized shuffle keyed by vec_id and
-    one keyed by d ({ANN_V_DIM} groups, map-side combined); w is
-    localCheckpoint'ed per step so the lazy plan doesn't double. At
-    100 TB this is the standard matvec-style PCA — cost is
-    2·iters scans, memory O(dim)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ext = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).withColumn(
-        "v", F.col("v").cast("double")
-    )
-    mu = ext.groupBy("d").agg(F.avg("v").alias("m"))
-    xc = (
-        ext.join(F.broadcast(mu), "d")
-        .select("vec_id", "d", (F.col("v") - F.col("m")).alias("x"))
-        .localCheckpoint()
-    )
-    n = float(emb.count())
-    w = (
-        _md5_unit_grid(spark, "pc", 1, ANN_V_DIM)
-        .select("d", F.col("val").alias("w"))
-        .localCheckpoint()
-    )
-    eig = None
-    for _t in range(PCA_ITERS):
-        s = (
-            xc.join(F.broadcast(w), "d")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
-        )
-        u = (
-            xc.join(s, "vec_id")
-            .groupBy("d")
-            .agg((F.sum(F.col("x") * F.col("s")) / n).alias("u"))
-        )
-        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
-        w = (
-            u.crossJoin(F.broadcast(nrm))
-            .select("d", (F.col("u") / F.col("nrm")).alias("w"))
-            .localCheckpoint()
-        )
-        eig = nrm.localCheckpoint()
-    return w.crossJoin(F.broadcast(eig)).select(
-        F.col("d").cast("int").alias("d"),
-        qround(F.col("w"), 6).alias("loading"),
-        qround(F.col("nrm"), 6).alias("eigenvalue"),
-    )
-
-
-@_q(
-    "q_embed_standardize",
-    """
-    WITH ext AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    m AS (SELECT d, avg(v) AS mu, count(*) AS n FROM ext GROUP BY d),
-    s AS (
-      SELECT ext.d, sqrt(sum((v - mu) * (v - mu)) / m.n) AS sigma
-      FROM ext JOIN m USING (d) GROUP BY ext.d, m.n
-    )
-    SELECT CAST(m.d AS INT) AS d,
-           floor(m.mu * 1000000.0 + 0.5) / 1000000.0 AS mean,
-           floor(s.sigma * 1000000.0 + 0.5) / 1000000.0 AS std,
-           CAST(m.n AS BIGINT) AS n
-    FROM m JOIN s ON m.d = s.d
-    """,
-)
-def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension standardization statistics for the embedding matrix
-    (mean, population std, count per dim) — the preprocessing table every
-    downstream consumer of the space reads first: LSH planes assume
-    roughly centered inputs, k-means is scale-sensitive, and a dimension
-    with σ≈0 is dead weight q_random_projection should drop. Two-pass
-    centered moments (the q_corr_matrix discipline — no E[x²]−E[x]²
-    cancellation).
-
-    Scale shape: two map-side-combined reduces keyed by dimension (64
-    groups) over the posexploded stream; the output is dim-bounded.
-    Applying the standardization is then a row-local zip_with against
-    the broadcast 64-row table."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ext = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).withColumn(
-        "v", F.col("v").cast("double")
-    )
-    m = ext.groupBy("d").agg(F.avg("v").alias("mu"), F.count("*").alias("n"))
-    s = (
-        ext.join(F.broadcast(m), "d")
-        .groupBy("d", "n")
-        .agg(
-            F.sqrt(
-                F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu")))
-                / F.col("n")
-            ).alias("sigma")
-        )
-    )
-    return (
-        m.join(s.select("d", "sigma"), "d")
-        .select(
-            F.col("d").cast("int").alias("d"),
-            qround(F.col("mu"), 6).alias("mean"),
-            qround(F.col("sigma"), 6).alias("std"),
-            F.col("n").cast("bigint").alias("n"),
-        )
-    )
-
-
-PROBE_STEPS = 4
-PROBE_LR = 0.1
-
-
-def _linear_probe_oracle(steps: int = PROBE_STEPS) -> str:
-    """DuckDB twin of the gradient-descent linear probe: w starts at 0 and
-    each step applies w -= lr * X_cᵀ(X_c·w − y_c)/n — two matvecs, the
-    q_pca_power unroll."""
-    ctes = ["w0 AS (SELECT d, 0.0 AS w FROM dims)"]
-    for t in range(steps):
-        ctes.append(
-            f"""p{t} AS (
-      SELECT xc.vec_id, sum(xc.x * w{t}.w) AS pred
-      FROM xc JOIN w{t} ON xc.d = w{t}.d GROUP BY xc.vec_id
-    ),
-    r{t} AS (
-      SELECT p{t}.vec_id, p{t}.pred - yc.y AS res
-      FROM p{t} JOIN yc ON p{t}.vec_id = yc.vec_id
-    ),
-    mse{t} AS (SELECT sum(res * res) / (SELECT n FROM nv) AS mse FROM r{t}),
-    g{t} AS (
-      SELECT xc.d, sum(xc.x * r{t}.res) / (SELECT n FROM nv) AS g
-      FROM xc JOIN r{t} ON xc.vec_id = r{t}.vec_id GROUP BY xc.d
-    ),
-    w{t + 1} AS (
-      SELECT w{t}.d, w{t}.w - {PROBE_LR} * g{t}.g AS w
-      FROM w{t} JOIN g{t} ON w{t}.d = g{t}.d
-    )"""
-        )
-    chain = ",\n    ".join(ctes)
-    mses = " UNION ALL ".join(
-        f"SELECT {t} AS step, (SELECT mse FROM mse{t}) AS mse"
-        for t in range(steps)
-    )
-    return f"""
-    WITH ext AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    dims AS (SELECT DISTINCT d FROM ext),
-    mu AS (SELECT d, avg(v) AS m FROM ext GROUP BY d),
-    xc AS (SELECT vec_id, ext.d, v - m AS x FROM ext JOIN mu USING (d)),
-    ym AS (SELECT avg(CAST(label AS DOUBLE)) AS my FROM embeddings),
-    yc AS (
-      SELECT vec_id, CAST(label AS DOUBLE) - (SELECT my FROM ym) AS y
-      FROM embeddings
-    ),
-    nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-    {chain}
-    SELECT CAST(step AS INT) AS step,
-           floor(mse * 1000000.0 + 0.5) / 1000000.0 AS mse
-    FROM ({mses})
-    """
-
-
-@_q("q_linear_probe", _linear_probe_oracle())
-def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear-probe trainability of the embedding space: fit label ~
-    centered embedding by {PROBE_STEPS} unrolled gradient-descent steps
-    (lr={PROBE_LR}, w₀=0) and emit the training MSE at every step — the
-    standard representation-quality probe ("can a linear head learn
-    anything from this space?"), here fully oracle-gated because each
-    step is two matvecs with O(dim) state (the q_pca_power discipline)
-    and the step count is fixed. A flat MSE curve indicts the embedding,
-    not the probe.
-
-    Scale shape: per step one vec_id-keyed reduce (predictions/residuals)
-    and one dim-keyed reduce (gradient, {ANN_V_DIM} groups) — 2·steps
-    scans of the centered matrix, weights broadcast, nothing driver-side
-    beyond the {ANN_V_DIM}-row vector."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ext = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).withColumn(
-        "v", F.col("v").cast("double")
-    )
-    mu = ext.groupBy("d").agg(F.avg("v").alias("m"))
-    xc = (
-        ext.join(F.broadcast(mu), "d")
-        .select("vec_id", "d", (F.col("v") - F.col("m")).alias("x"))
-        .localCheckpoint()
-    )
-    my = emb.agg(F.avg(F.col("label").cast("double"))).collect()[0][0]
-    yc = emb.select(
-        "vec_id", (F.col("label").cast("double") - F.lit(my)).alias("y")
-    ).localCheckpoint()
-    n = float(emb.count())
-    w = (
-        spark.range(ANN_V_DIM)
-        .select(F.col("id").alias("d"), F.lit(0.0).alias("w"))
-        .localCheckpoint()
-    )
-    mse_rows = []
-    for t in range(PROBE_STEPS):
-        pred = (
-            xc.join(F.broadcast(w), "d")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("pred"))
-        )
-        res = pred.join(yc, "vec_id").select(
-            "vec_id", (F.col("pred") - F.col("y")).alias("res")
-        ).localCheckpoint()
-        mse = res.agg(
-            F.lit(t).cast("int").alias("step"),
-            (
-                F.floor(
-                    F.sum(F.col("res") * F.col("res")) / n * 1000000.0
-                    + F.lit(0.5)
-                )
-                / 1000000.0
-            ).alias("mse"),
-        )
-        mse_rows.append(mse)
-        g = (
-            xc.join(res, "vec_id")
-            .groupBy("d")
-            .agg((F.sum(F.col("x") * F.col("res")) / n).alias("g"))
-        )
-        w = (
-            w.join(g, "d")
-            .select("d", (F.col("w") - PROBE_LR * F.col("g")).alias("w"))
-            .localCheckpoint()
-        )
-    out = mse_rows[0]
-    for m in mse_rows[1:]:
-        out = out.unionAll(m)
-    return out
-
-
-NDCG_K = 10
-
-
-_NDCG_ORACLE = f"""
-    WITH ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    q AS (
-      SELECT vec_id FROM embeddings
-      ORDER BY md5('rq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {RQ_N}
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    exd AS (
-      SELECT qq.vec_id AS qid, b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
-      FROM q qq
-      JOIN ex a ON a.vec_id = qq.vec_id
-      JOIN ex b ON b.d = a.d AND b.vec_id <> qq.vec_id
-      GROUP BY 1, 2
-    ),
-    ranked AS (
-      SELECT qid, nbr_id,
-             row_number() OVER (PARTITION BY qid
-                                ORDER BY dot / (na.nrm * nb.nrm) DESC,
-                                         nbr_id) AS pos
-      FROM exd d
-      JOIN norms na ON d.qid = na.vec_id
-      JOIN norms nb ON d.nbr_id = nb.vec_id
-      QUALIFY pos <= {NDCG_K}
-    ),
-    dcg AS (
-      SELECT r.qid,
-             sum(e.label / (ln(r.pos + 1.0) / ln(2.0))) AS dcg
-      FROM ranked r JOIN embeddings e ON e.vec_id = r.nbr_id
-      GROUP BY r.qid
-    ),
-    ideal AS (
-      SELECT sum(label / (ln(pos + 1.0) / ln(2.0))) AS idcg
-      FROM (
-        SELECT CAST(label AS DOUBLE) AS label,
-               row_number() OVER (ORDER BY label DESC, vec_id) AS pos
-        FROM embeddings
-      ) WHERE pos <= {NDCG_K}
-    )
-    SELECT d.qid AS vec_id,
-           floor(d.dcg * 1000000.0 + 0.5) / 1000000.0 AS dcg,
-           floor(d.dcg / i.idcg * 1000000.0 + 0.5) / 1000000.0 AS ndcg
-    FROM dcg d CROSS JOIN ideal i
-"""
-
-
-@_q("q_ndcg", _NDCG_ORACLE)
-def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@{NDCG_K} of cosine retrieval against label relevance: for
-    every query in the fixed {RQ_N}-sample, DCG of the labels found at
-    each rank (grade/log₂(pos+1)) normalized by the corpus-ideal DCG —
-    the graded ranking metric that completes the eval suite (recall:
-    q_ann_recall_eval; classification: q_knn_eval; threshold-free:
-    q_auc_marker; calibration: q_confidence_bins). Low NDCG with decent
-    recall means the index finds neighbors but similarity ≠ relevance —
-    exactly the gap a reranker is hired to close.
-
-    Determinism: positions use the proven raw-double/id-tiebreak order;
-    grades are integers; one quantized division per row. Scale shape:
-    the q_ann_recall_eval broadcast-sample pattern — O({RQ_N}·n) exact
-    ranking, one 1-row ideal, {RQ_N}×{NDCG_K} grade joins."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qs = (
-        emb.select("vec_id")
-        .orderBy(
-            F.md5(F.concat(F.lit("rq:"), F.col("vec_id").cast("string")).cast("binary")),
-            "vec_id",
-        )
-        .limit(RQ_N)
-    )
-    v = _as_double_vec(emb)
-    qv = qs.join(v, "vec_id").select(
-        F.col("vec_id").alias("qid"),
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qn"),
-    )
-    allv = v.select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("vec").alias("nvec"),
-        F.col("norm").alias("nn"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("qid").orderBy(
-        (dot / (F.col("qn") * F.col("nn"))).desc(), "nbr_id"
-    )
-    ranked = (
-        allv.crossJoin(F.broadcast(qv))
-        .filter(F.col("nbr_id") != F.col("qid"))
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= NDCG_K)
-        .select("qid", "nbr_id", "pos")
-    )
-    gain = F.col("label") / (F.log(F.col("pos") + 1.0) / F.log(F.lit(2.0)))
-    dcg = (
-        ranked.join(emb.select("vec_id", "label"), ranked.nbr_id == emb.vec_id)
-        .groupBy("qid")
-        .agg(F.sum(gain).alias("dcg"))
-    )
-    wi = Window.orderBy(F.col("label").desc(), "vec_id")
-    ideal = (
-        emb.select(F.col("label").cast("double").alias("label"), "vec_id")
-        .withColumn("pos", F.row_number().over(wi))
-        .filter(F.col("pos") <= NDCG_K)
-        .agg(F.sum(gain).alias("idcg"))
-    )
-    return dcg.crossJoin(F.broadcast(ideal)).select(
-        F.col("qid").alias("vec_id"),
-        qround(F.col("dcg"), 6).alias("dcg"),
-        qround(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
-    )
-
-
-_MRR_ORACLE = f"""
-    WITH ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    q AS (
-      SELECT vec_id, label FROM embeddings
-      ORDER BY md5('rq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {RQ_N}
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    exd AS (
-      SELECT qq.vec_id AS qid, qq.label AS qlabel,
-             b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
-      FROM q qq
-      JOIN ex a ON a.vec_id = qq.vec_id
-      JOIN ex b ON b.d = a.d AND b.vec_id <> qq.vec_id
-      GROUP BY 1, 2, 3
-    ),
-    ranked AS (
-      SELECT qid, qlabel, nbr_id,
-             row_number() OVER (PARTITION BY qid
-                                ORDER BY dot / (na.nrm * nb.nrm) DESC,
-                                         nbr_id) AS pos
-      FROM exd d
-      JOIN norms na ON d.qid = na.vec_id
-      JOIN norms nb ON d.nbr_id = nb.vec_id
-      QUALIFY pos <= {RQ_K}
-    ),
-    firsts AS (
-      SELECT r.qid, min(r.pos) AS first_rel
-      FROM ranked r JOIN embeddings e ON e.vec_id = r.nbr_id
-      WHERE e.label = r.qlabel
-      GROUP BY r.qid
-    )
-    SELECT q.vec_id,
-           CAST(COALESCE(f.first_rel, 0) AS INT) AS first_rel_rank,
-           floor(CASE WHEN f.first_rel IS NULL THEN 0.0
-                      ELSE 1.0 / f.first_rel END * 1000000.0 + 0.5)
-               / 1000000.0 AS rr
-    FROM q LEFT JOIN firsts f ON f.qid = q.vec_id
-"""
-
-
-@_q("q_mrr", _MRR_ORACLE)
-def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal rank of the first same-label neighbor within the cosine
-    top-{RQ_K}, per query (0 when none surfaces) — MRR is THE
-    first-relevant-result metric for search UX, completing the eval set:
-    recall@k (is it anywhere in the list), NDCG (is the whole list
-    ordered well), MRR (how fast does the first hit arrive). Queries
-    with no top-{RQ_K} hit stay in the output at rr=0 — dropping them is
-    the classic MRR inflation bug.
-
-    Same broadcast-sample O({RQ_N}·n) shape and raw-double/id-tiebreak
-    ranking as the rest of the eval family; rank and label logic are
-    pure integers."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qs = (
-        emb.select("vec_id", F.col("label").alias("qlabel"))
-        .orderBy(
-            F.md5(F.concat(F.lit("rq:"), F.col("vec_id").cast("string")).cast("binary")),
-            "vec_id",
-        )
-        .limit(RQ_N)
-    )
-    v = _as_double_vec(emb)
-    qv = qs.join(v, "vec_id").select(
-        F.col("vec_id").alias("qid"),
-        "qlabel",
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qn"),
-    )
-    allv = v.join(emb.select("vec_id", "label"), "vec_id").select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("label").alias("nlabel"),
-        F.col("vec").alias("nvec"),
-        F.col("norm").alias("nn"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("qid").orderBy(
-        (dot / (F.col("qn") * F.col("nn"))).desc(), "nbr_id"
-    )
-    ranked = (
-        allv.crossJoin(F.broadcast(qv))
-        .filter(F.col("nbr_id") != F.col("qid"))
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= RQ_K)
-    )
-    firsts = (
-        ranked.filter(F.col("nlabel") == F.col("qlabel"))
-        .groupBy("qid")
-        .agg(F.min("pos").alias("first_rel"))
-    )
-    return (
-        qs.select(F.col("vec_id"))
-        .join(firsts.withColumnRenamed("qid", "vec_id"), "vec_id", "left")
-        .select(
-            "vec_id",
-            F.coalesce(F.col("first_rel"), F.lit(0)).cast("int").alias(
-                "first_rel_rank"
-            ),
-            (
-                F.floor(
-                    F.when(
-                        F.col("first_rel").isNull(), F.lit(0.0)
-                    ).otherwise(1.0 / F.col("first_rel"))
-                    * 1000000.0
-                    + F.lit(0.5)
-                )
-                / 1000000.0
-            ).alias("rr"),
-        )
-    )
-
-
-_MAP_ORACLE = f"""
-    WITH ex AS (
-      SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ),
-    q AS (
-      SELECT vec_id, label FROM embeddings
-      ORDER BY md5('rq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {RQ_N}
-    ),
-    lc AS (SELECT label, count(*) AS c FROM embeddings GROUP BY label),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    exd AS (
-      SELECT qq.vec_id AS qid, qq.label AS qlabel,
-             b.vec_id AS nbr_id, sum(a.v * b.v) AS dot
-      FROM q qq
-      JOIN ex a ON a.vec_id = qq.vec_id
-      JOIN ex b ON b.d = a.d AND b.vec_id <> qq.vec_id
-      GROUP BY 1, 2, 3
-    ),
-    ranked AS (
-      SELECT qid, qlabel, nbr_id,
-             row_number() OVER (PARTITION BY qid
-                                ORDER BY dot / (na.nrm * nb.nrm) DESC,
-                                         nbr_id) AS pos
-      FROM exd d
-      JOIN norms na ON d.qid = na.vec_id
-      JOIN norms nb ON d.nbr_id = nb.vec_id
-      QUALIFY pos <= {RQ_K}
-    ),
-    rel AS (
-      SELECT r.qid, r.qlabel, r.pos,
-             CASE WHEN e.label = r.qlabel THEN 1 ELSE 0 END AS hit
-      FROM ranked r JOIN embeddings e ON e.vec_id = r.nbr_id
-    ),
-    prec AS (
-      SELECT qid, qlabel, pos, hit,
-             sum(hit) OVER (PARTITION BY qid ORDER BY pos) AS cum
-      FROM rel
-    ),
-    ap AS (
-      SELECT p.qid,
-             CAST(sum(p.hit) AS BIGINT) AS n_rel_topk,
-             sum(p.hit * p.cum * 1.0 / p.pos)
-               / greatest(least(any_value(lc.c) - 1, {RQ_K}), 1) AS ap_raw
-      FROM prec p JOIN lc ON lc.label = p.qlabel
-      GROUP BY p.qid
-    )
-    SELECT q.vec_id,
-           COALESCE(ap.n_rel_topk, 0) AS n_rel_topk,
-           floor(COALESCE(ap.ap_raw, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS ap
-    FROM q LEFT JOIN ap ON ap.qid = q.vec_id
-"""
-
-
-@_q("q_map_eval", _MAP_ORACLE)
-def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Average precision at {RQ_K} per query (same-label = relevant),
-    normalized by min(R, {RQ_K}) with R = the corpus count of the query's
-    label minus itself — the standard AP@k. MAP is the mean of this
-    column; emitting per-query AP keeps the hard queries visible instead
-    of burying them in one scalar. Completes the retrieval-eval suite:
-    recall@k (present at all), MRR (how fast the first hit), NDCG (graded
-    order quality), AP (precision integrated over every hit position).
-
-    Same broadcast-sample O({RQ_N}·n) shape, raw-double ranking with
-    nbr_id tiebreaks as its siblings; the AP sum has ≤{RQ_K} rational
-    terms, quantized 1e-6 against summation-order noise. Queries with no
-    top-{RQ_K} hit stay at ap=0 (the q_mrr no-drop rule)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qs = (
-        emb.select("vec_id", F.col("label").alias("qlabel"))
-        .orderBy(
-            F.md5(F.concat(F.lit("rq:"), F.col("vec_id").cast("string")).cast("binary")),
-            "vec_id",
-        )
-        .limit(RQ_N)
-    )
-    lc = emb.groupBy(F.col("label").alias("qlabel")).agg(
-        F.count("*").alias("c")
-    )
-    v = _as_double_vec(emb)
-    qv = qs.join(v, "vec_id").select(
-        F.col("vec_id").alias("qid"),
-        "qlabel",
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qn"),
-    )
-    allv = v.join(emb.select("vec_id", "label"), "vec_id").select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("label").alias("nlabel"),
-        F.col("vec").alias("nvec"),
-        F.col("norm").alias("nn"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("qid").orderBy(
-        (dot / (F.col("qn") * F.col("nn"))).desc(), "nbr_id"
-    )
-    ranked = (
-        allv.crossJoin(F.broadcast(qv))
-        .filter(F.col("nbr_id") != F.col("qid"))
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= RQ_K)
-        .withColumn("hit", (F.col("nlabel") == F.col("qlabel")).cast("int"))
-    )
-    wc = Window.partitionBy("qid").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    prec = ranked.withColumn("cum", F.sum("hit").over(wc))
-    ap = (
-        prec.join(F.broadcast(lc), "qlabel")
-        .groupBy("qid")
-        .agg(
-            F.sum("hit").cast("bigint").alias("n_rel_topk"),
-            (
-                F.sum(F.col("hit") * F.col("cum") * 1.0 / F.col("pos"))
-                # greatest(...,1): a singleton-label query has R=0 and no
-                # possible hits — 0/1 keeps it an honest 0 instead of NaN
-                / F.greatest(F.least(F.any_value("c") - 1, F.lit(RQ_K)), F.lit(1))
-            ).alias("ap_raw"),
-        )
-    )
-    return (
-        qs.select("vec_id")
-        .join(ap.withColumnRenamed("qid", "vec_id"), "vec_id", "left")
-        .select(
-            "vec_id",
-            F.coalesce(F.col("n_rel_topk"), F.lit(0)).alias("n_rel_topk"),
-            qround(F.coalesce(F.col("ap_raw"), F.lit(0.0)), 6).alias("ap"),
-        )
-    )
-
-
-@_q(
-    "q_class_weights",
-    """
-    WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
-    t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
-    SELECT CAST(label AS INT) AS label,
-           CAST(n AS BIGINT) AS n_examples,
-           floor(n * 1000000.0 / t.total + 0.5) / 1000000.0 AS freq,
-           floor(t.total * 1000000.0 / (t.k * n) + 0.5) / 1000000.0
-               AS class_weight
-    FROM c CROSS JOIN t
-    """,
-)
-def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Balanced class-weight table (sklearn's class_weight='balanced'
-    identity, w_c = N/(k·n_c)): per label, its example count, frequency
-    and the inverse-frequency weight a loss function multiplies in — the
-    one-table fix for label imbalance that q_knn_eval / q_nb_classifier /
-    q_linear_probe consumers apply before trusting accuracy numbers.
-    Weighted by construction: Σ_c w_c·n_c = N.
-
-    One map-side-combined label count crossed with a 1-row total (the
-    scalar-attach pattern); exact integers with two quantized ratios."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    c = emb.groupBy("label").agg(F.count("*").alias("n"))
-    t = c.agg(F.sum("n").alias("total"), F.count("*").alias("k"))
-    return c.crossJoin(F.broadcast(t)).select(
-        F.col("label").cast("int").alias("label"),
-        F.col("n").cast("bigint").alias("n_examples"),
-        qround(F.col("n") * 1.0 / F.col("total"), 6).alias("freq"),
-        qround(F.col("total") * 1.0 / (F.col("k") * F.col("n")), 6).alias(
-            "class_weight"
-        ),
-    )
-
-
-@_q(
-    "q_dup_cluster_sizes",
-    """
-    WITH g AS (
-      SELECT md5(text) AS dg, count(*) AS sz FROM documents GROUP BY md5(text)
-    )
-    SELECT CAST(length(bin(sz)) - 1 AS INT) AS log2_size,
-           CAST(count(*) AS BIGINT) AS n_clusters,
-           CAST(sum(sz) AS BIGINT) AS n_docs,
-           CAST(sum(sz - 1) AS BIGINT) AS n_removable
-    FROM g GROUP BY log2_size
-    """,
-)
-def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate cluster STRUCTURE: md5-identity groups bucketed by
-    log2 size, with cluster counts, document mass and the removable-row
-    count (size − 1 per cluster — what q_dedup_exact would delete).
-    q_dup_rate_report and q_coverage_curve give the RATE; this gives the
-    shape — a few mega-clusters (one boilerplate page crawled 10⁶ times)
-    and a long singleton tail need different treatment than uniform
-    small clusters, and Σ n_removable is the exact dedup savings
-    forecast before running the dedup.
-
-    Digests only; one map-side-combined group + a ~30-bucket reduce.
-    Exact integers end to end: floor(log2(n)) == bit_length(n) - 1, taken
-    as length of the base-2 rendering (Spark `conv(sz,10,2)`, DuckDB
-    `bin(sz)`) — pure integer arithmetic, no libm. The earlier
-    ln(sz)/ln(2.0) form relied on JVM Math.log and DuckDB libm agreeing
-    to the last ulp at power-of-2 floor boundaries (ADVICE r11)."""
-    d = load_table(spark, sf_dir, "documents")
-    g = d.groupBy(F.md5(F.col("text").cast("binary")).alias("dg")).agg(
-        F.count("*").alias("sz")
-    )
-    return g.groupBy(
-        (F.length(F.conv(F.col("sz").cast("string"), 10, 2)) - 1)
-        .cast("int")
-        .alias("log2_size")
-    ).agg(
-        F.count("*").cast("bigint").alias("n_clusters"),
-        F.sum("sz").cast("bigint").alias("n_docs"),
-        F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
-    )
+# Merged registries for callers that introspect llm.QUERIES/ORACLES.
+# registry._MODULES lists the five split modules, NOT this facade — these
+# dicts are a read-only view, never registered (the per-module registries
+# above are the live ones).
+QUERIES = {
+    **llm_dedup.QUERIES,
+    **llm_ann.QUERIES,
+    **llm_cluster.QUERIES,
+    **llm_media.QUERIES,
+    **llm_eval.QUERIES,
+}
+ORACLES = {
+    **llm_dedup.ORACLES,
+    **llm_ann.ORACLES,
+    **llm_cluster.ORACLES,
+    **llm_media.ORACLES,
+    **llm_eval.ORACLES,
+}

@@ -11,13 +11,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from parquet_to_clickhouse_schema_spark.functions import scalar, text
+from parquet_to_clickhouse_schema_spark.functions import (
+    scalar,
+    text_core,
+    text_models,
+)
 from parquet_to_clickhouse_schema_spark.operators import (
     aggregation,
     core,
     dq,
     graph,
-    llm,
+    llm_ann,
+    llm_cluster,
+    llm_dedup,
+    llm_eval,
+    llm_media,
     merge,
     relational,
     reports,
@@ -42,9 +50,14 @@ _MODULES = [
     sortset,
     sqlfeatures,
     scalar,
-    text,
+    text_core,
+    text_models,
     batch_twins,
-    llm,
+    llm_dedup,
+    llm_ann,
+    llm_cluster,
+    llm_media,
+    llm_eval,
     timeseries,
     training,
     udfs,
