@@ -100,6 +100,8 @@ HEADLINE = [
     "q_source_js_divergence",
     "q_image_dhash_dedup",
     "q_audio_fingerprint_dedup",
+    # r18 addition: the per-column storage audit (footer-only)
+    "q_column_sizes",
 ]
 
 

@@ -360,6 +360,101 @@ def q_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _META_SCHEMA)
 
 
+_COLSIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("column_path", T.StringType(), False),
+        T.StructField("compressed_bytes", T.LongType(), False),
+        T.StructField("uncompressed_bytes", T.LongType(), False),
+    ]
+)
+
+# DuckDB spells nested paths "a, list, element"; parquet-mr/pyarrow spell
+# them "a.list.element" — normalize to dots on the oracle side.
+_COLUMN_SIZES_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{t}' AS table_name,
+           replace(path_in_schema, ', ', '.') AS column_path,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
+           CAST(sum(total_uncompressed_size) AS BIGINT)
+               AS uncompressed_bytes,
+           floor(sum(total_uncompressed_size) * 1.0
+                 / sum(total_compressed_size) * 1000000.0 + 0.5) / 1000000.0
+               AS compression_ratio,
+           floor(sum(total_compressed_size) * 1.0
+                 / (SELECT sum(total_compressed_size)
+                    FROM parquet_metadata('{_GATE_SF_DIR}/{t}.parquet'))
+                 * 1000000.0 + 0.5) / 1000000.0 AS table_share
+    FROM parquet_metadata('{_GATE_SF_DIR}/{t}.parquet')
+    GROUP BY 1, 2
+    """
+    for t in TABLES
+)
+
+
+@_q("q_column_sizes", _COLUMN_SIZES_ORACLE)
+def q_column_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column storage audit from parquet footers: compressed and
+    uncompressed bytes, chunk count, compression ratio and each column's
+    share of its table — the FIRST table a 100 TB storage-layout review
+    builds (which column dominates the footprint, which codec is earning
+    its keep, what a projection actually saves at the IO layer). Pure
+    metadata: no data page is ever read, in either engine.
+
+    Footer reads happen on the driver (the q_parquet_meta discipline —
+    bytes read are O(columns), not O(data)); at real fleet scale the same
+    per-file loop distributes as a parallelize over
+    `spark.read.parquet(...).inputFiles` with this exact body per file.
+    Directory datasets are handled (every fragment's footer contributes),
+    so the probe corpus' multi-file tables audit identically. The
+    aggregation and both derived ratios are integer-sum arithmetic with
+    one IEEE divide each, 1e-6-quantized — hash-identical to DuckDB's
+    parquet_metadata() over the same footers."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        for fpath in pq.ParquetDataset(path).files:
+            md = pq.ParquetFile(fpath).metadata
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    rows.append(
+                        (
+                            t,
+                            c.path_in_schema,
+                            c.total_compressed_size,
+                            c.total_uncompressed_size,
+                        )
+                    )
+    chunks = spark.createDataFrame(rows, _COLSIZE_SCHEMA)
+    per_col = chunks.groupBy("table_name", "column_path").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("compressed_bytes").cast("bigint").alias("compressed_bytes"),
+        F.sum("uncompressed_bytes").cast("bigint").alias("uncompressed_bytes"),
+    )
+    w = Window.partitionBy("table_name")
+    return per_col.select(
+        "table_name",
+        "column_path",
+        "n_chunks",
+        "compressed_bytes",
+        "uncompressed_bytes",
+        qround(
+            F.col("uncompressed_bytes") * 1.0 / F.col("compressed_bytes"), 6
+        ).alias("compression_ratio"),
+        qround(
+            F.col("compressed_bytes")
+            * 1.0
+            / F.sum("compressed_bytes").over(w),
+            6,
+        ).alias("table_share"),
+    )
+
+
 SAMPLE_QUOTA = 100  # docs per stratum
 
 

@@ -154,7 +154,8 @@ SWEEP_PRIORITY = (
     "q_window_funnel",
     "q_wsample_es",
     "q_zorder_preview",
-    # (b) new r18 keys — never swept — are inserted here when added
+    # (b) new r18 keys — never swept — first driver row
+    "q_column_sizes",
     # (c) r12-era refresh, ledger (alphabetical) order (28 keys)
     "q_ab_srm_check",
     "q_agg_collect",
@@ -183,7 +184,6 @@ SWEEP_PRIORITY = (
     "q_lateral_join",
     "q_map_funcs",
     "q_negative_sampling_freq",
-    "q_neyman_allocation",
     # ---- ~50-budget line ----
 )
 

@@ -32,14 +32,17 @@ def test_oracle_sql_never_references_file_paths():
     oracle that reads files or uses placeholders would pass locally and
     fail in the driver.
 
-    Exemption: q_parquet_meta's whole POINT is footer metadata, which no
-    view exposes — the r9 verdict (#4) directs promoting it via DuckDB's
-    parquet_file_metadata()/parquet_schema() over the gate-SF files, so
-    it alone may name them (pinned to the driver's sf0.01 gate dir; a
+    Exemption: the footer-metadata family — q_parquet_meta (r9 verdict
+    #4: promoted via DuckDB's parquet_file_metadata()/parquet_schema()
+    over the gate-SF files) and q_column_sizes (r18: per-column storage
+    audit via parquet_metadata() over the same footers). Footer
+    physiology is something no registered view exposes, so these alone
+    may name the files (pinned to the driver's sf0.01 gate dir; a
     failure there shows as one err row, not a silent pass)."""
+    _FOOTER_ORACLES = {"q_parquet_meta", "q_column_sizes"}
     for name, sql in registry.all_oracles().items():
         assert "read_parquet" not in sql, name
-        if name != "q_parquet_meta":
+        if name not in _FOOTER_ORACLES:
             assert "/root/" not in sql, name
         # an unexpanded f-string placeholder opens with an identifier char
         # ({SAMPLE_QUOTA}, {W - 1}); regex quantifiers like {2,} are legal SQL

@@ -78,3 +78,108 @@ def test_perceptual_dedup_all_rows_kept(spark, tmp_path):
         out = Q[key](spark, sf)
         assert out.count() == 12
         assert out.select("doc_id").distinct().count() == 12
+
+
+# ---- q_column_sizes (new key, r18) --------------------------------------
+
+
+def _q6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_column_sizes_matches_pure_python(spark):
+    """Value-for-value against a plain-Python traversal of the same
+    footers (dict aggregation + one divide each, no Spark, no DuckDB)."""
+    import pyarrow.parquet as pq
+
+    from parquet_to_clickhouse_schema_spark.operators.training import TABLES
+    from tests.conftest import SF_SMOKE
+
+    expect: dict[tuple, list] = {}
+    for t in TABLES:
+        md = pq.ParquetFile(f"{SF_SMOKE}/{t}.parquet").metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                e = expect.setdefault((t, c.path_in_schema), [0, 0, 0])
+                e[0] += 1
+                e[1] += c.total_compressed_size
+                e[2] += c.total_uncompressed_size
+    totals: dict[str, int] = {}
+    for (t, _), (_, comp, _) in expect.items():
+        totals[t] = totals.get(t, 0) + comp
+
+    got = {
+        (r.table_name, r.column_path): r
+        for r in Q["q_column_sizes"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for key, (n, comp, unc) in expect.items():
+        r = got[key]
+        assert (r.n_chunks, r.compressed_bytes, r.uncompressed_bytes) == (
+            n,
+            comp,
+            unc,
+        ), key
+        assert r.compression_ratio == _q6(unc / comp), key
+        assert r.table_share == _q6(comp / totals[key[0]]), key
+
+
+def test_column_sizes_consistent_with_parquet_meta(spark):
+    """Cross-key invariant: per table, chunk rows sum to
+    num_row_groups x num_columns, and table shares sum to ~1."""
+    from tests.conftest import SF_SMOKE
+
+    meta = {
+        r.table_name: r for r in Q["q_parquet_meta"](spark, SF_SMOKE).collect()
+    }
+    rows = Q["q_column_sizes"](spark, SF_SMOKE).collect()
+    by_table: dict[str, list] = {}
+    for r in rows:
+        by_table.setdefault(r.table_name, []).append(r)
+    assert set(by_table) == set(meta)
+    for t, cols in by_table.items():
+        assert sum(c.n_chunks for c in cols) == (
+            meta[t].num_row_groups * meta[t].num_columns
+        ), t
+        share = sum(c.table_share for c in cols)
+        assert abs(share - 1.0) <= 1e-6 * len(cols) + 1e-9, (t, share)
+
+
+def test_column_sizes_handles_directory_datasets(spark, tmp_path, monkeypatch):
+    """Multi-file tables (the probe corpus / any real lake layout): every
+    fragment's footer contributes, and the aggregate equals the sum of
+    per-file footers."""
+    import pyarrow.parquet as pq
+
+    from parquet_to_clickhouse_schema_spark.operators import training
+    from parquet_to_clickhouse_schema_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    sf = str(tmp_path)
+    d = load_table(spark, SF_SMOKE, "documents")
+    d.repartition(3).write.parquet(f"{sf}/documents.parquet")
+    monkeypatch.setattr(training, "TABLES", ["documents"])
+
+    got = {
+        r.column_path: r for r in Q["q_column_sizes"](spark, sf).collect()
+    }
+    files = pq.ParquetDataset(f"{sf}/documents.parquet").files
+    assert len(files) == 3
+    comp: dict[str, int] = {}
+    chunks: dict[str, int] = {}
+    for fpath in files:
+        md = pq.ParquetFile(fpath).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                comp[c.path_in_schema] = (
+                    comp.get(c.path_in_schema, 0) + c.total_compressed_size
+                )
+                chunks[c.path_in_schema] = chunks.get(c.path_in_schema, 0) + 1
+    assert {p: r.compressed_bytes for p, r in got.items()} == comp
+    assert {p: r.n_chunks for p, r in got.items()} == chunks
