@@ -40,7 +40,10 @@ from parquet_to_clickhouse_schema_spark.sources.io import (  # noqa: E402
     _normalize_nanos,
 )
 
-N_FILES = 10  # micro-batches per run (maxFilesPerTrigger=1)
+# micro-batches per run (maxFilesPerTrigger=1); env-tunable so the
+# batch-size sensitivity of the fixed per-trigger floor is measurable
+# (rows/batch = 100k / N_FILES at sf0.1)
+N_FILES = int(os.environ.get("STREAM_BENCH_FILES", "10"))
 
 
 def _sentinel(spark, sf_dir: str) -> float:
@@ -196,8 +199,17 @@ def main() -> None:
         schema = spark.read.parquet(src_dir).schema
 
         s_before = _sentinel(spark, sf_dir)
+        # STREAM_BENCH_OPS=a,b restricts the run (batch-size sweeps re-run
+        # one op at several N_FILES; driving all five each time would
+        # quintuple an already-long measurement)
+        only = os.environ.get("STREAM_BENCH_OPS")
+        selected = (
+            {k: v for k, v in OPS.items() if k in set(only.split(","))}
+            if only
+            else OPS
+        )
         ops: dict[str, dict] = {}
-        for name, (build, sink) in OPS.items():
+        for name, (build, sink) in selected.items():
             rep_stats = [
                 _one_rep(
                     spark, src_dir, schema, work_dir, f"{name}_{i}", build, sink
