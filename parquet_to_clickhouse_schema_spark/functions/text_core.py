@@ -147,17 +147,25 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one whole-doc trigram (slice semantics match the oracle's list
     slicing exactly)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tri = F.greatest(F.size(toks) - 2, F.lit(1))
+    # r18: project the token array, then the trigram array, as named
+    # columns. The single-select form evaluated the whole transform once
+    # per consuming expression AND re-split the text once per trigram
+    # position inside the lambda (interpreted HOFs get no CSE; see
+    # llm_dedup.shingle_array). Both aliases are referenced more than
+    # once, so CollapseProject keeps the staging projections.
+    toked = d.select("doc_id", F.split("text", " ").alias("_toks"))
+    n_tri = F.greatest(F.size("_toks") - 2, F.lit(1))
     tris = F.transform(
-        F.sequence(F.lit(1), n_tri), lambda i: F.concat_ws(" ", F.slice(toks, i, 3))
+        F.sequence(F.lit(1), n_tri),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i, 3)),
     )
-    dup_frac = (F.size(tris) - F.size(F.array_distinct(tris))).cast("double") / F.size(
-        tris
-    )
-    return d.select(
+    trid = toked.select("doc_id", tris.alias("_tris"))
+    dup_frac = (
+        F.size("_tris") - F.size(F.array_distinct("_tris"))
+    ).cast("double") / F.size("_tris")
+    return trid.select(
         "doc_id",
-        F.size(tris).cast("int").alias("n_trigrams"),
+        F.size("_tris").cast("int").alias("n_trigrams"),
         qround(dup_frac, 4).alias("dup_frac"),
         F.when(dup_frac <= 0.2, 1).otherwise(0).alias("keep_flag"),
     )
@@ -873,13 +881,17 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final top-{PMI_TOP} is a TakeOrdered, not a full sort."""
     d = load_table(spark, sf_dir, "documents")
     toks_arr = F.split(F.col("text"), " ")
+    # r18: pair off a pre-projected token array — the split-inside-the-
+    # lambda form re-split the document once per bigram position (HOF
+    # lambdas get no CSE; see llm_dedup.shingle_array). CollapseProject
+    # keeps the _toks alias because it is referenced three times.
     bg = (
-        d.select(
+        d.select(toks_arr.alias("_toks"))
+        .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1), "
-                    "i -> struct(split(text, ' ')[i-1] AS a, "
-                    "split(text, ' ')[i] AS b))"
+                    "transform(sequence(1, size(_toks) - 1), "
+                    "i -> struct(_toks[i-1] AS a, _toks[i] AS b))"
                 )
             ).alias("p")
         )

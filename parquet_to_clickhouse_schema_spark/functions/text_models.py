@@ -432,6 +432,35 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring) and reduces per (doc, class). No vocab table, no driver
     state: at 100 TB both passes are scan-bound, and the confusion output
     is classes², independent of corpus size."""
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cl")
+    pred = (
+        _nb_scores(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("cl").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, cl, score): the per-(doc, class) 1e-6-quantized NB
+    log-likelihood frame shared by q_nb_classifier and q_confidence_bins
+    (previously duplicated inline in both).
+
+    r18: the token stream collapses to per-(doc, bucket) COUNTS once and
+    all four consumers (priors, totals, conditionals, scoring) derive
+    from that table. The previous form re-ran the scan→explode→md5
+    pipeline once per consumer (4 full passes — Spark shares no subtree
+    across branch-distinct aggregates without a barrier) and shipped the
+    raw token stream ×|classes| through the scoring join. Scoring over
+    counts is the same sum regrouped: Σ_tokens log p = Σ_buckets tc·log p
+    (guide §2.3 "aggregate before you shuffle"); scores stay
+    1e-6-quantized with ~1e-13 reorder noise, oracle-gated. The lazy
+    localCheckpoint materializes dcnt on first use (≤ docs×256 rows)
+    instead of caching the corpus. Measured 2.04 → 1.77 s interleaved at
+    sf0.1 for q_nb_classifier."""
     d = load_table(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
@@ -443,14 +472,19 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("h", "tok")
     )
-    classes = toks.groupBy(F.col("lang").alias("cl")).agg(
+    dcnt = (
+        toks.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("tc"))
+        .localCheckpoint(eager=False)
+    )
+    classes = dcnt.groupBy(F.col("lang").alias("cl")).agg(
         F.countDistinct("doc_id").alias("n_docs_cl")
     )
-    total = toks.agg(F.countDistinct("doc_id").alias("n_tot"))
+    total = dcnt.agg(F.countDistinct("doc_id").alias("n_tot"))
     cond = (
-        toks.join(F.broadcast(classes), toks.lang == classes.cl)
+        dcnt.join(F.broadcast(classes), dcnt.lang == classes.cl)
         .groupBy("cl", "b")
-        .agg(F.count("*").alias("ct"))
+        .agg(F.sum("tc").alias("ct"))
     )
     cltot = cond.groupBy("cl").agg(F.sum("ct").alias("nt"))
     model = (
@@ -458,17 +492,18 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("cl", "nt", "n_docs_cl", "n_tot")
     )
-    scored = (
-        toks.crossJoin(F.broadcast(model))
+    return (
+        dcnt.crossJoin(F.broadcast(model))
         .join(
             F.broadcast(cond.withColumnRenamed("cl", "ccl")),
-            (F.col("ccl") == F.col("cl")) & (cond.b == toks.b),
+            (F.col("ccl") == F.col("cl")) & (cond.b == dcnt.b),
             "left",
         )
         .groupBy("doc_id", "lang", "cl", "n_docs_cl", "n_tot", "nt")
         .agg(
             F.sum(
-                F.log(
+                F.col("tc")
+                * F.log(
                     (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
                     / (F.col("nt") + float(NB_BUCKETS))
                 )
@@ -482,15 +517,6 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log(F.col("n_docs_cl") * 1.0 / F.col("n_tot")) + F.col("ll"), 6
             ).alias("score"),
         )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cl")
-    pred = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("lang", F.col("cl").alias("pred_lang"))
-    )
-    return pred.groupBy("lang", "pred_lang").agg(
-        F.count("*").cast("bigint").alias("n_docs")
     )
 
 
@@ -736,9 +762,17 @@ NOVELTY_N = 3  # shingle width
 # shingles and hash-match). r13 A/B on q_ngram_novelty: 2.81 → 2.42 s at
 # sf0.1, byte-identical 5000 rows — and the win is on the shuffle-bound
 # side, so it grows with scale like the q_substring_dup anchor trim.
-_SHINGLE_DIGEST_EXPR = (
-    f"transform(sequence(1, greatest(size(split(text, ' ')) - {NOVELTY_N} + 1, 0)), "
-    f"i -> unhex(md5(array_join(slice(split(text, ' '), i, {NOVELTY_N}), ' '))))"
+# r18: the stream reads from a PRE-PROJECTED token-array column.
+# Lambda-captured expressions are re-evaluated per element in the
+# interpreted HOF path, so the old slice(split(text), i, N)-inside-the-
+# lambda form re-split the document once per shingle position —
+# O(tokens²) per doc. Consumers project `split(text) AS _toks` first
+# (CollapseProject keeps the alias: it is referenced more than once) and
+# explode this instead; measured 1.81 → 0.96 s on the shingle stage at
+# sf0.1, byte-identical stream.
+_SHINGLE_DIGEST_FROM_TOKS_EXPR = (
+    f"transform(sequence(1, greatest(size(_toks) - {NOVELTY_N} + 1, 0)), "
+    f"i -> unhex(md5(array_join(slice(_toks, i, {NOVELTY_N}), ' '))))"
 )
 
 
@@ -785,13 +819,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     is row-local (JVM transform over the split array, no window); at
     100 TB the min-reduce is map-side combinable and the join's build
     side is the shingle-first table, bucketable by the same key."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= NOVELTY_N
-    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("_toks")
+    ).filter(F.size("_toks") >= NOVELTY_N)
     sh = (
         d.select(
             "doc_id",
-            F.explode(F.expr(_SHINGLE_DIGEST_EXPR)).alias("shingle"),
+            F.explode(F.expr(_SHINGLE_DIGEST_FROM_TOKS_EXPR)).alias("shingle"),
         )
         .distinct()
     )
@@ -1078,57 +1112,9 @@ def q_confidence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion) plus a doc-bounded margin table; the single ntile runs on
     one row per document — the q_rfm_segments serialization class with
     the same two-pass bucketed-rank swap at 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
-        .withColumn("h", F.md5(F.col("tok").cast("binary")))
-        .withColumn(
-            "b",
-            F.expr("instr('0123456789abcdef', substring(h, 1, 1)) - 1") * 16
-            + F.expr("instr('0123456789abcdef', substring(h, 2, 1)) - 1"),
-        )
-        .drop("h", "tok")
-    )
-    classes = toks.groupBy(F.col("lang").alias("cl")).agg(
-        F.countDistinct("doc_id").alias("n_docs_cl")
-    )
-    total = toks.agg(F.countDistinct("doc_id").alias("n_tot"))
-    cond = (
-        toks.join(F.broadcast(classes), toks.lang == classes.cl)
-        .groupBy("cl", "b")
-        .agg(F.count("*").alias("ct"))
-    )
-    cltot = cond.groupBy("cl").agg(F.sum("ct").alias("nt"))
-    model = (
-        cltot.join(classes, "cl")
-        .crossJoin(F.broadcast(total))
-        .select("cl", "nt", "n_docs_cl", "n_tot")
-    )
-    scored = (
-        toks.crossJoin(F.broadcast(model))
-        .join(
-            F.broadcast(cond.withColumnRenamed("cl", "ccl")),
-            (F.col("ccl") == F.col("cl")) & (cond.b == toks.b),
-            "left",
-        )
-        .groupBy("doc_id", "lang", "cl", "n_docs_cl", "n_tot", "nt")
-        .agg(
-            F.sum(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                    / (F.col("nt") + float(NB_BUCKETS))
-                )
-            ).alias("ll")
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "cl",
-            qround(
-                F.log(F.col("n_docs_cl") * 1.0 / F.col("n_tot")) + F.col("ll"), 6
-            ).alias("score"),
-        )
-    )
+    # r18: scoring frame shared with q_nb_classifier (_nb_scores) — the
+    # whole model-fit + scoring pipeline was duplicated inline here.
+    scored = _nb_scores(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cl")
     ranked = scored.withColumn("rn", F.row_number().over(w))
     top1 = ranked.filter(F.col("rn") == 1).select(
@@ -1499,13 +1485,13 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the >=N-token filter is semantic (short docs carry no shingles) AND a
     # crash guard: sequence(1, 0) is DESCENDING in Spark, so the unguarded
     # transform hands slice() a start of 0 and throws on any 1-2-token doc
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= NOVELTY_N
-    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("_toks")
+    ).filter(F.size("_toks") >= NOVELTY_N)
     sh = (
         d.select(
             "doc_id",
-            F.explode(F.expr(_SHINGLE_DIGEST_EXPR)).alias("shingle"),
+            F.explode(F.expr(_SHINGLE_DIGEST_FROM_TOKS_EXPR)).alias("shingle"),
         )
         .distinct()
     )

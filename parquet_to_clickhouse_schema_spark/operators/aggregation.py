@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from parquet_to_clickhouse_schema_spark._registry import new_registry
 from parquet_to_clickhouse_schema_spark.functions.compat import qround
-from parquet_to_clickhouse_schema_spark.sources.io import load_table
+from parquet_to_clickhouse_schema_spark.sources.io import fanout_scan, load_table
 
 QUERIES, ORACLES, _q = new_registry()
 
@@ -1228,7 +1228,14 @@ def q_zorder_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx) carries it to 100 TB. Exact-integer envelopes;
     identical interpolated boundaries on both engines
     (the q_dq_checks-proven percentile/quantile_cont pair)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # r18: the per-row boundary-bucket HOFs (2 × 255 interpreted compares
+    # per row) and the exact-percentile partial aggregation both ran
+    # inside the single-task single-row-group scan stage; fanout_scan
+    # spreads them across cores (no-op on a real multi-file table).
+    li = fanout_scan(
+        load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"),
+        spark,
+    )
     fracs = [i / 2**ZORDER_BITS for i in range(1, 2**ZORDER_BITS)]
     bnd = li.agg(
         F.percentile("l_partkey", F.lit(fracs)).alias("ba"),

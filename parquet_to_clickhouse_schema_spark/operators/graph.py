@@ -57,17 +57,31 @@ def connected_components(
         .localCheckpoint()
     )
 
+    label_type = labels.schema["label"].dataType
     for _ in range(max_iterations):
-        # hop: every vertex takes min(own label, neighbors' labels)
+        # hop: every vertex takes min(own label, neighbors' labels).
+        # r18: the PREVIOUS label rides through the union as `old` (only
+        # the self row carries it; max() picks the one non-null), so
+        # convergence is a filter-count on the already-checkpointed
+        # frame — the per-iteration new-vs-old compare JOIN (one extra
+        # two-sided shuffle + job per round) is gone (guide §2.4).
+        # Interleaved A/B at sf0.1 over the q_dedup_ngram J>=0.8 pair
+        # set: 2.20 → 1.90 s median, identical 3098 labels. (A variant
+        # replacing the union+groupBy hop with an aggregate-then-join
+        # measured NEUTRAL and was not kept.)
         neighbor_labels = (
             edges.join(labels, edges.v == labels.id)
-            .select(F.col("u").alias("id"), F.col("label"))
+            .select(
+                F.col("u").alias("id"),
+                F.col("label"),
+                F.lit(None).cast(label_type).alias("old"),
+            )
         )
         hopped = (
-            labels.select("id", "label")
+            labels.select("id", "label", F.col("label").alias("old"))
             .unionAll(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         )
         # jump: label(v) <- min(label(v), label(label(v))) — doubles the
         # effective propagation distance, giving O(log diameter) rounds
@@ -81,16 +95,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
                 ).alias("label"),
+                "old",
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     else:

@@ -1877,9 +1877,6 @@ def q_ivfpq_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     def ranked_frame() -> DataFrame:
-        # built FRESH per cogroup side (the _block_sides lesson: cogroup
-        # sides must not share a subplan or the analyzer's self-join dedup
-        # leaves ambiguous expression ids)
         cent = _md5_unit_grid(spark, "ivf", IVF_V_C, ANN_V_DIM)
         cnorm = cent.groupBy("c").agg(
             F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("cn")
@@ -1901,10 +1898,21 @@ def q_ivfpq_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn", F.row_number().over(wc)
         )
 
-    probes = ranked_frame().filter(F.col("rn") <= IVF_V_PROBE).select(
-        "vec_id", F.col("c").alias("pc")
+    # r18: the coarse-assignment pipeline used to be built FRESH for each
+    # cogroup side (the _block_sides ambiguous-expression-id lesson), so
+    # the posexplode → centroid-dot → window ranking executed TWICE. A
+    # localCheckpoint of the tiny ranked table (vec × IVF_V_PROBE rows of
+    # three ints) runs it once, and the checkpoint's fresh LogicalRDD
+    # leaves nothing for the analyzer's self-join dedup to confuse —
+    # probes and assigned now derive from the same materialized frame.
+    ranked = (
+        ranked_frame()
+        .filter(F.col("rn") <= IVF_V_PROBE)
+        .select("vec_id", "c", "rn")
+        .localCheckpoint()
     )
-    assigned = ranked_frame().filter(F.col("rn") == 1).select(
+    probes = ranked.select("vec_id", F.col("c").alias("pc"))
+    assigned = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("nbr_id"), F.col("c").alias("cid")
     )
     qside = probes.join(

@@ -920,7 +920,29 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair generation is an equi-join on 32-char digests with the
     boilerplate ceiling bounding every bucket's fan-out to
     {SUBDUP_BOILERPLATE}²/2 pairs. No all-pairs comparison anywhere."""
-    d = load_table(spark, sf_dir, "documents")
+    # r18: hash-partition the RAW documents by doc_id before any hashing.
+    # The window election below requires hashpartitioning(doc_id) anyway;
+    # establishing it on the raw text (≈1 KB/doc) instead of letting the
+    # window exchange ship the posexploded digest stream (~16 bytes ×
+    # every position ≈ 16× the text) moves 16× fewer bytes through the
+    # one corpus-sized shuffle (guide §2.3 / §8: decide with small rows),
+    # and the per-position md5 work runs on every core instead of inside
+    # the single-task single-row-group scan stage. The partition count is
+    # pinned to spark.sql.shuffle.partitions so AQE cannot coalesce the
+    # tiny local exchange to one partition and serialize the hash stage.
+    # The empty-doc gate is the CHEAP length predicate, applied before the
+    # exchange: the previous size(h) > 0 filter on the hash array was
+    # pushed below the repartition by Catalyst and re-evaluated the whole
+    # per-position md5 transform inside the single-task scan stage (seen
+    # in the first r18 plan cut). length(text) >= K is exactly n_pos >= 1.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= SUBDUP_K)
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
+    )
     text = F.col("text")
     n_pos = F.greatest(F.length(text) - SUBDUP_K + 1, F.lit(0))
     # anchors never reach the output (it is doc pairs + a count), so the
@@ -944,7 +966,7 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<binary>"))
         .alias("h"),
     )
-    ex = hashes.filter(F.size("h") > 0).select(
+    ex = hashes.select(
         "doc_id", F.size("h").alias("_L"), F.posexplode("h").alias("_pos", "_hv")
     )
     w_win = Window.partitionBy("doc_id").orderBy("_pos").rowsBetween(0, SUBDUP_W - 1)
@@ -1133,9 +1155,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency ceiling on shingles (as q_substring_dup does for
     anchors) to bound hot boilerplate buckets; the gated form keeps exact
     semantics so the oracle can verify it verbatim."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_sh_expr = F.greatest(F.size(toks) - CONTAIN_Q + 1, F.lit(0))
+    # r18: shingle off a pre-projected token array — slicing the split
+    # expression inside the HOF lambda re-split the document once per
+    # shingle position (no CSE in interpreted HOFs; see
+    # llm_dedup.shingle_array). The alias survives CollapseProject
+    # because it is referenced more than once.
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    )
+    n_sh_expr = F.greatest(F.size("_toks") - CONTAIN_Q + 1, F.lit(0))
     shingles = d.select(
         "doc_id",
         F.explode(
@@ -1146,7 +1174,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sequence(F.lit(1), n_sh_expr),
                         lambda i: F.md5(
                             F.array_join(
-                                F.slice(toks, i, CONTAIN_Q), " "
+                                F.slice("_toks", i, CONTAIN_Q), " "
                             ).cast("binary")
                         ),
                     ),

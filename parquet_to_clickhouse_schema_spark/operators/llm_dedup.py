@@ -65,8 +65,25 @@ def shingle_array(text_col: str = "text"):
     tokens yield one short shingle instead of an ANSI INVALID_ARRAY_INDEX
     (element_at past the end throws under Spark 4's default ANSI mode).
     Shared by minhash_signatures and the exact-Jaccard verification so
-    candidates and verification always see the same shingle definition."""
-    toks = F.split(F.col(text_col), " ")
+    candidates and verification always see the same shingle definition.
+
+    r18: lambda-captured expressions are re-evaluated PER ELEMENT inside
+    higher-order functions (no CSE in the interpreted HOF path), so
+    slicing `split(text)` inside the lambda re-splits the whole document
+    once per shingle position — O(tokens²) per doc. Hot paths project
+    `split(text)` to a named column first and call shingle_array_of_toks
+    on the column reference; CollapseProject keeps the projection because
+    the alias is referenced more than once (measured 2× on the shingle
+    stage, byte-identical output). This wrapper stays for callers whose
+    input is small."""
+    return shingle_array_of_toks(F.split(F.col(text_col), " "))
+
+
+def shingle_array_of_toks(toks):
+    """shingle_array over an already-computed token-array column. Pass a
+    plain column REFERENCE (project the split first) — passing the split
+    expression itself re-evaluates it per shingle position (docstring
+    above)."""
     n_sh = F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), n_sh - 1),
@@ -110,11 +127,17 @@ def minhash_base(
     signatures, band tables and verify shingle-sets from it instead of
     re-running the pass per consumer (the band self-join alone consumes
     signatures twice). The repartition is the materialization barrier
-    documented in minhash_signatures."""
-    base = F.transform(shingle_array(text_col), lambda s: F.xxhash64(s))
-    return docs.select(
-        "doc_id", *extra_cols, base.alias("hs")
-    ).repartition("doc_id")
+    documented in minhash_signatures. The token array is projected to a
+    named column first (r18, shingle_array docstring) so the split runs
+    once per document, not once per shingle position."""
+    pre = docs.select(
+        "doc_id", *extra_cols, F.split(F.col(text_col), " ").alias("_toks")
+    )
+    base = F.transform(
+        shingle_array_of_toks(F.col("_toks")), lambda s: F.xxhash64(s)
+    )
+    keep = [c for c in pre.columns if c != "_toks"]
+    return pre.select(*keep, base.alias("hs")).repartition("doc_id")
 
 
 def minhash_sig_from_base(hashed: DataFrame) -> DataFrame:
@@ -224,10 +247,12 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_dedup_ngram precedent): intersect/union over 8-byte longs, and the
     # candidate join ships narrow arrays — jaccard is unchanged modulo the
     # minhash ~n²/2⁶⁴ collision mass; the raw-shingle DuckDB oracle pins it
-    shs = d.select(
+    shs = d.select("doc_id", F.split("text", " ").alias("_toks")).select(
         "doc_id",
         F.array_distinct(
-            F.transform(shingle_array("text"), lambda s: F.xxhash64(s))
+            F.transform(
+                shingle_array_of_toks(F.col("_toks")), lambda s: F.xxhash64(s)
+            )
         ).alias("shset"),
     )
     sa = shs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
@@ -649,13 +674,22 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw tokens and the driver hash pins the equivalence every sweep."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")
-    tok = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        toks.alias("toks"),
-        F.floor(F.size(toks) / F.lit(32.0)).alias("szbkt"),
-    ).repartition("lang", "source", "szbkt")
+    # r18: two-step select so the tokenize→hash→distinct chain is computed
+    # once per row — the single-select form named `toks` AND took
+    # F.size(toks) of the raw expression, and interpreted HOFs get no CSE,
+    # so the whole chain ran twice per row. The second select references
+    # the alias twice, which keeps CollapseProject from re-inlining it.
+    tok = (
+        d.select("doc_id", "lang", "source", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "toks",
+            F.floor(F.size("toks") / F.lit(32.0)).alias("szbkt"),
+        )
+        .repartition("lang", "source", "szbkt")
+    )
     # NO localCheckpoint (r14 measured-and-rejected): the repartition
     # exchange is already reused across the identical same-bucket a/b
     # subplans, and checkpointing the full tok table for the adjacent
@@ -1099,9 +1133,10 @@ def q_source_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end; the only float is the final ratio, quantized at 1e-6."""
     docs = load_table(spark, sf_dir, "documents")
     sh = (
-        docs.select(
+        docs.select("source", F.split("text", " ").alias("_toks"))
+        .select(
             "source",
-            F.explode(shingle_array()).alias("s"),
+            F.explode(shingle_array_of_toks(F.col("_toks"))).alias("s"),
         )
         .select("source", F.md5(F.col("s").cast("binary")).alias("dg"))
         .distinct()

@@ -62,6 +62,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fanout_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Restore scan parallelism when the source cannot provide it.
+
+    The testdata tables are single-file, single-row-group parquet, so
+    every scan stage is exactly ONE task and all row-local work before
+    the first exchange runs on one core (guide §2.5 "input skew: one
+    huge unsplittable file ... repartition immediately after the read").
+    This is a no-op whenever the scan already yields at least
+    shuffle-partition-many splits — i.e. on any real multi-file lake
+    table — so at 100 TB it never adds an exchange; project the needed
+    columns BEFORE calling so the one local exchange ships only them.
+    The partition count is pinned (explicit N) so AQE cannot coalesce
+    the deliberately-small shuffle back to one partition."""
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
     """Register every table as a temp view (for the SQL-expressed operators)."""
     for name in TABLES:
