@@ -679,14 +679,27 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.size(toks) of the raw expression, and interpreted HOFs get no CSE,
     # so the whole chain ran twice per row. The second select references
     # the alias twice, which keeps CollapseProject from re-inlining it.
+    #
+    # szbkt is a JOIN key below, so InferFiltersFromConstraints adds
+    # `isnotnull(szbkt)` — and predicate pushdown re-inlines the whole
+    # tokenize chain into that filter at the SCAN, re-running it per row
+    # just to test nullability (seen in plans/r18/q_dedup_ngram_before).
+    # szbkt is null iff text is null; an explicit cheap text-notnull
+    # filter plus a coalesce (unreachable given the filter) makes szbkt
+    # provably non-nullable, so the inferred isnotnull folds to true.
+    # Output identical on ANY input: null-text rows never matched either
+    # join (null keys) in either engine; now they drop at the scan.
     tok = (
-        d.select("doc_id", "lang", "source", toks.alias("toks"))
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", "source", toks.alias("toks"))
         .select(
             "doc_id",
             "lang",
             "source",
             "toks",
-            F.floor(F.size("toks") / F.lit(32.0)).alias("szbkt"),
+            F.coalesce(
+                F.floor(F.size("toks") / F.lit(32.0)), F.lit(-1).cast("bigint")
+            ).alias("szbkt"),
         )
         .repartition("lang", "source", "szbkt")
     )

@@ -442,24 +442,40 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = v.agg(
         F.floor((F.min("us") + F.max("us")) / 2.0).alias("m")
     )
-    vv = v.crossJoin(F.broadcast(mid))
-    ref = vv.filter(F.col("us") <= F.col("m")).select("val")
-    cur = vv.filter(F.col("us") > F.col("m")).select("val")
+    # r18: ONE bucket-count pass for both halves instead of four separate
+    # corpus scans (rc, cc, and the two nt counts): tag each row is_ref,
+    # group by (is_ref, bucket), and derive rc/cc/nt from the resulting
+    # <= 2x{PSI_BUCKETS}+2-row table (lazily checkpointed so the three
+    # consumers read the materialized counts, not three re-scans). Three
+    # corpus passes total — min/max, ref percentile, bucket counts — which
+    # is the floor for exact reference-decile PSI. Row-identical: every
+    # ref/cur row lands in exactly one bucket (a NULL val filters to
+    # bucket 0 in both engines), nr/nc are the same sums regrouped, and
+    # the empty-input coalesce keeps the degenerate-corpus output finite
+    # exactly as the old count(*) form was.
+    half = v.crossJoin(F.broadcast(mid)).select(
+        "val", (F.col("us") <= F.col("m")).alias("is_ref")
+    )
     fracs = [i / PSI_BUCKETS for i in range(1, PSI_BUCKETS)]
-    bnds = ref.agg(F.percentile("val", F.lit(fracs)).alias("bnds"))
+    bnds = half.filter(F.col("is_ref")).agg(
+        F.percentile("val", F.lit(fracs)).alias("bnds")
+    )
     bucket = F.size(F.filter("bnds", lambda x: F.col("val") > x)).cast("int")
-    rc = (
-        ref.crossJoin(F.broadcast(bnds))
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count("*").alias("n_r"))
+    cnt = (
+        half.crossJoin(F.broadcast(bnds))
+        .groupBy("is_ref", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
-    cc = (
-        cur.crossJoin(F.broadcast(bnds))
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count("*").alias("n_c"))
-    )
-    nt = ref.agg(F.count("*").alias("nr")).crossJoin(
-        cur.agg(F.count("*").alias("nc"))
+    rc = cnt.filter(F.col("is_ref")).select("bucket", F.col("n").alias("n_r"))
+    cc = cnt.filter(~F.col("is_ref")).select("bucket", F.col("n").alias("n_c"))
+    nt = cnt.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_ref"), F.col("n"))), F.lit(0).cast("bigint")
+        ).alias("nr"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_ref"), F.col("n"))), F.lit(0).cast("bigint")
+        ).alias("nc"),
     )
     spine = spark.range(PSI_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
     sm = float(PSI_BUCKETS) * 0.5

@@ -1187,12 +1187,28 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("shard:"), F.col("doc_id").cast("string")).cast("binary")
     )
     nib = lambda j: F.expr(f"instr('0123456789abcdef', substring(h, {j}, 1)) - 1")
-    b = d.select(
-        "doc_id",
-        "lang",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        h.alias("h"),
-    ).withColumn("blk", nib(1) * 16 + nib(2))
+    # r18: blk is a window/group/join key, so the inferred isnotnull(blk)
+    # was pushed into the scan filter, re-evaluating the md5 per row just
+    # for the null test (plans/r18/q_shard_plan_before); the explicit
+    # doc_id-notnull filter + unreachable coalesce makes blk non-nullable
+    # so the inferred filter folds away. Identity: a null doc_id yields
+    # blk NULL in both engines, which never survives the c-to-off join
+    # (Spark) / blk equi-join (DuckDB) — dropping it at the scan changes
+    # nothing. (A variant deriving per-block totals from a second
+    # whole-partition window on the c branch — one scan instead of two —
+    # measured WORSE, 0.82 -> 1.09 s anchor median: WindowExec sorts its
+    # partition even for an unordered frame, so the "saved" scan returned
+    # as a second corpus sort. The groupBy branch stands.)
+    b = (
+        d.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            h.alias("h"),
+        )
+        .withColumn("blk", F.coalesce(nib(1) * 16 + nib(2), F.lit(-1)))
+    )
     wc = (
         Window.partitionBy("blk")
         .orderBy("h", "doc_id")

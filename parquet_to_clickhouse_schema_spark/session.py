@@ -35,6 +35,23 @@ _TUNED_CONFS: dict[str, str] = {
     # 100 TB-safe broadcast policy (r9 hint removal, r10 parity: apply it
     # to externally-created sessions too, not just get_spark() builders)
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # r18: InferFiltersFromGenerate adds `size(e) > 0 AND e IS NOT NULL`
+    # below every explode/posexplode — a pure-pruning rewrite (Generate
+    # with outer=false already drops empty/null arrays, so results are
+    # identical with or without it). In this engine every exploded array
+    # is COMPUTED (shingle/anchor/bucket transforms over text), never a
+    # stored column, so the inferred predicate re-evaluates the whole
+    # transform once per row just to test emptiness — and filter pushdown
+    # then sinks that duplicate evaluation below the repartition into the
+    # single-split scan stage, serializing it on one core. Interleaved
+    # A/B at sf0.1: q_substring_dup 3.49 -> 1.22 s median, every other
+    # bench key neutral (full-suite re-run, OPTIMIZATION_r18.md). The
+    # rule only ever pays off when exploding stored arrays with many
+    # empties AND a shuffle between scan and explode - a shape this
+    # engine does not have.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
