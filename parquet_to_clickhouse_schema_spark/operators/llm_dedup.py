@@ -870,7 +870,19 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
-    docs = d.select("doc_id", "n_chars", digest.alias("dg"))
+    # r18: materialize the digest proxy table ONCE (lazy checkpoint). Four
+    # consumers (reps, exact_edges, labeled, keeper_dg) each re-ran the
+    # corpus scan + per-row sha2 — the guide-§8 "decide with small rows"
+    # table was being rebuilt per decision. The checkpointed frame is
+    # (doc_id, n_chars, 64-char digest) ≈ 90 B/doc, no text; unlike the
+    # measured-and-rejected q_dedup_ngram tok-table checkpoint (corpus-
+    # sized token arrays), this stores digests only. Anchor median
+    # 6.26 → 5.64 s at sf0.1 (the residual is the CC loop's fixed
+    # per-iteration job cost); oracle-identical at sf0.01/sf0.1.
+    docs = (
+        d.select("doc_id", "n_chars", digest.alias("dg"))
+        .localCheckpoint(eager=False)
+    )
     best = F.max(F.struct("n_chars", (-F.col("doc_id")).alias("neg_id")))
     reps = (
         docs.groupBy("dg")

@@ -448,8 +448,15 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(MMR_LAMBDA) * F.col("qrel")).alias("score"),
         )
     )
-    picks = [s1]
-    selected = s1.select("vec_id")
+    # r18: each unrolled pick is localCheckpoint'ed (1 row). Lazy chaining
+    # made step k's plan re-derive every previous pick — the final union
+    # was a 325-node plan whose TakeOrdered branches recomputed the whole
+    # greedy prefix per step (4 steps ≈ 2^k tiny-job blowup at the tail).
+    # Checkpointing the single-row pick truncates that recursion; the
+    # greedy loop stays fully distributed (no collect — the driver still
+    # never sees a row). Anchor median 1.94 → 1.52 s at sf0.1.
+    picks = [s1.localCheckpoint()]
+    selected = picks[0].select("vec_id")
     for step in range(2, MMR_K + 1):
         rem = cand.join(selected, "vec_id", "left_anti")
         msim = (
@@ -470,6 +477,7 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.col("score").desc(), "vec_id")
             .limit(1)
+            .localCheckpoint()
         )
         picks.append(pick)
         selected = selected.union(pick.select("vec_id"))
