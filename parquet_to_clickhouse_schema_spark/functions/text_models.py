@@ -755,13 +755,14 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 NOVELTY_N = 3  # shingle width
 
 # shared shingle stream for the novelty/boilerplate pair. The shingle is
-# keyed by unhex(md5(...)) — 16-byte binary — instead of the raw word
-# string: shingles never reach either query's output (both emit per-doc
-# counts/fractions), so any injective-modulo-2⁻¹²⁸ rekeying leaves results
-# identical (the house digest-keyed-shuffle rule; DuckDB oracles keep raw
-# shingles and hash-match). r13 A/B on q_ngram_novelty: 2.81 → 2.42 s at
-# sf0.1, byte-identical 5000 rows — and the win is on the shuffle-bound
-# side, so it grows with scale like the q_substring_dup anchor trim.
+# keyed by a digest instead of the raw word string: shingles never reach
+# either query's output (both emit per-doc counts/fractions), so any
+# injective-modulo-collision rekeying leaves results identical (the house
+# digest-keyed-shuffle rule; DuckDB oracles keep raw shingles and
+# hash-match). r13 A/B on q_ngram_novelty with unhex(md5(...)) 16-byte
+# binary: 2.81 → 2.42 s at sf0.1, byte-identical 5000 rows — the win is
+# on the shuffle-bound side, so it grows with scale like the
+# q_substring_dup anchor trim.
 # r18: the stream reads from a PRE-PROJECTED token-array column.
 # Lambda-captured expressions are re-evaluated per element in the
 # interpreted HOF path, so the old slice(split(text), i, N)-inside-the-
@@ -770,9 +771,16 @@ NOVELTY_N = 3  # shingle width
 # (CollapseProject keeps the alias: it is referenced more than once) and
 # explode this instead; measured 1.81 → 0.96 s on the shingle stage at
 # sf0.1, byte-identical stream.
+# r18 (2nd pass): the digest is xxhash64 — 8-byte long — instead of the
+# 16-byte md5 binary: half the key bytes through the distinct + join
+# shuffles and long compare beats binary compare (guide §2.3; the
+# q_dedup_ngram collision-mass argument, ~distinct-shingles²/2⁶⁴, with
+# the raw-shingle oracles pinning it every sweep). Interleaved A/B at
+# sf0.1, byte-identical rows: novelty 1.53 → 1.32 s, boilerplate
+# 1.48 → 1.18 s.
 _SHINGLE_DIGEST_FROM_TOKS_EXPR = (
     f"transform(sequence(1, greatest(size(_toks) - {NOVELTY_N} + 1, 0)), "
-    f"i -> unhex(md5(array_join(slice(_toks, i, {NOVELTY_N}), ' '))))"
+    f"i -> xxhash64(array_join(slice(_toks, i, {NOVELTY_N}), ' ')))"
 )
 
 
