@@ -1101,10 +1101,19 @@ def q_training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
     dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    kept = d.select(
-        "doc_id", "lang", n_tokens.alias("n_tokens"),
-        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("dg"),
-    ).filter(n_tokens.between(20, 200) & (dr > 0.2))
+    # r18: kept is consumed twice (rep election + the left-semi join
+    # back), and each consumer re-ran the scan + tokenize + sha2 +
+    # quality filter; the lazy checkpoint materializes the filtered
+    # ~90 B/doc proxy table once (the q_dedup_pipeline digest-table
+    # pattern). Interleaved A/B at sf0.1: 0.87 → 0.77 s, identical rows.
+    kept = (
+        d.select(
+            "doc_id", "lang", n_tokens.alias("n_tokens"),
+            F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("dg"),
+        )
+        .filter(n_tokens.between(20, 200) & (dr > 0.2))
+        .localCheckpoint(eager=False)
+    )
     reps = kept.groupBy("dg").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
     split = (
