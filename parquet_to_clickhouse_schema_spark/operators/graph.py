@@ -44,6 +44,13 @@ def connected_components(
     the caller's concern (documents with no near-dup pair keep their own id
     by definition — union them in if a total mapping is needed).
     """
+    # r19 note: a variant that persisted edges pre-partitioned/pre-sorted
+    # on v (to spare the per-round |E| exchange) measured SLOWER at sf0.1
+    # (steal-filtered interleaved min 4.75 s vs 3.44 s old, quiet-window
+    # reps consistently above both other forms): the pinned 32-partition
+    # cache blocks AQE from coalescing the tiny per-round shuffles, and
+    # task-launch overhead dominates at bench scale. Rejected; the edge
+    # set stays a checkpointed frame whose per-round exchange AQE sizes.
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -62,13 +69,13 @@ def connected_components(
         # hop: every vertex takes min(own label, neighbors' labels).
         # r18: the PREVIOUS label rides through the union as `old` (only
         # the self row carries it; max() picks the one non-null), so
-        # convergence is a filter-count on the already-checkpointed
-        # frame — the per-iteration new-vs-old compare JOIN (one extra
-        # two-sided shuffle + job per round) is gone (guide §2.4).
-        # Interleaved A/B at sf0.1 over the q_dedup_ngram J>=0.8 pair
-        # set: 2.20 → 1.90 s median, identical 3098 labels. (A variant
-        # replacing the union+groupBy hop with an aggregate-then-join
-        # measured NEUTRAL and was not kept.)
+        # convergence is a filter-count on the per-round frame — the
+        # per-iteration new-vs-old compare JOIN (one extra two-sided
+        # shuffle + job per round) is gone (guide §2.4). Interleaved A/B
+        # at sf0.1 over the q_dedup_ngram J>=0.8 pair set: 2.20 → 1.90 s
+        # median, identical 3098 labels. (A variant replacing the
+        # union+groupBy hop with an aggregate-then-join measured NEUTRAL
+        # and was not kept.)
         neighbor_labels = (
             edges.join(labels, edges.v == labels.id)
             .select(
@@ -77,17 +84,33 @@ def connected_components(
                 F.lit(None).cast(label_type).alias("old"),
             )
         )
+        # r19: persist `hopped` — the jump self-join consumes it twice, and
+        # without materialization Spark re-executed the whole hop subtree
+        # (edges⋈labels SMJ + union + two-phase aggregate) once PER SIDE —
+        # the r18 before-subplans show the duplicated subtree verbatim
+        # (plans/r19/q_dedup_pipeline_before_subplans.txt ops 1-18 vs
+        # 19-35). The cache is |V|-sized (one row per vertex), populated by
+        # the same job that checks convergence, and dropped at round end.
         hopped = (
             labels.select("id", "label", F.col("label").alias("old"))
             .unionAll(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            .persist()
         )
         # jump: label(v) <- min(label(v), label(label(v))) — doubles the
-        # effective propagation distance, giving O(log diameter) rounds
+        # effective propagation distance, giving O(log diameter) rounds.
+        # The cached hopped keeps its groupBy hashpartitioning(id), so the
+        # jid side of the self-join needs no exchange; only the label side
+        # is shuffled.
         lab2 = hopped.select(
             F.col("id").alias("jid"), F.col("label").alias("jlabel")
         )
+        # r19: lazy checkpoint + count in ONE job — the convergence count
+        # is the action that materializes the round's labels (and fills the
+        # hopped cache on the way), replacing the eager-checkpoint job +
+        # separate count job per round (guide §1.2/§2.4: don't pay two
+        # passes where one suffices). VERDICT r18 next-round item #1.
         new_labels = (
             hopped.join(lab2, hopped.label == lab2.jid, "left")
             .select(
@@ -97,9 +120,10 @@ def connected_components(
                 ).alias("label"),
                 "old",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        hopped.unpersist(blocking=False)
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
@@ -607,26 +631,36 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("id").alias("mx"), F.min("id").alias("mn")
     ).collect()[0]
     max_id, min_id = bounds["mx"] or 0, bounds["mn"] or 0
+    # r19 (VERDICT r18 #2): scoped SHUFFLE_HASH hints (guide §3.1). The
+    # closure join streams the quadratic wedge set (Σ out-deg² — 49M rows
+    # at sf0.1) against the |E|-sized oriented-edge key set; sort-merge
+    # sorted all 49M wedge keys just to probe 1.2M edges. Building a hash
+    # table from the EDGE side per partition (|E|/P rows — bounded by the
+    # input, never the wedge set) removes that sort entirely; AQE skew
+    # splitting still applies to shuffled-hash joins. The wedge join's e2
+    # side gets the same hint (both sides |E|-sized; hash build beats two
+    # sorts). Hints are per-join, not an engine-wide
+    # preferSortMergeJoin=false, so no other query's plan can change.
     if 0 <= min_id and max_id < 2**31:
         pack = 4294967296  # 2^32: src*2^32 + dst stays inside int64
         ek = eo.select(
             (F.col("src").cast("long") * pack + F.col("dst")).alias("key")
         )
         tri = (
-            e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+            e1.join(e2.hint("shuffle_hash"), F.col("e2.src") == F.col("e1.dst"))
             .select(
                 (F.col("e1.src").cast("long") * pack + F.col("e2.dst")).alias(
                     "key"
                 )
             )
-            .join(ek, "key")
+            .join(ek.hint("shuffle_hash"), "key")
             .agg(F.count("*").alias("t"))
         )
     else:
         tri = (
-            e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+            e1.join(e2.hint("shuffle_hash"), F.col("e2.src") == F.col("e1.dst"))
             .join(
-                e3,
+                e3.hint("shuffle_hash"),
                 (F.col("e3.src") == F.col("e1.src"))
                 & (F.col("e3.dst") == F.col("e2.dst")),
             )

@@ -1200,10 +1200,15 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was pushed into the scan filter, re-evaluating the md5 per row just
     # for the null test (plans/r18/q_shard_plan_before); the explicit
     # doc_id-notnull filter + unreachable coalesce makes blk non-nullable
-    # so the inferred filter folds away. Identity: a null doc_id yields
-    # blk NULL in both engines, which never survives the c-to-off join
-    # (Spark) / blk equi-join (DuckDB) — dropping it at the scan changes
-    # nothing. (A variant deriving per-block totals from a second
+    # so the inferred filter folds away. On null-doc_id input this filter
+    # is a FIX, not a pure identity (ADVICE r18): the null rows never
+    # survive the c-to-off equi-join in either engine, but in the OLD form
+    # they still built a blk=NULL group in the per-block totals, and the
+    # running-offset window (Window.orderBy('blk')) sorts NULLS FIRST in
+    # Spark vs LAST in DuckDB — so the NULL group's token sum inflated
+    # boff for every real block on the Spark side only. Dropping the rows
+    # at the scan removes that latent divergence; on the null-free test
+    # tables both forms agree. (A variant deriving per-block totals from a second
     # whole-partition window on the c branch — one scan instead of two —
     # measured WORSE, 0.82 -> 1.09 s anchor median: WindowExec sorts its
     # partition even for an unordered frame, so the "saved" scan returned

@@ -78,6 +78,15 @@ def tune(spark: SparkSession) -> SparkSession:
         pass
     for k, v in _TUNED_CONFS.items():
         try:
+            if k == "spark.sql.optimizer.excludedRules":
+                # ADVICE r18: an embedding application may have configured
+                # its own exclusions — append ours instead of clobbering
+                existing = spark.conf.get(k, None) or ""
+                have = {r.strip() for r in existing.split(",") if r.strip()}
+                if v not in have:
+                    v = f"{existing},{v}" if existing else v
+                elif existing:
+                    v = existing
             spark.conf.set(k, v)
         except Exception:
             pass  # read-only in some deployments; engine still works
