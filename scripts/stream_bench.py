@@ -45,6 +45,16 @@ from parquet_to_clickhouse_schema_spark.sources.io import (  # noqa: E402
 # (rows/batch = 100k / N_FILES at sf0.1)
 N_FILES = int(os.environ.get("STREAM_BENCH_FILES", "10"))
 
+# r19: state-partition sizing (stream_demo.state_partitions_for — one
+# state-store instance per shuffle partition is frozen at a query's first
+# run, and every trigger pays one commit per instance; size to live keys,
+# not cores). Default "auto" derives the count from the split's distinct
+# user_id count; STREAM_BENCH_SHUFFLE=N pins it, =session leaves the
+# session value (the pre-r19 behaviour, kept for comparison legs — the
+# 32-vs-8 A/B is committed in docs/STREAMING.md). Applied around the
+# streaming runs only (the batch sentinel sees the session default).
+STREAM_SHUFFLE = os.environ.get("STREAM_BENCH_SHUFFLE", "auto")
+
 
 def _sentinel(spark, sf_dir: str) -> float:
     t0 = time.monotonic()
@@ -199,6 +209,20 @@ def main() -> None:
         schema = spark.read.parquet(src_dir).schema
 
         s_before = _sentinel(spark, sf_dir)
+        default_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        if STREAM_SHUFFLE == "auto":
+            from parquet_to_clickhouse_schema_spark.streaming.stream_demo import (
+                state_partitions_for,
+            )
+
+            live_keys = base.select("user_id").distinct().count()
+            stream_shuffle = str(state_partitions_for(spark, live_keys))
+        elif STREAM_SHUFFLE == "session":
+            stream_shuffle = None
+        else:
+            stream_shuffle = STREAM_SHUFFLE
+        if stream_shuffle:
+            spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle)
         # STREAM_BENCH_OPS=a,b restricts the run (batch-size sweeps re-run
         # one op at several N_FILES; driving all five each time would
         # quintuple an already-long measurement)
@@ -241,11 +265,14 @@ def main() -> None:
                 "degraded_reps": len(rep_stats) - len(good),
                 "reps": rep_stats,
             }
+        if stream_shuffle:
+            spark.conf.set("spark.sql.shuffle.partitions", default_shuffle)
         s_after = _sentinel(spark, sf_dir)
 
         out = {
             "metric": "stream_micro_batch",
             "sf_dir": sf_dir,
+            "stream_shuffle_partitions": stream_shuffle or default_shuffle,
             "ops": ops,
             "sentinel_before_s": s_before,
             "sentinel_after_s": s_after,
