@@ -333,14 +333,11 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is touched once for the counts. The encoder's 24 chained
     replaces run on the vocab table only (q_bpe_encode's plan)."""
     d = load_table(spark, sf_dir, "documents")
-    # r19: fanout before the explode — the corpus-wide split+explode+
-    # partial (lang, tok) count otherwise runs on the single scan task
-    # (guide §2.5; no-op on multi-split scans, see fanout_scan)
-    from parquet_to_clickhouse_schema_spark.sources.io import fanout_scan
-
+    # r19: fanout_scan before this explode was measured and REJECTED
+    # (0.67× — the extra exchange of the raw text column costs more than
+    # the single-task explode it parallelizes; see OPTIMIZATION_r19.md)
     lw = (
-        fanout_scan(d.select("lang", "text"), spark)
-        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("lang", "tok")
         .agg(F.count("*").alias("lfreq"))
     )
